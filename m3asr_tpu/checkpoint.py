@@ -1,0 +1,290 @@
+"""Checkpoint ingestion: PyTorch trainer_3m_fix state dicts -> JAX pytrees.
+
+The reference builds its TRT engine directly from the torch checkpoint
+(builder.py:132-134); we do the same for the JAX model. Parameter names
+follow the reference module tree exactly (e.g.
+`encoder.blocks.0.self_attn.linear_q.weight`,
+`encoder.blocks.0.feed_forward.experts.w_1.weight`).
+
+Conversion rules (all applied once at load time, mirroring what the
+reference does at TRT build time):
+ * nn.Linear weight (out, in)            -> kernel (in, out)
+ * nn.Conv2d weight (O, I, kh, kw)       -> kernel (kh, kw, I, O) [HWIO]
+ * pointwise nn.Conv1d weight (O, I, 1)  -> kernel (I, O)  (it's a matmul)
+ * depthwise nn.Conv1d weight (C, 1, K)  -> kernel (K, C)
+ * BatchNorm1d (inference)               -> folded scale/shift
+   (torch_network_helper.py:113-176 does the same fold into a TRT scale
+   layer; eps = torch BN default 1e-5)
+ * FMoELinear weight (E, out, in)        -> (E, in, out)
+ * router_weights (d_router, E)          -> kernel as-is (stored (in, out))
+
+Expert resharding for EP checkpoints (state_dict_comm /
+load_state_dict_comm, conformer_fmoe_...hier.py:236-273) is provided by
+`gather_expert_shards` / `shard_experts`.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from m3asr_tpu.config import EncoderConfig, ModelConfig, MoEEncoderConfig
+
+BN_EPS = 1e-5
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor without importing torch at module scope
+    return t.detach().cpu().numpy()
+
+
+class StateDict:
+    """Thin view over a flat name->tensor dict with prefix scoping."""
+
+    def __init__(self, d: Dict[str, Any], prefix: str = ""):
+        self.d = d
+        self.prefix = prefix
+        self.used: set = getattr(d, "_used", set())
+
+    def sub(self, name: str) -> "StateDict":
+        s = StateDict(self.d, self.prefix + name + ".")
+        s.used = self.used
+        return s
+
+    def __contains__(self, name: str) -> bool:
+        return self.prefix + name in self.d
+
+    def get(self, name: str) -> np.ndarray:
+        key = self.prefix + name
+        self.used.add(key)
+        return _np(self.d[key])
+
+    def keys(self):
+        return [k for k in self.d if k.startswith(self.prefix)]
+
+
+def _linear(sd: StateDict, name: str, bias: bool = True) -> Dict:
+    p = {"kernel": _np(sd.get(f"{name}.weight")).T.copy()}
+    if bias and f"{name}.bias" in sd:
+        p["bias"] = sd.get(f"{name}.bias")
+    return p
+
+
+def _layer_norm(sd: StateDict, name: str) -> Dict:
+    return {"scale": sd.get(f"{name}.weight"), "bias": sd.get(f"{name}.bias")}
+
+
+def _conv2d(sd: StateDict, name: str) -> Dict:
+    w = sd.get(f"{name}.weight")  # (O, I, kh, kw)
+    return {"kernel": w.transpose(2, 3, 1, 0).copy(),
+            "bias": sd.get(f"{name}.bias")}
+
+
+def _pointwise_conv1d(sd: StateDict, name: str) -> Dict:
+    w = sd.get(f"{name}.weight")  # (O, I, 1)
+    return {"kernel": w[:, :, 0].T.copy(), "bias": sd.get(f"{name}.bias")}
+
+
+def _depthwise_conv1d(sd: StateDict, name: str) -> Dict:
+    w = sd.get(f"{name}.weight")  # (C, 1, K)
+    return {"kernel": w[:, 0, :].T.copy(), "bias": sd.get(f"{name}.bias")}
+
+
+def _folded_batch_norm(sd: StateDict, name: str, eps: float = BN_EPS) -> Dict:
+    gamma = sd.get(f"{name}.weight")
+    beta = sd.get(f"{name}.bias")
+    mean = sd.get(f"{name}.running_mean")
+    var = sd.get(f"{name}.running_var")
+    scale = gamma / np.sqrt(var + eps)
+    return {"scale": scale, "bias": beta - mean * scale}
+
+
+def convert_subsampling(sd: StateDict, input_layer: str) -> Dict:
+    if input_layer == "linear":
+        return {"out": _linear(sd, "out.0"), "norm": _layer_norm(sd, "out.1")}
+    convs = {"conv2d": 2, "conv2d6": 2, "conv2d8": 3}[input_layer]
+    p = {}
+    for i in range(convs):
+        p[f"conv{i}"] = _conv2d(sd, f"conv.{2 * i}")
+    if "out.0.weight" in sd:
+        p["out"] = _linear(sd, "out.0")
+    else:
+        p["out"] = _linear(sd, "out")
+    return p
+
+
+def convert_attention(sd: StateDict) -> Dict:
+    p = {
+        "linear_q": _linear(sd, "linear_q"),
+        "linear_k": _linear(sd, "linear_k"),
+        "linear_v": _linear(sd, "linear_v"),
+        "linear_out": _linear(sd, "linear_out"),
+    }
+    if "linear_pos.weight" in sd:
+        p["linear_pos"] = _linear(sd, "linear_pos", bias=False)
+        p["pos_bias_u"] = sd.get("pos_bias_u")
+        p["pos_bias_v"] = sd.get("pos_bias_v")
+    return p
+
+
+def convert_conv_module(sd: StateDict, cnn_module_norm: str) -> Dict:
+    p = {
+        "pointwise_conv1": _pointwise_conv1d(sd, "pointwise_conv1"),
+        "depthwise_conv": _depthwise_conv1d(sd, "depthwise_conv"),
+        "pointwise_conv2": _pointwise_conv1d(sd, "pointwise_conv2"),
+    }
+    if cnn_module_norm == "batch_norm":
+        p["norm"] = _folded_batch_norm(sd, "norm")
+    else:
+        p["norm"] = _layer_norm(sd, "norm")
+    return p
+
+
+def convert_ffn(sd: StateDict) -> Dict:
+    return {"w_1": _linear(sd, "w_1"), "w_2": _linear(sd, "w_2")}
+
+
+def convert_moe_ffn(sd: StateDict) -> Dict:
+    w1 = sd.get("experts.w_1.weight")  # (E, hidden, idim)
+    w2 = sd.get("experts.w_2.weight")  # (E, idim, hidden)
+    p = {
+        "w1": w1.transpose(0, 2, 1).copy(),
+        "b1": sd.get("experts.w_1.bias"),
+        "w2": w2.transpose(0, 2, 1).copy(),
+        "b2": sd.get("experts.w_2.bias"),
+        "router": {"kernel": sd.get("router_weights")},
+    }
+    if "router_bias" in sd:
+        p["router"]["bias"] = sd.get("router_bias")
+    return p
+
+
+def convert_block(sd: StateDict, cfg: EncoderConfig, moe: bool) -> Dict:
+    p = {
+        "norm_mha": _layer_norm(sd, "norm_mha"),
+        "self_attn": convert_attention(sd.sub("self_attn")),
+        "norm_ff": _layer_norm(sd, "norm_ff"),
+    }
+    if moe:
+        p["feed_forward"] = convert_moe_ffn(sd.sub("feed_forward"))
+    else:
+        p["feed_forward"] = convert_ffn(sd.sub("feed_forward"))
+    if cfg.macaron_style:
+        p["norm_ff_macaron"] = _layer_norm(sd, "norm_ff_macaron")
+        p["feed_forward_macaron"] = convert_ffn(sd.sub("feed_forward_macaron"))
+    if cfg.use_cnn_module:
+        p["norm_conv"] = _layer_norm(sd, "norm_conv")
+        p["conv_module"] = convert_conv_module(sd.sub("conv_module"),
+                                               cfg.cnn_module_norm)
+        p["norm_final"] = _layer_norm(sd, "norm_final")
+    return p
+
+
+def _stack_blocks(blocks: List[Dict]):
+    import jax
+    import jax.numpy as jnp
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                        *blocks)
+
+
+def _to_jax(tree):
+    import jax
+    import jax.numpy as jnp
+    return jax.tree.map(jnp.asarray, tree)
+
+
+def convert_dense_encoder(sd: StateDict, cfg: EncoderConfig) -> Dict:
+    from m3asr_tpu.ops import positional
+    p = {
+        "subsampling": convert_subsampling(sd.sub("subsampling"),
+                                           cfg.input_layer),
+        "pos_enc": {"pe": positional.sinusoid_table(cfg.attention_dim)},
+        "after_norm": _layer_norm(sd, "after_norm"),
+        "out_linear": _linear(sd, "out_linear"),
+    }
+    blocks = [convert_block(sd.sub(f"blocks.{i}"), cfg, moe=False)
+              for i in range(cfg.num_blocks)]
+    p["blocks"] = _stack_blocks(blocks)
+    return _to_jax(p)
+
+
+def convert_moe_encoder(sd: StateDict, cfg: MoEEncoderConfig) -> Dict:
+    from m3asr_tpu.ops import positional
+    p = {
+        "embed": convert_dense_encoder(sd.sub("embed"), cfg.embed_conf),
+        "subsampling": convert_subsampling(sd.sub("subsampling"),
+                                           cfg.input_layer),
+        "pos_enc": {"pe": positional.sinusoid_table(cfg.attention_dim)},
+        "after_norm": _layer_norm(sd, "after_norm"),
+        "out_linear": _linear(sd, "out_linear"),
+    }
+    for tap in ("after_norm_6", "after_norm_12"):
+        if f"{tap}.weight" in sd:
+            p[tap] = _layer_norm(sd, tap)
+    blocks = [convert_block(sd.sub(f"blocks.{i}"), cfg, moe=True)
+              for i in range(cfg.num_blocks)]
+    p["blocks"] = _stack_blocks(blocks)
+    p["embed"] = p["embed"]
+    return _to_jax(p)
+
+
+def convert_encoder(state_dict: Dict[str, Any], cfg: ModelConfig) -> Dict:
+    """Convert the encoder subtree of a (possibly AED-wrapped) reference
+    checkpoint into the m3asr_tpu param tree."""
+    sd = StateDict(state_dict)
+    if any(k.startswith("encoder.") for k in state_dict):
+        sd = sd.sub("encoder")
+    if isinstance(cfg.encoder_conf, MoEEncoderConfig) and \
+            any(k.startswith(sd.prefix + "embed.") for k in state_dict):
+        return convert_moe_encoder(sd, cfg.encoder_conf)
+    return convert_dense_encoder(sd, cfg.encoder_conf)
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """torch.load a reference .pt checkpoint on CPU (builder.py:132-134)
+    and return a flat numpy state dict."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"],
+                                                               dict):
+        obj = obj["model"]  # trainer checkpoints wrap the state dict
+    return {k: _np(v) for k, v in obj.items()}
+
+
+# ---------------------------------------------------------------------------
+# Expert resharding (state_dict_comm / load_state_dict_comm equivalents,
+# conformer_fmoe_localComm_catEmbed_domain_acc_hier.py:236-273)
+# ---------------------------------------------------------------------------
+
+_EXPERT_RE = re.compile(r"experts")
+
+
+def shard_experts(state_dict: Dict[str, np.ndarray], rank: int,
+                  world_size: int) -> Dict[str, np.ndarray]:
+    """Slice a gathered full-expert checkpoint into the per-rank shard
+    (load_state_dict_comm)."""
+    out = {}
+    for k, v in state_dict.items():
+        if _EXPERT_RE.search(k):
+            e = v.shape[0]
+            assert e % world_size == 0
+            per = e // world_size
+            out[k] = v[rank * per:(rank + 1) * per]
+        else:
+            out[k] = v
+    return out
+
+
+def gather_expert_shards(shards: List[Dict[str, np.ndarray]]
+                         ) -> Dict[str, np.ndarray]:
+    """Concatenate per-rank expert shards into the full checkpoint
+    (state_dict_comm's all-reduce of zero-padded shards == concat)."""
+    out = dict(shards[0])
+    for k, v in shards[0].items():
+        if _EXPERT_RE.search(k):
+            out[k] = np.concatenate([s[k] for s in shards], axis=0)
+    return out

@@ -1,0 +1,97 @@
+"""The flagship 3M-ASR encoder: hier MoE conformer with catEmbed router.
+
+Rebuilds model/conformer_fmoe_localComm_catEmbed_domain_acc_hier.py:198-234
+(the network the reference's builder.py serializes into the TRT engine):
+
+    embed_out, _, embed = embed_encoder(feat, feat_len)   # 6 dense blocks
+    x, x_len = Conv2dSubsampling4(feat, feat_len)         # separate stack
+    x, pos_emb = RelPositionalEncoding(x)
+    for 18 blocks: x = FmoeConformerLayer(x, embed, x_len, pos_emb)
+    x = after_norm(x); out = out_linear(x)
+
+`embed` (the embed encoder's normalized final hidden) is concatenated
+with each block's hidden as the router input ("catEmbed"). The hier
+variant also taps hidden states after blocks 6 and 12 for auxiliary
+CTC/AED heads during training (after_norm_6 / after_norm_12); inference
+uses only the final output, so taps are opt-in.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from m3asr_tpu.config import MoEEncoderConfig
+from m3asr_tpu.models import conformer
+from m3asr_tpu.models.layers import conformer_block, init_conformer_block
+from m3asr_tpu.ops.common import init_layer_norm, init_linear, layer_norm, linear
+
+
+def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
+            feat_len: Optional[jax.Array], output_embed: bool = False,
+            moe_impl: str = "dense", hier_taps: bool = False):
+    """feat: (B, T, input_dim) -> logits (B, T', output_dim).
+
+    Returns (out, out_len) | (out, out_len, embed_out) | with
+    hier_taps=True additionally (out_6, out_12) normalized tap hiddens.
+    """
+    embed_out, _, embed = conformer.forward(
+        params["embed"], cfg.embed_conf, feat, feat_len, output_embed=True)
+
+    x, pos_emb, out_len = conformer.frontend(params, cfg, feat, feat_len)
+
+    conv_lorder = cfg.cnn_module_kernel - 1 if cfg.causal else 0
+
+    def body(h, block_p):
+        h = conformer_block(
+            block_p, h, out_len, pos_emb,
+            num_heads=cfg.attention_heads,
+            macaron=cfg.macaron_style,
+            use_cnn=cfg.use_cnn_module,
+            conv_layer_norm=(cfg.cnn_module_norm == "layer_norm"),
+            conv_lorder=conv_lorder,
+            normalize_before=cfg.normalize_before,
+            moe=True, embed=embed, moe_impl=moe_impl)
+        return h, (h if hier_taps else None)
+
+    x, hiddens = jax.lax.scan(body, x, params["blocks"])
+
+    if cfg.normalize_before:
+        x = layer_norm(params["after_norm"], x)
+    out = linear(params["out_linear"], x)
+
+    ret = [out, out_len]
+    if output_embed:
+        ret.append(embed_out)
+    if hier_taps:
+        # hiddens: (L, B, T, D); taps after blocks 6 and 12 (1-indexed)
+        h6 = layer_norm(params["after_norm_6"], hiddens[5])
+        h12 = layer_norm(params["after_norm_12"], hiddens[11])
+        ret.extend([h6, h12])
+    return tuple(ret)
+
+
+def init(key, cfg: MoEEncoderConfig, input_dim: int, output_dim: int,
+         dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    params = conformer.init(ks[0], cfg, input_dim, output_dim, dtype)
+    del params["blocks"]
+    params["embed"] = conformer.init(ks[1], cfg.embed_conf, input_dim,
+                                     output_dim, dtype)
+    block_keys = jax.random.split(ks[2], cfg.num_blocks)
+    blocks = [init_conformer_block(
+        bk, cfg.attention_dim, cfg.attention_heads,
+        cfg.moe_conf.hidden_units,
+        cnn_kernel=cfg.cnn_module_kernel, macaron=cfg.macaron_style,
+        use_cnn=cfg.use_cnn_module, moe=True,
+        moe_embed_dim=cfg.embed_dim,
+        moe_num_experts=cfg.moe_conf.total_experts,
+        moe_hidden=cfg.moe_conf.hidden_units,
+        router_with_bias=cfg.moe_conf.router_with_bias,
+        dtype=dtype) for bk in block_keys]
+    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    params["after_norm_6"] = init_layer_norm(cfg.attention_dim, dtype)
+    params["after_norm_12"] = init_layer_norm(cfg.attention_dim, dtype)
+    return params

@@ -1,0 +1,152 @@
+"""Multi-head attention (plain + Transformer-XL relative-position).
+
+TPU-native rebuild of trainer_3m_fix/layer/attention.py:114-384 and the
+AttMaskedSoftmaxPluginDynamic kernel
+(plugin/att_masked_softmax_plugin/att_masked_softmax_kernel.cu:28-272).
+
+The plugin fused {*1/sqrt(d_k), length-mask-to--inf, softmax}; here that
+is a jnp expression XLA fuses into the surrounding einsums. Semantics
+match the kernel: the mask is per-utterance valid length over the KEY
+axis; padded query rows still produce a softmax over valid keys (they
+are discarded downstream by length-aware consumers), and the scale is
+applied after max-subtraction — mathematically identical to
+softmax(scale*x).
+
+Sequence lengths in this model are short post-subsampling (<=1525 at
+the reference's max profile), so a full O(T^2) masked softmax on the
+MXU is the right call; a Pallas flash-attention path is provided in
+ops.flash_attention for long-form audio.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from m3asr_tpu.ops.common import init_linear, linear
+from m3asr_tpu.ops.masking import make_valid_mask
+
+_NEG_INF = -1e30
+
+
+def masked_softmax(scores: jax.Array, lengths: Optional[jax.Array],
+                   scale: float, mask: Optional[jax.Array] = None) -> jax.Array:
+    """softmax(scale * scores) with key positions >= length masked out.
+
+    scores: (B, H, T1, T2); lengths: int32 (B,) or None.
+    mask: optional extra bool mask (broadcastable to scores), True=attend
+    (used for chunk/causal masks in training and AED decoding).
+    """
+    s = scores.astype(jnp.float32) * scale
+    if lengths is not None:
+        valid = make_valid_mask(lengths, scores.shape[-1])  # (B, T2)
+        s = jnp.where(valid[:, None, None, :], s, _NEG_INF)
+    if mask is not None:
+        s = jnp.where(mask, s, _NEG_INF)
+    out = jax.nn.softmax(s, axis=-1)
+    if mask is not None:
+        # reference zeroes fully-masked rows (attention.py:183-187
+        # masked_fill after softmax); with -1e30 the softmax of an
+        # all-masked row is uniform garbage — zero it explicitly.
+        any_valid = jnp.any(mask, axis=-1, keepdims=True)
+        if lengths is not None:
+            valid = make_valid_mask(lengths, scores.shape[-1])
+            any_valid = any_valid & jnp.any(valid[:, None, None, :], axis=-1,
+                                            keepdims=True)
+        out = jnp.where(any_valid, out, 0.0)
+    return out.astype(scores.dtype)
+
+
+def _split_heads(x: jax.Array, h: int) -> jax.Array:
+    """(B, T, D) -> (B, T, H, Dk)."""
+    B, T, D = x.shape
+    return x.reshape(B, T, h, D // h)
+
+
+def mha(p, query: jax.Array, key: jax.Array, value: jax.Array,
+        lengths: Optional[jax.Array], num_heads: int,
+        mask: Optional[jax.Array] = None) -> jax.Array:
+    """Plain scaled-dot-product MHA (attention.py:114-271).
+    Used by the AED decoder (self + cross attention)."""
+    h = num_heads
+    q = _split_heads(linear(p["linear_q"], query), h)
+    k = _split_heads(linear(p["linear_k"], key), h)
+    v = _split_heads(linear(p["linear_v"], value), h)
+    d_k = q.shape[-1]
+    scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32)
+    attn = masked_softmax(scores, lengths, float(d_k) ** -0.5, mask)
+    ctx = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v,
+                     preferred_element_type=v.dtype)
+    B, T = query.shape[:2]
+    ctx = ctx.reshape(B, T, -1)
+    return linear(p["linear_out"], ctx)
+
+
+def rel_mha(p, x: jax.Array, pos_emb: jax.Array,
+            lengths: Optional[jax.Array], num_heads: int,
+            mask: Optional[jax.Array] = None) -> jax.Array:
+    """Relative-position self-attention (Transformer-XL, arXiv 1901.02860)
+    as built by RelPositionMultiHeadedAttention.forward
+    (attention.py:320-384):
+
+        q,k,v = linears(x); p = linear_pos(pos_emb)  [no bias]
+        matrix_ac = (q + pos_bias_u) @ k^T
+        matrix_bd = (q + pos_bias_v) @ p^T
+        attn = masked_softmax((ac + bd) / sqrt(d_k))
+        out = linear_out(attn @ v)
+
+    No rel_shift — the WeNet-style pos_emb pe[:T] is already aligned
+    (rel_shift is dead code in the reference TRT path, attention.py:294).
+
+    x: (B, T, D); pos_emb: (T, D). Returns (B, T, D).
+    """
+    h = num_heads
+    q = _split_heads(linear(p["linear_q"], x), h)      # (B,T,H,Dk)
+    k = _split_heads(linear(p["linear_k"], x), h)
+    v = _split_heads(linear(p["linear_v"], x), h)
+    pp = linear(p["linear_pos"], pos_emb[None])        # (1,T,D)
+    pp = _split_heads(pp, h)[0]                        # (T,H,Dk)
+
+    u = p["pos_bias_u"].astype(x.dtype)                # (H,Dk)
+    w = p["pos_bias_v"].astype(x.dtype)
+    d_k = q.shape[-1]
+
+    matrix_ac = jnp.einsum("bthd,bshd->bhts", q + u[None, None], k,
+                           preferred_element_type=jnp.float32)
+    matrix_bd = jnp.einsum("bthd,shd->bhts", q + w[None, None], pp,
+                           preferred_element_type=jnp.float32)
+    scores = matrix_ac + matrix_bd
+    attn = masked_softmax(scores, lengths, float(d_k) ** -0.5, mask)
+    ctx = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v,
+                     preferred_element_type=v.dtype)
+    B, T = x.shape[:2]
+    ctx = ctx.reshape(B, T, -1)
+    return linear(p["linear_out"], ctx)
+
+
+def init_mha(key, d_model: int, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    return {
+        "linear_q": init_linear(ks[0], d_model, d_model, dtype=dtype),
+        "linear_k": init_linear(ks[1], d_model, d_model, dtype=dtype),
+        "linear_v": init_linear(ks[2], d_model, d_model, dtype=dtype),
+        "linear_out": init_linear(ks[3], d_model, d_model, dtype=dtype),
+    }
+
+
+def init_rel_mha(key, d_model: int, num_heads: int, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    p = init_mha(ks[0], d_model, dtype)
+    p["linear_pos"] = init_linear(ks[1], d_model, d_model, bias=False,
+                                  dtype=dtype)
+    d_k = d_model // num_heads
+    # xavier_uniform over (H, Dk) (attention.py:289-292)
+    bound = jnp.sqrt(6.0 / (num_heads + d_k))
+    p["pos_bias_u"] = jax.random.uniform(ks[2], (num_heads, d_k), dtype,
+                                         -bound, bound)
+    p["pos_bias_v"] = jax.random.uniform(ks[3], (num_heads, d_k), dtype,
+                                         -bound, bound)
+    return p

@@ -1,0 +1,97 @@
+"""Elementwise / dense primitives shared across the model zoo.
+
+These replace the reference's torch_network_helper add* layer emitters
+(TRTAPI++/python/trt_helper/torch_network_helper.py) and the LayerNorm
+CUDA plugin (plugin/layer_norm_plugin/layer_norm_kernel.cu:33-162).
+Everything is plain jnp so XLA fuses it into surrounding matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# LayerNorm epsilon used throughout the reference model zoo
+# (e.g. trainer_3m_fix/layer/transformer.py:161-172: eps=1e-12).
+LN_EPS = 1e-12
+
+
+def linear(p, x: jax.Array) -> jax.Array:
+    """y = x @ kernel + bias. kernel is stored (in, out) — the transpose
+    of torch's nn.Linear weight, pre-transposed at conversion time like
+    the reference does at TRT build time
+    (torch_network_helper.py addLinear:573-614)."""
+    y = jnp.dot(x, p["kernel"].astype(x.dtype),
+                preferred_element_type=x.dtype)
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def layer_norm(p, x: jax.Array, eps: float = LN_EPS) -> jax.Array:
+    """LayerNorm over the last dim with weights as data (mirrors the
+    reference plugin's one-pass Var(X)=E(X^2)-E(X)^2 design, which XLA
+    performs natively when fusing)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def scale_shift(p, x: jax.Array) -> jax.Array:
+    """Per-channel affine — the folded inference form of BatchNorm1d
+    (reference folds BN into a TRT scale layer,
+    torch_network_helper.py:113-176)."""
+    return x * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def swish(x: jax.Array) -> jax.Array:
+    """Swish/SiLU = x * sigmoid(x) (utils/common.py:26-30; fused into the
+    FMoE plugin's BiasSiluKernel, fmoe_expert_kernel.cu:130-160)."""
+    return x * jax.nn.sigmoid(x)
+
+
+_ACTIVATIONS = {
+    "hardtanh": jax.nn.hard_tanh,
+    "tanh": jnp.tanh,
+    "relu": jax.nn.relu,
+    "selu": jax.nn.selu,
+    "swish": swish,
+    "silu": swish,
+    "gelu": jax.nn.gelu,
+}
+
+
+def get_activation(name: str):
+    """Activation registry (utils/common.py:33-44)."""
+    return _ACTIVATIONS[name]
+
+
+def dump_tensor(x: jax.Array, name: str = "") -> jax.Array:
+    """Debug identity that prints the tensor — TPU equivalent of
+    DumpTensorPluginDynamic (plugin/dump_tensor_plugin/)."""
+    jax.debug.print(name + " shape={s} sum={v}\n{x}",
+                    s=x.shape, v=jnp.sum(x), x=x)
+    return x
+
+
+def init_linear(key, d_in: int, d_out: int, bias: bool = True,
+                dtype=jnp.float32):
+    """Kaiming-uniform init matching torch.nn.Linear defaults, so
+    synthetic-weight tests behave like reference checkpoints."""
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / np.sqrt(d_in)
+    p = {"kernel": jax.random.uniform(k1, (d_in, d_out), dtype,
+                                      -bound, bound)}
+    if bias:
+        p["bias"] = jax.random.uniform(k2, (d_out,), dtype, -bound, bound)
+    return p
+
+
+def init_layer_norm(d: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}

@@ -1,0 +1,109 @@
+"""Conformer convolution module.
+
+TPU-native rebuild of trainer_3m_fix/layer/convolution.py:18-167 and the
+Glu/MaskedFill plugins. Layout is (B, T, C) feature-last throughout — no
+transposes, no 3d->4d shuffles; the pointwise convs are plain matmuls on
+the MXU and the depthwise conv is a lax 1-D conv that XLA maps to the
+VPU.
+
+Pipeline (convolution.py:83-167):
+    masked_fill(0) -> [causal left-pad] -> pointwise_conv1 (C -> 2C)
+    -> GLU -> depthwise conv (k=15, groups=C) -> BN(folded)/LN -> SiLU
+    -> pointwise_conv2 -> masked_fill(0)
+
+BatchNorm is folded to scale/shift at checkpoint-conversion time
+(inference mode), exactly like the reference folds it into a TRT scale
+layer (torch_network_helper.py:113-176).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m3asr_tpu.ops.common import layer_norm, linear, scale_shift, swish
+from m3asr_tpu.ops.masking import masked_fill
+
+
+def glu(x: jax.Array, axis: int = -1) -> jax.Array:
+    """GLU: split in half along axis, a * sigmoid(b)
+    (plugin/glu_plugin/glu_kernel.cu:25-62)."""
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
+
+
+def depthwise_conv1d(p, x: jax.Array, lorder: int = 0) -> jax.Array:
+    """Depthwise 1-D conv over time. x: (B, T, C); kernel: (K, C).
+
+    Non-causal (lorder=0): SAME padding (K-1)//2 each side, matching
+    nn.Conv1d(padding=(K-1)//2, groups=C). Causal: left-pad K-1 zeros
+    (convolution.py:47-54,121-125).
+    """
+    K, C = p["kernel"].shape
+    if lorder > 0:
+        pad = (0, 0)  # input already left-padded (before pointwise_conv1)
+    else:
+        pad = ((K - 1) // 2, (K - 1) // 2)
+    # lax depthwise: kernel (K, 1, C) with feature_group_count=C ('WIO')
+    kern = p["kernel"].astype(x.dtype)[:, None, :]
+    y = jax.lax.conv_general_dilated(
+        x, kern, window_strides=(1,), padding=[pad],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=C)
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv_module(p, x: jax.Array, lengths: Optional[jax.Array],
+                use_layer_norm: bool = False, lorder: int = 0) -> jax.Array:
+    """Full conformer conv module. x: (B, T, C) -> (B, T, C)."""
+    if lengths is not None:
+        x = masked_fill(x, lengths, 0.0)  # MaskedFillPluginDynamic
+    if lorder > 0:
+        # causal: left-pad BEFORE pointwise_conv1 so padded frames carry
+        # glu(pw1-bias), matching convolution.py:121-125 pad placement
+        x = jnp.pad(x, ((0, 0), (lorder, 0), (0, 0)))
+    x = linear(p["pointwise_conv1"], x)   # (B, T, 2C) 1x1 conv == matmul
+    x = glu(x, axis=-1)
+    x = depthwise_conv1d(p["depthwise_conv"], x, lorder=lorder)
+    if use_layer_norm:
+        x = layer_norm(p["norm"], x)
+    else:
+        x = scale_shift(p["norm"], x)     # folded BatchNorm1d
+    x = swish(x)
+    x = linear(p["pointwise_conv2"], x)
+    if lengths is not None:
+        x = masked_fill(x, lengths, 0.0)
+    return x
+
+
+def init_conv_module(key, channels: int, kernel_size: int = 15,
+                     dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    bound1 = 1.0 / np.sqrt(channels)  # torch Conv1d k=1 fan_in = C
+    p = {
+        "pointwise_conv1": {
+            "kernel": jax.random.uniform(ks[0], (channels, 2 * channels),
+                                         dtype, -bound1, bound1),
+            "bias": jnp.zeros((2 * channels,), dtype),
+        },
+        "depthwise_conv": {
+            # torch depthwise fan_in = K (in_ch/groups * K)
+            "kernel": jax.random.uniform(
+                ks[1], (kernel_size, channels), dtype,
+                -1.0 / np.sqrt(kernel_size), 1.0 / np.sqrt(kernel_size)),
+            "bias": jnp.zeros((channels,), dtype),
+        },
+        "norm": {"scale": jnp.ones((channels,), dtype),
+                 "bias": jnp.zeros((channels,), dtype)},
+        "pointwise_conv2": {
+            "kernel": jax.random.uniform(ks[2], (channels, channels),
+                                         dtype, -bound1, bound1),
+            "bias": jnp.zeros((channels,), dtype),
+        },
+    }
+    return p

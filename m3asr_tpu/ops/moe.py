@@ -1,0 +1,176 @@
+"""Mixture-of-Experts FFN — the centerpiece op.
+
+TPU-native rebuild of the reference's MoE stack:
+
+* router gate  — SoftmaxTopKPluginDynamic
+  (plugin/softmax_topk_plugin/softmax_topk_kernel.cu:26-120): fused
+  softmax + top-1 over experts, masked past the valid length; the gate
+  value is the softmax probability of the argmax computed as
+  1/sum(exp(x - max)).
+* expert stage — FMoEExpertPluginDynamic
+  (plugin/fmoe_expert_plugin/fmoe_expert_kernel.cu +
+  fmoe_expert_plugin.cpp:75-130): scatter tokens by expert id, run
+  per-expert GEMM -> bias+SiLU -> GEMM -> bias on 8 round-robin cuda
+  streams, gather back. That design serializes on a histogram D2H copy
+  + device sync per layer; here the whole stage is a single compiled
+  program with NO host round-trip:
+
+  - `moe_experts_dense`: every expert processes every token via one
+    batched einsum, output selected by a one-hot of the gate index.
+    E x the FLOPs, zero data movement — optimal for short utterances
+    where the MXU is underutilized anyway (206 frames -> 51 tokens).
+  - `moe_experts_ragged`: sort tokens by expert id (the ScatterMapping
+    kernel becomes argsort), then `jax.lax.ragged_dot` grouped GEMMs.
+    FLOP-optimal for long/batched inputs.
+
+  Both read the full (E, d, h) weight tensors resident in HBM — same
+  as the reference engine, which keeps all 18x32 experts on-GPU.
+
+Weight convention: w1 (E, d_model, d_hidden), w2 (E, d_hidden, d_model)
+— transposed from the torch FMoELinear (num_expert, out, in) layout at
+conversion time. Expert math (layer/positionwise_feed_forward.py:91-112):
+    y_e(x) = silu(x @ w1_e + b1_e) @ w2_e + b2_e
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from m3asr_tpu.ops.common import swish
+from m3asr_tpu.ops.masking import make_valid_mask
+
+
+def softmax_top1_gate(p, router_inputs: jax.Array,
+                      lengths: Optional[jax.Array]
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Top-1 router gate.
+
+    router_inputs: (B, T, d_router) = cat([embed, x], -1) in the catEmbed
+    model (positionwise_feed_forward.py:209-227 — embed comes FIRST).
+    p["router"]: {"kernel": (d_router, E) [, "bias": (E,)]}.
+
+    Returns (gate_value (B,T,1), gate_idx int32 (B,T)). Positions past
+    the valid length get gate_value 0 / idx 0 (the reference kernel
+    leaves them unwritten; zeroing is the defined equivalent since all
+    downstream consumers mask padded positions).
+    """
+    logits = jnp.dot(router_inputs, p["kernel"].astype(router_inputs.dtype),
+                     preferred_element_type=jnp.float32)
+    if "bias" in p and p["bias"] is not None:
+        logits = logits + p["bias"].astype(logits.dtype)
+    # softmax prob of the argmax == 1 / sum(exp(x - max))
+    # (softmax_topk_kernel.cu:66-87)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    denom = jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True)
+    gate_value = (1.0 / denom).astype(router_inputs.dtype)
+    gate_idx = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if lengths is not None:
+        valid = make_valid_mask(lengths, router_inputs.shape[1])
+        gate_value = jnp.where(valid[..., None], gate_value, 0.0)
+        gate_idx = jnp.where(valid, gate_idx, 0)
+    return gate_value, gate_idx
+
+
+def moe_experts_dense(p, x: jax.Array, gate_idx: jax.Array) -> jax.Array:
+    """All-experts-compute-all-tokens path.
+
+    x: (B, T, d); gate_idx: (B, T) int32. Returns (B, T, d).
+    One einsum per matmul keeps the MXU busy with a single large
+    contraction; the one-hot select is fused by XLA.
+    """
+    w1 = p["w1"].astype(x.dtype)   # (E, d, h)
+    b1 = p["b1"].astype(x.dtype)   # (E, h)
+    w2 = p["w2"].astype(x.dtype)   # (E, h, d)
+    b2 = p["b2"].astype(x.dtype)   # (E, d)
+    h = jnp.einsum("btd,edh->beth", x, w1, preferred_element_type=x.dtype)
+    h = swish(h + b1[None, :, None, :])
+    y = jnp.einsum("beth,ehd->betd", h, w2, preferred_element_type=x.dtype)
+    y = y + b2[None, :, None, :]
+    onehot = jax.nn.one_hot(gate_idx, w1.shape[0], dtype=x.dtype)  # (B,T,E)
+    return jnp.einsum("betd,bte->btd", y, onehot,
+                      preferred_element_type=x.dtype)
+
+
+def moe_experts_ragged(p, x: jax.Array, gate_idx: jax.Array) -> jax.Array:
+    """Sort-based grouped-GEMM path (FLOP-proportional to tokens).
+
+    Equivalent of the plugin's ScatterMapping + per-expert cublasGemm
+    loop, with the histogram/prefix-sum replaced by a stable argsort
+    (token order within an expert is preserved, like the reference's
+    atomic-order-free mapping is NOT — but expert FFN output is
+    permutation-invariant per token, so results match exactly).
+    """
+    B, T, d = x.shape
+    E = p["w1"].shape[0]
+    N = B * T
+    flat_x = x.reshape(N, d)
+    flat_e = gate_idx.reshape(N)
+
+    order = jnp.argsort(flat_e, stable=True)           # scatter mapping
+    sorted_x = jnp.take(flat_x, order, axis=0)
+    sorted_e = jnp.take(flat_e, order, axis=0)
+    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+
+    w1 = p["w1"].astype(x.dtype)
+    w2 = p["w2"].astype(x.dtype)
+    h = jax.lax.ragged_dot(sorted_x, w1, group_sizes,
+                           preferred_element_type=x.dtype)
+    h = swish(h + jnp.take(p["b1"].astype(x.dtype), sorted_e, axis=0))
+    y = jax.lax.ragged_dot(h, w2, group_sizes,
+                           preferred_element_type=x.dtype)
+    y = y + jnp.take(p["b2"].astype(x.dtype), sorted_e, axis=0)
+
+    out = jnp.zeros_like(flat_x).at[order].set(y)      # gather mapping
+    return out.reshape(B, T, d)
+
+
+def moe_ffn(p, x: jax.Array, embed: jax.Array,
+            lengths: Optional[jax.Array],
+            impl: str = "dense",
+            keep_expert_output: bool = False) -> jax.Array:
+    """Full catEmbed MoE FFN:
+    router(cat[embed, x]) -> top-1 gate -> expert FFN -> * gate_value
+    (LocalFmoeCatEmbedFeedForward.forward,
+    positionwise_feed_forward.py:209-265)."""
+    router_inputs = jnp.concatenate([embed, x], axis=-1)
+    gate_value, gate_idx = softmax_top1_gate(p["router"], router_inputs,
+                                             lengths)
+    if impl == "dense":
+        y = moe_experts_dense(p, x, gate_idx)
+    elif impl == "ragged":
+        y = moe_experts_ragged(p, x, gate_idx)
+    else:
+        raise ValueError(f"unknown moe impl: {impl}")
+    if not keep_expert_output:
+        y = y * gate_value
+    return y
+
+
+def init_moe_ffn(key, d_model: int, embed_dim: int, num_experts: int,
+                 hidden_units: int, router_with_bias: bool = False,
+                 dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    # FMoELinear xavier_uniform gain=0.5 over (out, in) slices
+    # (fmoe/layers.py:33-38)
+    def xavier(k, shape_oi, out_shape):
+        fan_out, fan_in = shape_oi
+        bound = 0.5 * jnp.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(k, out_shape, dtype, -bound, bound)
+
+    p = {
+        "router": {"kernel": jnp.zeros((d_model + embed_dim, num_experts),
+                                       dtype)},
+        "w1": xavier(ks[0], (hidden_units, d_model),
+                     (num_experts, d_model, hidden_units)),
+        "b1": jnp.zeros((num_experts, hidden_units), dtype),
+        "w2": xavier(ks[1], (d_model, hidden_units),
+                     (num_experts, hidden_units, d_model)),
+        "b2": jnp.zeros((num_experts, d_model), dtype),
+    }
+    if router_with_bias:
+        p["router"]["bias"] = jnp.zeros((num_experts,), dtype)
+    return p

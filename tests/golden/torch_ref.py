@@ -1,0 +1,352 @@
+"""Golden PyTorch reference for parity testing.
+
+An independent CPU PyTorch implementation of the 3M-ASR model math
+(WeNet-style conformer + top-1 MoE FFN, arXiv 2005.08100 / 1901.02860),
+written so that:
+
+ * `state_dict()` keys match the reference trainer_3m_fix checkpoint
+   naming exactly (so it also exercises m3asr_tpu.checkpoint conversion);
+ * forward semantics match the reference TRT engine: pos_emb = pe[:T]
+   with no rel_shift, key-length masked softmax, masked_fill around the
+   conv module, eval-mode BatchNorm, softmax-top1 gating with
+   gate_value = max softmax prob.
+
+The parity standard is the reference's own:
+torch.allclose(rtol=1e-05, atol=1e-03) on the valid region
+(TRTAPI++/python/trt_helper/infer_helper.py:93).
+"""
+
+import math
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class Swish(nn.Module):
+    def forward(self, x):
+        return x * torch.sigmoid(x)
+
+
+def make_pad_mask(lengths: torch.Tensor, max_len: int) -> torch.Tensor:
+    pos = torch.arange(max_len).unsqueeze(0)
+    return pos >= lengths.unsqueeze(1)
+
+
+def sub4_len(lengths: torch.Tensor) -> torch.Tensor:
+    l1 = (lengths - 3) // 2 + 1
+    return (l1 - 3) // 2 + 1
+
+
+class PositionwiseFeedForward(nn.Module):
+    def __init__(self, idim, hidden_units):
+        super().__init__()
+        self.w_1 = nn.Linear(idim, hidden_units)
+        self.activation = Swish()
+        self.w_2 = nn.Linear(hidden_units, idim)
+
+    def forward(self, x):
+        return self.w_2(self.activation(self.w_1(x)))
+
+
+class RelPositionMultiHeadedAttention(nn.Module):
+    def __init__(self, n_head, n_feat):
+        super().__init__()
+        assert n_feat % n_head == 0
+        self.d_k = n_feat // n_head
+        self.h = n_head
+        self.linear_q = nn.Linear(n_feat, n_feat)
+        self.linear_k = nn.Linear(n_feat, n_feat)
+        self.linear_v = nn.Linear(n_feat, n_feat)
+        self.linear_out = nn.Linear(n_feat, n_feat)
+        self.linear_pos = nn.Linear(n_feat, n_feat, bias=False)
+        self.pos_bias_u = nn.Parameter(torch.Tensor(self.h, self.d_k))
+        self.pos_bias_v = nn.Parameter(torch.Tensor(self.h, self.d_k))
+        nn.init.xavier_uniform_(self.pos_bias_u)
+        nn.init.xavier_uniform_(self.pos_bias_v)
+
+    def forward(self, x, pos_emb, lengths):
+        B, T, _ = x.shape
+        q = self.linear_q(x).view(B, T, self.h, self.d_k)
+        k = self.linear_k(x).view(B, T, self.h, self.d_k).transpose(1, 2)
+        v = self.linear_v(x).view(B, T, self.h, self.d_k).transpose(1, 2)
+        p = self.linear_pos(pos_emb).view(1, -1, self.h, self.d_k)
+        p = p.transpose(1, 2)  # (1, H, T, d_k)
+
+        q_u = (q + self.pos_bias_u).transpose(1, 2)  # (B, H, T, d_k)
+        q_v = (q + self.pos_bias_v).transpose(1, 2)
+        matrix_ac = torch.matmul(q_u, k.transpose(-2, -1))
+        matrix_bd = torch.matmul(q_v, p.transpose(-2, -1))
+        scores = (matrix_ac + matrix_bd) / math.sqrt(self.d_k)
+
+        if lengths is not None:
+            mask = make_pad_mask(lengths, T)[:, None, None, :]
+            scores = scores.masked_fill(mask, -float("inf"))
+        attn = torch.softmax(scores, dim=-1)
+        ctx = torch.matmul(attn, v).transpose(1, 2).reshape(B, T, -1)
+        return self.linear_out(ctx)
+
+
+class ConvolutionModule(nn.Module):
+    def __init__(self, channels, kernel_size=15, norm="batch_norm",
+                 causal=False):
+        super().__init__()
+        self.pointwise_conv1 = nn.Conv1d(channels, 2 * channels, 1)
+        if causal:
+            padding = 0
+            self.lorder = kernel_size - 1
+        else:
+            padding = (kernel_size - 1) // 2
+            self.lorder = 0
+        self.depthwise_conv = nn.Conv1d(channels, channels, kernel_size,
+                                        padding=padding, groups=channels)
+        self.use_layer_norm = norm == "layer_norm"
+        self.norm = (nn.LayerNorm(channels) if self.use_layer_norm
+                     else nn.BatchNorm1d(channels))
+        self.pointwise_conv2 = nn.Conv1d(channels, channels, 1)
+        self.activation = Swish()
+
+    def forward(self, x, lengths):
+        x = x.transpose(1, 2)  # (B, C, T)
+        if lengths is not None:
+            pad = make_pad_mask(lengths, x.size(2))[:, None, :]
+            x = x.masked_fill(pad, 0.0)
+        if self.lorder > 0:
+            x = F.pad(x, (self.lorder, 0))
+        x = self.pointwise_conv1(x)
+        x = F.glu(x, dim=1)
+        x = self.depthwise_conv(x)
+        if self.use_layer_norm:
+            x = x.transpose(1, 2)
+        x = self.activation(self.norm(x))
+        if self.use_layer_norm:
+            x = x.transpose(1, 2)
+        x = self.pointwise_conv2(x)
+        if lengths is not None:
+            x = x.masked_fill(pad, 0.0)
+        return x.transpose(1, 2)
+
+
+class Conv2dSubsampling4(nn.Module):
+    def __init__(self, idim, odim, in_ch=1):
+        super().__init__()
+        self.conv = nn.Sequential(
+            nn.Conv2d(in_ch, odim, 3, 2), nn.ReLU(),
+            nn.Conv2d(odim, odim, 3, 2), nn.ReLU())
+        self.out = nn.Sequential(
+            nn.Linear(odim * (((idim - 1) // 2 - 1) // 2), odim))
+        self.in_ch = in_ch
+
+    def forward(self, x, lengths):
+        b, t, f = x.size()
+        x = x.view(b, t, self.in_ch, f // self.in_ch).transpose(1, 2)
+        x = self.conv(x)
+        b, c, t, f = x.size()
+        x = self.out[0](x.transpose(1, 2).contiguous().view(b, t, c * f))
+        return x, (None if lengths is None else sub4_len(lengths))
+
+
+class RelPositionalEncoding(nn.Module):
+    def __init__(self, d_model, max_len=5000):
+        super().__init__()
+        self.d_model = d_model
+        self.xscale = math.sqrt(d_model)
+        pe = torch.zeros(max_len, d_model)
+        position = torch.arange(0, max_len, dtype=torch.float32).unsqueeze(1)
+        div_term = torch.exp(
+            torch.arange(0, d_model, 2, dtype=torch.float32)
+            * -(math.log(10000.0) / d_model))
+        pe[:, 0::2] = torch.sin(position * div_term)
+        pe[:, 1::2] = torch.cos(position * div_term)
+        self.pe = pe.unsqueeze(0)
+
+    def forward(self, x):
+        pos_emb = self.pe[:, : x.size(1)]
+        return x * self.xscale, pos_emb
+
+
+class FMoELinear(nn.Module):
+    def __init__(self, num_expert, in_feat, out_feat):
+        super().__init__()
+        self.weight = nn.Parameter(torch.Tensor(num_expert, out_feat,
+                                                in_feat))
+        nn.init.xavier_uniform_(self.weight, gain=0.5)
+        self.bias = nn.Parameter(torch.zeros(num_expert, out_feat))
+
+
+class Expert(nn.Module):
+    def __init__(self, num_experts, idim, hidden_units):
+        super().__init__()
+        self.w_1 = FMoELinear(num_experts, idim, hidden_units)
+        self.w_2 = FMoELinear(num_experts, hidden_units, idim)
+        self.activation = Swish()
+
+    def forward_expert(self, x, e):
+        h = F.linear(x, self.w_1.weight[e], self.w_1.bias[e])
+        h = self.activation(h)
+        return F.linear(h, self.w_2.weight[e], self.w_2.bias[e])
+
+
+class LocalFmoeCatEmbedFeedForward(nn.Module):
+    def __init__(self, idim, embed_dim, num_experts, hidden_units,
+                 router_with_bias=False):
+        super().__init__()
+        self.num_experts = num_experts
+        self.experts = Expert(num_experts, idim, hidden_units)
+        self.router_weights = nn.Parameter(
+            torch.zeros(idim + embed_dim, num_experts))
+        if router_with_bias:
+            self.router_bias = nn.Parameter(torch.zeros(num_experts))
+        else:
+            self.router_bias = None
+
+    def forward(self, x, embed, lengths):
+        router_in = torch.cat([embed, x], dim=-1)
+        logits = torch.einsum("btj,jk->btk", router_in, self.router_weights)
+        if self.router_bias is not None:
+            logits = logits + self.router_bias
+        probs = torch.softmax(logits, dim=-1)
+        gate_value, gate_idx = probs.max(dim=-1)  # (B, T)
+        B, T, D = x.shape
+        flat_x = x.reshape(-1, D)
+        flat_e = gate_idx.reshape(-1)
+        out = torch.zeros_like(flat_x)
+        for e in range(self.num_experts):
+            sel = flat_e == e
+            if sel.any():
+                out[sel] = self.experts.forward_expert(flat_x[sel], e)
+        out = out.reshape(B, T, D) * gate_value.unsqueeze(-1)
+        if lengths is not None:
+            pad = make_pad_mask(lengths, T)[:, :, None]
+            out = out.masked_fill(pad, 0.0)
+        return out
+
+
+class ConformerEncoderLayer(nn.Module):
+    def __init__(self, size, heads, ffn_hidden, cnn_kernel=15,
+                 cnn_norm="batch_norm", causal=False, macaron=True,
+                 use_cnn=True, moe=False, embed_dim=0, num_experts=0,
+                 moe_hidden=0):
+        super().__init__()
+        self.self_attn = RelPositionMultiHeadedAttention(heads, size)
+        if moe:
+            self.feed_forward = LocalFmoeCatEmbedFeedForward(
+                size, embed_dim, num_experts, moe_hidden)
+        else:
+            self.feed_forward = PositionwiseFeedForward(size, ffn_hidden)
+        self.moe = moe
+        self.macaron = macaron
+        self.use_cnn = use_cnn
+        self.norm_ff = nn.LayerNorm(size, eps=1e-12)
+        self.norm_mha = nn.LayerNorm(size, eps=1e-12)
+        if macaron:
+            self.feed_forward_macaron = PositionwiseFeedForward(size,
+                                                                ffn_hidden)
+            self.norm_ff_macaron = nn.LayerNorm(size, eps=1e-12)
+            self.ff_scale = 0.5
+        else:
+            self.ff_scale = 1.0
+        if use_cnn:
+            self.conv_module = ConvolutionModule(size, cnn_kernel, cnn_norm,
+                                                 causal)
+            self.norm_conv = nn.LayerNorm(size, eps=1e-12)
+            self.norm_final = nn.LayerNorm(size, eps=1e-12)
+
+    def forward(self, x, lengths, pos_emb, embed=None):
+        if self.macaron:
+            x = x + self.ff_scale * self.feed_forward_macaron(
+                self.norm_ff_macaron(x))
+        x = x + self.self_attn(self.norm_mha(x), pos_emb, lengths)
+        if self.use_cnn:
+            x = x + self.conv_module(self.norm_conv(x), lengths)
+        h = self.norm_ff(x)
+        if self.moe:
+            x = x + self.ff_scale * self.feed_forward(h, embed, lengths)
+        else:
+            x = x + self.ff_scale * self.feed_forward(h)
+        if self.use_cnn:
+            x = self.norm_final(x)
+        return x
+
+
+class DenseConformer(nn.Module):
+    """Golden twin of conformer_embed_domain_acc.Net / conformer2.Net."""
+
+    def __init__(self, input_dim, output_dim, attention_dim=256,
+                 attention_heads=4, linear_units=2048, num_blocks=6,
+                 cnn_module_kernel=15, cnn_module_norm="batch_norm",
+                 causal=False):
+        super().__init__()
+        self.subsampling = Conv2dSubsampling4(input_dim, attention_dim)
+        self.pos_enc = RelPositionalEncoding(attention_dim)
+        self.blocks = nn.ModuleList([
+            ConformerEncoderLayer(attention_dim, attention_heads,
+                                  linear_units, cnn_module_kernel,
+                                  cnn_module_norm, causal)
+            for _ in range(num_blocks)])
+        self.after_norm = nn.LayerNorm(attention_dim, eps=1e-12)
+        self.out_linear = nn.Linear(attention_dim, output_dim)
+
+    def forward(self, xs, xs_len, output_embed=False):
+        xs, xs_len = self.subsampling(xs, xs_len)
+        xs, pos_emb = self.pos_enc(xs)
+        for layer in self.blocks:
+            xs = layer(xs, xs_len, pos_emb)
+        xs = self.after_norm(xs)
+        out = self.out_linear(xs)
+        if output_embed:
+            return out, xs_len, xs
+        return out, xs_len
+
+
+class HierMoEConformer(nn.Module):
+    """Golden twin of conformer_fmoe_localComm_catEmbed_domain_acc_hier.Net
+    (inference path)."""
+
+    def __init__(self, input_dim, output_dim, attention_dim=256,
+                 attention_heads=4, num_blocks=12, num_experts=4,
+                 moe_hidden=1024, embed_conf=None,
+                 cnn_module_kernel=15, cnn_module_norm="batch_norm"):
+        super().__init__()
+        embed_conf = embed_conf or {}
+        self.embed = DenseConformer(input_dim, output_dim, **embed_conf)
+        embed_dim = embed_conf.get("attention_dim", 256)
+        self.subsampling = Conv2dSubsampling4(input_dim, attention_dim)
+        self.pos_enc = RelPositionalEncoding(attention_dim)
+        self.blocks = nn.ModuleList([
+            ConformerEncoderLayer(
+                attention_dim, attention_heads, moe_hidden,
+                cnn_module_kernel, cnn_module_norm, moe=True,
+                embed_dim=embed_dim, num_experts=num_experts,
+                moe_hidden=moe_hidden)
+            for _ in range(num_blocks)])
+        self.after_norm = nn.LayerNorm(attention_dim, eps=1e-12)
+        self.after_norm_6 = nn.LayerNorm(attention_dim, eps=1e-12)
+        self.after_norm_12 = nn.LayerNorm(attention_dim, eps=1e-12)
+        self.out_linear = nn.Linear(attention_dim, output_dim)
+
+    def forward(self, xs, xs_len):
+        _, _, embed = self.embed(xs, xs_len, output_embed=True)
+        x, x_len = self.subsampling(xs, xs_len)
+        x, pos_emb = self.pos_enc(x)
+        for layer in self.blocks:
+            x = layer(x, x_len, pos_emb, embed=embed)
+        x = self.after_norm(x)
+        return self.out_linear(x), x_len
+
+
+def randomize_(model: nn.Module, seed: int = 0):
+    """Give every parameter (incl. BN running stats) a non-degenerate
+    random value so parity tests are meaningful."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+        for m in model.modules():
+            if isinstance(m, nn.BatchNorm1d):
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(
+                    torch.rand(m.running_var.shape, generator=g) + 0.5)
+    model.eval()
+    return model
