@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Engine builder CLI — TPU-native equivalent of the reference's
+builder.py (reference CLI: -c config -m ckpt -o plan [-f fp16] [-prior],
+/root/reference/builder.py:150-169).
+
+Loads the reference YAML config + PyTorch checkpoint, converts weights
+to a JAX pytree, optionally folds -log(prior) into the output, and
+writes an engine directory (weights + config + persistent XLA
+compilation cache) after pre-compiling the requested shape buckets —
+the AOT step that replaces TensorRT's tactic search + plan
+serialization.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(args):
+    import yaml
+
+    from m3asr_tpu import checkpoint as ckpt
+    from m3asr_tpu.config import model_config_from_dict
+    from m3asr_tpu.runtime.engine import Engine, EngineConfig
+    from m3asr_tpu.utils.prior import read_prior
+
+    with open(args.config) as f:
+        raw = yaml.safe_load(f)
+    raw.setdefault("input_dim", 40)  # builder.py:124
+    model_cfg = model_config_from_dict(raw)
+
+    if args.load_path:
+        sd = ckpt.load_torch_checkpoint(args.load_path)
+        params = ckpt.convert_encoder(sd, model_cfg)
+        print(f"Loading model from {args.load_path}")
+    else:
+        # synthetic init (for benchmarking without the external ckpt)
+        import jax
+        from m3asr_tpu.config import MOE_HIER_PROTOS
+        from m3asr_tpu.models import conformer, moe_conformer
+        mod = (moe_conformer if model_cfg.nnet_proto in MOE_HIER_PROTOS
+               else conformer)
+        params = mod.init(jax.random.PRNGKey(0), model_cfg.encoder_conf,
+                          model_cfg.input_dim, model_cfg.output_dim)
+        print("No checkpoint given — using synthetic init")
+
+    import jax
+    numel = sum(x.size for x in jax.tree.leaves(params))
+    print(f"model parameter size: {numel}")
+
+    prior = read_prior(args.prior_file) if args.prior_file else None
+
+    ecfg = EngineConfig(
+        dtype="bfloat16" if args.bf16 else "float32",
+        use_prior=prior is not None)
+    if args.buckets:
+        pairs = [tuple(map(int, b.split("x"))) for b in
+                 args.buckets.split(",")]
+        ecfg.bucket_batches = tuple(sorted({p[0] for p in pairs}))
+        ecfg.bucket_lengths = tuple(sorted({p[1] for p in pairs}))
+
+    engine = Engine(model_cfg, params, ecfg, prior=prior,
+                    cache_dir=os.path.join(args.output, "jax_cache"))
+    if not args.skip_warmup:
+        print("pre-compiling buckets (AOT)...")
+        engine.warmup()
+    engine.save(args.output, raw_yaml=raw)
+    print(f"engine written to {args.output}")
+    print("=======================buckets=====================")
+    for b, t in engine.buckets.all_buckets():
+        print(f"  feat({b}, {t}, {model_cfg.input_dim})  feat_len({b},)")
+    print("===================================================")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        description="TPU ASR --- build inference engine from checkpoint")
+    parser.add_argument("-m", "--load_path", required=False,
+                        help="The PyTorch checkpoint file path.")
+    parser.add_argument("-o", "--output", required=True,
+                        help="Output engine directory.")
+    parser.add_argument("-c", "--config", required=True, help="config file")
+    parser.add_argument("-prior", "--prior_file", required=False,
+                        help="prior file")
+    parser.add_argument("-cmvn", "--cmvn_file", required=False,
+                        help="cmvn file (copied into the engine dir)")
+    parser.add_argument("-f", "--bf16", action="store_true",
+                        help="bfloat16 inference (the TPU fp16 analogue)")
+    parser.add_argument("--buckets", required=False,
+                        help="comma list of BxL buckets, e.g. 1x256,4x1024")
+    parser.add_argument("--skip-warmup", action="store_true",
+                        help="skip AOT pre-compilation of buckets")
+    main(parser.parse_args())

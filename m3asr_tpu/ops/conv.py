@@ -69,6 +69,16 @@ def conv_module(p, x: jax.Array, lengths: Optional[jax.Array],
         x = jnp.pad(x, ((0, 0), (lorder, 0), (0, 0)))
     x = linear(p["pointwise_conv1"], x)   # (B, T, 2C) 1x1 conv == matmul
     x = glu(x, axis=-1)
+    if lengths is not None and lorder == 0:
+        # Padding invariance: after pointwise_conv1, padded positions
+        # hold glu(pw1_bias) != 0 and the depthwise conv's receptive
+        # field would read them — so a bucket-padded batch would differ
+        # from an exact-length run. The reference (convolution.py:
+        # masked_fill only at entry/exit) has the same leak for
+        # shorter-than-batch-max utterances; masking here makes every
+        # utterance behave like the reference's exact-length case
+        # (true zeros beyond the valid region, as SAME-padding gives).
+        x = masked_fill(x, lengths, 0.0)
     x = depthwise_conv1d(p["depthwise_conv"], x, lorder=lorder)
     if use_layer_norm:
         x = layer_norm(p["norm"], x)

@@ -1,0 +1,251 @@
+"""The inference engine: AOT-compiled, bucketed, cached.
+
+Replaces the reference's TensorRT engine build + InferHelper
+(builder.py:36-98, infer.py:28-104, trt_helper/infer_helper.py). A
+serialized "engine" is a directory:
+
+    engine_dir/
+      config.yaml     — the model config (reference YAML schema)
+      engine.json     — engine metadata (dtype, buckets, prior, ...)
+      params.npz      — converted weights (flat path -> array)
+      jax_cache/      — persistent XLA compilation cache (the TRT
+                        "timing cache" + serialized plan equivalent)
+
+Unlike a TRT plan, the artifact is portable across TPU generations —
+the compilation cache re-warms per platform.
+
+Precision modes:
+  fp32  — parity mode; matmuls run with highest precision (fp32 on MXU)
+  bf16  — fast mode; weights+activations bfloat16 (the reference never
+          shipped fp16 — its FMoE plugin asserts on half)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from m3asr_tpu.config import ModelConfig, model_config_from_dict
+from m3asr_tpu.models import moe_conformer, conformer
+from m3asr_tpu.config import MOE_HIER_PROTOS
+from m3asr_tpu.runtime.buckets import (BucketSpec, DEFAULT_BATCHES,
+                                       DEFAULT_LENGTHS)
+
+# Below this many post-subsampling tokens the dense (all-experts) MoE
+# path wins: the MXU is latency-bound and the sort/scatter of the
+# ragged path costs more than the redundant FLOPs. Tuned on v5e.
+MOE_DENSE_TOKEN_THRESHOLD = 4096
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    tree: Dict = {}
+    for path, v in flat.items():
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    dtype: str = "float32"            # float32 | bfloat16
+    decode_output: str = "logits"     # logits | log_softmax
+    use_prior: bool = False           # subtract log-prior (builder.py:83-88)
+    bucket_lengths: Tuple[int, ...] = DEFAULT_LENGTHS
+    bucket_batches: Tuple[int, ...] = DEFAULT_BATCHES
+    moe_impl: str = "auto"            # auto | dense | ragged
+    donate_input: bool = True
+
+
+class Engine:
+    """Compiled inference engine for one model + weights."""
+
+    def __init__(self, model_cfg: ModelConfig, params,
+                 engine_cfg: Optional[EngineConfig] = None,
+                 prior: Optional[np.ndarray] = None,
+                 cache_dir: Optional[str] = None):
+        self.model_cfg = model_cfg
+        self.cfg = engine_cfg or EngineConfig()
+        self.buckets = BucketSpec(tuple(self.cfg.bucket_lengths),
+                                  tuple(self.cfg.bucket_batches))
+        self._fns: Dict[Tuple[int, int], object] = {}
+        self.is_moe = model_cfg.nnet_proto in MOE_HIER_PROTOS
+
+        dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+        self.dtype = dtype
+        self.params = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype)
+            if np.issubdtype(np.asarray(a).dtype, np.floating) else
+            jnp.asarray(a), params)
+
+        self.neg_log_prior = None
+        if prior is not None and self.cfg.use_prior:
+            self.neg_log_prior = jnp.asarray(-np.log(prior), dtype)
+
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    # ------------------------------------------------------------------
+    # forward construction
+    # ------------------------------------------------------------------
+    def _moe_impl_for(self, batch: int, length: int) -> str:
+        if self.cfg.moe_impl != "auto":
+            return self.cfg.moe_impl
+        from m3asr_tpu.ops.masking import subsampling4_length
+        tokens = batch * int(subsampling4_length(np.array([length]))[0])
+        return "dense" if tokens <= MOE_DENSE_TOKEN_THRESHOLD else "ragged"
+
+    def _make_forward(self, batch: int, length: int):
+        enc_cfg = self.model_cfg.encoder_conf
+        moe_impl = self._moe_impl_for(batch, length)
+        neg_log_prior = self.neg_log_prior
+        out_mode = self.cfg.decode_output
+        is_moe = self.is_moe
+
+        def forward(params, feat, feat_len):
+            if is_moe:
+                out, out_len = moe_conformer.forward(
+                    params, enc_cfg, feat, feat_len, moe_impl=moe_impl)
+            else:
+                out, out_len = conformer.forward(params, enc_cfg, feat,
+                                                 feat_len)
+            if neg_log_prior is not None:
+                out = out + neg_log_prior[None, None, :]
+            if out_mode == "log_softmax":
+                out = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+            return out, out_len
+
+        donate = (1,) if self.cfg.donate_input else ()
+        prec = "highest" if self.dtype == jnp.float32 else "default"
+        with jax.default_matmul_precision(prec):
+            fn = jax.jit(forward, donate_argnums=donate)
+            lowered = fn.lower(
+                self.params,
+                jax.ShapeDtypeStruct((batch, length,
+                                      self.model_cfg.input_dim), self.dtype),
+                jax.ShapeDtypeStruct((batch,), jnp.int32))
+            compiled = lowered.compile()
+        return compiled
+
+    def get_fn(self, batch: int, length: int):
+        key = (batch, length)
+        if key not in self._fns:
+            self._fns[key] = self._make_forward(batch, length)
+        return self._fns[key]
+
+    def warmup(self, buckets=None):
+        """Pre-compile the given (or all) buckets — the 'engine build'
+        phase (replaces TRT tactic search)."""
+        for b, t in (buckets or self.buckets.all_buckets()):
+            self.get_fn(b, t)
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+    def infer(self, feat: np.ndarray, feat_len: np.ndarray
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        """feat: (B, T, input_dim) float; feat_len: (B,) or (1, B) int
+        (the reference engine takes feat_len shaped (1, B) —
+        builder.py:56). Pads to the bucket, runs, trims."""
+        feat = np.asarray(feat)
+        feat_len = np.asarray(feat_len).reshape(-1).astype(np.int32)
+        B, T = feat.shape[:2]
+        bb, bt = self.buckets.pick(B, T)
+        pad_feat = np.zeros((bb, bt, feat.shape[2]), np.float32)
+        pad_feat[:B, :T] = feat
+        pad_len = np.zeros((bb,), np.int32)
+        pad_len[:B] = feat_len
+        fn = self.get_fn(bb, bt)
+        out, out_len = fn(self.params, jnp.asarray(pad_feat, self.dtype),
+                          jnp.asarray(pad_len))
+        out = np.asarray(jax.device_get(out), np.float32)
+        out_len = np.asarray(jax.device_get(out_len))
+        max_out = int(out_len[:B].max()) if B else 0
+        return out[:B, :max_out], out_len[:B]
+
+    # ------------------------------------------------------------------
+    # serialization
+    # ------------------------------------------------------------------
+    def save(self, engine_dir: str, raw_yaml: Optional[dict] = None):
+        os.makedirs(engine_dir, exist_ok=True)
+        flat = _flatten(jax.tree.map(np.asarray, self.params))
+        np.savez(os.path.join(engine_dir, "params.npz"), **flat)
+        meta = dataclasses.asdict(self.cfg)
+        meta["nnet_proto"] = self.model_cfg.nnet_proto
+        if self.neg_log_prior is not None:
+            meta["neg_log_prior"] = np.asarray(self.neg_log_prior).tolist()
+        with open(os.path.join(engine_dir, "engine.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        with open(os.path.join(engine_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump(raw_yaml or _model_cfg_to_yaml(self.model_cfg), f)
+
+    @classmethod
+    def load(cls, engine_dir: str) -> "Engine":
+        with open(os.path.join(engine_dir, "config.yaml")) as f:
+            raw = yaml.safe_load(f)
+        model_cfg = model_config_from_dict(raw)
+        with open(os.path.join(engine_dir, "engine.json")) as f:
+            meta = json.load(f)
+        meta.pop("nnet_proto", None)
+        neg_log_prior = meta.pop("neg_log_prior", None)
+        ecfg = EngineConfig(**{k: tuple(v) if isinstance(v, list) else v
+                               for k, v in meta.items()})
+        flat = dict(np.load(os.path.join(engine_dir, "params.npz")))
+        params = _unflatten(flat)
+        eng = cls(model_cfg, params, ecfg,
+                  cache_dir=os.path.join(engine_dir, "jax_cache"))
+        if neg_log_prior is not None:
+            eng.neg_log_prior = jnp.asarray(np.array(neg_log_prior),
+                                            eng.dtype)
+        return eng
+
+
+def _model_cfg_to_yaml(cfg: ModelConfig) -> dict:
+    def clean(dc):
+        d = {}
+        for f in dataclasses.fields(dc):
+            v = getattr(dc, f.name)
+            if f.name == "extra":
+                d.update(v)
+            elif dataclasses.is_dataclass(v):
+                d[f.name] = clean(v)
+            else:
+                d[f.name] = v
+        return d
+
+    enc = clean(cfg.encoder_conf)
+    return {
+        "nnet_proto": cfg.nnet_proto,
+        "input_dim": cfg.input_dim,
+        "output_dim": cfg.output_dim,
+        "model_conf": {
+            "encoder_conf": enc,
+            "decoder_type": cfg.decoder_type,
+            "decoder_conf": clean(cfg.decoder_conf),
+            "reverse_weight": cfg.reverse_weight,
+            "padding_idx": cfg.padding_idx,
+        },
+    }

@@ -115,6 +115,13 @@ class ConvolutionModule(nn.Module):
             x = F.pad(x, (self.lorder, 0))
         x = self.pointwise_conv1(x)
         x = F.glu(x, dim=1)
+        if lengths is not None and self.lorder == 0:
+            # strict masking mode (see m3asr_tpu.ops.conv.conv_module):
+            # zero padded positions before the depthwise conv so batched
+            # short utterances match the exact-length behavior. The
+            # reference masks only at entry/exit; both agree whenever
+            # utterance length == tensor length (the canonical case).
+            x = x.masked_fill(pad, 0.0)
         x = self.depthwise_conv(x)
         if self.use_layer_norm:
             x = x.transpose(1, 2)

@@ -1,0 +1,127 @@
+"""Engine round-trip, bucketing, and CLI smoke tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import torch
+import yaml
+
+import jax.numpy as jnp
+
+from golden import torch_ref as G
+
+from m3asr_tpu import checkpoint as ckpt
+from m3asr_tpu.config import (EncoderConfig, ModelConfig, MoEConfig,
+                              MoEEncoderConfig, model_config_from_dict)
+from m3asr_tpu.runtime.buckets import BucketSpec
+from m3asr_tpu.runtime.engine import Engine, EngineConfig
+
+from test_op_parity import allclose, valid_region
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def small_yaml():
+    return {
+        "nnet_proto": "conformer_aed_fmoe_localComm_catEmbed_domain_acc_hier",
+        "input_dim": 20,
+        "output_dim": 11,
+        "model_conf": {
+            "encoder_conf": {
+                "attention_dim": 32, "attention_heads": 4, "num_blocks": 2,
+                "embed_conf": {"attention_dim": 24, "attention_heads": 4,
+                               "linear_units": 32, "num_blocks": 1},
+                "moe_conf": {"num_experts": 4, "hidden_units": 48},
+            },
+        },
+    }
+
+
+def golden_model():
+    torch.manual_seed(33)
+    return G.randomize_(G.HierMoEConformer(
+        20, 11, attention_dim=32, attention_heads=4, num_blocks=2,
+        num_experts=4, moe_hidden=48,
+        embed_conf=dict(attention_dim=24, attention_heads=4,
+                        linear_units=32, num_blocks=1)), seed=34)
+
+
+def test_bucket_pick():
+    b = BucketSpec((256, 512), (1, 4))
+    assert b.pick(1, 100) == (1, 256)
+    assert b.pick(2, 300) == (4, 512)
+    with pytest.raises(ValueError):
+        b.pick(5, 100)
+    with pytest.raises(ValueError):
+        b.pick(1, 1000)
+
+
+def test_engine_infer_matches_torch_and_padding_invariance(tmp_path):
+    m = golden_model()
+    raw = small_yaml()
+    cfg = model_config_from_dict(raw)
+    params = ckpt.convert_encoder(
+        {f"encoder.{k}": v for k, v in m.state_dict().items()}, cfg)
+    ecfg = EngineConfig(bucket_lengths=(64, 128), bucket_batches=(1, 2),
+                        donate_input=False)
+    eng = Engine(cfg, params, ecfg)
+
+    g = torch.Generator().manual_seed(35)
+    feat = torch.randn(1, 53, 20, generator=g)
+    with torch.no_grad():
+        y_t, l_t = m(feat, torch.tensor([53]))
+    out, out_lens = eng.infer(feat.numpy(), np.array([53]))
+    assert out_lens[0] == int(l_t[0])
+    allclose(valid_region(out, out_lens),
+             valid_region(y_t.numpy(), out_lens))
+
+    # same utterance through a bigger bucket must give the same result
+    feat2 = torch.zeros(2, 101, 20)
+    feat2[0, :53] = feat[0]
+    out2, lens2 = eng.infer(feat2.numpy(), np.array([53, 101]))
+    allclose(out2[0, :out_lens[0]], out[0, :out_lens[0]])
+
+    # engine round-trip through disk
+    eng.save(str(tmp_path / "eng"), raw_yaml=raw)
+    eng2 = Engine.load(str(tmp_path / "eng"))
+    out3, lens3 = eng2.infer(feat.numpy(), np.array([53]))
+    assert (lens3 == out_lens).all()
+    allclose(out3, out)
+
+
+def test_cli_build_and_infer(tmp_path):
+    """Drive the public CLIs end-to-end like the reference shell flow
+    (builder.sh -> infer.sh)."""
+    m = golden_model()
+    sd = {f"encoder.{k}": v for k, v in m.state_dict().items()}
+    torch.save(sd, tmp_path / "ckpt.pt")
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(small_yaml(), f)
+    g = torch.Generator().manual_seed(36)
+    feat = torch.randn(1, 40, 20, generator=g)
+    np.save(tmp_path / "feat.npy", feat.numpy())
+    with torch.no_grad():
+        y_t, _ = m(feat, torch.tensor([40]))
+    np.save(tmp_path / "ref_out.npy", y_t.numpy())
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "build.py"),
+         "-c", str(tmp_path / "cfg.yaml"), "-m", str(tmp_path / "ckpt.pt"),
+         "-o", str(tmp_path / "eng"), "--buckets", "1x64",
+         "--skip-warmup"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    assert "model parameter size" in r.stdout
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "infer.py"),
+         "-p", str(tmp_path / "eng"), "-i", str(tmp_path / "feat.npy"),
+         "-o", str(tmp_path / "ref_out.npy"), "-d", "greedy"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    assert "allclose(rtol=1e-05, atol=1e-03): True" in r.stdout, r.stdout
+    assert "hyp:" in r.stdout
