@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_MS = 20.44  # README.md:9 — TRT fp32, 1x206x40, Tesla T4
 
 
-def bench_once(engine, feat, feat_len, iters):
+def bench_e2e(engine, feat, feat_len, iters):
     # warm-up (compile + first run), mirrors infer.py:77-87
     engine.infer(feat, feat_len)
     times = []
@@ -33,6 +33,59 @@ def bench_once(engine, feat, feat_len, iters):
         engine.infer(feat, feat_len)
         times.append((time.perf_counter() - t0) * 1e3)
     return float(np.percentile(times, 50)), float(np.percentile(times, 90))
+
+
+def bench_device(cfg, params, feat, feat_len, dtype, moe_impl, iters,
+                 k=8):
+    """Device-execution latency, excluding host<->device transfer and
+    the test harness's RPC round-trip (~27 ms/fetch here). Matches what
+    the reference times: execute_v2 between pre-staged device buffers
+    (infer.py:77-87; D2H happens after the timer stops).
+
+    Method: jit a lax.scan chaining K sequential forwards (each
+    iteration's input depends on the previous output, so XLA cannot
+    overlap them), fetch one scalar; per-iter latency =
+    (t(scan_K) - t(scan_1)) / (K - 1).
+    """
+    import jax
+    import jax.numpy as jnp
+    from m3asr_tpu.models import moe_conformer
+
+    enc = cfg.encoder_conf
+    jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    p = jax.tree.map(lambda a: jnp.asarray(a, jdtype)
+                     if np.issubdtype(np.asarray(a).dtype, np.floating)
+                     else jnp.asarray(a), params)
+    feat_d = jnp.asarray(feat, jdtype)
+    len_d = jnp.asarray(feat_len, jnp.int32)
+
+    def scan_n(n):
+        def run(p, feat, fl):
+            def body(carry, _):
+                out, _ = moe_conformer.forward(
+                    p, enc, feat + carry, fl, moe_impl=moe_impl)
+                # tiny data dependency to serialize iterations
+                return out[0, 0, 0].astype(feat.dtype) * 1e-30, None
+            carry, _ = jax.lax.scan(body, jnp.zeros((), feat.dtype), None,
+                                    length=n)
+            return carry
+        prec = "highest" if dtype == "float32" else "default"
+        with jax.default_matmul_precision(prec):
+            return jax.jit(run).lower(p, feat_d, len_d).compile()
+
+    f1, fk = scan_n(1), scan_n(k)
+    float(f1(p, feat_d, len_d))  # warm
+    float(fk(p, feat_d, len_d))
+
+    def sample(f):
+        t0 = time.perf_counter()
+        float(f(p, feat_d, len_d))
+        return (time.perf_counter() - t0) * 1e3
+
+    t1 = np.array([sample(f1) for _ in range(iters)])
+    tk = np.array([sample(fk) for _ in range(iters)])
+    per_iter = (np.percentile(tk, 50) - np.percentile(t1, 50)) / (k - 1)
+    return float(per_iter), float(np.percentile(t1, 50))
 
 
 def main(args):
@@ -52,34 +105,39 @@ def main(args):
 
     bucket = next(b for b in (256, 512, 1024, 2048, 4096, 6144)
                   if b >= args.seq)
+    pad_feat = np.zeros((args.batch, bucket, 40), np.float32)
+    pad_feat[:, :args.seq] = feat
+
+    impl = args.impl
+    if impl == "auto":
+        from m3asr_tpu.runtime.engine import MOE_DENSE_TOKEN_THRESHOLD
+        from m3asr_tpu.ops.masking import subsampling4_length
+        tokens = args.batch * int(subsampling4_length(
+            np.array([bucket]))[0])
+        impl = "dense" if tokens <= MOE_DENSE_TOKEN_THRESHOLD else "ragged"
+
     results = {}
     for dtype in (["float32", "bfloat16"] if args.dtype == "both"
                   else [args.dtype]):
-        ecfg = EngineConfig(dtype=dtype, moe_impl=args.impl,
-                            bucket_lengths=(bucket,),
-                            bucket_batches=(args.batch,),
-                            donate_input=False)
-        engine = Engine(cfg, params, ecfg)
-        p50, p90 = bench_once(engine, feat, feat_len, args.iters)
-        results[dtype] = (p50, p90)
-        del engine
+        dev_ms, call_ms = bench_device(cfg, params, pad_feat, feat_len,
+                                       dtype, impl, args.iters)
+        results[dtype] = (dev_ms, call_ms)
 
     headline_dtype = "float32" if "float32" in results else args.dtype
-    p50, p90 = results[headline_dtype]
+    p50, call_ms = results[headline_dtype]
     audio_s = args.seq * 0.01  # 10 ms frame shift
+    tag = "fp32" if headline_dtype == "float32" else "bf16"
     out = {
-        "metric": f"p50_latency_ms_{args.batch}x{args.seq}x40_fp32"
-        if headline_dtype == "float32" else
-        f"p50_latency_ms_{args.batch}x{args.seq}x40_bf16",
+        "metric": f"p50_device_latency_ms_{args.batch}x{args.seq}x40_{tag}",
         "value": round(p50, 3),
         "unit": "ms",
         "vs_baseline": round(p50 / BASELINE_MS, 4),
         "baseline_ms": BASELINE_MS,
-        "p90_ms": round(p90, 3),
-        "rtf": round(p50 / 1e3 / audio_s, 5),
         "speedup_vs_baseline": round(BASELINE_MS / p50, 2),
+        "rtf": round(p50 / 1e3 / audio_s, 5),
+        "e2e_call_ms_incl_harness_rpc": round(call_ms, 3),
         "device": str(jax.devices()[0]),
-        "moe_impl": args.impl,
+        "moe_impl": impl,
     }
     if "bfloat16" in results and headline_dtype == "float32":
         out["bf16_p50_ms"] = round(results["bfloat16"][0], 3)

@@ -232,6 +232,107 @@ def convert_moe_encoder(sd: StateDict, cfg: MoEEncoderConfig) -> Dict:
     return _to_jax(p)
 
 
+def convert_cfsmn(sd: StateDict) -> Dict:
+    return {
+        "left_factor": sd.get("left_factor"),
+        "cur_factor": sd.get("cur_factor"),
+        "right_factor": sd.get("right_factor"),
+        "hid_proj": _linear(sd, "hid_proj"),
+        "mem_proj": _linear(sd, "mem_proj"),
+    }
+
+
+def convert_attn_mem(sd: StateDict) -> Dict:
+    p = {
+        "linear_query": _linear(sd, "linear_query"),
+        "linear_key": _linear(sd, "linear_key"),
+        "linear_value": _linear(sd, "linear_value"),
+        "linear_out": _linear(sd, "linear_out"),
+    }
+    if "key_memory" in sd:
+        p["key_memory"] = sd.get("key_memory")
+        p["value_memory"] = sd.get("value_memory")
+    return p
+
+
+def convert_dfsmn_san(sd: StateDict, num_block: int,
+                      fsmn_each_block: int, norm_type: str = "LN") -> Dict:
+    """Convert a model/dfsmn_san_res.py Net state dict."""
+    blocks = []
+    for i in range(num_block):
+        b = sd.sub(f"blocks.{i}")
+        fsmn = [convert_cfsmn(b.sub(f"fsmn_layers.{j}"))
+                for j in range(fsmn_each_block)]
+        attn = {"attn_layer": convert_attn_mem(
+            b.sub("attn_layer.attn_layer"))}
+        if norm_type == "LN":
+            attn["ln_layer"] = _layer_norm(b.sub("attn_layer"), "ln_layer")
+        else:
+            # MaskBatchNorm eval fold (norm.py:21-77, eps=1e-8),
+            # stats shaped (1, D)
+            bb = b.sub("attn_layer.bn_layer")
+            gamma = bb.get("weight")[0]
+            beta = bb.get("bias")[0]
+            mean = bb.get("running_mean")[0]
+            var = bb.get("running_var")[0]
+            scale = gamma / np.sqrt(var + 1e-8)
+            attn["bn_layer"] = {"scale": scale, "bias": beta - mean * scale}
+        blocks.append({"fsmn_layers": fsmn, "attn_layer": attn})
+    return _to_jax({"blocks": blocks, "out_linear": _linear(sd, "out_linear")})
+
+
+def convert_dfsmn_base(sd: StateDict, fsmn_layers: int) -> Dict:
+    return _to_jax({
+        "fsmn_layers": [convert_cfsmn(sd.sub(f"fsmn_layers.{i}"))
+                        for i in range(fsmn_layers)],
+        "out_linear": _linear(sd, "out_linear"),
+    })
+
+
+def convert_decoder_layer(sd: StateDict) -> Dict:
+    return {
+        "norm1": _layer_norm(sd, "norm1"),
+        "norm2": _layer_norm(sd, "norm2"),
+        "norm3": _layer_norm(sd, "norm3"),
+        "self_attn": convert_attention(sd.sub("self_attn")),
+        "src_attn": convert_attention(sd.sub("src_attn")),
+        "feed_forward": convert_ffn(sd.sub("feed_forward")),
+    }
+
+
+def _convert_single_decoder(sd: StateDict, num_blocks: int,
+                            d_model: int) -> Dict:
+    from m3asr_tpu.ops import positional
+    p = {
+        "embed": {"weight": sd.get("embed.0.weight")},
+        "pos_enc": {"pe": positional.sinusoid_table(d_model)},
+        "after_norm": _layer_norm(sd, "after_norm"),
+        "output_layer": _linear(sd, "output_layer"),
+    }
+    layers = [convert_decoder_layer(sd.sub(f"decoders.{i}"))
+              for i in range(num_blocks)]
+    p["decoders"] = _stack_blocks(layers)
+    return _to_jax(p)
+
+
+def convert_decoder(state_dict: Dict[str, Any], cfg: ModelConfig,
+                    name: str = "decoder") -> Dict:
+    """Convert an AED decoder subtree (TransformerDecoder or
+    BiTransformerDecoder, att_decoder.py:145-413). The hier AED wrapper
+    has three: decoder / decoder_1 / decoder_2."""
+    sd = StateDict(state_dict).sub(name)
+    d_model = cfg.encoder_conf.attention_dim
+    if f"{name}.left_decoder.after_norm.weight" in state_dict:
+        p = {"left_decoder": _convert_single_decoder(
+            sd.sub("left_decoder"), cfg.decoder_conf.num_blocks, d_model)}
+        if cfg.decoder_conf.r_num_blocks > 0:
+            p["right_decoder"] = _convert_single_decoder(
+                sd.sub("right_decoder"), cfg.decoder_conf.r_num_blocks,
+                d_model)
+        return p
+    return _convert_single_decoder(sd, cfg.decoder_conf.num_blocks, d_model)
+
+
 def convert_encoder(state_dict: Dict[str, Any], cfg: ModelConfig) -> Dict:
     """Convert the encoder subtree of a (possibly AED-wrapped) reference
     checkpoint into the m3asr_tpu param tree."""

@@ -1,0 +1,184 @@
+"""AED transformer decoder + attention rescoring.
+
+Rebuilds trainer_3m_fix/layer/att_decoder.py (DecoderLayer /
+TransformerDecoder / BiTransformerDecoder) and the attention-rescoring
+flow sketched in model/ctc_aed.py:160-252: CTC prefix-beam nbest →
+batch-score each hypothesis with the (bi)decoder → combine with the CTC
+score.
+
+Decoder FFN activation is ReLU (positionwise_feed_forward.py:71
+default), unlike the encoder's SiLU. Token embedding is
+Embedding * sqrt(d) + sinusoid PE (att_decoder.py:184-188 +
+positional_encoding.py:50-67).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m3asr_tpu.config import DecoderConfig
+from m3asr_tpu.ops.attention import mha
+from m3asr_tpu.ops.common import (init_layer_norm, init_linear, layer_norm,
+                                  linear)
+from m3asr_tpu.ops.masking import make_valid_mask, subsequent_mask
+from m3asr_tpu.ops import positional
+
+
+def add_sos_eos(ys_pad: np.ndarray, ys_lens: np.ndarray, sos: int, eos: int,
+                ignore_id: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Prepend sos / append eos per utterance (utils/common.py
+    add_sos_eos semantics). Host-side numpy."""
+    B, U = ys_pad.shape
+    ys_in = np.full((B, U + 1), ignore_id, ys_pad.dtype)
+    ys_out = np.full((B, U + 1), ignore_id, ys_pad.dtype)
+    ys_in[:, 0] = sos
+    for b in range(B):
+        n = int(ys_lens[b])
+        ys_in[b, 1:n + 1] = ys_pad[b, :n]
+        ys_out[b, :n] = ys_pad[b, :n]
+        ys_out[b, n] = eos
+    return ys_in, ys_out
+
+
+def reverse_pad_list(ys_pad: np.ndarray, ys_lens: np.ndarray,
+                     pad_value: int) -> np.ndarray:
+    """Reverse each sequence within its valid length (utils/common.py
+    reverse_pad_list)."""
+    out = np.full_like(ys_pad, pad_value)
+    for b in range(ys_pad.shape[0]):
+        n = int(ys_lens[b])
+        out[b, :n] = ys_pad[b, :n][::-1]
+    return out
+
+
+def _decoder_layer(p, x, tgt_mask, memory, memory_lens, num_heads):
+    """One decoder block (att_decoder.py:18-143, pre-norm path)."""
+    residual = x
+    h = layer_norm(p["norm1"], x)
+    h = mha(p["self_attn"], h, h, h, None, num_heads, mask=tgt_mask)
+    x = residual + h
+
+    residual = x
+    h = layer_norm(p["norm2"], x)
+    h = mha(p["src_attn"], h, memory, memory, memory_lens, num_heads)
+    x = residual + h
+
+    residual = x
+    h = layer_norm(p["norm3"], x)
+    h = linear(p["feed_forward"]["w_2"],
+               jax.nn.relu(linear(p["feed_forward"]["w_1"], h)))
+    return residual + h
+
+
+def forward(p, cfg: DecoderConfig, memory: jax.Array,
+            memory_lens: jax.Array, ys_in: jax.Array,
+            ys_in_lens: jax.Array) -> jax.Array:
+    """Teacher-forced decoder scores (TransformerDecoder.forward,
+    att_decoder.py:212-258). Returns (B, U, V) logits."""
+    B, U = ys_in.shape
+    d = memory.shape[-1]
+    emb = jnp.take(p["embed"]["weight"], ys_in, axis=0)  # (B, U, d)
+    x, _ = positional.abs_positional_encoding(p["pos_enc"]["pe"], emb)
+
+    causal = subsequent_mask(U)[None, None]                 # (1,1,U,U)
+    pad = make_valid_mask(ys_in_lens, U)[:, None, None, :]  # (B,1,1,U)
+    tgt_mask = causal & pad
+
+    def body(h, layer_p):
+        h = _decoder_layer(layer_p, h, tgt_mask, memory, memory_lens,
+                           cfg.attention_heads)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, p["decoders"])
+    x = layer_norm(p["after_norm"], x)
+    return linear(p["output_layer"], x)
+
+
+def score_hyps(p, cfg: DecoderConfig, memory: jax.Array,
+               memory_lens: jax.Array, hyps: Sequence[Sequence[int]],
+               sos: int, eos: int, ignore_id: int,
+               reverse: bool = False) -> np.ndarray:
+    """Attention-rescoring scores: per hypothesis, sum of teacher-forced
+    log-probs incl. the final eos (ctc_aed.py:200-251 semantics).
+    memory: (1, T, d) single utterance; hyps: nbest token lists.
+    Returns (nbest,) float scores."""
+    n = len(hyps)
+    U = max((len(h) for h in hyps), default=0)
+    ys = np.full((n, U), ignore_id, np.int32)
+    lens = np.zeros((n,), np.int32)
+    for i, h in enumerate(hyps):
+        seq = list(h)[::-1] if reverse else list(h)
+        ys[i, :len(seq)] = seq
+        lens[i] = len(seq)
+    ys_in, ys_out = add_sos_eos(ys, lens, sos, eos, ignore_id)
+    mem = jnp.broadcast_to(memory, (n,) + memory.shape[1:])
+    mlens = jnp.broadcast_to(memory_lens, (n,))
+    logits = forward(p, cfg, mem, mlens, jnp.asarray(ys_in),
+                     jnp.asarray(lens + 1))
+    logp = jax.nn.log_softmax(np.asarray(logits, np.float32), axis=-1)
+    logp = np.asarray(logp)
+    scores = np.zeros((n,), np.float64)
+    for i in range(n):
+        for u in range(int(lens[i]) + 1):
+            scores[i] += logp[i, u, int(ys_out[i, u])]
+    return scores
+
+
+def attention_rescoring(decoder_params, cfg: DecoderConfig,
+                        nbest: List[Tuple[Tuple[int, ...], float]],
+                        encoder_out: jax.Array, encoder_len: int,
+                        sos: int, eos: int, ignore_id: int,
+                        ctc_weight: float = 0.5,
+                        reverse_weight: float = 0.0) -> Tuple[List[int], float]:
+    """Pick the best CTC-nbest hypothesis by decoder score + ctc_weight *
+    ctc score (the commented reference impl, ctc_aed.py:160-252)."""
+    hyps = [list(h) for h, _ in nbest]
+    ctc_scores = np.array([s for _, s in nbest])
+    mlens = jnp.asarray([encoder_len], jnp.int32)
+    p = decoder_params
+    left = p.get("left_decoder", p)
+    att = score_hyps(left, cfg, encoder_out, mlens, hyps, sos, eos,
+                     ignore_id)
+    if reverse_weight > 0.0 and "right_decoder" in p:
+        r_att = score_hyps(p["right_decoder"], cfg, encoder_out, mlens,
+                           hyps, sos, eos, ignore_id, reverse=True)
+        att = (1.0 - reverse_weight) * att + reverse_weight * r_att
+    total = att + ctc_weight * ctc_scores
+    best = int(np.argmax(total))
+    return hyps[best], float(total[best])
+
+
+def init(key, cfg: DecoderConfig, vocab_size: int, d_model: int,
+         dtype=jnp.float32):
+    ks = jax.random.split(key, cfg.num_blocks + 2)
+    p = {
+        "embed": {"weight": jax.random.normal(ks[0], (vocab_size, d_model),
+                                              dtype)},
+        "pos_enc": {"pe": positional.sinusoid_table(d_model, dtype=dtype)},
+        "after_norm": init_layer_norm(d_model, dtype),
+        "output_layer": init_linear(ks[1], d_model, vocab_size, dtype=dtype),
+    }
+    from m3asr_tpu.ops.attention import init_mha
+
+    def one_layer(k):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        return {
+            "norm1": init_layer_norm(d_model, dtype),
+            "norm2": init_layer_norm(d_model, dtype),
+            "norm3": init_layer_norm(d_model, dtype),
+            "self_attn": init_mha(k1, d_model, dtype),
+            "src_attn": init_mha(k2, d_model, dtype),
+            "feed_forward": {
+                "w_1": init_linear(k3, d_model, cfg.linear_units,
+                                   dtype=dtype),
+                "w_2": init_linear(k4, cfg.linear_units, d_model,
+                                   dtype=dtype)},
+        }
+
+    layers = [one_layer(k) for k in ks[2:]]
+    p["decoders"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return p

@@ -1,0 +1,182 @@
+"""DFSMN model family (second encoder family in the reference).
+
+Rebuilds model/dfsmn_base_res.py (cFSMN stack) and model/dfsmn_san_res.py
+(DFSMN blocks + self-attention-with-memory), TPU-first:
+
+* the cFSMN memory FIR filter becomes one depthwise `lax.conv` over time
+  with *asymmetric* padding (lctx, rctx) — no pad-then-crop dance, which
+  the reference needed because torch conv1d only pads symmetrically
+  (dfsmn_base_res.py:63-70,100-110);
+* the strided FIR taps are scattered into a dense (K, D) kernel at trace
+  time with static indices;
+* the memory-slot attention appends learned (H, M, d_k) key/value slots
+  along the key axis (layer/attention.py:11-111).
+
+Weight naming mirrors the reference state dicts
+(fsmn_layers.{i}.left_factor, blocks.{i}.attn_layer.attn_layer.linear_q...).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m3asr_tpu.ops.common import layer_norm, linear, scale_shift
+from m3asr_tpu.ops.masking import make_valid_mask
+from m3asr_tpu.ops import positional
+
+
+@dataclasses.dataclass
+class FsmnConfig:
+    look_back: int = 4
+    look_ahead: int = 1
+    stride_left: int = 2
+    stride_right: int = 1
+    upper_bound: Optional[float] = None
+    skip_connect: bool = False
+
+
+def cfsmn_layer(p, x: jax.Array, lengths: Optional[jax.Array],
+                cfg: FsmnConfig) -> jax.Array:
+    """Compact FSMN layer (dfsmn_base_res.py:19-113):
+    hid = relu(hid_proj(x)) [clamped]; p = mem_proj(hid) [+ x];
+    mem = FIR(p) + p  with the FIR taps at strided offsets."""
+    hid = jax.nn.relu(linear(p["hid_proj"], x))
+    if cfg.upper_bound is not None:
+        hid = jnp.minimum(hid, jnp.asarray(cfg.upper_bound, hid.dtype))
+    pp = linear(p["mem_proj"], hid)
+    if cfg.skip_connect:
+        pp = pp + x
+    if lengths is not None:
+        valid = make_valid_mask(lengths, x.shape[1])
+        pp = pp * valid[..., None].astype(pp.dtype)
+
+    mem_dim = pp.shape[-1]
+    lctx = cfg.look_back * cfg.stride_left
+    rctx = cfg.look_ahead * cfg.stride_right
+    K = lctx + 1 + rctx
+    f_mat = jnp.zeros((K, mem_dim), pp.dtype)
+    if cfg.look_back:
+        f_mat = f_mat.at[0:lctx:cfg.stride_left].set(
+            p["left_factor"].astype(pp.dtype))
+    f_mat = f_mat.at[lctx].set(p["cur_factor"][0].astype(pp.dtype))
+    if cfg.look_ahead:
+        f_mat = f_mat.at[lctx + cfg.stride_right::cfg.stride_right].set(
+            p["right_factor"].astype(pp.dtype))
+
+    conv = jax.lax.conv_general_dilated(
+        pp, f_mat[:, None, :], window_strides=(1,),
+        padding=[(lctx, rctx)], dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=mem_dim)
+    return conv + pp
+
+
+def attn_mem_layer(p, x: jax.Array, lengths: Optional[jax.Array],
+                   num_heads: int, memory_num: int) -> jax.Array:
+    """Multi-head attention with learned memory slots
+    (layer/attention.py:11-111). x: (B, T, D)."""
+    B, T, D = x.shape
+    dk = D // num_heads
+    q = linear(p["linear_query"], x).reshape(B, T, num_heads, dk)
+    k = linear(p["linear_key"], x).reshape(B, T, num_heads, dk)
+    v = linear(p["linear_value"], x).reshape(B, T, num_heads, dk)
+    scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32)
+    if memory_num > 0:
+        km = p["key_memory"].astype(x.dtype)    # (H, M, dk)
+        vm = p["value_memory"].astype(x.dtype)
+        mem_scores = jnp.einsum("bthd,hmd->bhtm", q, km,
+                                preferred_element_type=jnp.float32)
+        scores = jnp.concatenate([scores, mem_scores], axis=-1)
+    scores = scores * (dk ** -0.5)
+    if lengths is not None:
+        valid = make_valid_mask(lengths, T)  # (B, T)
+        if memory_num > 0:
+            valid = jnp.concatenate(
+                [valid, jnp.ones((B, memory_num), bool)], axis=1)
+        scores = jnp.where(valid[:, None, None, :], scores, -1e30)
+    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhts,bshd->bthd", attn[..., :T], v,
+                     preferred_element_type=x.dtype)
+    if memory_num > 0:
+        ctx = ctx + jnp.einsum("bhtm,hmd->bthd", attn[..., T:],
+                               p["value_memory"].astype(x.dtype),
+                               preferred_element_type=x.dtype)
+    return linear(p["linear_out"], ctx.reshape(B, T, D))
+
+
+def self_attn_mem_layer(p, x: jax.Array, lengths, num_heads: int,
+                        memory_num: int, norm_type: str = "LN") -> jax.Array:
+    """x = Norm(x + attn(x)) (dfsmn_san_res.py:11-57)."""
+    h = attn_mem_layer(p["attn_layer"], x, lengths, num_heads, memory_num)
+    x = x + h
+    if norm_type == "LN":
+        return layer_norm(p["ln_layer"], x, eps=1e-5)
+    return scale_shift(p["bn_layer"], x)  # folded MaskBatchNorm (eval)
+
+
+@dataclasses.dataclass
+class DfsmnSanConfig:
+    num_block: int = 3
+    fsmn_each_block: int = 10
+    hidden_dim: int = 1024
+    memory_dim: int = 512
+    look_back: int = 4
+    look_ahead: int = 1
+    stride_left: int = 2
+    stride_right: int = 1
+    num_head: int = 8
+    num_memory: int = 64
+    norm_type: str = "LN"
+
+
+def dfsmn_san_forward(params, cfg: DfsmnSanConfig, x: jax.Array,
+                      lengths: Optional[jax.Array]):
+    """model/dfsmn_san_res.py Net.forward: blocks of (N x cFSMN -> [PE
+    on block 0] -> self-attn-mem), then out_linear."""
+    for i in range(cfg.num_block):
+        bp = params["blocks"][i]
+        for j in range(cfg.fsmn_each_block):
+            first = (i == 0 and j == 0)
+            fcfg = FsmnConfig(
+                cfg.look_back, cfg.look_ahead, cfg.stride_left,
+                cfg.stride_right,
+                upper_bound=None if first else 1.0,
+                skip_connect=not first)
+            x = cfsmn_layer(bp["fsmn_layers"][j], x, lengths, fcfg)
+        if i == 0:
+            pe = positional.sinusoid_table(cfg.memory_dim, dtype=x.dtype)
+            x = x + pe[None, : x.shape[1]]
+        x = self_attn_mem_layer(bp["attn_layer"], x, lengths,
+                                cfg.num_head, cfg.num_memory,
+                                cfg.norm_type)
+    out = linear(params["out_linear"], x)
+    return out, lengths
+
+
+@dataclasses.dataclass
+class DfsmnBaseConfig:
+    fsmn_layers: int = 30
+    hidden_dim: int = 1024
+    memory_dim: int = 512
+    look_back: int = 4
+    look_ahead: int = 1
+    stride_left: int = 2
+    stride_right: int = 1
+
+
+def dfsmn_base_forward(params, cfg: DfsmnBaseConfig, x: jax.Array,
+                       lengths: Optional[jax.Array]):
+    """model/dfsmn_base_res.py Net.forward: plain cFSMN stack."""
+    for i in range(cfg.fsmn_layers):
+        fcfg = FsmnConfig(cfg.look_back, cfg.look_ahead, cfg.stride_left,
+                          cfg.stride_right,
+                          upper_bound=None if i == 0 else 1.0,
+                          skip_connect=i > 0)
+        x = cfsmn_layer(params["fsmn_layers"][i], x, lengths, fcfg)
+    out = linear(params["out_linear"], x)
+    return out, lengths

@@ -342,6 +342,224 @@ class HierMoEConformer(nn.Module):
         return self.out_linear(x), x_len
 
 
+class MultiHeadedAttention(nn.Module):
+    """Plain MHA with a boolean attend-mask (True=attend)."""
+
+    def __init__(self, n_head, n_feat):
+        super().__init__()
+        self.d_k = n_feat // n_head
+        self.h = n_head
+        self.linear_q = nn.Linear(n_feat, n_feat)
+        self.linear_k = nn.Linear(n_feat, n_feat)
+        self.linear_v = nn.Linear(n_feat, n_feat)
+        self.linear_out = nn.Linear(n_feat, n_feat)
+
+    def forward(self, q_in, k_in, v_in, mask):
+        B, T1 = q_in.shape[:2]
+        T2 = k_in.shape[1]
+        q = self.linear_q(q_in).view(B, T1, self.h, self.d_k).transpose(1, 2)
+        k = self.linear_k(k_in).view(B, T2, self.h, self.d_k).transpose(1, 2)
+        v = self.linear_v(v_in).view(B, T2, self.h, self.d_k).transpose(1, 2)
+        scores = torch.matmul(q, k.transpose(-2, -1)) / math.sqrt(self.d_k)
+        if mask is not None:
+            scores = scores.masked_fill(~mask, -float("inf"))
+            attn = torch.softmax(scores, dim=-1).masked_fill(~mask, 0.0)
+        else:
+            attn = torch.softmax(scores, dim=-1)
+        x = torch.matmul(attn, v).transpose(1, 2).reshape(B, T1, -1)
+        return self.linear_out(x)
+
+
+class DecoderFFN(nn.Module):
+    def __init__(self, d, hidden):
+        super().__init__()
+        self.w_1 = nn.Linear(d, hidden)
+        self.w_2 = nn.Linear(hidden, d)
+
+    def forward(self, x):
+        return self.w_2(torch.relu(self.w_1(x)))
+
+
+class DecoderLayer(nn.Module):
+    def __init__(self, size, heads, hidden):
+        super().__init__()
+        self.self_attn = MultiHeadedAttention(heads, size)
+        self.src_attn = MultiHeadedAttention(heads, size)
+        self.feed_forward = DecoderFFN(size, hidden)
+        self.norm1 = nn.LayerNorm(size, eps=1e-12)
+        self.norm2 = nn.LayerNorm(size, eps=1e-12)
+        self.norm3 = nn.LayerNorm(size, eps=1e-12)
+
+    def forward(self, x, tgt_mask, memory, memory_mask):
+        x = x + self.self_attn(self.norm1(x), self.norm1(x), self.norm1(x),
+                               tgt_mask)
+        x = x + self.src_attn(self.norm2(x), memory, memory, memory_mask)
+        x = x + self.feed_forward(self.norm3(x))
+        return x
+
+
+class TransformerDecoder(nn.Module):
+    """Golden twin of att_decoder.TransformerDecoder (pre-norm)."""
+
+    def __init__(self, vocab_size, d_model, attention_heads=4,
+                 linear_units=64, num_blocks=2):
+        super().__init__()
+        self.embed = nn.Sequential(nn.Embedding(vocab_size, d_model))
+        self.pe = RelPositionalEncoding(d_model)  # same sinusoid table
+        self.xscale = math.sqrt(d_model)
+        self.decoders = nn.ModuleList([
+            DecoderLayer(d_model, attention_heads, linear_units)
+            for _ in range(num_blocks)])
+        self.after_norm = nn.LayerNorm(d_model, eps=1e-12)
+        self.output_layer = nn.Linear(d_model, vocab_size)
+
+    def forward(self, memory, memory_lens, ys_in, ys_in_lens):
+        B, U = ys_in.shape
+        x = self.embed[0](ys_in) * self.xscale + self.pe.pe[:, :U]
+        sub = torch.tril(torch.ones(U, U, dtype=torch.bool))
+        pad = ~make_pad_mask(ys_in_lens, U)
+        tgt_mask = (sub[None] & pad[:, None, :])[:, None]  # (B,1,U,U)
+        mem_mask = ~make_pad_mask(memory_lens, memory.shape[1])
+        mem_mask = mem_mask[:, None, None, :]
+        for layer in self.decoders:
+            x = layer(x, tgt_mask, memory, mem_mask)
+        x = self.after_norm(x)
+        return self.output_layer(x)
+
+    def state_dict_ref_names(self):
+        """state_dict with reference naming (embed.0 + pe dropped)."""
+        return self.state_dict()
+
+
+class CFSMNLayer(nn.Module):
+    """Golden compact-FSMN layer (dfsmn_base_res.py semantics): strided
+    FIR memory via symmetric-pad conv + crop."""
+
+    def __init__(self, input_dim, hid_dim, mem_dim, look_back=4,
+                 look_ahead=1, stride_left=2, stride_right=1,
+                 skip_connect=False, upper_bound=None):
+        super().__init__()
+        self.look_back, self.look_ahead = look_back, look_ahead
+        self.stride_left, self.stride_right = stride_left, stride_right
+        self.skip_connect, self.upper_bound = skip_connect, upper_bound
+        self.mem_dim = mem_dim
+        self.left_factor = nn.Parameter(torch.zeros(look_back, mem_dim))
+        self.cur_factor = nn.Parameter(torch.zeros(1, mem_dim))
+        self.right_factor = nn.Parameter(torch.zeros(look_ahead, mem_dim))
+        self.hid_proj = nn.Linear(input_dim, hid_dim)
+        self.mem_proj = nn.Linear(hid_dim, mem_dim, bias=False)
+
+    def forward(self, x, lengths):
+        hid = torch.relu(self.hid_proj(x))
+        if self.upper_bound is not None:
+            hid = torch.clamp(hid, max=self.upper_bound)
+        p = self.mem_proj(hid)
+        if self.skip_connect:
+            p = p + x
+        mask = ~make_pad_mask(lengths, x.size(1))
+        p = p * mask.unsqueeze(-1).float()
+        lctx = self.look_back * self.stride_left
+        rctx = self.look_ahead * self.stride_right
+        f = p.new_zeros(lctx + 1 + rctx, self.mem_dim)
+        f[0:lctx:self.stride_left] = self.left_factor
+        f[lctx] = self.cur_factor[0]
+        f[lctx + self.stride_right::self.stride_right] = self.right_factor
+        w = f.t().unsqueeze(1)  # (D, 1, K)
+        pad = max(lctx, rctx)
+        conv = F.conv1d(p.transpose(1, 2), w, padding=pad,
+                        groups=self.mem_dim)
+        lo = max(0, pad - lctx)
+        hi = min(0, rctx - pad)
+        conv = conv[:, :, lo: conv.size(2) + hi]
+        return conv.transpose(1, 2) + p
+
+
+class AttnMemLayer(nn.Module):
+    """Golden MultiHeadAttnMemLayer (attention.py:11-111)."""
+
+    def __init__(self, model_dim, head_num, memory_num=0):
+        super().__init__()
+        self.h, self.m = head_num, memory_num
+        self.dk = model_dim // head_num
+        if memory_num > 0:
+            self.key_memory = nn.Parameter(
+                torch.zeros(head_num, memory_num, self.dk))
+            self.value_memory = nn.Parameter(
+                torch.zeros(head_num, memory_num, self.dk))
+        self.linear_query = nn.Linear(model_dim, model_dim, bias=False)
+        self.linear_key = nn.Linear(model_dim, model_dim, bias=False)
+        self.linear_value = nn.Linear(model_dim, model_dim, bias=False)
+        self.linear_out = nn.Linear(model_dim, model_dim, bias=False)
+
+    def forward(self, x, lengths):
+        B, T, D = x.shape
+        def shape(t):
+            return t.view(B, T, self.h, self.dk).transpose(1, 2) \
+                    .reshape(B * self.h, T, self.dk)
+        k = shape(self.linear_key(x))
+        v = shape(self.linear_value(x))
+        q = shape(self.linear_query(x))
+        if self.m > 0:
+            k = torch.cat([k, self.key_memory.repeat(B, 1, 1)], dim=1)
+            v = torch.cat([v, self.value_memory.repeat(B, 1, 1)], dim=1)
+        score = torch.bmm(q, k.transpose(1, 2)) / math.sqrt(self.dk)
+        mask = make_pad_mask(lengths, T)  # (B, T) True=pad
+        if self.m > 0:
+            mask = torch.cat([mask, mask.new_zeros(B, self.m)], dim=1)
+        score = score.view(B, self.h, T, -1).masked_fill(
+            mask[:, None, None, :], -float("inf")).view(B * self.h, T, -1)
+        attn = torch.softmax(score, dim=-1)
+        out = torch.bmm(attn, v).view(B, self.h, T, self.dk) \
+                   .transpose(1, 2).reshape(B, T, D)
+        return self.linear_out(out)
+
+
+class DfsmnSanNet(nn.Module):
+    """Golden twin of model/dfsmn_san_res.py Net (LN norm type)."""
+
+    def __init__(self, input_dim, output_dim, num_block=2,
+                 fsmn_each_block=3, hidden_dim=32, memory_dim=16,
+                 look_back=4, look_ahead=1, stride_left=2, stride_right=1,
+                 num_head=4, num_memory=8):
+        super().__init__()
+        self.num_block, self.fsmn_each_block = num_block, fsmn_each_block
+        self.memory_dim = memory_dim
+        self.num_head, self.num_memory = num_head, num_memory
+        pe_mod = RelPositionalEncoding(memory_dim)
+        self.pe = pe_mod.pe
+        blocks = []
+        in_dim = input_dim
+        for i in range(num_block):
+            fsmn = nn.ModuleList()
+            for j in range(fsmn_each_block):
+                first = i == 0 and j == 0
+                fsmn.append(CFSMNLayer(
+                    in_dim if j == 0 else memory_dim, hidden_dim,
+                    memory_dim, look_back, look_ahead, stride_left,
+                    stride_right, skip_connect=not first,
+                    upper_bound=None if first else 1.0))
+            attn = nn.Module()
+            attn.attn_layer = AttnMemLayer(memory_dim, num_head, num_memory)
+            attn.ln_layer = nn.LayerNorm(memory_dim)
+            blk = nn.Module()
+            blk.fsmn_layers = fsmn
+            blk.attn_layer = attn
+            blocks.append(blk)
+            in_dim = memory_dim
+        self.blocks = nn.ModuleList(blocks)
+        self.out_linear = nn.Linear(memory_dim, output_dim)
+
+    def forward(self, x, lengths):
+        for i, blk in enumerate(self.blocks):
+            for f in blk.fsmn_layers:
+                x = f(x, lengths)
+            if i == 0:
+                x = x + self.pe[:, : x.size(1)]
+            a = blk.attn_layer
+            x = a.ln_layer(x + a.attn_layer(x, lengths))
+        return self.out_linear(x), lengths
+
+
 def randomize_(model: nn.Module, seed: int = 0):
     """Give every parameter (incl. BN running stats) a non-degenerate
     random value so parity tests are meaningful."""
