@@ -1,0 +1,99 @@
+"""ctypes bindings for the native (C++) decoder core.
+
+Builds native/build/libm3asr_ctc.so on first use (make) and falls back
+to the pure-python implementation if no toolchain is available — the
+same load-by-dlopen pattern the reference uses for libtrtplugin++.so
+(infer.py:16-24), minus TensorRT.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libm3asr_ctc.so")
+
+_lib = None
+_load_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.ctc_prefix_beam_search.restype = ctypes.c_int
+        lib.ctc_prefix_beam_search.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float)]
+        lib.ctc_greedy_decode.restype = ctypes.c_int
+        lib.ctc_greedy_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+        _lib = lib
+    except Exception:
+        _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def ctc_prefix_beam_search(log_probs: np.ndarray, out_len: int,
+                           beam_size: int, blank_idx: int = 0
+                           ) -> List[Tuple[Tuple[int, ...], float]]:
+    """Native prefix beam search; same contract as
+    m3asr_tpu.decode.ctc.ctc_prefix_beam_search."""
+    lib = _load()
+    if lib is None:
+        from m3asr_tpu.decode.ctc import ctc_prefix_beam_search as py_impl
+        return py_impl(log_probs, out_len, beam_size, blank_idx)
+    lp = np.ascontiguousarray(log_probs[:int(out_len)], np.float32)
+    T, V = lp.shape
+    max_len = max(T, 1)
+    tokens = np.full((beam_size, max_len), -1, np.int32)
+    lens = np.zeros((beam_size,), np.int32)
+    scores = np.zeros((beam_size,), np.float32)
+    n = lib.ctc_prefix_beam_search(
+        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), T, V,
+        beam_size, blank_idx, beam_size, max_len,
+        tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return [(tuple(int(t) for t in tokens[i, :lens[i]]), float(scores[i]))
+            for i in range(n)]
+
+
+def ctc_greedy_search(logits: np.ndarray, out_lens: np.ndarray,
+                      blank_idx: int = 0) -> List[List[int]]:
+    lib = _load()
+    if lib is None:
+        from m3asr_tpu.decode.ctc import ctc_greedy_search as py_impl
+        return py_impl(logits, out_lens, blank_idx)
+    logits = np.ascontiguousarray(logits, np.float32)
+    out_lens = np.asarray(out_lens)
+    hyps = []
+    for b in range(logits.shape[0]):
+        T = int(out_lens[b])
+        V = logits.shape[2]
+        out = np.zeros((max(T, 1),), np.int32)
+        n = lib.ctc_greedy_decode(
+            logits[b].ctypes.data_as(ctypes.POINTER(ctypes.c_float)), T, V,
+            blank_idx, max(T, 1),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        hyps.append([int(x) for x in out[:n]])
+    return hyps

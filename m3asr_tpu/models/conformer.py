@@ -57,9 +57,11 @@ def frontend(params, cfg: EncoderConfig, feat: jax.Array,
 
 def run_blocks(stacked_blocks, cfg: EncoderConfig, x: jax.Array,
                lengths: Optional[jax.Array], pos_emb: jax.Array,
-               collect_hidden: bool = False):
+               collect_hidden: bool = False, mask=None):
     """Scan the conformer blocks. stacked_blocks is a pytree whose
-    leaves have a leading (num_blocks,) axis."""
+    leaves have a leading (num_blocks,) axis. `mask` is an optional
+    (B|1, 1, T, T) attend-mask (chunked/causal training masks,
+    utils/mask.py add_optional_chunk_mask)."""
     conv_lorder = cfg.cnn_module_kernel - 1 if cfg.causal else 0
 
     def body(h, block_p):
@@ -70,15 +72,25 @@ def run_blocks(stacked_blocks, cfg: EncoderConfig, x: jax.Array,
             use_cnn=cfg.use_cnn_module,
             conv_layer_norm=(cfg.cnn_module_norm == "layer_norm"),
             conv_lorder=conv_lorder,
-            normalize_before=cfg.normalize_before)
+            normalize_before=cfg.normalize_before,
+            mask=mask)
         return h, (h if collect_hidden else None)
 
     x, hiddens = jax.lax.scan(body, x, stacked_blocks)
     return x, hiddens
 
 
+def chunk_attention_mask(T: int, chunk_size: int,
+                         num_left_chunks: int = -1):
+    """Static-chunk attention mask for streaming-style full-utterance
+    forward (utils/mask.py:42-145). (1, 1, T, T) bool, True=attend."""
+    from m3asr_tpu.ops.masking import subsequent_chunk_mask
+    return subsequent_chunk_mask(T, chunk_size, num_left_chunks)[None, None]
+
+
 def forward(params, cfg: EncoderConfig, feat: jax.Array,
-            feat_len: Optional[jax.Array], output_embed: bool = False):
+            feat_len: Optional[jax.Array], output_embed: bool = False,
+            chunk_mask=None):
     """Dense conformer encoder forward.
 
     feat: (B, T, input_dim); feat_len: int32 (B,).
@@ -87,7 +99,8 @@ def forward(params, cfg: EncoderConfig, feat: jax.Array,
     conformer_embed_domain_acc.py:170-181).
     """
     x, pos_emb, out_len = frontend(params, cfg, feat, feat_len)
-    x, _ = run_blocks(params["blocks"], cfg, x, out_len, pos_emb)
+    x, _ = run_blocks(params["blocks"], cfg, x, out_len, pos_emb,
+                      mask=chunk_mask)
     if cfg.normalize_before:
         x = layer_norm(params["after_norm"], x)
     out = linear(params["out_linear"], x)

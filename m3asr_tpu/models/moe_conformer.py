@@ -31,14 +31,16 @@ from m3asr_tpu.ops.common import init_layer_norm, init_linear, layer_norm, linea
 
 def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
             feat_len: Optional[jax.Array], output_embed: bool = False,
-            moe_impl: str = "dense", hier_taps: bool = False):
+            moe_impl: str = "dense", hier_taps: bool = False,
+            chunk_mask=None):
     """feat: (B, T, input_dim) -> logits (B, T', output_dim).
 
     Returns (out, out_len) | (out, out_len, embed_out) | with
     hier_taps=True additionally (out_6, out_12) normalized tap hiddens.
     """
     embed_out, _, embed = conformer.forward(
-        params["embed"], cfg.embed_conf, feat, feat_len, output_embed=True)
+        params["embed"], cfg.embed_conf, feat, feat_len, output_embed=True,
+        chunk_mask=chunk_mask)
 
     x, pos_emb, out_len = conformer.frontend(params, cfg, feat, feat_len)
 
@@ -53,7 +55,8 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
             conv_layer_norm=(cfg.cnn_module_norm == "layer_norm"),
             conv_lorder=conv_lorder,
             normalize_before=cfg.normalize_before,
-            moe=True, embed=embed, moe_impl=moe_impl)
+            moe=True, embed=embed, moe_impl=moe_impl,
+            mask=chunk_mask)
         return h, (h if hier_taps else None)
 
     x, hiddens = jax.lax.scan(body, x, params["blocks"])

@@ -119,19 +119,18 @@ class Engine:
         return "dense" if tokens <= MOE_DENSE_TOKEN_THRESHOLD else "ragged"
 
     def _make_forward(self, batch: int, length: int):
-        enc_cfg = self.model_cfg.encoder_conf
+        from m3asr_tpu.models.registry import get_family
+        family = get_family(self.model_cfg.nnet_proto)
+        model_cfg = self.model_cfg
         moe_impl = self._moe_impl_for(batch, length)
         neg_log_prior = self.neg_log_prior
         out_mode = self.cfg.decode_output
         is_moe = self.is_moe
 
         def forward(params, feat, feat_len):
-            if is_moe:
-                out, out_len = moe_conformer.forward(
-                    params, enc_cfg, feat, feat_len, moe_impl=moe_impl)
-            else:
-                out, out_len = conformer.forward(params, enc_cfg, feat,
-                                                 feat_len)
+            kw = {"moe_impl": moe_impl} if is_moe else {}
+            out, out_len = family.forward(params, model_cfg, feat,
+                                          feat_len, **kw)
             if neg_log_prior is not None:
                 out = out + neg_log_prior[None, None, :]
             if out_mode == "log_softmax":

@@ -1,0 +1,85 @@
+"""Host-side streaming session: raw-frame buffering around the jitted
+chunk forward (models/streaming.py).
+
+The reference's streaming plugins expected the host to feed aligned
+chunks with subsampling overlap; this session does that bookkeeping:
+push arbitrary-sized feature pieces, it emits logits whenever a full
+chunk window (4*chunk + 3 raw frames, stride 4*chunk) is available, and
+`finish()` flushes the tail with zero padding.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m3asr_tpu.config import EncoderConfig, MoEEncoderConfig
+from m3asr_tpu.models import streaming
+
+
+class StreamingSession:
+    def __init__(self, params, cfg: EncoderConfig, chunk_size: int = 16,
+                 num_left_chunks: int = 2, batch: int = 1,
+                 moe: bool = False, moe_impl: str = "dense"):
+        self.params = params
+        self.cfg = cfg
+        self.chunk = chunk_size
+        self.window = 4 * chunk_size + 3
+        self.stride = 4 * chunk_size
+        self.moe = moe
+        cache_T = chunk_size * num_left_chunks
+        self.state = streaming.init_state(cfg, batch, cache_T)
+        if moe:
+            assert isinstance(cfg, MoEEncoderConfig)
+            self.embed_state = streaming.init_state(cfg.embed_conf, batch,
+                                                    cache_T)
+            self._fn = jax.jit(
+                lambda p, w, s, es: streaming.forward_chunk_moe(
+                    p, cfg, w, s, es, moe_impl=moe_impl))
+        else:
+            self._fn = jax.jit(
+                lambda p, w, s: streaming.forward_chunk(p, cfg, w, s))
+        self._buf: Optional[np.ndarray] = None
+        self._consumed = 0
+
+    def push(self, feat: np.ndarray) -> List[np.ndarray]:
+        """feat: (B, t, input_dim) new frames. Returns list of logits
+        chunks (B, chunk, V) that became ready."""
+        feat = np.asarray(feat, np.float32)
+        self._buf = feat if self._buf is None else np.concatenate(
+            [self._buf, feat], axis=1)
+        outs = []
+        while self._buf.shape[1] - self._consumed >= self.window:
+            w = self._buf[:, self._consumed: self._consumed + self.window]
+            outs.append(self._step(w))
+            self._consumed += self.stride
+        return outs
+
+    def _step(self, w: np.ndarray) -> np.ndarray:
+        if self.moe:
+            out, self.state, self.embed_state = self._fn(
+                self.params, jnp.asarray(w), self.state, self.embed_state)
+        else:
+            out, self.state = self._fn(self.params, jnp.asarray(w),
+                                       self.state)
+        return np.asarray(out)
+
+    def finish(self) -> List[np.ndarray]:
+        """Flush remaining frames (zero-padded to a full window); emits
+        only the output frames covered by real input."""
+        if self._buf is None:
+            return []
+        rest = self._buf.shape[1] - self._consumed
+        if rest <= 6:  # fewer raw frames than one output frame needs
+            return []
+        n_out = (rest - 3) // 4 if rest >= 7 else 0
+        if n_out <= 0:
+            return []
+        w = np.zeros((self._buf.shape[0], self.window,
+                      self._buf.shape[2]), np.float32)
+        w[:, :rest] = self._buf[:, self._consumed:]
+        out = self._step(w)
+        return [out[:, :n_out]]

@@ -1,0 +1,52 @@
+"""Native (C++) CTC decoder == python implementation, and faster."""
+
+import time
+
+import numpy as np
+import pytest
+
+from m3asr_tpu.decode import ctc
+from m3asr_tpu.decode import native
+
+
+@pytest.fixture(scope="module")
+def lib_ok():
+    if not native.available():
+        pytest.skip("no C++ toolchain to build the native decoder")
+    return True
+
+
+def _rand_log_probs(T, V, seed):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(T, V).astype(np.float32) * 2
+    m = logits.max(-1, keepdims=True)
+    return logits - m - np.log(np.exp(logits - m).sum(-1, keepdims=True))
+
+
+def test_native_matches_python_beam(lib_ok):
+    lp = _rand_log_probs(25, 12, 0)
+    py = ctc.ctc_prefix_beam_search(lp, 25, beam_size=8)
+    cc = native.ctc_prefix_beam_search(lp, 25, beam_size=8)
+    assert len(py) == len(cc)
+    for (hp, sp), (hc, sc) in zip(py, cc):
+        assert hp == hc
+        np.testing.assert_allclose(sp, sc, rtol=1e-4, atol=1e-4)
+
+
+def test_native_greedy_matches(lib_ok):
+    rng = np.random.RandomState(1)
+    logits = rng.randn(3, 30, 9).astype(np.float32)
+    lens = np.array([30, 17, 1])
+    assert native.ctc_greedy_search(logits, lens) == \
+        ctc.ctc_greedy_search(logits, lens)
+
+
+def test_native_is_faster(lib_ok):
+    lp = _rand_log_probs(300, 400, 2)
+    t0 = time.perf_counter()
+    native.ctc_prefix_beam_search(lp, 300, beam_size=10)
+    t_cc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ctc.ctc_prefix_beam_search(lp, 300, beam_size=10)
+    t_py = time.perf_counter() - t0
+    assert t_cc < t_py, (t_cc, t_py)
