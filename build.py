@@ -18,8 +18,19 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _apply_platform_override():
+    """The deployment environment may force-register a TPU platform via
+    sitecustomize, ignoring JAX_PLATFORMS; M3ASR_PLATFORM wins."""
+    plat = os.environ.get("M3ASR_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
 def main(args):
     import yaml
+
+    _apply_platform_override()
 
     from m3asr_tpu import checkpoint as ckpt
     from m3asr_tpu.config import model_config_from_dict

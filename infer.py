@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main(args):
+    plat = os.environ.get("M3ASR_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     from m3asr_tpu.runtime.engine import Engine
 
     feat = np.load(args.input_file)

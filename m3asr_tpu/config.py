@@ -133,6 +133,9 @@ class MoEEncoderConfig(EncoderConfig):
 
     embed_conf: EncoderConfig = field(default_factory=_default_embed_conf)
     moe_conf: MoEConfig = field(default_factory=MoEConfig)
+    # "Expert-Macaron": the macaron FFN position is MoE too
+    # (conformer_fmoeExMarc_localComm_catEmbed.py / fmoeExMarc_transformer.py)
+    exmarc: bool = False
 
     @property
     def embed_dim(self) -> int:
@@ -240,6 +243,8 @@ def model_config_from_dict(configs: Dict[str, Any]) -> ModelConfig:
     if moe_conf:
         _update_from_dict(cfg.encoder_conf.moe_conf, moe_conf)
 
+    if "ExMarc" in cfg.nnet_proto and hasattr(cfg.encoder_conf, "exmarc"):
+        cfg.encoder_conf.exmarc = True
     cfg.decoder_type = model_conf.get("decoder_type", cfg.decoder_type)
     if model_conf.get("decoder_conf"):
         _update_from_dict(cfg.decoder_conf, model_conf["decoder_conf"])

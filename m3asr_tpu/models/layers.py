@@ -38,17 +38,23 @@ def conformer_block(p, x: jax.Array, lengths: Optional[jax.Array],
                     conv_layer_norm: bool = False, conv_lorder: int = 0,
                     normalize_before: bool = True,
                     moe: bool = False, embed: Optional[jax.Array] = None,
-                    moe_impl: str = "dense",
+                    moe_impl: str = "dense", moe_macaron: bool = False,
                     mask: Optional[jax.Array] = None) -> jax.Array:
     """One conformer block; `moe=True` selects the MoE FFN for the final
     feed-forward position (FmoeConformerLayer) with `embed` as the
-    shared catEmbed router feature."""
+    shared catEmbed router feature; `moe_macaron=True` additionally
+    makes the macaron FFN MoE (the ExMarc variant,
+    fmoeExMarc_transformer.py:72-165)."""
     ff_scale = 0.5 if macaron else 1.0
 
     if macaron:
         residual = x
         h = layer_norm(p["norm_ff_macaron"], x) if normalize_before else x
-        h = positionwise_ffn(p["feed_forward_macaron"], h)
+        if moe_macaron:
+            h = moe_ffn(p["feed_forward_macaron"], h, embed, lengths,
+                        impl=moe_impl)
+        else:
+            h = positionwise_ffn(p["feed_forward_macaron"], h)
         x = residual + ff_scale * h
         if not normalize_before:
             x = layer_norm(p["norm_ff_macaron"], x)
@@ -95,7 +101,7 @@ def init_conformer_block(key, d_model: int, num_heads: int, ffn_hidden: int,
                          use_cnn: bool = True, moe: bool = False,
                          moe_embed_dim: int = 0, moe_num_experts: int = 0,
                          moe_hidden: int = 0, router_with_bias: bool = False,
-                         dtype=jnp.float32):
+                         moe_macaron: bool = False, dtype=jnp.float32):
     ks = jax.random.split(key, 4)
     p = {
         "norm_mha": init_layer_norm(d_model, dtype),
@@ -110,8 +116,13 @@ def init_conformer_block(key, d_model: int, num_heads: int, ffn_hidden: int,
         p["feed_forward"] = init_ffn(ks[1], d_model, ffn_hidden, dtype)
     if macaron:
         p["norm_ff_macaron"] = init_layer_norm(d_model, dtype)
-        p["feed_forward_macaron"] = init_ffn(ks[2], d_model, ffn_hidden,
-                                             dtype)
+        if moe_macaron:
+            p["feed_forward_macaron"] = init_moe_ffn(
+                ks[2], d_model, moe_embed_dim, moe_num_experts, moe_hidden,
+                router_with_bias, dtype)
+        else:
+            p["feed_forward_macaron"] = init_ffn(ks[2], d_model, ffn_hidden,
+                                                 dtype)
     if use_cnn:
         p["norm_conv"] = init_layer_norm(d_model, dtype)
         p["conv_module"] = init_conv_module(ks[3], d_model, cnn_kernel,

@@ -56,7 +56,7 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
             conv_lorder=conv_lorder,
             normalize_before=cfg.normalize_before,
             moe=True, embed=embed, moe_impl=moe_impl,
-            mask=chunk_mask)
+            moe_macaron=cfg.exmarc, mask=chunk_mask)
         return h, (h if hier_taps else None)
 
     x, hiddens = jax.lax.scan(body, x, params["blocks"])
@@ -93,6 +93,7 @@ def init(key, cfg: MoEEncoderConfig, input_dim: int, output_dim: int,
         moe_num_experts=cfg.moe_conf.total_experts,
         moe_hidden=cfg.moe_conf.hidden_units,
         router_with_bias=cfg.moe_conf.router_with_bias,
+        moe_macaron=cfg.exmarc,
         dtype=dtype) for bk in block_keys]
     params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
     params["after_norm_6"] = init_layer_norm(cfg.attention_dim, dtype)

@@ -75,6 +75,56 @@ def softmax_top1_gate(p, router_inputs: jax.Array,
     return gate_value, gate_idx
 
 
+def naive_topk_gate(p, x: jax.Array, top_k: int,
+                    lengths: Optional[jax.Array] = None):
+    """fastmoe NaiveGate (fmoe/gates.py:36-66): linear -> top-k logits
+    -> softmax over the selected k. Returns (gate_values (B,T,k),
+    gate_idx int32 (B,T,k))."""
+    logits = jnp.dot(x, p["kernel"].astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    if "bias" in p and p["bias"] is not None:
+        logits = logits + p["bias"].astype(logits.dtype)
+    vals, idx = jax.lax.top_k(logits, top_k)
+    gate = jax.nn.softmax(vals, axis=-1).astype(x.dtype)
+    idx = idx.astype(jnp.int32)
+    if lengths is not None:
+        valid = make_valid_mask(lengths, x.shape[1])[..., None]
+        gate = jnp.where(valid, gate, 0.0)
+        idx = jnp.where(valid, idx, 0)
+    return gate, idx
+
+
+def noisy_topk_gate(p, x: jax.Array, top_k: int, key,
+                    lengths: Optional[jax.Array] = None,
+                    train: bool = True):
+    """fastmoe NoisyGate (fmoe/gates.py:69-191): logits + softplus-scaled
+    gaussian noise -> top-k -> softmax over k; returns the CV^2
+    load-balance loss as aux. p: {"kernel", "noise_kernel"}."""
+    clean = jnp.dot(x, p["kernel"].astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+    if train:
+        raw_noise = jnp.dot(x, p["noise_kernel"].astype(x.dtype),
+                            preferred_element_type=jnp.float32)
+        noise_std = jax.nn.softplus(raw_noise) + 1e-2
+        logits = clean + jax.random.normal(key, clean.shape) * noise_std
+    else:
+        logits = clean
+    vals, idx = jax.lax.top_k(logits, top_k)
+    gate = jax.nn.softmax(vals, axis=-1).astype(x.dtype)
+    idx = idx.astype(jnp.int32)
+    E = clean.shape[-1]
+    onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # (B,T,k,E)
+    if lengths is not None:
+        valid = make_valid_mask(lengths, x.shape[1])
+        onehot = onehot * valid[..., None, None]
+        gate = jnp.where(valid[..., None], gate, 0.0)
+        idx = jnp.where(valid[..., None], idx, 0)
+    importance = jnp.sum(onehot * gate.astype(jnp.float32)[..., None],
+                         axis=(0, 1, 2))
+    cv2 = jnp.var(importance) / (jnp.mean(importance) ** 2 + 1e-10)
+    return gate, idx, cv2
+
+
 def moe_experts_dense(p, x: jax.Array, gate_idx: jax.Array) -> jax.Array:
     """All-experts-compute-all-tokens path.
 
@@ -131,23 +181,36 @@ def moe_experts_ragged(p, x: jax.Array, gate_idx: jax.Array) -> jax.Array:
 def moe_ffn(p, x: jax.Array, embed: jax.Array,
             lengths: Optional[jax.Array],
             impl: str = "dense",
-            keep_expert_output: bool = False) -> jax.Array:
+            keep_expert_output: bool = False,
+            top_k: int = 1) -> jax.Array:
     """Full catEmbed MoE FFN:
-    router(cat[embed, x]) -> top-1 gate -> expert FFN -> * gate_value
+    router(cat[embed, x]) -> gate -> expert FFN -> * gate_value
     (LocalFmoeCatEmbedFeedForward.forward,
-    positionwise_feed_forward.py:209-265)."""
-    router_inputs = jnp.concatenate([embed, x], axis=-1)
-    gate_value, gate_idx = softmax_top1_gate(p["router"], router_inputs,
-                                             lengths)
-    if impl == "dense":
-        y = moe_experts_dense(p, x, gate_idx)
-    elif impl == "ragged":
-        y = moe_experts_ragged(p, x, gate_idx)
-    else:
-        raise ValueError(f"unknown moe impl: {impl}")
-    if not keep_expert_output:
-        y = y * gate_value
+    positionwise_feed_forward.py:209-265). top_k=1 reproduces the
+    deployed SoftmaxTopK semantics; top_k>1 is the general fastmoe
+    NaiveGate path (sum of gate-weighted expert outputs)."""
+    router_inputs = jnp.concatenate([embed, x], axis=-1) \
+        if embed is not None else x
+    if top_k == 1:
+        gate_value, gate_idx = softmax_top1_gate(p["router"], router_inputs,
+                                                 lengths)
+        y = _dispatch(p, x, gate_idx, impl)
+        if not keep_expert_output:
+            y = y * gate_value
+        return y
+    gate, idx = naive_topk_gate(p["router"], router_inputs, top_k, lengths)
+    y = jnp.zeros_like(x)
+    for k in range(top_k):
+        y = y + _dispatch(p, x, idx[..., k], impl) * gate[..., k:k + 1]
     return y
+
+
+def _dispatch(p, x, gate_idx, impl: str):
+    if impl == "dense":
+        return moe_experts_dense(p, x, gate_idx)
+    if impl == "ragged":
+        return moe_experts_ragged(p, x, gate_idx)
+    raise ValueError(f"unknown moe impl: {impl}")
 
 
 def init_moe_ffn(key, d_model: int, embed_dim: int, num_experts: int,

@@ -89,7 +89,8 @@ class Engine:
         self.buckets = BucketSpec(tuple(self.cfg.bucket_lengths),
                                   tuple(self.cfg.bucket_batches))
         self._fns: Dict[Tuple[int, int], object] = {}
-        self.is_moe = model_cfg.nnet_proto in MOE_HIER_PROTOS
+        from m3asr_tpu.models.registry import get_family
+        self.is_moe = get_family(model_cfg.nnet_proto).name == "moe_conformer"
 
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
         self.dtype = dtype

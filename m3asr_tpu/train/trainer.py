@@ -1,0 +1,192 @@
+"""Training harness: epoch loop, validation, checkpoint/resume,
+divergence recovery.
+
+Rebuilds the reference trainer skeleton
+(bk/train_conformer_aed_fmoe_localComm_bmuf_domain_acc_hier.py):
+ * epoch loop over the threaded loader (:512-692)
+ * periodic validation + best-model tracking
+ * checkpoint dict {epoch, best_model, recent_models, global_step,
+   optim, resume_skip, bmuf} saved by master (:480-493), resume
+   restores optimizer/LR, reloads the latest model, and skips
+   `resume_skip` utterances in the data stream (:435-461, 533-543)
+ * divergence recovery: non-finite loss (or BMUF STOP) -> reload best
+   model, halve LR, bump an early-stop counter (:764-774)
+
+Single-controller JAX: data parallelism is the jit mesh's job (the
+train step is sharded by the caller); this class owns the host-side
+control flow only.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from m3asr_tpu.train.metrics import MetricStat, ThroughputMeter, set_logger
+
+
+class Trainer:
+    def __init__(self, model_cfg, params, optimizer, train_step,
+                 make_loader: Callable[[int], Iterable],
+                 valid_loader: Optional[Callable[[], Iterable]] = None,
+                 save_dir: str = "exp", log_period: int = 100,
+                 max_epochs: int = 20, early_stop_count: int = 5,
+                 keep_recent: int = 5, logger=None):
+        self.model_cfg = model_cfg
+        self.params = params
+        self.optimizer = optimizer
+        self.opt_state = optimizer.init(params)
+        self.train_step = train_step
+        self.make_loader = make_loader
+        self.valid_loader = valid_loader
+        self.save_dir = save_dir
+        self.log_period = log_period
+        self.max_epochs = max_epochs
+        self.early_stop_limit = early_stop_count
+        self.keep_recent = keep_recent
+        self.logger = logger or set_logger("m3asr.train")
+
+        self.epoch = 0
+        self.global_step = 0
+        self.resume_skip = 0
+        self.best_valid = float("inf")
+        self.best_params = params
+        self.early_stop = 0
+        self.recent_models: list = []
+        self.lr_scale = 1.0
+
+    # ------------------------------------------------------------------
+    # checkpointing (bk/..._hier.py:435-506)
+    # ------------------------------------------------------------------
+    def _ckpt_path(self, tag: str) -> str:
+        return os.path.join(self.save_dir, f"checkpoint_{tag}.pkl")
+
+    def save_checkpoint(self, tag: str = "last"):
+        os.makedirs(self.save_dir, exist_ok=True)
+        state = {
+            "epoch": self.epoch,
+            "global_step": self.global_step,
+            "resume_skip": self.resume_skip,
+            "best_valid": self.best_valid,
+            "early_stop": self.early_stop,
+            "lr_scale": self.lr_scale,
+            "params": jax.tree.map(np.asarray, self.params),
+            "best_params": jax.tree.map(np.asarray, self.best_params),
+            "opt_state": jax.tree.map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                self.opt_state),
+        }
+        path = self._ckpt_path(tag)
+        with open(path + ".tmp", "wb") as f:
+            pickle.dump(state, f)
+        os.replace(path + ".tmp", path)
+        if tag == "last":
+            self.recent_models.append(self.global_step)
+            while len(self.recent_models) > self.keep_recent:
+                self.recent_models.pop(0)
+
+    def load_checkpoint(self, tag: str = "last") -> bool:
+        path = self._ckpt_path(tag)
+        if not os.path.exists(path):
+            return False
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.epoch = state["epoch"]
+        self.global_step = state["global_step"]
+        self.resume_skip = state["resume_skip"]
+        self.best_valid = state["best_valid"]
+        self.early_stop = state["early_stop"]
+        self.lr_scale = state.get("lr_scale", 1.0)
+        self.params = jax.tree.map(jnp.asarray, state["params"])
+        self.best_params = jax.tree.map(jnp.asarray, state["best_params"])
+        self.opt_state = jax.tree.map(
+            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+            state["opt_state"])
+        self.logger.info(
+            f"resumed epoch={self.epoch} step={self.global_step} "
+            f"skip={self.resume_skip}")
+        return True
+
+    # ------------------------------------------------------------------
+    # divergence recovery (bk/..._hier.py:764-774)
+    # ------------------------------------------------------------------
+    def _recover_from_divergence(self):
+        self.logger.warning(
+            "non-finite loss: reload best model, halve lr, early-stop "
+            f"counter {self.early_stop + 1}/{self.early_stop_limit}")
+        self.params = self.best_params
+        self.opt_state = self.optimizer.init(self.params)
+        self.lr_scale *= 0.5
+        self.early_stop += 1
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+    def train_one_epoch(self) -> Dict[str, float]:
+        stat = MetricStat(["loss", "ctc_loss"])
+        meter = ThroughputMeter()
+        for i, batch in enumerate(self.make_loader(self.resume_skip)):
+            self.params, self.opt_state, metrics = self.train_step(
+                self.params, self.opt_state, batch["data"], batch["lens"],
+                batch["target"], batch["target_lens"])
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                self._recover_from_divergence()
+                if self.early_stop >= self.early_stop_limit:
+                    raise RuntimeError("early stop: too many divergences")
+                continue
+            self.global_step += 1
+            self.resume_skip += int(batch["data"].shape[0])
+            stat.update_stat([loss, float(metrics.get("ctc_loss", loss))],
+                             [1, 1])
+            meter.update(int(np.sum(batch["lens"])))
+            if (i + 1) % self.log_period == 0:
+                avg = stat.log_stat()
+                self.logger.info(
+                    f"epoch {self.epoch} step {self.global_step} "
+                    f"loss {avg[0]:.4f} ctc {avg[1]:.4f} "
+                    f"{meter.rate():.0f} frames/s")
+                self.save_checkpoint("last")
+        return dict(zip(stat.tags, stat.summary_stat()))
+
+    def validate(self, valid_step) -> float:
+        assert self.valid_loader is not None
+        total, count = 0.0, 0
+        for batch in self.valid_loader():
+            loss = float(valid_step(self.params, batch["data"],
+                                    batch["lens"], batch["target"],
+                                    batch["target_lens"]))
+            total += loss
+            count += 1
+        return total / max(count, 1)
+
+    def run(self, valid_step=None):
+        while self.epoch < self.max_epochs:
+            summary = self.train_one_epoch()
+            self.logger.info(f"epoch {self.epoch} done: {summary}")
+            self.resume_skip = 0
+            if valid_step is not None and self.valid_loader is not None:
+                cv = self.validate(valid_step)
+                self.logger.info(f"epoch {self.epoch} valid loss {cv:.4f}")
+                if cv < self.best_valid:
+                    self.best_valid = cv
+                    self.best_params = self.params
+                    self.early_stop = 0
+                    self.save_checkpoint("best")
+                else:
+                    self.early_stop += 1
+                    if self.early_stop >= self.early_stop_limit:
+                        self.logger.info("early stopping")
+                        break
+            else:
+                self.best_params = self.params
+            self.epoch += 1
+            self.save_checkpoint("last")
+        return self.params

@@ -107,7 +107,7 @@ def test_cli_build_and_infer(tmp_path):
         y_t, _ = m(feat, torch.tensor([40]))
     np.save(tmp_path / "ref_out.npy", y_t.numpy())
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", M3ASR_PLATFORM="cpu")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "build.py"),
          "-c", str(tmp_path / "cfg.yaml"), "-m", str(tmp_path / "ckpt.pt"),

@@ -1,0 +1,106 @@
+"""End-to-end training smoke: tiny MoE conformer learns a toy CTC task;
+checkpoint/resume and divergence recovery behave."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from m3asr_tpu.config import (EncoderConfig, ModelConfig, MoEConfig,
+                              MoEEncoderConfig)
+from m3asr_tpu.models import moe_conformer
+from m3asr_tpu.train.step import TrainConfig, make_optimizer, make_train_step
+from m3asr_tpu.train.trainer import Trainer
+
+
+def tiny_cfg():
+    mc = ModelConfig()
+    mc.input_dim = 12
+    mc.output_dim = 7
+    mc.encoder_conf = MoEEncoderConfig(
+        attention_dim=24, attention_heads=4, num_blocks=1,
+        embed_conf=EncoderConfig(attention_dim=16, attention_heads=4,
+                                 linear_units=24, num_blocks=1),
+        moe_conf=MoEConfig(num_experts=2, hidden_units=24))
+    return mc
+
+
+def make_batches(n, seed=0):
+    rng = np.random.RandomState(seed)
+    batches = []
+    for _ in range(n):
+        batches.append({
+            "data": rng.randn(2, 31, 12).astype(np.float32),
+            "lens": np.array([31, 25], np.int32),
+            "target": rng.randint(1, 7, (2, 3)).astype(np.int32),
+            "target_lens": np.array([3, 2], np.int32),
+        })
+    return batches
+
+
+def test_training_reduces_loss_and_resumes(tmp_path):
+    mc = tiny_cfg()
+    params = moe_conformer.init(jax.random.PRNGKey(0), mc.encoder_conf,
+                                mc.input_dim, mc.output_dim)
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_steps=5)
+    opt = make_optimizer(tcfg)
+    step = jax.jit(make_train_step(mc, tcfg, opt))
+
+    batches = make_batches(6)
+    trainer = Trainer(mc, params, opt, step,
+                      make_loader=lambda skip: iter(batches),
+                      save_dir=str(tmp_path), log_period=3, max_epochs=1)
+    first_loss = None
+    trainer.run()
+    # loss must drop when overfitting the same few batches for an epoch
+    p0 = params
+    l0 = float(step(p0, opt.init(p0), batches[0]["data"], batches[0]["lens"],
+                    batches[0]["target"], batches[0]["target_lens"])
+               [2]["loss"])
+    l1 = float(step(trainer.params, opt.init(trainer.params),
+                    batches[0]["data"], batches[0]["lens"],
+                    batches[0]["target"], batches[0]["target_lens"])
+               [2]["loss"])
+    assert l1 < l0
+
+    # resume from the saved checkpoint
+    trainer2 = Trainer(mc, params, opt, step,
+                       make_loader=lambda skip: iter(batches),
+                       save_dir=str(tmp_path), max_epochs=1)
+    assert trainer2.load_checkpoint("last")
+    assert trainer2.global_step == trainer.global_step
+    l2 = float(step(trainer2.params, opt.init(trainer2.params),
+                    batches[0]["data"], batches[0]["lens"],
+                    batches[0]["target"], batches[0]["target_lens"])
+               [2]["loss"])
+    np.testing.assert_allclose(l2, l1, rtol=1e-5)
+
+
+def test_divergence_recovery(tmp_path):
+    mc = tiny_cfg()
+    params = moe_conformer.init(jax.random.PRNGKey(1), mc.encoder_conf,
+                                mc.input_dim, mc.output_dim)
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_steps=5)
+    opt = make_optimizer(tcfg)
+
+    calls = {"n": 0}
+
+    def exploding_step(p, s, feat, lens, tgt, tlens):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            return p, s, {"loss": jnp.asarray(np.nan),
+                          "ctc_loss": jnp.asarray(np.nan),
+                          "grad_norm": jnp.asarray(np.nan)}
+        return p, s, {"loss": jnp.asarray(1.0),
+                      "ctc_loss": jnp.asarray(1.0),
+                      "grad_norm": jnp.asarray(1.0)}
+
+    trainer = Trainer(mc, params, opt, exploding_step,
+                      make_loader=lambda skip: iter(make_batches(4)),
+                      save_dir=str(tmp_path), max_epochs=1,
+                      early_stop_count=3)
+    trainer.run()
+    assert trainer.early_stop == 1          # recovered once
+    assert trainer.lr_scale == 0.5          # halved lr
+    assert trainer.global_step == 3         # nan step not counted
