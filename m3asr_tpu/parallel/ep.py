@@ -94,7 +94,7 @@ def make_ep_moe_ffn(mesh: Mesh, num_experts_total: int,
         shard = partial(shard_map, mesh=mesh,
                         in_specs=(P(None, axis_name), P(), P()),
                         out_specs=P(),
-                        check_rep=False)
+                        check_vma=False)
 
         def inner(etree_stack, xx, gi):
             etree = jax.tree.map(lambda a: a[0], etree_stack)
