@@ -113,6 +113,41 @@ class MoELayerScaleAuxLoss:
         return total, tuple(sums), tuple(1 for _ in range(num_aux))
 
 
+def gshard_balance_loss(router_probs: jax.Array,
+                        expert_mask: jax.Array,
+                        num_experts: int) -> jax.Array:
+    """GShard auxiliary load-balance loss (balance_loss.py:8-14):
+    mean(f_e * p_e) * E^2 where f_e is the dispatch fraction and p_e
+    the mean router probability. router_probs/expert_mask: (..., E)."""
+    probs = router_probs.reshape(-1, router_probs.shape[-1])
+    mask = expert_mask.reshape(-1, expert_mask.shape[-1]).astype(jnp.float32)
+    f_mean = jnp.mean(mask, axis=0)
+    p_mean = jnp.mean(probs.astype(jnp.float32), axis=0)
+    return jnp.mean(f_mean * p_mean) * num_experts * num_experts
+
+
+def expert_importance_loss(router_probs: jax.Array,
+                           num_experts: int) -> jax.Array:
+    """balance_loss.py:23-27: E * sum(mean_gate^2)."""
+    mean_gate = jnp.mean(
+        router_probs.reshape(-1, router_probs.shape[-1]).astype(jnp.float32),
+        axis=0)
+    return jnp.sum(mean_gate * mean_gate) * num_experts
+
+
+def balance_metrics(gate_idx: jax.Array, num_experts: int):
+    """Per-expert load statistics (fmoe/balance.py metrics):
+    coefficient-variation, Lmax/Lmin, Lmax/Lmean of the token counts."""
+    c_e = jnp.bincount(gate_idx.reshape(-1), length=num_experts).astype(
+        jnp.float32)
+    mean = jnp.mean(c_e)
+    return {
+        "coefficient-variation": jnp.std(c_e) / (mean + 1e-10),
+        "Lmax-over-Lmin": (jnp.max(c_e) + 1) / (jnp.min(c_e) + 1),
+        "Lmax-over-Lmean": jnp.max(c_e) / (mean + 1e-10),
+    }
+
+
 def router_l1_loss(router_probs: jax.Array,
                    lengths: Optional[jax.Array]) -> jax.Array:
     """SparseL1Loss (balance_loss.py:58-79): mean over tokens of the L2-

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Component-level device-latency breakdown of the flagship model.
+
+Uses the same chained-scan differencing as bench.py to time each
+subsystem on the real chip: embed encoder, subsampling+PE, attention
+stack, conv stack, macaron FFNs, MoE FFNs (ragged vs dense). Guides
+kernel work: whatever dominates gets the Pallas treatment.
+"""
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from __graft_entry__ import _flagship_cfg
+from m3asr_tpu.models import conformer, moe_conformer
+from m3asr_tpu.models.layers import conformer_block, positionwise_ffn
+from m3asr_tpu.ops import moe as moe_ops
+from m3asr_tpu.ops.attention import rel_mha
+from m3asr_tpu.ops.conv import conv_module
+from m3asr_tpu.ops.common import layer_norm
+
+
+def timed(fn, args, iters=10, k=8):
+    def scan_n(n):
+        def run(*a):
+            def body(c, _):
+                out = fn(*a, carry=c)
+                return out, None
+            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                length=n)
+            return c
+        with jax.default_matmul_precision("highest"):
+            return jax.jit(run).lower(*args).compile()
+
+    f1, fk = scan_n(1), scan_n(k)
+    float(f1(*args)); float(fk(*args))
+
+    def sample(f):
+        t0 = time.perf_counter(); float(f(*args))
+        return (time.perf_counter() - t0) * 1e3
+
+    t1 = np.median([sample(f1) for _ in range(iters)])
+    tk = np.median([sample(fk) for _ in range(iters)])
+    return (tk - t1) / (k - 1)
+
+
+def main(seq=206, dtype=jnp.float32):
+    cfg = _flagship_cfg().encoder_conf
+    key = jax.random.PRNGKey(0)
+    params = moe_conformer.init(key, cfg, 40, 5000)
+    params = jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params)
+    rng = np.random.RandomState(0)
+    bucket = 256 if seq <= 256 else seq
+    feat = jnp.asarray(rng.randn(1, bucket, 40), dtype)
+    fl = jnp.asarray([seq], jnp.int32)
+    Tp = int(np.asarray(
+        __import__("m3asr_tpu.ops.masking", fromlist=["x"])
+        .subsampling4_length(np.array([bucket]))[0]))
+    x = jnp.asarray(rng.randn(1, Tp, cfg.attention_dim), dtype)
+    embed = jnp.asarray(rng.randn(1, Tp, cfg.embed_dim), dtype)
+    pos = jnp.asarray(rng.randn(Tp, cfg.attention_dim), dtype)
+    out_len = jnp.asarray([51], jnp.int32)
+    bp0 = jax.tree.map(lambda a: a[0], params["blocks"])
+
+    res = {}
+    res["full_model"] = timed(
+        lambda p, f, l, carry: moe_conformer.forward(
+            p, cfg, f + carry, l, moe_impl="ragged")[0][0, 0, 0] * 1e-30,
+        (params, feat, fl))
+    res["embed_encoder(6blk)"] = timed(
+        lambda p, f, l, carry: conformer.forward(
+            p, cfg.embed_conf, f + carry, l)[0][0, 0, 0] * 1e-30,
+        (params["embed"], feat, fl))
+    res["moe_ffn_ragged_x18"] = timed(
+        lambda bp, xx, e, l, carry: jax.lax.scan(
+            lambda c, _: (moe_ops.moe_ffn(bp, xx + c, e, l, impl="ragged")
+                          [0, 0, 0] * 1e-30, None), carry, None,
+            length=18)[0],
+        (bp0["feed_forward"], x, embed, out_len))
+    res["moe_ffn_dense_x18"] = timed(
+        lambda bp, xx, e, l, carry: jax.lax.scan(
+            lambda c, _: (moe_ops.moe_ffn(bp, xx + c, e, l, impl="dense")
+                          [0, 0, 0] * 1e-30, None), carry, None,
+            length=18)[0],
+        (bp0["feed_forward"], x, embed, out_len))
+    res["attention_x18"] = timed(
+        lambda bp, xx, pe, l, carry: jax.lax.scan(
+            lambda c, _: (rel_mha(bp, xx + c, pe, l, 8)[0, 0, 0] * 1e-30,
+                          None), carry, None, length=18)[0],
+        (bp0["self_attn"], x, pos, out_len))
+    res["conv_x18"] = timed(
+        lambda bp, xx, l, carry: jax.lax.scan(
+            lambda c, _: (conv_module(bp, xx + c, l)[0, 0, 0] * 1e-30,
+                          None), carry, None, length=18)[0],
+        (bp0["conv_module"], x, out_len))
+    res["macaron_ffn_x18"] = timed(
+        lambda bp, xx, carry: jax.lax.scan(
+            lambda c, _: (positionwise_ffn(bp, xx + c)[0, 0, 0] * 1e-30,
+                          None), carry, None, length=18)[0],
+        (bp0["feed_forward_macaron"], x))
+    print(json.dumps({k: round(v, 3) for k, v in res.items()}))
+
+
+if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", type=int, default=206)
+    ap.add_argument("--bf16", action="store_true")
+    a = ap.parse_args()
+    main(a.seq, jnp.bfloat16 if a.bf16 else jnp.float32)
