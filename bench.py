@@ -22,6 +22,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_MS = 20.44  # README.md:9 — TRT fp32, 1x206x40, Tesla T4
+# TRT fp32 numbers for other lengths (README.md:274-284, TRT 7.2.3)
+BASELINES = {206: 20.44, 1024: 67.21, 2048: 94.68}
 
 
 def bench_e2e(engine, feat, feat_len, iters):
@@ -127,13 +129,14 @@ def main(args):
     p50, call_ms = results[headline_dtype]
     audio_s = args.seq * 0.01  # 10 ms frame shift
     tag = "fp32" if headline_dtype == "float32" else "bf16"
+    baseline = BASELINES.get(args.seq, BASELINE_MS)
     out = {
         "metric": f"p50_device_latency_ms_{args.batch}x{args.seq}x40_{tag}",
         "value": round(p50, 3),
         "unit": "ms",
-        "vs_baseline": round(p50 / BASELINE_MS, 4),
-        "baseline_ms": BASELINE_MS,
-        "speedup_vs_baseline": round(BASELINE_MS / p50, 2),
+        "vs_baseline": round(p50 / baseline, 4),
+        "baseline_ms": baseline,
+        "speedup_vs_baseline": round(baseline / p50, 2),
         "rtf": round(p50 / 1e3 / audio_s, 5),
         "e2e_call_ms_incl_harness_rpc": round(call_ms, 3),
         "device": str(jax.devices()[0]),

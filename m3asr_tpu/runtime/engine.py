@@ -40,9 +40,10 @@ from m3asr_tpu.runtime.buckets import (BucketSpec, DEFAULT_BATCHES,
                                        DEFAULT_LENGTHS)
 
 # Below this many post-subsampling tokens the dense (all-experts) MoE
-# path wins: the MXU is latency-bound and the sort/scatter of the
-# ragged path costs more than the redundant FLOPs. Tuned on v5e.
-MOE_DENSE_TOKEN_THRESHOLD = 4096
+# path wins: weight streaming dominates both paths there and dense
+# avoids the sort/scatter. Measured on v5e at the 206-frame headline
+# shape (64 tokens): dense fp32 5.6 ms vs ragged 8.7 ms.
+MOE_DENSE_TOKEN_THRESHOLD = 128
 
 
 def _flatten(tree, prefix=""):
