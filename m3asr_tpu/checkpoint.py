@@ -286,6 +286,57 @@ def convert_dfsmn_san(sd: StateDict, num_block: int,
     return _to_jax({"blocks": blocks, "out_linear": _linear(sd, "out_linear")})
 
 
+def convert_cfsmn_moe(sd: StateDict) -> Dict:
+    """MoE cFSMN layer (dfsmn_base_fmoe_localComm_catEmbed.py:82-160):
+    FMoELinear experts {hid_proj (bias), mem_proj (no bias)} + router
+    ('rooter' in the reference) + FIR factors."""
+    w1 = sd.get("experts.hid_proj.weight")  # (E, h, d)
+    w2 = sd.get("experts.mem_proj.weight")  # (E, d, h)
+    p = {
+        "left_factor": sd.get("left_factor"),
+        "cur_factor": sd.get("cur_factor"),
+        "right_factor": sd.get("right_factor"),
+        "w1": w1.transpose(0, 2, 1).copy(),
+        "b1": sd.get("experts.hid_proj.bias"),
+        "w2": w2.transpose(0, 2, 1).copy(),
+        "b2": None,
+        "router": {"kernel": sd.get("rooter_weights")},
+    }
+    if "rooter_bias" in sd:
+        p["router"]["bias"] = sd.get("rooter_bias")
+    if "ln_for_router.weight" in sd:
+        p["ln_for_router"] = _layer_norm(sd, "ln_for_router")
+    return p
+
+
+def convert_dfsmn_san_moe(sd: StateDict, num_block: int,
+                          fsmn_each_block: int, embed_num_block: int,
+                          embed_fsmn_each_block: int,
+                          norm_type: str = "LN") -> Dict:
+    """model/dfsmn_san_fmoe_localComm_catEmbed.py Net state dict."""
+    p = {"embed": convert_dfsmn_san(sd.sub("embed"), embed_num_block,
+                                    embed_fsmn_each_block, norm_type)}
+    blocks = []
+    for i in range(num_block):
+        b = sd.sub(f"blocks_sw.{i}")
+        fsmn = []
+        for j in range(fsmn_each_block):
+            lj = b.sub(f"fsmn_layers.{j}")
+            if "experts.hid_proj.weight" in lj:
+                fsmn.append(convert_cfsmn_moe(lj))
+            else:
+                fsmn.append(convert_cfsmn(lj))
+        attn = {"attn_layer": convert_attn_mem(
+            b.sub("attn_layer.attn_layer")),
+            "ln_layer": _layer_norm(b.sub("attn_layer"), "ln_layer")}
+        blocks.append({"fsmn_layers": fsmn, "attn_layer": attn})
+    p["blocks_sw"] = blocks
+    p["out_linear_sw"] = _linear(sd, "out_linear_sw")
+    # None leaves (bias-less mem_proj) are empty pytree nodes — jax.tree
+    # keeps them in place
+    return _to_jax(p)
+
+
 def convert_dfsmn_base(sd: StateDict, fsmn_layers: int) -> Dict:
     return _to_jax({
         "fsmn_layers": [convert_cfsmn(sd.sub(f"fsmn_layers.{i}"))

@@ -135,9 +135,12 @@ class DfsmnSanConfig:
 
 
 def dfsmn_san_forward(params, cfg: DfsmnSanConfig, x: jax.Array,
-                      lengths: Optional[jax.Array]):
+                      lengths: Optional[jax.Array],
+                      output_embed: bool = False):
     """model/dfsmn_san_res.py Net.forward: blocks of (N x cFSMN -> [PE
-    on block 0] -> self-attn-mem), then out_linear."""
+    on block 0] -> self-attn-mem), then out_linear. output_embed=True
+    additionally returns the pre-out_linear hidden (the catEmbed
+    feature, dfsmn_san_res_embed.py:147-157)."""
     for i in range(cfg.num_block):
         bp = params["blocks"][i]
         for j in range(cfg.fsmn_each_block):
@@ -155,7 +158,108 @@ def dfsmn_san_forward(params, cfg: DfsmnSanConfig, x: jax.Array,
                                 cfg.num_head, cfg.num_memory,
                                 cfg.norm_type)
     out = linear(params["out_linear"], x)
+    if output_embed:
+        return out, x, lengths
     return out, lengths
+
+
+# ---------------------------------------------------------------------------
+# MoE-DFSMN (dfsmn_{base,san}_fmoe_localComm_catEmbed)
+# ---------------------------------------------------------------------------
+
+def cfsmn_moe_layer(p, x: jax.Array, embed: jax.Array,
+                    lengths: Optional[jax.Array], cfg: FsmnConfig,
+                    moe_impl: str = "dense",
+                    ln_before_router: bool = False,
+                    keep_expert_output: bool = False) -> jax.Array:
+    """MoE compact-FSMN layer
+    (model/dfsmn_base_fmoe_localComm_catEmbed.py cFSMN_layer, skip path):
+    gate(cat[embed, x]) -> expert {hid_proj+bias -> relu -> clamp(ub)
+    -> mem_proj (no bias)} -> * gate -> +x residual -> mask -> FIR+p."""
+    from m3asr_tpu.ops import moe as moe_ops
+    from m3asr_tpu.ops.common import layer_norm as _ln
+
+    router_in = jnp.concatenate([embed, x], axis=-1)
+    if ln_before_router:
+        router_in = _ln(p["ln_for_router"], router_in, eps=1e-5)
+    gate_value, gate_idx = moe_ops.softmax_top1_gate(p["router"], router_in,
+                                                     lengths)
+    dispatch = (moe_ops.moe_experts_dense if moe_impl == "dense"
+                else moe_ops.moe_experts_ragged)
+    y = dispatch(p, x, gate_idx, activation=jax.nn.relu,
+                 upper_bound=cfg.upper_bound)
+    if not keep_expert_output:
+        y = y * gate_value
+    pp = y + x  # residual (dfsmn_base_fmoe...:219-221)
+    if lengths is not None:
+        valid = make_valid_mask(lengths, x.shape[1])
+        pp = pp * valid[..., None].astype(pp.dtype)
+
+    mem_dim = pp.shape[-1]
+    lctx = cfg.look_back * cfg.stride_left
+    rctx = cfg.look_ahead * cfg.stride_right
+    K = lctx + 1 + rctx
+    f_mat = jnp.zeros((K, mem_dim), pp.dtype)
+    if cfg.look_back:
+        f_mat = f_mat.at[0:lctx:cfg.stride_left].set(
+            p["left_factor"].astype(pp.dtype))
+    f_mat = f_mat.at[lctx].set(p["cur_factor"][0].astype(pp.dtype))
+    if cfg.look_ahead:
+        f_mat = f_mat.at[lctx + cfg.stride_right::cfg.stride_right].set(
+            p["right_factor"].astype(pp.dtype))
+    conv = jax.lax.conv_general_dilated(
+        pp, f_mat[:, None, :], window_strides=(1,),
+        padding=[(lctx, rctx)], dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=mem_dim)
+    return conv + pp
+
+
+@dataclasses.dataclass
+class DfsmnSanMoEConfig(DfsmnSanConfig):
+    """dfsmn_san_fmoe_localComm_catEmbed Net conf (its embed sub-net is
+    a dfsmn_san_res_embed with embed_conf)."""
+    num_experts: int = 4
+    embed_dim: int = 512
+    ln_before_router: bool = False
+    keep_expert_output: bool = False
+    embed_conf: Optional[DfsmnSanConfig] = None
+
+
+def dfsmn_san_moe_forward(params, cfg: DfsmnSanMoEConfig, x: jax.Array,
+                          lengths: Optional[jax.Array],
+                          moe_impl: str = "dense"):
+    """model/dfsmn_san_fmoe_localComm_catEmbed.py Net.forward: embed
+    sub-net (detached) feeds every MoE cFSMN router; blocks of
+    (num_fsmn MoE cFSMN -> [PE block 0] -> attn), out_linear_sw."""
+    embed_cfg = cfg.embed_conf or DfsmnSanConfig()
+    embed_out, embed, _ = dfsmn_san_forward(params["embed"], embed_cfg, x,
+                                            lengths, output_embed=True)
+    embed = jax.lax.stop_gradient(embed)  # embed.detach()
+    h = x
+    for i in range(cfg.num_block):
+        bp = params["blocks_sw"][i]
+        for j in range(cfg.fsmn_each_block):
+            first = (i == 0 and j == 0)
+            fcfg = FsmnConfig(
+                cfg.look_back, cfg.look_ahead, cfg.stride_left,
+                cfg.stride_right,
+                upper_bound=None if first else 1.0,
+                skip_connect=not first)
+            if first:
+                h = cfsmn_layer(bp["fsmn_layers"][j], h, lengths, fcfg)
+            else:
+                h = cfsmn_moe_layer(bp["fsmn_layers"][j], h, embed,
+                                    lengths, fcfg, moe_impl=moe_impl,
+                                    ln_before_router=cfg.ln_before_router,
+                                    keep_expert_output=cfg.keep_expert_output)
+        if i == 0:
+            pe = positional.sinusoid_table(cfg.memory_dim, dtype=h.dtype)
+            h = h + pe[None, : h.shape[1]]
+        h = self_attn_mem_layer(bp["attn_layer"], h, lengths,
+                                cfg.num_head, cfg.num_memory,
+                                cfg.norm_type)
+    out = linear(params["out_linear_sw"], h)
+    return out, embed_out, lengths
 
 
 @dataclasses.dataclass

@@ -125,27 +125,36 @@ def noisy_topk_gate(p, x: jax.Array, top_k: int, key,
     return gate, idx, cv2
 
 
-def moe_experts_dense(p, x: jax.Array, gate_idx: jax.Array) -> jax.Array:
+def moe_experts_dense(p, x: jax.Array, gate_idx: jax.Array,
+                      activation=swish,
+                      upper_bound: Optional[float] = None) -> jax.Array:
     """All-experts-compute-all-tokens path.
 
     x: (B, T, d); gate_idx: (B, T) int32. Returns (B, T, d).
     One einsum per matmul keeps the MXU busy with a single large
-    contraction; the one-hot select is fused by XLA.
+    contraction; the one-hot select is fused by XLA. Biases are
+    optional (the DFSMN-MoE mem_proj has none); `upper_bound` clamps
+    the hidden like the DFSMN Expert (dfsmn_base_fmoe...:62-78).
     """
     w1 = p["w1"].astype(x.dtype)   # (E, d, h)
-    b1 = p["b1"].astype(x.dtype)   # (E, h)
     w2 = p["w2"].astype(x.dtype)   # (E, h, d)
-    b2 = p["b2"].astype(x.dtype)   # (E, d)
     h = jnp.einsum("btd,edh->beth", x, w1, preferred_element_type=x.dtype)
-    h = swish(h + b1[None, :, None, :])
+    if p.get("b1") is not None:
+        h = h + p["b1"].astype(x.dtype)[None, :, None, :]
+    h = activation(h)
+    if upper_bound is not None:
+        h = jnp.minimum(h, jnp.asarray(upper_bound, h.dtype))
     y = jnp.einsum("beth,ehd->betd", h, w2, preferred_element_type=x.dtype)
-    y = y + b2[None, :, None, :]
+    if p.get("b2") is not None:
+        y = y + p["b2"].astype(x.dtype)[None, :, None, :]
     onehot = jax.nn.one_hot(gate_idx, w1.shape[0], dtype=x.dtype)  # (B,T,E)
     return jnp.einsum("betd,bte->btd", y, onehot,
                       preferred_element_type=x.dtype)
 
 
-def moe_experts_ragged(p, x: jax.Array, gate_idx: jax.Array) -> jax.Array:
+def moe_experts_ragged(p, x: jax.Array, gate_idx: jax.Array,
+                       activation=swish,
+                       upper_bound: Optional[float] = None) -> jax.Array:
     """Sort-based grouped-GEMM path (FLOP-proportional to tokens).
 
     Equivalent of the plugin's ScatterMapping + per-expert cublasGemm
@@ -169,10 +178,15 @@ def moe_experts_ragged(p, x: jax.Array, gate_idx: jax.Array) -> jax.Array:
     w2 = p["w2"].astype(x.dtype)
     h = jax.lax.ragged_dot(sorted_x, w1, group_sizes,
                            preferred_element_type=x.dtype)
-    h = swish(h + jnp.take(p["b1"].astype(x.dtype), sorted_e, axis=0))
+    if p.get("b1") is not None:
+        h = h + jnp.take(p["b1"].astype(x.dtype), sorted_e, axis=0)
+    h = activation(h)
+    if upper_bound is not None:
+        h = jnp.minimum(h, jnp.asarray(upper_bound, h.dtype))
     y = jax.lax.ragged_dot(h, w2, group_sizes,
                            preferred_element_type=x.dtype)
-    y = y + jnp.take(p["b2"].astype(x.dtype), sorted_e, axis=0)
+    if p.get("b2") is not None:
+        y = y + jnp.take(p["b2"].astype(x.dtype), sorted_e, axis=0)
 
     out = jnp.zeros_like(flat_x).at[order].set(y)      # gather mapping
     return out.reshape(B, T, d)

@@ -560,6 +560,65 @@ class DfsmnSanNet(nn.Module):
         return self.out_linear(x), lengths
 
 
+class CFSMNMoELayer(nn.Module):
+    """Golden MoE cFSMN layer (dfsmn_base_fmoe_localComm_catEmbed.py):
+    top-1 gate on cat[embed, x] -> per-expert {hid_proj -> relu ->
+    clamp -> mem_proj(no bias)} -> *gate -> +x -> mask -> FIR + p."""
+
+    def __init__(self, dim, embed_dim, hid_dim, num_experts, look_back=4,
+                 look_ahead=1, stride_left=2, stride_right=1,
+                 upper_bound=1.0):
+        super().__init__()
+        self.num_experts = num_experts
+        self.upper_bound = upper_bound
+        self.experts = nn.Module()
+        self.experts.hid_proj = FMoELinear(num_experts, dim, hid_dim)
+        self.experts.mem_proj = nn.Module()
+        self.experts.mem_proj.weight = nn.Parameter(
+            torch.zeros(num_experts, dim, hid_dim))
+        nn.init.xavier_uniform_(self.experts.mem_proj.weight, gain=0.5)
+        self.rooter_weights = nn.Parameter(
+            torch.zeros(embed_dim + dim, num_experts))
+        self.left_factor = nn.Parameter(torch.zeros(look_back, dim))
+        self.cur_factor = nn.Parameter(torch.zeros(1, dim))
+        self.right_factor = nn.Parameter(torch.zeros(look_ahead, dim))
+
+    def forward(self, x, embed, lengths):
+        B, T, D = x.shape
+        router_in = torch.cat([embed, x], dim=-1)
+        logits = torch.einsum("btj,jk->btk", router_in, self.rooter_weights)
+        probs = torch.softmax(logits, -1)
+        gate_value, gate_idx = probs.max(dim=-1)
+        flat_x = x.reshape(-1, D)
+        flat_e = gate_idx.reshape(-1)
+        out = torch.zeros_like(flat_x)
+        for e in range(self.num_experts):
+            sel = flat_e == e
+            if sel.any():
+                h = F.linear(flat_x[sel], self.experts.hid_proj.weight[e],
+                             self.experts.hid_proj.bias[e])
+                h = torch.relu(h).clamp(max=self.upper_bound)
+                out[sel] = F.linear(h, self.experts.mem_proj.weight[e])
+        y = out.reshape(B, T, D) * gate_value.unsqueeze(-1)
+        p = y + x
+        mask = ~make_pad_mask(lengths, T)
+        p = p * mask.unsqueeze(-1).float()
+        # FIR (same math as CFSMNLayer tail)
+        lb, la, sl, sr = 4, 1, 2, 1
+        lctx, rctx = lb * sl, la * sr
+        f = p.new_zeros(lctx + 1 + rctx, D)
+        f[0:lctx:sl] = self.left_factor
+        f[lctx] = self.cur_factor[0]
+        f[lctx + sr::sr] = self.right_factor
+        w = f.t().unsqueeze(1)
+        pad = max(lctx, rctx)
+        conv = F.conv1d(p.transpose(1, 2), w, padding=pad, groups=D)
+        lo = max(0, pad - lctx)
+        hi = min(0, rctx - pad)
+        conv = conv[:, :, lo: conv.size(2) + hi]
+        return conv.transpose(1, 2) + p
+
+
 def randomize_(model: nn.Module, seed: int = 0):
     """Give every parameter (incl. BN running stats) a non-degenerate
     random value so parity tests are meaningful."""

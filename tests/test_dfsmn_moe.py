@@ -1,0 +1,82 @@
+"""MoE-DFSMN layer parity + san-MoE net smoke."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from golden import torch_ref as G
+
+from m3asr_tpu import checkpoint as ckpt
+from m3asr_tpu.checkpoint import StateDict
+from m3asr_tpu.models import dfsmn
+
+from test_op_parity import allclose, valid_region
+
+
+def test_cfsmn_moe_layer_parity():
+    torch.manual_seed(70)
+    m = G.randomize_(G.CFSMNMoELayer(16, 8, 24, num_experts=4), seed=71)
+    g = torch.Generator().manual_seed(72)
+    x = torch.randn(2, 19, 16, generator=g)
+    embed = torch.randn(2, 19, 8, generator=g)
+    lengths = torch.tensor([19, 11])
+    with torch.no_grad():
+        y_t = m(x, embed, lengths)
+    p = ckpt._to_jax(ckpt.convert_cfsmn_moe(StateDict(m.state_dict())))
+    cfg = dfsmn.FsmnConfig(4, 1, 2, 1, upper_bound=1.0, skip_connect=True)
+    for impl in ("dense", "ragged"):
+        y_j = dfsmn.cfsmn_moe_layer(p, jnp.asarray(x.numpy()),
+                                    jnp.asarray(embed.numpy()),
+                                    jnp.array([19, 11]), cfg,
+                                    moe_impl=impl)
+        allclose(valid_region(y_j, [19, 11]),
+                 valid_region(y_t.numpy(), [19, 11]))
+
+
+def test_dfsmn_san_moe_forward_smoke():
+    """Full MoE-DFSMN net: init synthetic params matching the converter
+    tree, run, check finiteness + shapes."""
+    cfg = dfsmn.DfsmnSanMoEConfig(
+        num_block=2, fsmn_each_block=2, hidden_dim=24, memory_dim=16,
+        num_head=4, num_memory=8, num_experts=4, embed_dim=16,
+        embed_conf=dfsmn.DfsmnSanConfig(num_block=1, fsmn_each_block=2,
+                                        hidden_dim=24, memory_dim=16,
+                                        num_head=4, num_memory=8))
+    torch.manual_seed(73)
+    embed_net = G.randomize_(G.DfsmnSanNet(
+        12, 7, num_block=1, fsmn_each_block=2, hidden_dim=24,
+        memory_dim=16, num_head=4, num_memory=8), seed=74)
+    embed_p = ckpt.convert_dfsmn_san(StateDict(embed_net.state_dict()), 1, 2)
+
+    key = jax.random.PRNGKey(7)
+    blocks_sw = []
+    for i in range(2):
+        fsmn = []
+        for j in range(2):
+            if i == 0 and j == 0:
+                lay = G.randomize_(G.CFSMNLayer(12, 24, 16, skip_connect=False),
+                                   seed=75)
+                fsmn.append(ckpt._to_jax(
+                    ckpt.convert_cfsmn(StateDict(lay.state_dict()))))
+            else:
+                lay = G.randomize_(G.CFSMNMoELayer(16, 16, 24, 4),
+                                   seed=76 + i * 2 + j)
+                fsmn.append(ckpt._to_jax(
+                    ckpt.convert_cfsmn_moe(StateDict(lay.state_dict()))))
+        attn_net = G.randomize_(G.AttnMemLayer(16, 4, 8), seed=80 + i)
+        ln = {"scale": jnp.ones(16), "bias": jnp.zeros(16)}
+        blocks_sw.append({
+            "fsmn_layers": fsmn,
+            "attn_layer": {"attn_layer": ckpt._to_jax(ckpt.convert_attn_mem(
+                StateDict(attn_net.state_dict()))), "ln_layer": ln}})
+    params = {"embed": embed_p, "blocks_sw": blocks_sw,
+              "out_linear_sw": {"kernel": jnp.zeros((16, 7)),
+                                "bias": jnp.zeros(7)}}
+    x = jnp.asarray(np.random.RandomState(8).randn(2, 23, 12), jnp.float32)
+    out, embed_out, lens = dfsmn.dfsmn_san_moe_forward(
+        params, cfg, x, jnp.array([23, 14]))
+    assert out.shape == (2, 23, 7)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(embed_out)).all()
