@@ -72,6 +72,38 @@ def get_activation(name: str):
     return _ACTIVATIONS[name]
 
 
+def mask_batch_norm(p, x: jax.Array, valid_mask: jax.Array,
+                    train: bool = False, eps: float = 1e-8,
+                    momentum: float = 0.99):
+    """Masked-statistics BatchNorm (layer/norm.py MaskBatchNorm:6-77):
+    statistics over VALID frames only. x: (N, D) flat frames;
+    valid_mask: (N,) bool. Returns (y, new_running_stats).
+
+    Train mode computes masked batch stats and updates the running
+    (mean, var) with the reference's momentum convention
+    (new = old * momentum + sample * (1 - momentum)); eval mode uses
+    the running stats. p: {"scale","bias","running_mean","running_var"}.
+    """
+    xf = x.astype(jnp.float32)
+    m = valid_mask.astype(jnp.float32)[:, None]
+    if train:
+        n = jnp.maximum(jnp.sum(m), 1.0)
+        mean = jnp.sum(xf * m, axis=0, keepdims=True) / n
+        # torch.var default: unbiased (n-1 denominator)
+        var = jnp.sum(jnp.square(xf - mean) * m, axis=0, keepdims=True) \
+            / jnp.maximum(n - 1.0, 1.0)
+        new_mean = p["running_mean"] * momentum + mean[0] * (1 - momentum)
+        new_var = p["running_var"] * momentum + var[0] * (1 - momentum)
+    else:
+        mean = p["running_mean"][None].astype(jnp.float32)
+        var = p["running_var"][None].astype(jnp.float32)
+        new_mean, new_var = p["running_mean"], p["running_var"]
+    y = (xf - mean) / jnp.sqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype), {"running_mean": new_mean,
+                               "running_var": new_var}
+
+
 def dump_tensor(x: jax.Array, name: str = "") -> jax.Array:
     """Debug identity that prints the tensor — TPU equivalent of
     DumpTensorPluginDynamic (plugin/dump_tensor_plugin/)."""
