@@ -39,7 +39,8 @@ def conformer_block(p, x: jax.Array, lengths: Optional[jax.Array],
                     normalize_before: bool = True,
                     moe: bool = False, embed: Optional[jax.Array] = None,
                     moe_impl: str = "dense", moe_macaron: bool = False,
-                    mask: Optional[jax.Array] = None) -> jax.Array:
+                    mask: Optional[jax.Array] = None,
+                    return_moe_aux: bool = False):
     """One conformer block; `moe=True` selects the MoE FFN for the final
     feed-forward position (FmoeConformerLayer) with `embed` as the
     shared catEmbed router feature; `moe_macaron=True` additionally
@@ -77,8 +78,12 @@ def conformer_block(p, x: jax.Array, lengths: Optional[jax.Array],
 
     residual = x
     h = layer_norm(p["norm_ff"], x) if normalize_before else x
+    probs = None
     if moe:
-        h = moe_ffn(p["feed_forward"], h, embed, lengths, impl=moe_impl)
+        h = moe_ffn(p["feed_forward"], h, embed, lengths, impl=moe_impl,
+                    return_router_probs=return_moe_aux)
+        if return_moe_aux:
+            h, probs = h
     else:
         h = positionwise_ffn(p["feed_forward"], h)
     x = residual + ff_scale * h
@@ -87,6 +92,8 @@ def conformer_block(p, x: jax.Array, lengths: Optional[jax.Array],
 
     if use_cnn:
         x = layer_norm(p["norm_final"], x)
+    if return_moe_aux:
+        return x, probs
     return x
 
 

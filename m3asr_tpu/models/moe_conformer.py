@@ -32,11 +32,13 @@ from m3asr_tpu.ops.common import init_layer_norm, init_linear, layer_norm, linea
 def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
             feat_len: Optional[jax.Array], output_embed: bool = False,
             moe_impl: str = "dense", hier_taps: bool = False,
-            chunk_mask=None):
+            chunk_mask=None, return_router_probs: bool = False):
     """feat: (B, T, input_dim) -> logits (B, T', output_dim).
 
-    Returns (out, out_len) | (out, out_len, embed_out) | with
-    hier_taps=True additionally (out_6, out_12) normalized tap hiddens.
+    Returns (out, out_len) | + embed_out (output_embed) | + (h6, h12,
+    h_final) normalized tap hiddens (hier_taps — the AED decoder
+    memories, conformer_aed_...hier.py:49-70) | + router_probs
+    (L, B, T', E) (return_router_probs — for the aux losses).
     """
     embed_out, _, embed = conformer.forward(
         params["embed"], cfg.embed_conf, feat, feat_len, output_embed=True,
@@ -47,7 +49,7 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
     conv_lorder = cfg.cnn_module_kernel - 1 if cfg.causal else 0
 
     def body(h, block_p):
-        h = conformer_block(
+        res = conformer_block(
             block_p, h, out_len, pos_emb,
             num_heads=cfg.attention_heads,
             macaron=cfg.macaron_style,
@@ -56,23 +58,36 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
             conv_lorder=conv_lorder,
             normalize_before=cfg.normalize_before,
             moe=True, embed=embed, moe_impl=moe_impl,
-            moe_macaron=cfg.exmarc, mask=chunk_mask)
-        return h, (h if hier_taps else None)
+            moe_macaron=cfg.exmarc, mask=chunk_mask,
+            return_moe_aux=return_router_probs)
+        if return_router_probs:
+            h, probs = res
+        else:
+            h, probs = res, None
+        return h, ((h if hier_taps else None),
+                   (probs if return_router_probs else None))
 
-    x, hiddens = jax.lax.scan(body, x, params["blocks"])
+    x, (hiddens, router_ps) = jax.lax.scan(body, x, params["blocks"])
 
     if cfg.normalize_before:
-        x = layer_norm(params["after_norm"], x)
-    out = linear(params["out_linear"], x)
+        x_normed = layer_norm(params["after_norm"], x)
+    else:
+        x_normed = x
+    out = linear(params["out_linear"], x_normed)
 
     ret = [out, out_len]
     if output_embed:
         ret.append(embed_out)
     if hier_taps:
-        # hiddens: (L, B, T, D); taps after blocks 6 and 12 (1-indexed)
-        h6 = layer_norm(params["after_norm_6"], hiddens[5])
-        h12 = layer_norm(params["after_norm_12"], hiddens[11])
-        ret.extend([h6, h12])
+        # hiddens: (L, B, T, D); taps after blocks 6 and 12 (1-indexed),
+        # clamped for shallow test models
+        i6 = min(5, hiddens.shape[0] - 1)
+        i12 = min(11, hiddens.shape[0] - 1)
+        h6 = layer_norm(params["after_norm_6"], hiddens[i6])
+        h12 = layer_norm(params["after_norm_12"], hiddens[i12])
+        ret.extend([h6, h12, x_normed])
+    if return_router_probs:
+        ret.append(router_ps)
     return tuple(ret)
 
 

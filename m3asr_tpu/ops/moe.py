@@ -44,6 +44,16 @@ from m3asr_tpu.ops.common import swish
 from m3asr_tpu.ops.masking import make_valid_mask
 
 
+def router_probs(p, router_inputs: jax.Array) -> jax.Array:
+    """Full softmax router probabilities (training aux losses need
+    them; the gate only needs the max)."""
+    logits = jnp.dot(router_inputs, p["kernel"].astype(router_inputs.dtype),
+                     preferred_element_type=jnp.float32)
+    if "bias" in p and p["bias"] is not None:
+        logits = logits + p["bias"].astype(logits.dtype)
+    return jax.nn.softmax(logits, axis=-1)
+
+
 def softmax_top1_gate(p, router_inputs: jax.Array,
                       lengths: Optional[jax.Array]
                       ) -> Tuple[jax.Array, jax.Array]:
@@ -196,7 +206,7 @@ def moe_ffn(p, x: jax.Array, embed: jax.Array,
             lengths: Optional[jax.Array],
             impl: str = "dense",
             keep_expert_output: bool = False,
-            top_k: int = 1) -> jax.Array:
+            top_k: int = 1, return_router_probs: bool = False):
     """Full catEmbed MoE FFN:
     router(cat[embed, x]) -> gate -> expert FFN -> * gate_value
     (LocalFmoeCatEmbedFeedForward.forward,
@@ -211,6 +221,8 @@ def moe_ffn(p, x: jax.Array, embed: jax.Array,
         y = _dispatch(p, x, gate_idx, impl)
         if not keep_expert_output:
             y = y * gate_value
+        if return_router_probs:
+            return y, router_probs(p["router"], router_inputs)
         return y
     gate, idx = naive_topk_gate(p["router"], router_inputs, top_k, lengths)
     y = jnp.zeros_like(x)

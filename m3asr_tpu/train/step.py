@@ -77,6 +77,106 @@ def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
     return loss, metrics
 
 
+def add_sos_eos_jnp(targets: jax.Array, target_lens: jax.Array, sos: int,
+                    eos: int, ignore_id: int):
+    """jit-able add_sos_eos: (B, U) -> ys_in/ys_out (B, U+1)."""
+    B, U = targets.shape
+    pos = jnp.arange(U + 1)[None, :]
+    valid_in = pos <= target_lens[:, None]
+    shifted = jnp.pad(targets, ((0, 0), (1, 0)))
+    ys_in = jnp.where(pos == 0, sos, jnp.where(valid_in, shifted, ignore_id))
+    padded = jnp.pad(targets, ((0, 0), (0, 1)))
+    at_eos = pos == target_lens[:, None]
+    valid_out = pos < target_lens[:, None]
+    ys_out = jnp.where(at_eos, eos, jnp.where(valid_out, padded, ignore_id))
+    return ys_in, ys_out
+
+
+def hier_aed_loss_fn(params, model_cfg: ModelConfig, tcfg: "HierTrainConfig",
+                     feat, feat_len, targets, target_lens,
+                     aed_targets, aed_target_lens):
+    """The deployed training recipe (bk/..._hier.py:52-154 LossCompute):
+    CTC(final) + embed-CTC + label-smoothing AED at taps 6/12/final
+    + router l1+importance aux. params must include 'decoder',
+    'decoder_1', 'decoder_2' subtrees (AED wrapper layout)."""
+    from m3asr_tpu.models import aed
+
+    enc = params["encoder"] if "encoder" in params else params
+    out, out_len, embed_out, h6, h12, h_final, router_ps = \
+        moe_conformer.forward(enc, model_cfg.encoder_conf, feat, feat_len,
+                              output_embed=True, hier_taps=True,
+                              return_router_probs=True, moe_impl="dense")
+    metrics = {}
+    loss = tcfg.ctc_weight * losses.ctc_loss(out, out_len, targets,
+                                             target_lens, tcfg.blank_idx)
+    metrics["ctc_loss"] = loss
+    if tcfg.embed_ctc_weight > 0:
+        e_loss = losses.ctc_loss(embed_out, out_len, targets, target_lens,
+                                 tcfg.blank_idx)
+        metrics["embed_ctc_loss"] = e_loss
+        loss = loss + tcfg.embed_ctc_weight * e_loss
+
+    sos = eos = model_cfg.output_dim - 1
+    ys_in, ys_out = add_sos_eos_jnp(aed_targets, aed_target_lens, sos, eos,
+                                    -1)
+    ys_in = jnp.where(ys_in < 0, 0, ys_in)
+    ys_in_lens = aed_target_lens + 1
+    for i, (dec_name, memory) in enumerate(
+            [("decoder", h_final), ("decoder_1", h6), ("decoder_2", h12)]):
+        if dec_name not in params:
+            continue
+        dp = params[dec_name]
+        dp = dp.get("left_decoder", dp)
+        dec_out = aed.forward(dp, model_cfg.decoder_conf, memory, out_len,
+                              ys_in, ys_in_lens)
+        a_loss = losses.label_smoothing_loss(dec_out, ys_out, -1,
+                                             tcfg.lsm_weight)
+        metrics[f"aed_loss_{i}"] = a_loss
+        loss = loss + tcfg.aed_weight * a_loss
+
+    if tcfg.router_l1_weight > 0 or tcfg.router_importance_weight > 0:
+        # router_ps: (L, B, T, E)
+        l1 = jnp.mean(jax.vmap(
+            lambda p: losses.router_l1_loss(p, out_len))(router_ps))
+        imp = jnp.mean(jax.vmap(
+            lambda p: losses.router_importance_loss(p, out_len))(router_ps))
+        metrics["router_l1"] = l1
+        metrics["router_importance"] = imp
+        loss = loss + tcfg.router_l1_weight * l1 + \
+            tcfg.router_importance_weight * imp
+
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+@dataclasses.dataclass
+class HierTrainConfig(TrainConfig):
+    aed_weight: float = 0.3
+    lsm_weight: float = 0.1
+    embed_ctc_weight: float = 0.3
+    router_l1_weight: float = 0.0
+    router_importance_weight: float = 0.0
+
+
+def make_hier_train_step(model_cfg: ModelConfig, tcfg: HierTrainConfig,
+                         optimizer: optax.GradientTransformation):
+    """Full hier AED training step (the deployed recipe)."""
+
+    def step(params, opt_state, feat, feat_len, targets, target_lens,
+             aed_targets, aed_target_lens):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: hier_aed_loss_fn(p, model_cfg, tcfg, feat, feat_len,
+                                       targets, target_lens, aed_targets,
+                                       aed_target_lens), has_aux=True)(
+            params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    return step
+
+
 def make_train_step(model_cfg: ModelConfig, tcfg: TrainConfig,
                     optimizer: optax.GradientTransformation):
     """Returns step(params, opt_state, batch) -> (params, opt_state,

@@ -1,0 +1,75 @@
+"""Full hier AED training recipe: CTC + embed CTC + 3 AED heads +
+router aux losses, end to end on a tiny model."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from m3asr_tpu.config import (DecoderConfig, EncoderConfig, ModelConfig,
+                              MoEConfig, MoEEncoderConfig)
+from m3asr_tpu.models import aed, moe_conformer
+from m3asr_tpu.train.step import (HierTrainConfig, add_sos_eos_jnp,
+                                  hier_aed_loss_fn, make_hier_train_step,
+                                  make_optimizer)
+
+
+def tiny_model():
+    mc = ModelConfig()
+    mc.input_dim = 12
+    mc.output_dim = 9
+    mc.encoder_conf = MoEEncoderConfig(
+        attention_dim=24, attention_heads=4, num_blocks=2,
+        embed_conf=EncoderConfig(attention_dim=16, attention_heads=4,
+                                 linear_units=24, num_blocks=1),
+        moe_conf=MoEConfig(num_experts=2, hidden_units=24))
+    mc.decoder_conf = DecoderConfig(attention_heads=4, linear_units=24,
+                                    num_blocks=1)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    params = moe_conformer.init(ks[0], mc.encoder_conf, mc.input_dim,
+                                mc.output_dim)
+    for i, dk in enumerate(("decoder", "decoder_1", "decoder_2")):
+        params[dk] = aed.init(ks[i + 1], mc.decoder_conf, mc.output_dim,
+                              mc.encoder_conf.attention_dim)
+    return mc, params
+
+
+def test_add_sos_eos_jnp_matches_numpy():
+    ys = jnp.asarray(np.array([[3, 5, 7], [2, 4, 0]], np.int32))
+    lens = jnp.asarray([3, 2])
+    ys_in, ys_out = add_sos_eos_jnp(ys, lens, sos=8, eos=8, ignore_id=-1)
+    np.testing.assert_array_equal(np.asarray(ys_in)[0], [8, 3, 5, 7])
+    np.testing.assert_array_equal(np.asarray(ys_out)[0], [3, 5, 7, 8])
+    np.testing.assert_array_equal(np.asarray(ys_in)[1], [8, 2, 4, -1])
+    np.testing.assert_array_equal(np.asarray(ys_out)[1], [2, 4, 8, -1])
+
+
+def test_hier_loss_components_and_step():
+    mc, params = tiny_model()
+    tcfg = HierTrainConfig(learning_rate=1e-3, warmup_steps=5,
+                           embed_ctc_weight=0.3, router_l1_weight=0.01,
+                           router_importance_weight=0.01)
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(2, 31, 12), jnp.float32)
+    feat_len = jnp.asarray([31, 25])
+    targets = jnp.asarray(rng.randint(1, 8, (2, 4)), jnp.int32)
+    target_lens = jnp.asarray([4, 3])
+
+    loss, metrics = hier_aed_loss_fn(params, mc, tcfg, feat, feat_len,
+                                     targets, target_lens, targets,
+                                     target_lens)
+    for k in ("ctc_loss", "embed_ctc_loss", "aed_loss_0", "aed_loss_1",
+              "aed_loss_2", "router_l1", "router_importance", "loss"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+
+    opt = make_optimizer(tcfg)
+    step = jax.jit(make_hier_train_step(mc, tcfg, opt))
+    p, s = params, opt.init(params)
+    l0 = None
+    for i in range(8):
+        p, s, m = step(p, s, feat, feat_len, targets, target_lens,
+                       targets, target_lens)
+        if l0 is None:
+            l0 = float(m["loss"])
+    assert float(m["loss"]) < l0
