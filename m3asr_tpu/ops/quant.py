@@ -1,0 +1,77 @@
+"""Int8 weight-only quantization for expert tensors.
+
+Beyond the reference: its int8 path was never functional (builder.py:43
+`assert 0`; fp16 FMoE enqueue also asserts). On TPU the MoE layer is
+HBM-bandwidth-bound at serving batch sizes (2.3 GB fp32 expert weights
+per utterance pass), so int8 weights cut the floor 4x vs fp32 / 2x vs
+bf16. Symmetric per-(expert, output-column) scales; the dequant
+(convert + scale) fuses into the XLA dot/einsum consumer.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m3asr_tpu.ops.common import swish
+from m3asr_tpu.ops.masking import make_valid_mask
+
+
+def quantize_tensor(w, axis: int = -2):
+    """Symmetric int8 quantization of w along all dims except `axis`'s
+    complement: scales keep the last dim (output features) resolution.
+    w: (..., in, out) -> (q int8, scale (..., 1, out))."""
+    w = np.asarray(w, np.float32)
+    amax = np.max(np.abs(w), axis=axis, keepdims=True)
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def quantize_moe_params(p) -> Dict:
+    """Quantize the expert tensors of an ops.moe param tree; router and
+    biases stay float."""
+    q = dict(p)
+    for name in ("w1", "w2"):
+        qw, s = quantize_tensor(np.asarray(p[name]))
+        q[name + "_q"] = jnp.asarray(qw)
+        q[name + "_scale"] = jnp.asarray(s)
+        q.pop(name, None)
+    return q
+
+
+def _deq(p, name, dtype):
+    return p[name + "_q"].astype(dtype) * p[name + "_scale"].astype(dtype)
+
+
+def moe_experts_dense_q(p, x: jax.Array, gate_idx: jax.Array,
+                        activation=swish) -> jax.Array:
+    """Dense all-experts path on int8 weights. The convert+scale fuses
+    into the einsum operand read, so HBM traffic is the int8 bytes."""
+    w1 = _deq(p, "w1", x.dtype)
+    w2 = _deq(p, "w2", x.dtype)
+    h = jnp.einsum("btd,edh->beth", x, w1, preferred_element_type=x.dtype)
+    if p.get("b1") is not None:
+        h = h + p["b1"].astype(x.dtype)[None, :, None, :]
+    h = activation(h)
+    y = jnp.einsum("beth,ehd->betd", h, w2, preferred_element_type=x.dtype)
+    if p.get("b2") is not None:
+        y = y + p["b2"].astype(x.dtype)[None, :, None, :]
+    onehot = jax.nn.one_hot(gate_idx, w1.shape[0], dtype=x.dtype)
+    return jnp.einsum("betd,bte->btd", y, onehot,
+                      preferred_element_type=x.dtype)
+
+
+def moe_ffn_q(p, x: jax.Array, embed: Optional[jax.Array],
+              lengths: Optional[jax.Array]) -> jax.Array:
+    """Top-1 MoE FFN with int8 expert weights (dense dispatch)."""
+    from m3asr_tpu.ops.moe import softmax_top1_gate
+    router_inputs = jnp.concatenate([embed, x], axis=-1) \
+        if embed is not None else x
+    gate_value, gate_idx = softmax_top1_gate(p["router"], router_inputs,
+                                             lengths)
+    y = moe_experts_dense_q(p, x, gate_idx)
+    return y * gate_value

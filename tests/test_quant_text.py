@@ -1,0 +1,47 @@
+"""Int8 weight-only MoE + text metrics."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from m3asr_tpu.ops import moe, quant
+from m3asr_tpu.utils.text import cer, edit_distance
+
+
+def test_quantize_roundtrip_error_small():
+    rng = np.random.RandomState(0)
+    w = rng.randn(4, 32, 16).astype(np.float32)
+    q, s = quant.quantize_tensor(w)
+    deq = q.astype(np.float32) * s
+    rel = np.abs(deq - w).max() / np.abs(w).max()
+    assert rel < 0.01
+
+
+def test_moe_ffn_q_close_to_fp32():
+    key = jax.random.PRNGKey(0)
+    p = moe.init_moe_ffn(key, 16, 8, 4, 32)
+    p["router"]["kernel"] = jax.random.normal(key, (24, 4)) * 0.5
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 9, 16), jnp.float32)
+    embed = jnp.asarray(rng.randn(2, 9, 8), jnp.float32)
+    lengths = jnp.array([9, 5])
+    ref = moe.moe_ffn(p, x, embed, lengths, impl="dense")
+    pq = quant.quantize_moe_params(p)
+    got = quant.moe_ffn_q(pq, x, embed, lengths)
+    rel = np.abs(np.asarray(got) - np.asarray(ref)).max() / \
+        (np.abs(np.asarray(ref)).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_edit_distance_counts():
+    d, c = edit_distance("kitten", "sitting")
+    assert d == 3
+    assert c["sub"] == 2 and c["ins"] == 1 and c["del"] == 0
+    assert edit_distance([1, 2, 3], [1, 2, 3])[0] == 0
+
+
+def test_cer():
+    refs = [[1, 2, 3, 4], [5, 6]]
+    hyps = [[1, 2, 3, 4], [5, 7]]
+    np.testing.assert_allclose(cer(refs, hyps), 1 / 6)
