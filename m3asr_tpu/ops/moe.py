@@ -236,6 +236,9 @@ def _dispatch(p, x, gate_idx, impl: str):
         return moe_experts_dense(p, x, gate_idx)
     if impl == "ragged":
         return moe_experts_ragged(p, x, gate_idx)
+    if impl == "quant":
+        from m3asr_tpu.ops.quant import moe_experts_dense_q
+        return moe_experts_dense_q(p, x, gate_idx)
     raise ValueError(f"unknown moe impl: {impl}")
 
 

@@ -51,8 +51,11 @@ def _flatten(tree, prefix=""):
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}/"))
-    else:
-        out[prefix[:-1]] = np.asarray(tree)
+    elif tree is not None:
+        a = np.asarray(tree)
+        if str(a.dtype) == "bfloat16":  # npz can't store ml_dtypes
+            a = a.astype(np.float32)
+        out[prefix[:-1]] = a
     return out
 
 
@@ -93,12 +96,29 @@ class Engine:
         from m3asr_tpu.models.registry import get_family
         self.is_moe = get_family(model_cfg.nnet_proto).name == "moe_conformer"
 
-        dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+        # int8 mode: bf16 activations/dense weights + int8 expert weights
+        self.int8_experts = self.cfg.dtype == "int8"
+        dtype = (jnp.bfloat16 if self.cfg.dtype in ("bfloat16", "int8")
+                 else jnp.float32)
         self.dtype = dtype
-        self.params = jax.tree.map(
-            lambda a: jnp.asarray(a, dtype)
-            if np.issubdtype(np.asarray(a).dtype, np.floating) else
-            jnp.asarray(a), params)
+
+        def cast(path, a):
+            a = np.asarray(a)
+            name = str(getattr(path[-1], "key", ""))
+            if not np.issubdtype(a.dtype, np.floating):
+                return jnp.asarray(a)
+            if name.endswith("_scale"):
+                return jnp.asarray(a, jnp.float32)  # keep scales exact
+            return jnp.asarray(a, dtype)
+
+        self.params = jax.tree_util.tree_map_with_path(cast, params)
+        if self.int8_experts and self.is_moe:
+            from m3asr_tpu.ops.quant import quantize_moe_params
+            blocks = dict(self.params["blocks"])
+            for ff in ("feed_forward", "feed_forward_macaron"):
+                if "w1" in blocks.get(ff, {}):  # not yet quantized
+                    blocks[ff] = quantize_moe_params(blocks[ff])
+            self.params["blocks"] = blocks
 
         self.neg_log_prior = None
         if prior is not None and self.cfg.use_prior:
@@ -114,6 +134,8 @@ class Engine:
     # forward construction
     # ------------------------------------------------------------------
     def _moe_impl_for(self, batch: int, length: int) -> str:
+        if self.int8_experts:
+            return "quant"
         if self.cfg.moe_impl != "auto":
             return self.cfg.moe_impl
         from m3asr_tpu.ops.masking import subsampling4_length
