@@ -47,10 +47,19 @@ class DataLoader:
     def __init__(self, feat_rspec: str, label_rspec: Optional[str] = None,
                  training: bool = False,
                  loader_conf: Optional[dict] = None,
-                 collate_func: Optional[CollateFunc] = None):
+                 collate_func: Optional[CollateFunc] = None,
+                 aed_label_rspec: Optional[str] = None,
+                 domain_rspec: Optional[str] = None,
+                 acc_rspec: Optional[str] = None):
         conf = dict(loader_conf or {})
         self.feat_rspec = feat_rspec
         self.label_rspec = label_rspec
+        # auxiliary label streams of the deployed recipe
+        # (ctc_aed_loader_domain_acc emits (data, target, domain, acc,
+        # aed_target, lens...))
+        self.aed_label_rspec = aed_label_rspec
+        self.domain_rspec = domain_rspec
+        self.acc_rspec = acc_rspec
         self.training = training
         self.batch_size = conf.get("batch_size", 1)
         self.queue_size = conf.get("queue_size", 8)
@@ -75,6 +84,12 @@ class DataLoader:
         labels: Dict[str, np.ndarray] = {}
         if self.label_rspec:
             labels = dict(kaldi_io.read_int_vector_ark(self.label_rspec))
+        aux = {}
+        for name, rspec in (("aed_target", self.aed_label_rspec),
+                            ("domain", self.domain_rspec),
+                            ("acc", self.acc_rspec)):
+            if rspec:
+                aux[name] = dict(kaldi_io.read_int_vector_ark(rspec))
         n = 0
         for key, feat in self._read_feats():
             if self.label_rspec and key not in labels:
@@ -84,7 +99,8 @@ class DataLoader:
                 continue  # resume skip (ctc_aed_loader:165-185)
             feat = self.transform.transform(feat)
             feat = self.collate(feat, self.training)
-            yield key, np.asarray(feat, np.float32), labels.get(key)
+            extra = {name: d.get(key) for name, d in aux.items()}
+            yield key, np.asarray(feat, np.float32), labels.get(key), extra
 
     def _batches(self, skip_num: int, output_keys: bool):
         batch: List = []
@@ -98,10 +114,22 @@ class DataLoader:
         yield None
 
     @staticmethod
+    def _pad_labels(labels):
+        B = len(labels)
+        U = max(len(l) for l in labels)
+        tgt = np.zeros((B, U), np.int32)
+        tlens = np.zeros((B,), np.int32)
+        for i, l in enumerate(labels):
+            tgt[i, : len(l)] = l
+            tlens[i] = len(l)
+        return tgt, tlens
+
+    @staticmethod
     def _pad(batch, output_keys):
-        keys = [k for k, _, _ in batch]
-        feats = [f for _, f, _ in batch]
-        labels = [l for _, _, l in batch]
+        keys = [k for k, _, _, _ in batch]
+        feats = [f for _, f, _, _ in batch]
+        labels = [l for _, _, l, _ in batch]
+        extras = [e for _, _, _, e in batch]
         B = len(batch)
         T = max(f.shape[0] for f in feats)
         D = feats[0].shape[1]
@@ -112,14 +140,15 @@ class DataLoader:
             lens[i] = f.shape[0]
         out = {"data": data, "lens": lens}
         if labels[0] is not None:
-            U = max(len(l) for l in labels)
-            tgt = np.zeros((B, U), np.int32)
-            tlens = np.zeros((B,), np.int32)
-            for i, l in enumerate(labels):
-                tgt[i, : len(l)] = l
-                tlens[i] = len(l)
-            out["target"] = tgt
-            out["target_lens"] = tlens
+            out["target"], out["target_lens"] = DataLoader._pad_labels(labels)
+        for name in extras[0]:
+            vals = [e[name] for e in extras]
+            if vals[0] is None:
+                continue
+            if name in ("domain", "acc"):  # scalar class ids
+                out[name] = np.asarray([int(v[0]) for v in vals], np.int32)
+            else:
+                out[name], out[name + "_lens"] = DataLoader._pad_labels(vals)
         if output_keys:
             out["keys"] = keys
         return out
