@@ -77,6 +77,28 @@ def set_logger(name: str = "m3asr", log_file: str = None,
     return logger
 
 
+class ScalarWriter:
+    """JSONL scalar logger — the framework's stand-in for the
+    reference's TensorBoard scalars (bk/..._hier.py:190-193,622-623):
+    one line per event {step, tag, value, wall_time}, trivially
+    plottable and dependency-free."""
+
+    def __init__(self, path: str):
+        import os
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._f = open(path, "a")
+
+    def add_scalar(self, tag: str, value: float, step: int):
+        import json
+        self._f.write(json.dumps({"step": int(step), "tag": tag,
+                                  "value": float(value),
+                                  "wall_time": time.time()}) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
 class ThroughputMeter:
     """Frames/s throughput logging (bk/..._hier.py:617-632)."""
 
