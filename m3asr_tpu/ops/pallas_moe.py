@@ -42,11 +42,11 @@ def _kernel(gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
 
     x = x_ref[:]                                     # (N, d)
     h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
-    h = h + b1_ref[0][None, :].astype(jnp.float32)
-    h = swish(h).astype(x.dtype)
+    h = h + b1_ref[e][None, :].astype(jnp.float32)   # biases are full
+    h = swish(h).astype(x.dtype)                     # (E, hdim) in VMEM
     y = jnp.dot(h, w2_ref[0], preferred_element_type=jnp.float32)
     if use_b2:
-        y = y + b2_ref[0][None, :].astype(jnp.float32)
+        y = y + b2_ref[e][None, :].astype(jnp.float32)
     sel = (gate_ref[:] == e)[:, None]                # (N, 1)
     out_ref[:] += jnp.where(sel, y, 0.0).astype(out_ref.dtype)
 
@@ -84,12 +84,12 @@ def moe_experts_dense_pallas(p, x: jax.Array,
                          memory_space=pltpu.VMEM),          # x
             pl.BlockSpec((1, d, hdim), lambda e: (e, 0, 0),
                          memory_space=pltpu.VMEM),          # w1_e
-            pl.BlockSpec((1, hdim), lambda e: (e, 0),
-                         memory_space=pltpu.VMEM),          # b1_e
+            pl.BlockSpec((E, hdim), lambda e: (0, 0),
+                         memory_space=pltpu.VMEM),          # b1 (full)
             pl.BlockSpec((1, hdim, d), lambda e: (e, 0, 0),
                          memory_space=pltpu.VMEM),          # w2_e
-            pl.BlockSpec((1, d), lambda e: (e, 0),
-                         memory_space=pltpu.VMEM),          # b2_e
+            pl.BlockSpec((E, d), lambda e: (0, 0),
+                         memory_space=pltpu.VMEM),          # b2 (full)
         ],
         out_specs=pl.BlockSpec((Np, d), lambda e: (0, 0),
                                memory_space=pltpu.VMEM),

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""End-to-end recognition CLI: Kaldi feature archive -> transcripts.
+
+Ties the full pipeline together (the reference splits this across
+infer.py + host decode in the trainer repo): ark/scp features ->
+frontend transform (deltas/CMVN/splice) -> bucketed engine -> CTC
+greedy / prefix beam search (native C++ when available) -> hyps, with
+optional reference labels for CER.
+
+Usage:
+  python recognize.py -p engine_dir -i feats.ark [-l labels.ark]
+                      [-d greedy|beam] [-b beam] [--cmvn stats]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(args):
+    plat = os.environ.get("M3ASR_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+    from m3asr_tpu.decode import native
+    from m3asr_tpu.io.loader import DataLoader
+    from m3asr_tpu.runtime.engine import Engine
+    from m3asr_tpu.utils.text import cer
+
+    engine = Engine.load(args.plan_name)
+    loader = DataLoader(
+        args.input_rspec, args.label_rspec,
+        loader_conf={"feat_dim": args.feat_dim,
+                     "add_deltas": args.add_deltas,
+                     "cmvn_file": args.cmvn_file,
+                     "batch_size": args.batch_size})
+
+    hyps_all, refs_all = [], []
+    t0 = time.perf_counter()
+    frames = 0
+    for batch in loader(output_keys=True):
+        out, out_lens = engine.infer(batch["data"], batch["lens"])
+        frames += int(np.sum(batch["lens"]))
+        if args.decode == "greedy":
+            hyps = native.ctc_greedy_search(out, out_lens)
+        else:
+            m = out.max(-1, keepdims=True)
+            lp = out - m - np.log(np.exp(out - m).sum(-1, keepdims=True))
+            hyps = [list(native.ctc_prefix_beam_search(
+                lp[b], int(out_lens[b]), args.beam_size)[0][0])
+                for b in range(out.shape[0])]
+        for key, h in zip(batch["keys"], hyps):
+            print(f"{key} {' '.join(map(str, h))}")
+            hyps_all.append(h)
+        if "target" in batch:
+            for i in range(len(hyps)):
+                refs_all.append(
+                    list(batch["target"][i][: batch["target_lens"][i]]))
+    dt = time.perf_counter() - t0
+    stats = {"utts": len(hyps_all), "frames": frames,
+             "wall_s": round(dt, 2),
+             "rtf": round(dt / max(frames * 0.01, 1e-9), 5)}
+    if refs_all:
+        stats["cer"] = round(cer(refs_all, hyps_all), 5)
+    print(json.dumps(stats), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("-p", "--plan_name", required=True,
+                   help="engine directory")
+    p.add_argument("-i", "--input_rspec", required=True,
+                   help="feature ark/scp")
+    p.add_argument("-l", "--label_rspec", required=False,
+                   help="reference labels (int-vector ark) for CER")
+    p.add_argument("-d", "--decode", default="greedy",
+                   choices=["greedy", "beam"])
+    p.add_argument("-b", "--beam_size", type=int, default=10)
+    p.add_argument("--feat_dim", type=int, default=40)
+    p.add_argument("--add_deltas", type=int, default=0)
+    p.add_argument("--cmvn", dest="cmvn_file", required=False)
+    p.add_argument("--batch_size", type=int, default=4)
+    main(p.parse_args())

@@ -1,0 +1,54 @@
+"""recognize.py end-to-end: ark features -> engine -> transcripts + CER."""
+
+import os
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import torch
+import yaml
+
+from m3asr_tpu.io.kaldi_io import ArkWriter
+
+from test_runtime import REPO, golden_model, small_yaml
+
+
+def test_recognize_pipeline(tmp_path):
+    # build a tiny engine via the CLI
+    m = golden_model()
+    torch.save({f"encoder.{k}": v for k, v in m.state_dict().items()},
+               tmp_path / "ckpt.pt")
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(small_yaml(), f)
+    env = dict(os.environ, M3ASR_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "build.py"),
+         "-c", str(tmp_path / "cfg.yaml"), "-m", str(tmp_path / "ckpt.pt"),
+         "-o", str(tmp_path / "eng"), "--buckets", "2x64", "--skip-warmup"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+
+    # features + labels
+    rng = np.random.RandomState(0)
+    with ArkWriter(str(tmp_path / "feats.ark")) as w:
+        for i in range(3):
+            w.write(f"utt{i}", rng.randn(30 + 5 * i, 20).astype(np.float32))
+    with open(tmp_path / "labels.ark", "wb") as f:
+        for i in range(3):
+            f.write(f"utt{i} ".encode() + b"\x00B")
+            lab = [1 + i, 2]
+            f.write(b"\x04" + struct.pack("<i", len(lab)))
+            for x in lab:
+                f.write(b"\x04" + struct.pack("<i", x))
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recognize.py"),
+         "-p", str(tmp_path / "eng"), "-i", str(tmp_path / "feats.ark"),
+         "-l", str(tmp_path / "labels.ark"), "--feat_dim", "20",
+         "--batch_size", "2", "-d", "beam", "-b", "4"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    lines = [l for l in r.stdout.splitlines() if l.startswith("utt")]
+    assert len(lines) == 3
+    assert '"cer"' in r.stderr and '"rtf"' in r.stderr
