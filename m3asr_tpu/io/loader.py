@@ -63,6 +63,9 @@ class DataLoader:
         self.training = training
         self.batch_size = conf.get("batch_size", 1)
         self.queue_size = conf.get("queue_size", 8)
+        # optional bucket ladder: pad each batch's time axis up to the
+        # next bucket so the engine compiles few shapes
+        self.bucket_lengths = tuple(conf.get("bucket_lengths", ()))
         self.transform = FeatureTransform(
             conf.get("feat_dim", 40),
             order=conf.get("add_deltas", 0),
@@ -107,10 +110,10 @@ class DataLoader:
         for item in self._utterances(skip_num):
             batch.append(item)
             if len(batch) == self.batch_size:
-                yield self._pad(batch, output_keys)
+                yield self._pad(batch, output_keys, self.bucket_lengths)
                 batch = []
         if batch:
-            yield self._pad(batch, output_keys)
+            yield self._pad(batch, output_keys, self.bucket_lengths)
         yield None
 
     @staticmethod
@@ -125,13 +128,15 @@ class DataLoader:
         return tgt, tlens
 
     @staticmethod
-    def _pad(batch, output_keys):
+    def _pad(batch, output_keys, bucket_lengths=()):
         keys = [k for k, _, _, _ in batch]
         feats = [f for _, f, _, _ in batch]
         labels = [l for _, _, l, _ in batch]
         extras = [e for _, _, _, e in batch]
         B = len(batch)
         T = max(f.shape[0] for f in feats)
+        if bucket_lengths:
+            T = next((b for b in sorted(bucket_lengths) if b >= T), T)
         D = feats[0].shape[1]
         data = np.zeros((B, T, D), np.float32)
         lens = np.zeros((B,), np.int32)
