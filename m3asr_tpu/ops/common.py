@@ -72,6 +72,20 @@ def get_activation(name: str):
     return _ACTIVATIONS[name]
 
 
+def group_norm(p, x: jax.Array, num_groups: int,
+               eps: float = 1e-5) -> jax.Array:
+    """GroupNorm over the last dim (the reference's unfinished
+    incomplete_plugin/group_norm)."""
+    *lead, C = x.shape
+    assert C % num_groups == 0
+    xg = x.reshape(*lead, num_groups, C // num_groups).astype(jnp.float32)
+    mean = jnp.mean(xg, axis=-1, keepdims=True)
+    var = jnp.var(xg, axis=-1, keepdims=True)
+    y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(*lead, C)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def mask_batch_norm(p, x: jax.Array, valid_mask: jax.Array,
                     train: bool = False, eps: float = 1e-8,
                     momentum: float = 0.99):
