@@ -62,7 +62,9 @@ def conformer_block(p, x: jax.Array, lengths: Optional[jax.Array],
 
     residual = x
     h = layer_norm(p["norm_mha"], x) if normalize_before else x
-    h = rel_mha(p["self_attn"], h, pos_emb, lengths, num_heads, mask=mask)
+    with jax.named_scope("mhsa"):
+        h = rel_mha(p["self_attn"], h, pos_emb, lengths, num_heads,
+                    mask=mask)
     x = residual + h
     if not normalize_before:
         x = layer_norm(p["norm_mha"], x)
@@ -70,8 +72,10 @@ def conformer_block(p, x: jax.Array, lengths: Optional[jax.Array],
     if use_cnn:
         residual = x
         h = layer_norm(p["norm_conv"], x) if normalize_before else x
-        h = conv_module(p["conv_module"], h, lengths,
-                        use_layer_norm=conv_layer_norm, lorder=conv_lorder)
+        with jax.named_scope("conv_module"):
+            h = conv_module(p["conv_module"], h, lengths,
+                            use_layer_norm=conv_layer_norm,
+                            lorder=conv_lorder)
         x = residual + h
         if not normalize_before:
             x = layer_norm(p["norm_conv"], x)
@@ -80,8 +84,9 @@ def conformer_block(p, x: jax.Array, lengths: Optional[jax.Array],
     h = layer_norm(p["norm_ff"], x) if normalize_before else x
     probs = None
     if moe:
-        h = moe_ffn(p["feed_forward"], h, embed, lengths, impl=moe_impl,
-                    return_router_probs=return_moe_aux)
+        with jax.named_scope("moe_ffn"):
+            h = moe_ffn(p["feed_forward"], h, embed, lengths, impl=moe_impl,
+                        return_router_probs=return_moe_aux)
         if return_moe_aux:
             h, probs = h
     else:
