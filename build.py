@@ -42,9 +42,15 @@ def main(args):
     raw.setdefault("input_dim", 40)  # builder.py:124
     model_cfg = model_config_from_dict(raw)
 
+    decoders = {}
     if args.load_path:
         sd = ckpt.load_torch_checkpoint(args.load_path)
         params = ckpt.convert_encoder(sd, model_cfg)
+        # AED decoders (for attention rescoring) ride along in the
+        # engine dir when the checkpoint has them
+        for name in ("decoder", "decoder_1", "decoder_2"):
+            if any(k.startswith(name + ".") for k in sd):
+                decoders[name] = ckpt.convert_decoder(sd, model_cfg, name)
         print(f"Loading model from {args.load_path}")
     else:
         # synthetic init (for benchmarking without the external ckpt)
@@ -78,6 +84,14 @@ def main(args):
         print("pre-compiling buckets (AOT)...")
         engine.warmup()
     engine.save(args.output, raw_yaml=raw)
+    if decoders:
+        from m3asr_tpu.runtime.engine import _flatten
+        import numpy as np
+        flat = {}
+        for name, tree in decoders.items():
+            flat.update(_flatten({name: jax.tree.map(np.asarray, tree)}))
+        np.savez(os.path.join(args.output, "decoders.npz"), **flat)
+        print(f"decoders saved: {sorted(decoders)}")
     print(f"engine written to {args.output}")
     print("=======================buckets=====================")
     for b, t in engine.buckets.all_buckets():

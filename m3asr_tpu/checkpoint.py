@@ -26,7 +26,7 @@ load_state_dict_comm, conformer_fmoe_...hier.py:236-273) is provided by
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
 

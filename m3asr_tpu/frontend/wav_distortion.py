@@ -8,7 +8,6 @@ the reference's per-sample python loop.
 
 from __future__ import annotations
 
-import math
 import random
 from typing import Callable, List, Optional, Sequence, Tuple
 

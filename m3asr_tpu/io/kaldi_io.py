@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import io
 import struct
-from typing import Dict, IO, Iterator, Optional, Tuple
+from typing import IO, Iterator, Optional, Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ replacement for the reference's per-layer TRT graph emission.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

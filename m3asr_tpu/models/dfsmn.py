@@ -19,11 +19,10 @@ Weight naming mirrors the reference state dicts
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from m3asr_tpu.ops.common import layer_norm, linear, scale_shift
 from m3asr_tpu.ops.masking import make_valid_mask

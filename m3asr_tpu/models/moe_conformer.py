@@ -26,13 +26,14 @@ import jax.numpy as jnp
 from m3asr_tpu.config import MoEEncoderConfig
 from m3asr_tpu.models import conformer
 from m3asr_tpu.models.layers import conformer_block, init_conformer_block
-from m3asr_tpu.ops.common import init_layer_norm, init_linear, layer_norm, linear
+from m3asr_tpu.ops.common import init_layer_norm, layer_norm, linear
 
 
 def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
             feat_len: Optional[jax.Array], output_embed: bool = False,
             moe_impl: str = "dense", hier_taps: bool = False,
-            chunk_mask=None, return_router_probs: bool = False):
+            chunk_mask=None, return_router_probs: bool = False,
+            return_hidden: bool = False):
     """feat: (B, T, input_dim) -> logits (B, T', output_dim).
 
     Returns (out, out_len) | + embed_out (output_embed) | + (h6, h12,
@@ -88,6 +89,10 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
         ret.extend([h6, h12, x_normed])
     if return_router_probs:
         ret.append(router_ps)
+    if return_hidden:
+        # the normalized final hidden — the AED rescoring memory
+        # (encoder.py:182-260 returns res['hidden'])
+        ret.append(x_normed)
     return tuple(ret)
 
 

@@ -10,11 +10,10 @@ encoder family (builder.py only ever builds model.encoder).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict
+from typing import Callable
 
 import jax.numpy as jnp
 
-from m3asr_tpu import config as _cfg
 from m3asr_tpu.config import (DENSE_CONFORMER_PROTOS, DFSMN_PROTOS,
                               MOE_HIER_PROTOS, ModelConfig)
 

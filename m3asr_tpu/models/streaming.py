@@ -25,7 +25,7 @@ Exact streaming requires a causally-convolved, chunk-trained model
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

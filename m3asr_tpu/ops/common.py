@@ -8,8 +8,6 @@ Everything is plain jnp so XLA fuses it into surrounding matmuls.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -34,7 +34,6 @@ conversion time. Expert math (layer/positionwise_feed_forward.py:91-112):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

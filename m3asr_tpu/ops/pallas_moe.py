@@ -22,8 +22,6 @@ double buffering) + x/h/out ~1MB << 16MB.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

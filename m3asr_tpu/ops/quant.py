@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from m3asr_tpu.ops.common import swish
-from m3asr_tpu.ops.masking import make_valid_mask
 
 
 def quantize_tensor(w, axis: int = -2):

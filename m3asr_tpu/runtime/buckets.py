@@ -9,8 +9,8 @@ in the persistent compilation cache).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Sequence, Tuple
+from dataclasses import dataclass
+from typing import List, Tuple
 
 # Default ladder covers the reference profile (1..6100 frames, batch 1..6)
 DEFAULT_LENGTHS = (256, 512, 1024, 2048, 4096, 6144)

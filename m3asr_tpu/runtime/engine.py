@@ -25,7 +25,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -34,8 +33,6 @@ import numpy as np
 import yaml
 
 from m3asr_tpu.config import ModelConfig, model_config_from_dict
-from m3asr_tpu.models import moe_conformer, conformer
-from m3asr_tpu.config import MOE_HIER_PROTOS
 from m3asr_tpu.runtime.buckets import (BucketSpec, DEFAULT_BATCHES,
                                        DEFAULT_LENGTHS)
 
@@ -77,8 +74,10 @@ class EngineConfig:
     use_prior: bool = False           # subtract log-prior (builder.py:83-88)
     bucket_lengths: Tuple[int, ...] = DEFAULT_LENGTHS
     bucket_batches: Tuple[int, ...] = DEFAULT_BATCHES
-    moe_impl: str = "auto"            # auto | dense | ragged
+    moe_impl: str = "auto"            # auto | dense | ragged | capacity
     donate_input: bool = True
+    return_hidden: bool = False       # also emit the normalized hidden
+                                      # (AED rescoring memory)
 
 
 class Engine:
@@ -151,14 +150,21 @@ class Engine:
         out_mode = self.cfg.decode_output
         is_moe = self.is_moe
 
+        return_hidden = self.cfg.return_hidden
+
         def forward(params, feat, feat_len):
-            kw = {"moe_impl": moe_impl} if is_moe else {}
-            out, out_len = family.forward(params, model_cfg, feat,
-                                          feat_len, **kw)
+            if is_moe:
+                kw = {"moe_impl": moe_impl, "return_hidden": return_hidden}
+            else:
+                kw = {"output_embed": return_hidden}
+            res = family.forward(params, model_cfg, feat, feat_len, **kw)
+            out, out_len = res[0], res[1]
             if neg_log_prior is not None:
                 out = out + neg_log_prior[None, None, :]
             if out_mode == "log_softmax":
                 out = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+            if return_hidden:
+                return out, out_len, res[-1]
             return out, out_len
 
         donate = (1,) if self.cfg.donate_input else ()
@@ -202,11 +208,16 @@ class Engine:
         pad_len = np.zeros((bb,), np.int32)
         pad_len[:B] = feat_len
         fn = self.get_fn(bb, bt)
-        out, out_len = fn(self.params, jnp.asarray(pad_feat, self.dtype),
-                          jnp.asarray(pad_len))
-        out = np.asarray(jax.device_get(out), np.float32)
-        out_len = np.asarray(jax.device_get(out_len))
+        res = fn(self.params, jnp.asarray(pad_feat, self.dtype),
+                 jnp.asarray(pad_len))
+        res = jax.device_get(res)
+        out = np.asarray(res[0], np.float32)
+        out_len = np.asarray(res[1])
         max_out = int(out_len[:B].max()) if B else 0
+        if self.cfg.return_hidden:
+            hidden = np.asarray(res[2], np.float32)
+            return (out[:B, :max_out], out_len[:B],
+                    hidden[:B, :max_out])
         return out[:B, :max_out], out_len[:B]
 
     # ------------------------------------------------------------------

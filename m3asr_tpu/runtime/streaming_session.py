@@ -10,7 +10,7 @@ chunk window (4*chunk + 3 raw frames, stride 4*chunk) is available, and
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ balance_loss.py:58-126).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,13 +21,11 @@ from __future__ import annotations
 
 import os
 import pickle
-import time
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from m3asr_tpu.train.metrics import MetricStat, ThroughputMeter, set_logger
 

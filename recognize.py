@@ -35,6 +35,18 @@ def main(args):
     from m3asr_tpu.utils.text import cer
 
     engine = Engine.load(args.plan_name)
+    decoders = None
+    if args.decode == "rescore":
+        from m3asr_tpu.runtime.engine import _unflatten
+        dec_path = os.path.join(args.plan_name, "decoders.npz")
+        if not os.path.exists(dec_path):
+            sys.exit("rescoring needs decoders.npz in the engine dir "
+                     "(build from an AED checkpoint)")
+        import jax.numpy as jnp
+        import jax as _jax
+        decoders = _jax.tree.map(jnp.asarray,
+                                 _unflatten(dict(np.load(dec_path))))
+        engine.cfg.return_hidden = True
     loader = DataLoader(
         args.input_rspec, args.label_rspec,
         loader_conf={"feat_dim": args.feat_dim,
@@ -46,16 +58,31 @@ def main(args):
     t0 = time.perf_counter()
     frames = 0
     for batch in loader(output_keys=True):
-        out, out_lens = engine.infer(batch["data"], batch["lens"])
+        res = engine.infer(batch["data"], batch["lens"])
+        out, out_lens = res[0], res[1]
         frames += int(np.sum(batch["lens"]))
         if args.decode == "greedy":
             hyps = native.ctc_greedy_search(out, out_lens)
         else:
             m = out.max(-1, keepdims=True)
             lp = out - m - np.log(np.exp(out - m).sum(-1, keepdims=True))
-            hyps = [list(native.ctc_prefix_beam_search(
-                lp[b], int(out_lens[b]), args.beam_size)[0][0])
+            nbests = [native.ctc_prefix_beam_search(
+                lp[b], int(out_lens[b]), args.beam_size)
                 for b in range(out.shape[0])]
+            if args.decode == "rescore":
+                from m3asr_tpu.models.aed import attention_rescoring
+                cfg = engine.model_cfg
+                hidden = res[2]
+                hyps = []
+                for b, nb in enumerate(nbests):
+                    hyp, _ = attention_rescoring(
+                        decoders["decoder"], cfg.decoder_conf,
+                        nb, hidden[b:b + 1], int(out_lens[b]),
+                        sos=cfg.sos, eos=cfg.eos,
+                        ignore_id=0, ctc_weight=args.ctc_weight)
+                    hyps.append(hyp)
+            else:
+                hyps = [list(nb[0][0]) for nb in nbests]
         for key, h in zip(batch["keys"], hyps):
             print(f"{key} {' '.join(map(str, h))}")
             hyps_all.append(h)
@@ -81,8 +108,9 @@ if __name__ == "__main__":
     p.add_argument("-l", "--label_rspec", required=False,
                    help="reference labels (int-vector ark) for CER")
     p.add_argument("-d", "--decode", default="greedy",
-                   choices=["greedy", "beam"])
+                   choices=["greedy", "beam", "rescore"])
     p.add_argument("-b", "--beam_size", type=int, default=10)
+    p.add_argument("--ctc_weight", type=float, default=0.5)
     p.add_argument("--feat_dim", type=int, default=40)
     p.add_argument("--add_deltas", type=int, default=0)
     p.add_argument("--cmvn", dest="cmvn_file", required=False)

@@ -15,12 +15,20 @@ from test_runtime import REPO, golden_model, small_yaml
 
 
 def test_recognize_pipeline(tmp_path):
-    # build a tiny engine via the CLI
+    from golden import torch_ref as G
+    # build a tiny engine via the CLI (encoder + AED decoder weights)
     m = golden_model()
-    torch.save({f"encoder.{k}": v for k, v in m.state_dict().items()},
-               tmp_path / "ckpt.pt")
+    dec = G.randomize_(G.TransformerDecoder(11, 32, attention_heads=4,
+                                            linear_units=48, num_blocks=1),
+                       seed=99)
+    sd = {f"encoder.{k}": v for k, v in m.state_dict().items()}
+    sd.update({f"decoder.{k}": v for k, v in dec.state_dict().items()})
+    torch.save(sd, tmp_path / "ckpt.pt")
+    raw = small_yaml()
+    raw["model_conf"]["decoder_conf"] = {
+        "attention_heads": 4, "linear_units": 48, "num_blocks": 1}
     with open(tmp_path / "cfg.yaml", "w") as f:
-        yaml.safe_dump(small_yaml(), f)
+        yaml.safe_dump(raw, f)
     env = dict(os.environ, M3ASR_PLATFORM="cpu")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "build.py"),
@@ -42,13 +50,14 @@ def test_recognize_pipeline(tmp_path):
             for x in lab:
                 f.write(b"\x04" + struct.pack("<i", x))
 
-    r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "recognize.py"),
-         "-p", str(tmp_path / "eng"), "-i", str(tmp_path / "feats.ark"),
-         "-l", str(tmp_path / "labels.ark"), "--feat_dim", "20",
-         "--batch_size", "2", "-d", "beam", "-b", "4"],
-        capture_output=True, text=True, env=env)
-    assert r.returncode == 0, r.stderr
-    lines = [l for l in r.stdout.splitlines() if l.startswith("utt")]
-    assert len(lines) == 3
-    assert '"cer"' in r.stderr and '"rtf"' in r.stderr
+    for mode in ("beam", "rescore"):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "recognize.py"),
+             "-p", str(tmp_path / "eng"), "-i", str(tmp_path / "feats.ark"),
+             "-l", str(tmp_path / "labels.ark"), "--feat_dim", "20",
+             "--batch_size", "2", "-d", mode, "-b", "4"],
+            capture_output=True, text=True, env=env)
+        assert r.returncode == 0, (mode, r.stderr)
+        lines = [l for l in r.stdout.splitlines() if l.startswith("utt")]
+        assert len(lines) == 3, (mode, r.stdout)
+        assert '"cer"' in r.stderr and '"rtf"' in r.stderr
