@@ -110,17 +110,23 @@ def main(args):
     pad_feat = np.zeros((args.batch, bucket, 40), np.float32)
     pad_feat[:, :args.seq] = feat
 
-    impl = args.impl
-    if impl == "auto":
+    def pick_impl(dtype):
+        if args.impl != "auto":
+            return args.impl
         from m3asr_tpu.runtime.engine import MOE_DENSE_TOKEN_THRESHOLD
         from m3asr_tpu.ops.masking import subsampling4_length
         tokens = args.batch * int(subsampling4_length(
             np.array([bucket]))[0])
-        impl = "dense" if tokens <= MOE_DENSE_TOKEN_THRESHOLD else "ragged"
+        if tokens <= MOE_DENSE_TOKEN_THRESHOLD:
+            # engine auto policy: fp32 -> capacity, bf16 -> dense
+            return "capacity" if dtype == "float32" else "dense"
+        return "ragged"
 
     results = {}
+    impl = None
     for dtype in (["float32", "bfloat16"] if args.dtype == "both"
                   else [args.dtype]):
+        impl = pick_impl(dtype)
         dev_ms, call_ms = bench_device(cfg, params, pad_feat, feat_len,
                                        dtype, impl, args.iters)
         results[dtype] = (dev_ms, call_ms)

@@ -116,6 +116,28 @@ def mask_batch_norm(p, x: jax.Array, valid_mask: jax.Array,
                                "running_var": new_var}
 
 
+def varlen_instance_norm_2d(p, x: jax.Array, lengths: jax.Array,
+                            eps: float = 1e-8,
+                            affine: bool = False) -> jax.Array:
+    """Variable-length InstanceNorm2d (layer/norm.py:80-104):
+    per-utterance statistics over (channel, valid-time, feat).
+    x: (B, C, T, F); lengths: (B,)."""
+    from m3asr_tpu.ops.masking import make_valid_mask
+    B, C, T, F = x.shape
+    valid = make_valid_mask(lengths, T).astype(jnp.float32)  # (B, T)
+    m = valid[:, None, :, None]
+    num_bins = (lengths.astype(jnp.float32) * F).reshape(B, 1, 1, 1)
+    xm = x.astype(jnp.float32) * m
+    mean = jnp.sum(xm, axis=(1, 2), keepdims=True) / num_bins
+    var = jnp.sum(((xm - mean) ** 2) * m, axis=(1, 2),
+                  keepdims=True) / num_bins
+    y = (xm - mean) / jnp.sqrt(var + eps)
+    if affine:
+        y = y * p["scale"].reshape(1, -1, 1, 1) + \
+            p["bias"].reshape(1, -1, 1, 1)
+    return y.astype(x.dtype)
+
+
 def dump_tensor(x: jax.Array, name: str = "") -> jax.Array:
     """Debug identity that prints the tensor — TPU equivalent of
     DumpTensorPluginDynamic (plugin/dump_tensor_plugin/)."""

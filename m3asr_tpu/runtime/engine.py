@@ -139,7 +139,11 @@ class Engine:
             return self.cfg.moe_impl
         from m3asr_tpu.ops.masking import subsampling4_length
         tokens = batch * int(subsampling4_length(np.array([length]))[0])
-        return "dense" if tokens <= MOE_DENSE_TOKEN_THRESHOLD else "ragged"
+        if tokens <= MOE_DENSE_TOKEN_THRESHOLD:
+            # measured on v5e at 64 tokens x 18 layers: fp32 capacity
+            # 4.7 ms vs dense 5.0 ms; bf16 dense wins (2.0 vs 2.25 ms)
+            return "capacity" if self.dtype == jnp.float32 else "dense"
+        return "ragged"
 
     def _make_forward(self, batch: int, length: int):
         from m3asr_tpu.models.registry import get_family
