@@ -100,6 +100,13 @@ def main(args):
     cfg = _flagship_cfg()
     params = moe_conformer.init(jax.random.PRNGKey(0), cfg.encoder_conf,
                                 cfg.input_dim, cfg.output_dim)
+    # the reference inits routers to zero (trained checkpoints have real
+    # values); zero routers send every token to expert 0, which is the
+    # pathological load case — bench with random routers instead
+    import jax.numpy as jnp
+    r = params["blocks"]["feed_forward"]["router"]["kernel"]
+    params["blocks"]["feed_forward"]["router"]["kernel"] = \
+        jax.random.normal(jax.random.PRNGKey(1), r.shape, r.dtype) * 0.5
 
     rng = np.random.RandomState(0)
     feat = rng.randn(args.batch, args.seq, 40).astype(np.float32)
@@ -123,12 +130,12 @@ def main(args):
         return "ragged"
 
     results = {}
-    impl = None
+    impls = {}
     for dtype in (["float32", "bfloat16"] if args.dtype == "both"
                   else [args.dtype]):
-        impl = pick_impl(dtype)
+        impls[dtype] = pick_impl(dtype)
         dev_ms, call_ms = bench_device(cfg, params, pad_feat, feat_len,
-                                       dtype, impl, args.iters)
+                                       dtype, impls[dtype], args.iters)
         results[dtype] = (dev_ms, call_ms)
 
     headline_dtype = "float32" if "float32" in results else args.dtype
@@ -146,7 +153,7 @@ def main(args):
         "rtf": round(p50 / 1e3 / audio_s, 5),
         "e2e_call_ms_incl_harness_rpc": round(call_ms, 3),
         "device": str(jax.devices()[0]),
-        "moe_impl": impl,
+        "moe_impl": impls[headline_dtype],
     }
     if "bfloat16" in results and headline_dtype == "float32":
         out["bf16_p50_ms"] = round(results["bfloat16"][0], 3)
@@ -157,7 +164,7 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--impl", default="auto",
-                        choices=["auto", "dense", "ragged"])
+                        choices=["auto", "dense", "ragged", "capacity"])
     parser.add_argument("--dtype", default="both",
                         choices=["float32", "bfloat16", "both"])
     parser.add_argument("--seq", type=int, default=206)
