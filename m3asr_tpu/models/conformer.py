@@ -129,6 +129,8 @@ def init(key, cfg: EncoderConfig, input_dim: int, output_dim: int,
     blocks = [init_conformer_block(
         bk, cfg.attention_dim, cfg.attention_heads, cfg.linear_units,
         cnn_kernel=cfg.cnn_module_kernel, macaron=cfg.macaron_style,
-        use_cnn=cfg.use_cnn_module, dtype=dtype) for bk in block_keys]
+        use_cnn=cfg.use_cnn_module,
+        rel_attn=(cfg.pos_enc_layer_type != "no_pos"),
+        dtype=dtype) for bk in block_keys]
     params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
     return params

@@ -19,7 +19,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from m3asr_tpu.ops.attention import init_rel_mha, rel_mha
+from m3asr_tpu.ops.attention import init_mha, init_rel_mha, mha, rel_mha
 from m3asr_tpu.ops.common import (init_layer_norm, init_linear, layer_norm,
                                   linear, swish)
 from m3asr_tpu.ops.conv import conv_module, init_conv_module
@@ -63,8 +63,13 @@ def conformer_block(p, x: jax.Array, lengths: Optional[jax.Array],
     residual = x
     h = layer_norm(p["norm_mha"], x) if normalize_before else x
     with jax.named_scope("mhsa"):
-        h = rel_mha(p["self_attn"], h, pos_emb, lengths, num_heads,
-                    mask=mask)
+        if "linear_pos" in p["self_attn"]:
+            h = rel_mha(p["self_attn"], h, pos_emb, lengths, num_heads,
+                        mask=mask)
+        else:
+            # no_pos models use plain MHA (conformer_embed_domain_acc.py:
+            # 103-106: selfattn_layer = MultiHeadedAttention)
+            h = mha(p["self_attn"], h, h, h, lengths, num_heads, mask=mask)
     x = residual + h
     if not normalize_before:
         x = layer_norm(p["norm_mha"], x)
@@ -113,11 +118,13 @@ def init_conformer_block(key, d_model: int, num_heads: int, ffn_hidden: int,
                          use_cnn: bool = True, moe: bool = False,
                          moe_embed_dim: int = 0, moe_num_experts: int = 0,
                          moe_hidden: int = 0, router_with_bias: bool = False,
-                         moe_macaron: bool = False, dtype=jnp.float32):
+                         moe_macaron: bool = False, rel_attn: bool = True,
+                         dtype=jnp.float32):
     ks = jax.random.split(key, 4)
     p = {
         "norm_mha": init_layer_norm(d_model, dtype),
-        "self_attn": init_rel_mha(ks[0], d_model, num_heads, dtype),
+        "self_attn": (init_rel_mha(ks[0], d_model, num_heads, dtype)
+                      if rel_attn else init_mha(ks[0], d_model, dtype)),
         "norm_ff": init_layer_norm(d_model, dtype),
     }
     if moe:

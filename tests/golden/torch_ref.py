@@ -153,6 +153,42 @@ class Conv2dSubsampling4(nn.Module):
         return x, (None if lengths is None else sub4_len(lengths))
 
 
+class Conv2dSubsampling6(nn.Module):
+    def __init__(self, idim, odim, in_ch=1):
+        super().__init__()
+        self.conv = nn.Sequential(
+            nn.Conv2d(in_ch, odim, 3, 2), nn.ReLU(),
+            nn.Conv2d(odim, odim, 5, 3), nn.ReLU())
+        self.out = nn.Linear(odim * (((idim - 1) // 2 - 2) // 3), odim)
+        self.in_ch = in_ch
+
+    def forward(self, x):
+        b, t, f = x.size()
+        x = x.view(b, t, self.in_ch, f // self.in_ch).transpose(1, 2)
+        x = self.conv(x)
+        b, c, t, f = x.size()
+        return self.out(x.transpose(1, 2).contiguous().view(b, t, c * f))
+
+
+class Conv2dSubsampling8(nn.Module):
+    def __init__(self, idim, odim, in_ch=1):
+        super().__init__()
+        self.conv = nn.Sequential(
+            nn.Conv2d(in_ch, odim, 3, 2), nn.ReLU(),
+            nn.Conv2d(odim, odim, 3, 2), nn.ReLU(),
+            nn.Conv2d(odim, odim, 3, 2), nn.ReLU())
+        self.out = nn.Linear(
+            odim * ((((idim - 1) // 2 - 1) // 2 - 1) // 2), odim)
+        self.in_ch = in_ch
+
+    def forward(self, x):
+        b, t, f = x.size()
+        x = x.view(b, t, self.in_ch, f // self.in_ch).transpose(1, 2)
+        x = self.conv(x)
+        b, c, t, f = x.size()
+        return self.out(x.transpose(1, 2).contiguous().view(b, t, c * f))
+
+
 class RelPositionalEncoding(nn.Module):
     def __init__(self, d_model, max_len=5000):
         super().__init__()
