@@ -211,6 +211,9 @@ def convert_dense_encoder(sd: StateDict, cfg: EncoderConfig) -> Dict:
         "after_norm": _layer_norm(sd, "after_norm"),
         "out_linear": _linear(sd, "out_linear"),
     }
+    if "subsampling_layer_norm.weight" in sd:
+        p["subsampling_layer_norm"] = _layer_norm(sd,
+                                                  "subsampling_layer_norm")
     blocks = [convert_block(sd.sub(f"blocks.{i}"), cfg, moe=False)
               for i in range(cfg.num_blocks)]
     p["blocks"] = _stack_blocks(blocks)

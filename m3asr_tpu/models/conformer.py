@@ -43,6 +43,10 @@ def frontend(params, cfg: EncoderConfig, feat: jax.Array,
     else:
         x, out_len = fwd(params["subsampling"], feat, feat_len,
                          in_ch=cfg.conv_subsample_in_ch)
+    if cfg.subsampling_feat_norm and "subsampling_layer_norm" in params:
+        # BaseCTCEncoder option: LayerNorm after subsampling
+        # (encoder.py:68-70,124-127; torch default eps 1e-5)
+        x = layer_norm(params["subsampling_layer_norm"], x, eps=1e-5)
     pe = params["pos_enc"]["pe"]
     if cfg.pos_enc_layer_type == "rel_pos":
         x, pos_emb = positional.rel_positional_encoding(pe, x)
