@@ -24,3 +24,28 @@ Architecture (TPU-first, not a port):
 __version__ = "0.1.0"
 
 from m3asr_tpu import config  # noqa: F401
+from m3asr_tpu.config import (load_yaml_config,  # noqa: F401
+                              model_config_from_dict)
+
+
+def load_engine(engine_dir: str):
+    """Convenience: load a built engine directory."""
+    from m3asr_tpu.runtime.engine import Engine
+    return Engine.load(engine_dir)
+
+
+def build_engine(config_path: str, checkpoint_path=None, **engine_kwargs):
+    """Convenience: YAML + torch checkpoint -> Engine (the library
+    equivalent of the build.py CLI)."""
+    from m3asr_tpu import checkpoint as ckpt
+    from m3asr_tpu.runtime.engine import Engine, EngineConfig
+
+    cfg = load_yaml_config(config_path)
+    if checkpoint_path:
+        sd = ckpt.load_torch_checkpoint(checkpoint_path)
+        params = ckpt.convert_encoder(sd, cfg)
+    else:
+        import jax
+        from m3asr_tpu.models.registry import get_family
+        params = get_family(cfg.nnet_proto).init(jax.random.PRNGKey(0), cfg)
+    return Engine(cfg, params, EngineConfig(**engine_kwargs))
