@@ -1,0 +1,61 @@
+"""serve.py daemon: requests over TCP get decoded responses."""
+
+import json
+import os
+import re
+import socket
+import subprocess
+import sys
+import time
+
+import numpy as np
+import torch
+import yaml
+
+from test_runtime import REPO, golden_model, small_yaml
+
+
+def test_serve_roundtrip(tmp_path):
+    m = golden_model()
+    torch.save({f"encoder.{k}": v for k, v in m.state_dict().items()},
+               tmp_path / "ckpt.pt")
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(small_yaml(), f)
+    env = dict(os.environ, M3ASR_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "build.py"),
+         "-c", str(tmp_path / "cfg.yaml"), "-m", str(tmp_path / "ckpt.pt"),
+         "-o", str(tmp_path / "eng"), "--buckets", "1x64", "--skip-warmup"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve.py"),
+         "-p", str(tmp_path / "eng"), "--port", "0"],
+        stdout=subprocess.PIPE, text=True, env=env)
+    try:
+        line = proc.stdout.readline()
+        mport = re.search(r":(\d+)$", line.strip())
+        assert mport, line
+        port = int(mport.group(1))
+
+        rng = np.random.RandomState(0)
+        with socket.create_connection(("127.0.0.1", port), timeout=120) as s:
+            f = s.makefile("rw")
+            for i, mode in enumerate(["greedy", "beam"]):
+                req = {"id": f"u{i}",
+                       "feat": rng.randn(40, 20).round(4).tolist(),
+                       "decode": mode, "beam_size": 4}
+                f.write(json.dumps(req) + "\n")
+                f.flush()
+                resp = json.loads(f.readline())
+                assert resp["id"] == f"u{i}", resp
+                assert "hyp" in resp and resp["out_len"] == 9, resp
+            # malformed request -> error response, server stays up
+            f.write('{"id": "bad"}\n')
+            f.flush()
+            resp = json.loads(f.readline())
+            assert "error" in resp
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
