@@ -269,7 +269,7 @@ class ConformerEncoderLayer(nn.Module):
     def __init__(self, size, heads, ffn_hidden, cnn_kernel=15,
                  cnn_norm="batch_norm", causal=False, macaron=True,
                  use_cnn=True, moe=False, embed_dim=0, num_experts=0,
-                 moe_hidden=0):
+                 moe_hidden=0, moe_macaron=False):
         super().__init__()
         self.self_attn = RelPositionMultiHeadedAttention(heads, size)
         if moe:
@@ -278,13 +278,18 @@ class ConformerEncoderLayer(nn.Module):
         else:
             self.feed_forward = PositionwiseFeedForward(size, ffn_hidden)
         self.moe = moe
+        self.moe_macaron = moe_macaron
         self.macaron = macaron
         self.use_cnn = use_cnn
         self.norm_ff = nn.LayerNorm(size, eps=1e-12)
         self.norm_mha = nn.LayerNorm(size, eps=1e-12)
         if macaron:
-            self.feed_forward_macaron = PositionwiseFeedForward(size,
-                                                                ffn_hidden)
+            if moe_macaron:
+                self.feed_forward_macaron = LocalFmoeCatEmbedFeedForward(
+                    size, embed_dim, num_experts, moe_hidden)
+            else:
+                self.feed_forward_macaron = PositionwiseFeedForward(
+                    size, ffn_hidden)
             self.norm_ff_macaron = nn.LayerNorm(size, eps=1e-12)
             self.ff_scale = 0.5
         else:
@@ -297,8 +302,12 @@ class ConformerEncoderLayer(nn.Module):
 
     def forward(self, x, lengths, pos_emb, embed=None):
         if self.macaron:
-            x = x + self.ff_scale * self.feed_forward_macaron(
-                self.norm_ff_macaron(x))
+            h = self.norm_ff_macaron(x)
+            if self.moe_macaron:
+                h = self.feed_forward_macaron(h, embed, lengths)
+            else:
+                h = self.feed_forward_macaron(h)
+            x = x + self.ff_scale * h
         x = x + self.self_attn(self.norm_mha(x), pos_emb, lengths)
         if self.use_cnn:
             x = x + self.conv_module(self.norm_conv(x), lengths)

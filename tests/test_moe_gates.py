@@ -89,3 +89,35 @@ def test_exmarc_proto_flag():
         "nnet_proto": "conformer_aed_fmoeExMarc_localComm_catEmbed",
         "output_dim": 10, "model_conf": {"encoder_conf": {}}})
     assert cfg.encoder_conf.exmarc is True
+
+
+def test_exmarc_block_parity():
+    """ExMarc block (both FFN positions MoE) vs the golden torch twin."""
+    import torch
+    from golden import torch_ref as G
+    from m3asr_tpu import checkpoint as ckpt
+    from m3asr_tpu.checkpoint import StateDict
+    from m3asr_tpu.config import MoEEncoderConfig
+    from m3asr_tpu.models.layers import conformer_block
+    from test_op_parity import allclose, valid_region
+
+    torch.manual_seed(110)
+    m = G.randomize_(G.ConformerEncoderLayer(
+        32, 4, 64, moe=True, embed_dim=8, num_experts=4, moe_hidden=32,
+        moe_macaron=True), seed=111)
+    g = torch.Generator().manual_seed(112)
+    x = torch.randn(2, 15, 32, generator=g)
+    embed = torch.randn(2, 15, 8, generator=g)
+    lengths = torch.tensor([15, 10])
+    pe = G.RelPositionalEncoding(32).pe[0, :15]
+    with torch.no_grad():
+        y_t = m(x, lengths, pe[None], embed=embed)
+    cfg = MoEEncoderConfig(attention_dim=32, attention_heads=4,
+                           exmarc=True)
+    p = ckpt._to_jax(ckpt.convert_block(StateDict(m.state_dict()), cfg,
+                                        moe=True))
+    y_j = conformer_block(p, jnp.asarray(x.numpy()), jnp.array([15, 10]),
+                          jnp.asarray(pe.numpy()), num_heads=4, moe=True,
+                          moe_macaron=True,
+                          embed=jnp.asarray(embed.numpy()))
+    allclose(valid_region(y_j, [15, 10]), valid_region(y_t.numpy(), [15, 10]))
