@@ -10,7 +10,9 @@ ckpt=${CKPT:-}          # e.g. exp/3m_asr_18l32e.pt (external download)
 prior=${PRIOR:-}        # e.g. exp/label.counts
 out=${OUT:-engines/3m_asr_18l32e}
 
-args=(-c "$config" -o "$out")
+# default to the headline bucket; engines also compile lazily per
+# bucket at serving time (persisted in the engine's jax_cache)
+args=(-c "$config" -o "$out" --buckets "${BUCKETS:-1x256}")
 [ -n "$ckpt" ] && args+=(-m "$ckpt")
 [ -n "$prior" ] && args+=(-prior "$prior")
 
