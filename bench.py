@@ -125,8 +125,7 @@ def main(args):
         tokens = args.batch * int(subsampling4_length(
             np.array([bucket]))[0])
         if tokens <= MOE_DENSE_TOKEN_THRESHOLD:
-            # engine auto policy: fp32 -> capacity, bf16 -> dense
-            return "capacity" if dtype == "float32" else "dense"
+            return "dense"  # engine auto policy
         return "ragged"
 
     results = {}

@@ -140,9 +140,11 @@ class Engine:
         from m3asr_tpu.ops.masking import subsampling4_length
         tokens = batch * int(subsampling4_length(np.array([length]))[0])
         if tokens <= MOE_DENSE_TOKEN_THRESHOLD:
-            # measured on v5e at 64 tokens x 18 layers: fp32 capacity
-            # 4.7 ms vs dense 5.0 ms; bf16 dense wins (2.0 vs 2.25 ms)
-            return "capacity" if self.dtype == jnp.float32 else "dense"
+            # capacity measures ~7% faster fp32 (4.64 vs 5.02 ms x18
+            # layers) but its lax.cond fallback doubles compile time
+            # (prohibitive through this environment's remote compiler);
+            # dense is the default, capacity available via moe_impl
+            return "dense"
         return "ragged"
 
     def _make_forward(self, batch: int, length: int):
