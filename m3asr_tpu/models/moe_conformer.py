@@ -32,7 +32,8 @@ from m3asr_tpu.ops.common import init_layer_norm, layer_norm, linear
 def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
             feat_len: Optional[jax.Array], output_embed: bool = False,
             moe_impl: str = "dense", hier_taps: bool = False,
-            chunk_mask=None, return_router_probs: bool = False,
+            chunk_mask=None, embed_chunk_mask="same",
+            return_router_probs: bool = False,
             return_hidden: bool = False):
     """feat: (B, T, input_dim) -> logits (B, T', output_dim).
 
@@ -41,9 +42,20 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
     memories, conformer_aed_...hier.py:49-70) | + router_probs
     (L, B, T', E) (return_router_probs — for the aux losses).
     """
+    # The embed sub-encoder samples/holds its OWN chunk mask in the
+    # reference (conformer_embed.py:170-176 calls add_optional_chunk_mask
+    # with embed_conf's settings, independent of the main encoder's);
+    # "same" keeps the shared-mask behavior the streaming decode uses.
+    if isinstance(embed_chunk_mask, str) and embed_chunk_mask == "same":
+        embed_chunk_mask = chunk_mask
     embed_out, _, embed = conformer.forward(
         params["embed"], cfg.embed_conf, feat, feat_len, output_embed=True,
-        chunk_mask=chunk_mask)
+        chunk_mask=embed_chunk_mask)
+    # "detach embed to maintain an individual embedding"
+    # (conformer_fmoe_localComm_catEmbed.py:215-216): the router input
+    # never backprops into the embed encoder — it trains only through
+    # its own CTC head (embed_out).
+    embed = jax.lax.stop_gradient(embed)
 
     x, pos_emb, out_len = conformer.frontend(params, cfg, feat, feat_len)
 

@@ -73,6 +73,16 @@ def subsampling8_length(lengths: jax.Array) -> jax.Array:
     return conv_subsampled_length(l2, 2, 2)
 
 
+# length arithmetic per frontend input_layer (works on traced arrays
+# and python ints alike — pure // arithmetic)
+SUBSAMPLED_LENGTH = {
+    "conv2d": subsampling4_length,
+    "conv2d6": subsampling6_length,
+    "conv2d8": subsampling8_length,
+    "linear": lambda lengths: lengths,
+}
+
+
 def subsequent_mask(size: int, dtype=jnp.bool_) -> jax.Array:
     """Lower-triangular causal mask, True where attention is allowed
     (utils/mask.py:7-39). (size, size)."""
@@ -91,3 +101,76 @@ def subsequent_chunk_mask(size: int, chunk_size: int,
         start = jnp.maximum((chunk[:, None] - num_left_chunks) * chunk_size, 0)
         allowed = allowed & (pos[None, :] >= start)
     return allowed
+
+
+def _chunk_mask_traced(size: int, chunk_size: jax.Array,
+                       num_left_chunks: jax.Array) -> jax.Array:
+    """subsequent_chunk_mask with *traced* chunk_size / num_left_chunks
+    (needed because the dynamic-chunk training mode samples them per
+    batch inside jit)."""
+    pos = jnp.arange(size)
+    chunk = pos // chunk_size
+    ending = jnp.minimum((chunk[:, None] + 1) * chunk_size, size)
+    allowed = pos[None, :] < ending
+    start = jnp.maximum((chunk[:, None] - num_left_chunks) * chunk_size, 0)
+    left_ok = jnp.where(num_left_chunks >= 0, pos[None, :] >= start, True)
+    return allowed & left_ok
+
+
+def dynamic_chunk_mask(key: jax.Array, size: int,
+                       use_dynamic_left_chunk: bool = False) -> jax.Array:
+    """Random dynamic-chunk *training* mask — the decoding_chunk_size==0
+    branch of add_optional_chunk_mask (utils/mask.py:110-131): sample
+    chunk_size uniform in [1, size); if it exceeds size//2 use full
+    context, else fold to [1, 25] (1 s of audio after 4x subsampling);
+    optionally sample the number of left chunks too. (size, size) bool.
+
+    Deviation from the torch original: the left-chunk count is drawn as
+    uniform-mod (the bound is traced, so a bounded randint can't be
+    staged); the distribution over [0, max_left) is identical.
+    """
+    k1, k2 = jax.random.split(key)
+    cs = jax.random.randint(k1, (), 1, max(size, 2))
+    full = cs > size // 2
+    cs = jnp.where(full, size, cs % 25 + 1)
+    if use_dynamic_left_chunk:
+        max_left = jnp.maximum((size - 1) // cs, 1)
+        nleft = jax.random.randint(k2, (), 0, 2 ** 30) % max_left
+        nleft = jnp.where(full, -1, nleft)
+    else:
+        nleft = jnp.int32(-1)
+    return _chunk_mask_traced(size, cs, nleft)
+
+
+def add_optional_chunk_mask(lengths: jax.Array, max_len: int,
+                            use_dynamic_chunk: bool,
+                            use_dynamic_left_chunk: bool,
+                            decoding_chunk_size: int,
+                            static_chunk_size: int,
+                            num_decoding_left_chunks: int,
+                            key=None):
+    """The reference's add_optional_chunk_mask (utils/mask.py:80-145)
+    as a functional jit-able op: returns a (B, 1, T, T) attend-mask
+    combining the chunk pattern with key-side padding validity, or
+    None when no chunking applies (length masking alone, which the
+    attention ops already do from `lengths`).
+
+    decoding_chunk_size: 0 = training (random dynamic chunk, requires
+    `key`), <0 = full context, >0 = fixed decode chunk.
+    """
+    if use_dynamic_chunk:
+        if decoding_chunk_size < 0:
+            chunk = jnp.ones((max_len, max_len), bool)
+        elif decoding_chunk_size > 0:
+            chunk = subsequent_chunk_mask(max_len, decoding_chunk_size,
+                                          num_decoding_left_chunks)
+        else:
+            assert key is not None, "training mode needs a PRNG key"
+            chunk = dynamic_chunk_mask(key, max_len, use_dynamic_left_chunk)
+    elif static_chunk_size > 0:
+        chunk = subsequent_chunk_mask(max_len, static_chunk_size,
+                                      num_decoding_left_chunks)
+    else:
+        return None
+    valid = make_valid_mask(lengths, max_len)            # (B, T)
+    return (chunk[None] & valid[:, None, :])[:, None]    # (B, 1, T, T)

@@ -30,17 +30,42 @@ import jax.numpy as jnp
 import optax
 
 
-class LRScale:
-    """Mutable lr multiplier (half_learning_rate support). Works because
-    optax schedules are re-traced per update only in eager, so we fold
-    the scale into the optimizer state via inject_hyperparams instead;
-    this box is consulted when (re)building the schedule."""
+def lr_scale_transform() -> optax.GradientTransformation:
+    """Runtime-adjustable LR multiplier (the reference's
+    half_learning_rate, bk/..._hier.py:764-774). The scale lives in the
+    optimizer *state* (inject_hyperparams), so halving it between steps
+    needs no retrace: mutate with `set_lr_scale(opt_state, value)`."""
+    return optax.inject_hyperparams(
+        lambda lr_scale: optax.scale(lr_scale))(lr_scale=1.0)
 
-    def __init__(self):
-        self.value = 1.0
 
-    def half(self):
-        self.value *= 0.5
+def _map_hyperparam(opt_state, name: str, fn):
+    """Rebuild opt_state with hyperparams[name] = fn(old) in every
+    InjectHyperparamsState found (optax states are NamedTuples)."""
+    if hasattr(opt_state, "hyperparams") and name in opt_state.hyperparams:
+        hp = dict(opt_state.hyperparams)
+        hp[name] = fn(hp[name])
+        return opt_state._replace(hyperparams=hp)
+    if hasattr(opt_state, "_fields"):
+        return type(opt_state)(*[_map_hyperparam(getattr(opt_state, f),
+                                                 name, fn)
+                                 for f in opt_state._fields])
+    if isinstance(opt_state, tuple):
+        return tuple(_map_hyperparam(s, name, fn) for s in opt_state)
+    return opt_state
+
+
+def set_lr_scale(opt_state, value: float):
+    import jax.numpy as _jnp
+    return _map_hyperparam(opt_state, "lr_scale",
+                           lambda old: _jnp.asarray(value, _jnp.float32))
+
+
+def get_lr_scale(opt_state) -> float:
+    found = []
+    _map_hyperparam(opt_state, "lr_scale",
+                    lambda old: (found.append(float(old)), old)[1])
+    return found[0] if found else 1.0
 
 
 def constant_schedule(lr: float, min_lr: float = 1e-8, **_):
@@ -172,4 +197,5 @@ def build_optimizer(schedule_type: str, schedule_conf: Optional[dict],
                                  mask=mask, **optim_conf))
     else:
         chain.append(OPTIMS[optim_type](schedule, **optim_conf))
+    chain.append(lr_scale_transform())
     return optax.chain(*chain)

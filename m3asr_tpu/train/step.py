@@ -35,33 +35,53 @@ class TrainConfig:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """WarmupNoam-style schedule + Adam (utils/lr_scheduler.py families;
-    Noam = the conformer default)."""
-    def noam(step):
-        step = jnp.maximum(step, 1)
-        return cfg.learning_rate * jnp.minimum(
-            step ** -0.5, step * cfg.warmup_steps ** -1.5) * (
-                cfg.warmup_steps ** 0.5)
+    """WarmupNoam schedule + Adam via the lr_scheduler factory (the
+    reference's build_optimizer, utils/lr_scheduler.py:306-314), with
+    the runtime lr_scale knob divergence recovery halves."""
+    from m3asr_tpu.train.lr_scheduler import build_optimizer
+    return build_optimizer(
+        "warmup_noam", {"warmup_steps": cfg.warmup_steps},
+        cfg.learning_rate, optim_type="adam",
+        max_grad_norm=cfg.grad_clip, weight_decay=cfg.weight_decay)
 
-    chain = [optax.clip_by_global_norm(cfg.grad_clip)]
-    if cfg.weight_decay > 0:
-        chain.append(optax.adamw(noam, weight_decay=cfg.weight_decay))
-    else:
-        chain.append(optax.adam(noam))
-    return optax.chain(*chain)
+
+def train_chunk_mask(enc_cfg, feat, feat_len, rng):
+    """The per-batch chunk mask of the reference training forward
+    (conformer_fmoe_localComm_catEmbed.py:225-231: add_optional_chunk_mask
+    with decoding_chunk_size=0 -> random dynamic chunks when
+    use_dynamic_chunk, else the static chunk mask). Returns None when
+    neither chunk mode is configured."""
+    from m3asr_tpu.ops import masking
+
+    if not (enc_cfg.use_dynamic_chunk or enc_cfg.static_chunk_size > 0):
+        return None
+    sub_len = masking.SUBSAMPLED_LENGTH[enc_cfg.input_layer]
+    t_sub = int(sub_len(feat.shape[1]))          # static (bucketed) T'
+    return masking.add_optional_chunk_mask(
+        sub_len(feat_len), t_sub, enc_cfg.use_dynamic_chunk,
+        enc_cfg.use_dynamic_left_chunk, 0, enc_cfg.static_chunk_size, -1,
+        key=rng)
 
 
 def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
-            feat, feat_len, targets, target_lens):
+            feat, feat_len, targets, target_lens, rng=None):
     is_moe = model_cfg.nnet_proto in MOE_HIER_PROTOS
     metrics = {}
+    rng_main, rng_embed = (jax.random.split(rng) if rng is not None
+                           else (None, None))
+    chunk_mask = train_chunk_mask(model_cfg.encoder_conf, feat, feat_len,
+                                  rng_main)
     if is_moe:
+        embed_mask = train_chunk_mask(model_cfg.encoder_conf.embed_conf,
+                                      feat, feat_len, rng_embed)
         out, out_len, embed_out = moe_conformer.forward(
             params, model_cfg.encoder_conf, feat, feat_len,
-            output_embed=True, moe_impl="dense")
+            output_embed=True, moe_impl="dense", chunk_mask=chunk_mask,
+            embed_chunk_mask=embed_mask)
     else:
         out, out_len = conformer.forward(params, model_cfg.encoder_conf,
-                                         feat, feat_len)
+                                         feat, feat_len,
+                                         chunk_mask=chunk_mask)
         embed_out = None
     loss = tcfg.ctc_weight * losses.ctc_loss(
         out, out_len, targets, target_lens, tcfg.blank_idx)
@@ -92,7 +112,7 @@ def add_sos_eos_jnp(targets: jax.Array, target_lens: jax.Array, sos: int,
 
 def hier_aed_loss_fn(params, model_cfg: ModelConfig, tcfg: "HierTrainConfig",
                      feat, feat_len, targets, target_lens,
-                     aed_targets, aed_target_lens):
+                     aed_targets, aed_target_lens, rng=None):
     """The deployed training recipe (bk/..._hier.py:52-154 LossCompute):
     CTC(final) + embed-CTC + label-smoothing AED at taps 6/12/final
     + router l1+importance aux. params must include 'decoder',
@@ -100,10 +120,18 @@ def hier_aed_loss_fn(params, model_cfg: ModelConfig, tcfg: "HierTrainConfig",
     from m3asr_tpu.models import aed
 
     enc = params["encoder"] if "encoder" in params else params
+    rng_main, rng_embed = (jax.random.split(rng) if rng is not None
+                           else (None, None))
+    chunk_mask = train_chunk_mask(model_cfg.encoder_conf, feat, feat_len,
+                                  rng_main)
+    embed_mask = train_chunk_mask(model_cfg.encoder_conf.embed_conf,
+                                  feat, feat_len, rng_embed)
     out, out_len, embed_out, h6, h12, h_final, router_ps = \
         moe_conformer.forward(enc, model_cfg.encoder_conf, feat, feat_len,
                               output_embed=True, hier_taps=True,
-                              return_router_probs=True, moe_impl="dense")
+                              return_router_probs=True, moe_impl="dense",
+                              chunk_mask=chunk_mask,
+                              embed_chunk_mask=embed_mask)
     metrics = {}
     loss = tcfg.ctc_weight * losses.ctc_loss(out, out_len, targets,
                                              target_lens, tcfg.blank_idx)
@@ -156,17 +184,26 @@ class HierTrainConfig(TrainConfig):
     router_importance_weight: float = 0.0
 
 
+def _needs_rng(model_cfg: ModelConfig) -> bool:
+    enc = model_cfg.encoder_conf
+    embed = getattr(enc, "embed_conf", None)
+    return enc.use_dynamic_chunk or (embed is not None
+                                     and embed.use_dynamic_chunk)
+
+
 def make_hier_train_step(model_cfg: ModelConfig, tcfg: HierTrainConfig,
                          optimizer: optax.GradientTransformation):
-    """Full hier AED training step (the deployed recipe)."""
+    """Full hier AED training step (the deployed recipe). When the
+    encoder config enables dynamic-chunk training, the returned step
+    takes a trailing PRNG key (the per-batch chunk-size sample)."""
 
     def step(params, opt_state, feat, feat_len, targets, target_lens,
-             aed_targets, aed_target_lens):
+             aed_targets, aed_target_lens, rng=None):
         (loss, metrics), grads = jax.value_and_grad(
             lambda p: hier_aed_loss_fn(p, model_cfg, tcfg, feat, feat_len,
                                        targets, target_lens, aed_targets,
-                                       aed_target_lens), has_aux=True)(
-            params)
+                                       aed_target_lens, rng=rng),
+            has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
@@ -179,12 +216,15 @@ def make_train_step(model_cfg: ModelConfig, tcfg: TrainConfig,
                     optimizer: optax.GradientTransformation):
     """Returns step(params, opt_state, batch) -> (params, opt_state,
     metrics). jit/shard externally (see parallel.mesh +
-    __graft_entry__.dryrun_multichip)."""
+    __graft_entry__.dryrun_multichip). With dynamic-chunk training
+    enabled, step takes a trailing PRNG key."""
 
-    def step(params, opt_state, feat, feat_len, targets, target_lens):
+    def step(params, opt_state, feat, feat_len, targets, target_lens,
+             rng=None):
         (loss, metrics), grads = jax.value_and_grad(
             lambda p: loss_fn(p, model_cfg, tcfg, feat, feat_len,
-                              targets, target_lens), has_aux=True)(params)
+                              targets, target_lens, rng=rng),
+            has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)

@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from m3asr_tpu.train.metrics import MetricStat, ThroughputMeter, set_logger
+from m3asr_tpu.train.metrics import (MetricStat, ScalarWriter,
+                                     TensorBoardWriter, ThroughputMeter,
+                                     set_logger)
 
 
 class Trainer:
@@ -36,7 +38,9 @@ class Trainer:
                  valid_loader: Optional[Callable[[], Iterable]] = None,
                  save_dir: str = "exp", log_period: int = 100,
                  max_epochs: int = 20, early_stop_count: int = 5,
-                 keep_recent: int = 5, logger=None):
+                 keep_recent: int = 5, logger=None,
+                 step_takes_rng: bool = False, seed: int = 0,
+                 scalar_dir: Optional[str] = None):
         self.model_cfg = model_cfg
         self.params = params
         self.optimizer = optimizer
@@ -56,9 +60,19 @@ class Trainer:
         self.resume_skip = 0
         self.best_valid = float("inf")
         self.best_params = params
+        self.best_opt_state = self.opt_state
         self.early_stop = 0
         self.recent_models: list = []
         self.lr_scale = 1.0
+        self.step_takes_rng = step_takes_rng
+        self.rng = jax.random.PRNGKey(seed)
+        # scalar observability: JSONL + TensorBoard event files
+        # (bk/..._hier.py:190-193,622-623)
+        self.writers = []
+        if scalar_dir:
+            self.writers = [
+                ScalarWriter(os.path.join(scalar_dir, "scalars.jsonl")),
+                TensorBoardWriter(scalar_dir)]
 
     # ------------------------------------------------------------------
     # checkpointing (bk/..._hier.py:435-506)
@@ -80,6 +94,9 @@ class Trainer:
             "opt_state": jax.tree.map(
                 lambda x: np.asarray(x) if hasattr(x, "shape") else x,
                 self.opt_state),
+            "best_opt_state": jax.tree.map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                self.best_opt_state),
         }
         path = self._ckpt_path(tag)
         with open(path + ".tmp", "wb") as f:
@@ -107,6 +124,9 @@ class Trainer:
         self.opt_state = jax.tree.map(
             lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
             state["opt_state"])
+        self.best_opt_state = jax.tree.map(
+            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+            state.get("best_opt_state", state["opt_state"]))
         self.logger.info(
             f"resumed epoch={self.epoch} step={self.global_step} "
             f"skip={self.resume_skip}")
@@ -116,12 +136,17 @@ class Trainer:
     # divergence recovery (bk/..._hier.py:764-774)
     # ------------------------------------------------------------------
     def _recover_from_divergence(self):
+        from m3asr_tpu.train.lr_scheduler import set_lr_scale
         self.logger.warning(
             "non-finite loss: reload best model, halve lr, early-stop "
             f"counter {self.early_stop + 1}/{self.early_stop_limit}")
         self.params = self.best_params
-        self.opt_state = self.optimizer.init(self.params)
         self.lr_scale *= 0.5
+        # restore the optimizer state saved with the best model (the
+        # reference restores the checkpointed optim dict, not a fresh
+        # Adam) and fold the halved LR into it — lr_scale lives in the
+        # optax state (inject_hyperparams), so no retrace
+        self.opt_state = set_lr_scale(self.best_opt_state, self.lr_scale)
         self.early_stop += 1
 
     # ------------------------------------------------------------------
@@ -131,9 +156,12 @@ class Trainer:
         stat = MetricStat(["loss", "ctc_loss"])
         meter = ThroughputMeter()
         for i, batch in enumerate(self.make_loader(self.resume_skip)):
-            self.params, self.opt_state, metrics = self.train_step(
-                self.params, self.opt_state, batch["data"], batch["lens"],
-                batch["target"], batch["target_lens"])
+            args = (self.params, self.opt_state, batch["data"],
+                    batch["lens"], batch["target"], batch["target_lens"])
+            if self.step_takes_rng:
+                # per-batch chunk-size sample (dynamic-chunk training)
+                args += (jax.random.fold_in(self.rng, self.global_step),)
+            self.params, self.opt_state, metrics = self.train_step(*args)
             loss = float(metrics["loss"])
             if not np.isfinite(loss):
                 self._recover_from_divergence()
@@ -151,6 +179,11 @@ class Trainer:
                     f"epoch {self.epoch} step {self.global_step} "
                     f"loss {avg[0]:.4f} ctc {avg[1]:.4f} "
                     f"{meter.rate():.0f} frames/s")
+                for w in self.writers:
+                    for tag, v in zip(stat.tags, avg):
+                        w.add_scalar(f"train/{tag}", v, self.global_step)
+                    w.add_scalar("train/frames_per_s", meter.rate(),
+                                 self.global_step)
                 self.save_checkpoint("last")
         return dict(zip(stat.tags, stat.summary_stat()))
 
@@ -173,9 +206,12 @@ class Trainer:
             if valid_step is not None and self.valid_loader is not None:
                 cv = self.validate(valid_step)
                 self.logger.info(f"epoch {self.epoch} valid loss {cv:.4f}")
+                for w in self.writers:
+                    w.add_scalar("valid/loss", cv, self.global_step)
                 if cv < self.best_valid:
                     self.best_valid = cv
                     self.best_params = self.params
+                    self.best_opt_state = self.opt_state
                     self.early_stop = 0
                     self.save_checkpoint("best")
                 else:
@@ -185,6 +221,7 @@ class Trainer:
                         break
             else:
                 self.best_params = self.params
+                self.best_opt_state = self.opt_state
             self.epoch += 1
             self.save_checkpoint("last")
         return self.params

@@ -179,3 +179,18 @@ def test_data_loader_roundtrip(tmp_path):
     # resume skip
     skipped = list(dl(skip_num=4))
     assert len(skipped) == 1 and skipped[0]["data"].shape[0] == 1
+
+
+def test_tensorboard_writer_roundtrip(tmp_path):
+    """TB event file: valid TFRecord framing (CRC-checked) + scalar
+    protos parse back with the right tags/steps/values."""
+    from m3asr_tpu.train.metrics import TensorBoardWriter, read_tb_scalars
+    w = TensorBoardWriter(str(tmp_path))
+    w.add_scalar("train/loss", 3.25, 10)
+    w.add_scalar("train/ctc_loss", 1.5, 10)
+    w.add_scalar("valid/loss", 2.0, 20)
+    w.close()
+    events = read_tb_scalars(w.path)
+    assert events == [(10, "train/loss", 3.25),
+                      (10, "train/ctc_loss", 1.5),
+                      (20, "valid/loss", 2.0)]

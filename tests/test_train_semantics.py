@@ -1,0 +1,211 @@
+"""Training-semantics fidelity vs the reference recipe:
+
+* embed.detach() — the catEmbed router input never backprops into the
+  embed encoder (conformer_fmoe_localComm_catEmbed.py:215-216)
+* random dynamic-chunk training masks (utils/mask.py:80-145)
+* lr_scale wiring — divergence recovery actually halves the LR and
+  restores the best optimizer state (bk/..._hier.py:764-774)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from m3asr_tpu.config import (EncoderConfig, ModelConfig, MoEConfig,
+                              MoEEncoderConfig)
+from m3asr_tpu.models import moe_conformer
+from m3asr_tpu.ops import masking
+from m3asr_tpu.train.lr_scheduler import (get_lr_scale, lr_scale_transform,
+                                          set_lr_scale)
+from m3asr_tpu.train.step import TrainConfig, make_optimizer, make_train_step
+from m3asr_tpu.train.trainer import Trainer
+
+
+def tiny_cfg(**enc_kw):
+    mc = ModelConfig()
+    mc.input_dim = 12
+    mc.output_dim = 7
+    mc.encoder_conf = MoEEncoderConfig(
+        attention_dim=24, attention_heads=4, num_blocks=2,
+        embed_conf=EncoderConfig(attention_dim=16, attention_heads=4,
+                                 linear_units=24, num_blocks=1),
+        moe_conf=MoEConfig(num_experts=2, hidden_units=24), **enc_kw)
+    return mc
+
+
+# ---------------------------------------------------------------------------
+# embed.detach()
+# ---------------------------------------------------------------------------
+
+def test_embed_encoder_gets_no_gradient_through_router():
+    mc = tiny_cfg()
+    params = moe_conformer.init(jax.random.PRNGKey(0), mc.encoder_conf,
+                                mc.input_dim, mc.output_dim)
+    # randomize routers so gate values actually depend on embed
+    r = params["blocks"]["feed_forward"]["router"]["kernel"]
+    params["blocks"]["feed_forward"]["router"]["kernel"] = \
+        jax.random.normal(jax.random.PRNGKey(1), r.shape, r.dtype)
+
+    feat = jax.random.normal(jax.random.PRNGKey(2), (2, 23, 12))
+    feat_len = jnp.array([23, 17], jnp.int32)
+
+    def out_sum(p):
+        out, _ = moe_conformer.forward(p, mc.encoder_conf, feat, feat_len)
+        return jnp.sum(out)
+
+    grads = jax.grad(out_sum)(params)
+    # the ONLY path from the embed encoder into `out` is the (detached)
+    # router feature -> zero gradient everywhere under params["embed"]
+    embed_norm = optax.global_norm(grads["embed"])
+    assert float(embed_norm) == 0.0
+    # ...but the router itself still trains
+    router_norm = optax.global_norm(
+        grads["blocks"]["feed_forward"]["router"])
+    assert float(router_norm) > 0.0
+    # and the embed encoder trains through its own CTC head (embed_out)
+    def embed_out_sum(p):
+        _, _, embed_out = moe_conformer.forward(
+            p, mc.encoder_conf, feat, feat_len, output_embed=True)
+        return jnp.sum(embed_out)
+    g2 = jax.grad(embed_out_sum)(params)
+    assert float(optax.global_norm(g2["embed"])) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# dynamic chunk masks
+# ---------------------------------------------------------------------------
+
+def _np_subsequent_chunk_mask(size, chunk_size, num_left_chunks=-1):
+    """Independent numpy transcription of the reference formula
+    (utils/mask.py:42-79)."""
+    ret = np.zeros((size, size), bool)
+    for i in range(size):
+        if num_left_chunks < 0:
+            start = 0
+        else:
+            start = max((i // chunk_size - num_left_chunks) * chunk_size, 0)
+        ending = min((i // chunk_size + 1) * chunk_size, size)
+        ret[i, start:ending] = True
+    return ret
+
+
+def test_dynamic_chunk_mask_matches_reference_formula():
+    size = 40
+    key = jax.random.PRNGKey(7)
+    mask = np.asarray(masking.dynamic_chunk_mask(key, size))
+    # replicate the sampling to learn which chunk size was drawn
+    k1, _ = jax.random.split(key)
+    cs0 = int(jax.random.randint(k1, (), 1, size))
+    cs = size if cs0 > size // 2 else cs0 % 25 + 1
+    np.testing.assert_array_equal(mask,
+                                  _np_subsequent_chunk_mask(size, cs))
+
+
+def test_dynamic_chunk_mask_varies_with_key_and_is_deterministic():
+    size = 64
+    masks = {np.asarray(masking.dynamic_chunk_mask(
+        jax.random.PRNGKey(k), size)).tobytes() for k in range(8)}
+    assert len(masks) > 1  # different keys -> different chunkings
+    a = masking.dynamic_chunk_mask(jax.random.PRNGKey(3), size)
+    b = masking.dynamic_chunk_mask(jax.random.PRNGKey(3), size)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_add_optional_chunk_mask_branches():
+    lengths = jnp.array([10, 6], jnp.int32)
+    T = 12
+    # no chunking configured -> None (plain length masking downstream)
+    assert masking.add_optional_chunk_mask(lengths, T, False, False, 0, 0,
+                                           -1) is None
+    # static chunk
+    m = masking.add_optional_chunk_mask(lengths, T, False, False, 0, 4, -1)
+    assert m.shape == (2, 1, T, T)
+    expect = _np_subsequent_chunk_mask(T, 4)[None] & \
+        (np.arange(T)[None, None, :] < np.asarray(lengths)[:, None, None])
+    np.testing.assert_array_equal(np.asarray(m[:, 0]), expect)
+    # dynamic, decode full-context -> chunk part all-True
+    m = masking.add_optional_chunk_mask(lengths, T, True, False, -1, 0, -1)
+    np.testing.assert_array_equal(
+        np.asarray(m[:, 0]),
+        np.broadcast_to((np.arange(T) < np.asarray(lengths)[:, None])
+                        [:, None, :], (2, T, T)))
+    # dynamic, fixed decode chunk with left chunks
+    m = masking.add_optional_chunk_mask(lengths, T, True, False, 4, 0, 1)
+    expect = _np_subsequent_chunk_mask(T, 4, 1)[None] & \
+        (np.arange(T)[None, None, :] < np.asarray(lengths)[:, None, None])
+    np.testing.assert_array_equal(np.asarray(m[:, 0]), expect)
+    # dynamic training requires a key
+    with pytest.raises(AssertionError):
+        masking.add_optional_chunk_mask(lengths, T, True, False, 0, 0, -1)
+
+
+def test_dynamic_chunk_training_step_runs_and_differs_by_key():
+    mc = tiny_cfg(use_dynamic_chunk=True)
+    params = moe_conformer.init(jax.random.PRNGKey(0), mc.encoder_conf,
+                                mc.input_dim, mc.output_dim)
+    tcfg = TrainConfig(warmup_steps=5)
+    opt = make_optimizer(tcfg)
+    step = jax.jit(make_train_step(mc, tcfg, opt))
+    opt_state = opt.init(params)
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(2, 31, 12), jnp.float32)
+    lens = jnp.array([31, 25], jnp.int32)
+    tgt = jnp.asarray(rng.randint(1, 7, (2, 3)), jnp.int32)
+    tlens = jnp.array([3, 2], jnp.int32)
+
+    _, _, m1 = step(params, opt_state, feat, lens, tgt, tlens,
+                    jax.random.PRNGKey(1))
+    _, _, m2 = step(params, opt_state, feat, lens, tgt, tlens,
+                    jax.random.PRNGKey(4))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    # different chunk draws -> different losses (same data/params)
+    assert float(m1["loss"]) != float(m2["loss"])
+
+
+# ---------------------------------------------------------------------------
+# lr_scale wiring
+# ---------------------------------------------------------------------------
+
+def test_lr_scale_transform_scales_updates():
+    opt = optax.chain(optax.sgd(1.0), lr_scale_transform())
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.full((3,), 2.0)}
+    state = opt.init(params)
+    up1, state1 = opt.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(up1["w"]), -2.0)
+    state_h = set_lr_scale(state, 0.5)
+    assert get_lr_scale(state_h) == 0.5
+    up2, _ = opt.update(grads, state_h, params)
+    np.testing.assert_allclose(np.asarray(up2["w"]), -1.0)
+
+
+def test_recovery_halves_lr_and_restores_best_opt_state(tmp_path):
+    mc = tiny_cfg()
+    params = moe_conformer.init(jax.random.PRNGKey(0), mc.encoder_conf,
+                                mc.input_dim, mc.output_dim)
+    tcfg = TrainConfig(warmup_steps=5)
+    opt = make_optimizer(tcfg)
+    step = make_train_step(mc, tcfg, opt)
+    trainer = Trainer(mc, params, opt, step, make_loader=lambda s: iter([]),
+                      save_dir=str(tmp_path))
+    # pretend some training happened, then the best snapshot was taken
+    trainer.best_opt_state = trainer.opt_state
+    assert get_lr_scale(trainer.opt_state) == 1.0
+    trainer._recover_from_divergence()
+    assert trainer.lr_scale == 0.5
+    assert get_lr_scale(trainer.opt_state) == 0.5
+    trainer._recover_from_divergence()
+    assert get_lr_scale(trainer.opt_state) == 0.25
+    # the jitted step consumes the halved scale with no retrace errors
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(2, 31, 12), jnp.float32)
+    lens = jnp.array([31, 25], jnp.int32)
+    tgt = jnp.asarray(rng.randint(1, 7, (2, 3)), jnp.int32)
+    tlens = jnp.array([3, 2], jnp.int32)
+    jstep = jax.jit(step)
+    _, st1, _ = jstep(trainer.params, trainer.opt_state, feat, lens, tgt,
+                      tlens)
+    assert get_lr_scale(st1) == 0.25  # scale survives the update
