@@ -98,6 +98,70 @@ def forward(p, cfg: DecoderConfig, memory: jax.Array,
     return linear(p["output_layer"], x)
 
 
+def init_cache(cfg: DecoderConfig, batch: int, max_len: int, d_model: int,
+               dtype=jnp.float32) -> jax.Array:
+    """Decode cache for forward_one_step: per-layer INPUT hidden states
+    at every emitted position, (L, B, max_len, d). Static shape — the
+    TPU replacement for the reference's growing per-layer cache list
+    (att_decoder.py:258-300)."""
+    return jnp.zeros((cfg.num_blocks, batch, max_len, d_model), dtype)
+
+
+def forward_one_step(p, cfg: DecoderConfig, memory: jax.Array,
+                     memory_lens: jax.Array, tgt: jax.Array,
+                     pos, cache: jax.Array):
+    """One incremental decode step (TransformerDecoder.forward_one_step,
+    att_decoder.py:258-300): score position `pos` given the cached
+    prefix, recomputing only the last-position query per layer.
+
+    The torch original re-embeds the whole prefix and concatenates a
+    growing cache; here the cache is a fixed (L, B, U, d) buffer of each
+    layer's input hiddens, written at `pos` and attended under an
+    iota<=pos mask — fully static shapes, so the step jits once and is
+    drivable from lax.scan/while_loop.
+
+    tgt: (B,) int32 token ids at position `pos` (traced scalar ok).
+    Returns (log_probs (B, V), new_cache).
+    """
+    d = memory.shape[-1]
+    U = cache.shape[2]
+    num_heads = cfg.attention_heads
+    emb = jnp.take(p["embed"]["weight"], tgt, axis=0)          # (B, d)
+    pe = jax.lax.dynamic_slice_in_dim(p["pos_enc"]["pe"], pos, 1, axis=0)
+    x = emb * jnp.asarray(np.sqrt(d), emb.dtype) + pe.astype(emb.dtype)
+    key_ok = (jnp.arange(U) <= pos)[None, None, None, :]       # (1,1,1,U)
+
+    def body(x_new, inputs):
+        layer_p, cache_l = inputs
+        cache_l = jax.lax.dynamic_update_slice(
+            cache_l, x_new[:, None, :], (0, pos, 0))
+        # self-attn: q/k/v are norm1 of the layer input (att_decoder.py
+        # pre-norm path; keys = norm1(full prefix), query = last pos)
+        kv = layer_norm(layer_p["norm1"], cache_l)
+        q = layer_norm(layer_p["norm1"], x_new[:, None, :])
+        h = mha(layer_p["self_attn"], q, kv, kv, None, num_heads,
+                mask=key_ok)
+        xq = x_new[:, None, :] + h
+
+        residual = xq
+        h = layer_norm(layer_p["norm2"], xq)
+        h = mha(layer_p["src_attn"], h, memory, memory, memory_lens,
+                num_heads)
+        xq = residual + h
+
+        residual = xq
+        h = layer_norm(layer_p["norm3"], xq)
+        h = linear(layer_p["feed_forward"]["w_2"],
+                   jax.nn.relu(linear(layer_p["feed_forward"]["w_1"], h)))
+        xq = residual + h
+        return xq[:, 0, :], cache_l
+
+    x, new_cache = jax.lax.scan(body, x, (p["decoders"], cache))
+    y = layer_norm(p["after_norm"], x)
+    y = jax.nn.log_softmax(linear(p["output_layer"], y), axis=-1)
+    return y, new_cache
+
+
 def score_hyps(p, cfg: DecoderConfig, memory: jax.Array,
                memory_lens: jax.Array, hyps: Sequence[Sequence[int]],
                sos: int, eos: int, ignore_id: int,

@@ -73,3 +73,46 @@ def test_attention_rescoring_prefers_decoder_consistent_hyp():
                                       sos=12, eos=12, ignore_id=0,
                                       ctc_weight=1e6)
     assert hyp2 == [3, 5]
+
+
+def test_forward_one_step_matches_teacher_forced():
+    """Stepwise decode with cache == teacher-forced forward at every
+    position (att_decoder.py:258-300 parity standard)."""
+    import jax
+    _, dcfg, p = _setup()
+    rng = np.random.RandomState(53)
+    B, T, d, U = 2, 9, 32, 5
+    memory = jnp.asarray(rng.randn(B, T, d), jnp.float32)
+    memory_lens = jnp.array([9, 6], jnp.int32)
+    ys_in = jnp.asarray([[12, 3, 5, 7, 2], [12, 2, 4, 1, 6]], jnp.int32)
+
+    # teacher-forced scores at full length
+    logits = aed.forward(p, dcfg, memory, memory_lens, ys_in,
+                         jnp.array([U, U], jnp.int32))
+    ref_logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+
+    step = jax.jit(lambda p, m, ml, t, pos, c: aed.forward_one_step(
+        p, dcfg, m, ml, t, pos, c))
+    cache = aed.init_cache(dcfg, B, U, d)
+    for t in range(U):
+        y, cache = step(p, memory, memory_lens, ys_in[:, t],
+                        jnp.int32(t), cache)
+        allclose(np.asarray(y), ref_logp[:, t], atol=1e-4)
+
+
+def test_forward_one_step_jits_once_across_positions():
+    """pos is traced -> one compilation serves the whole decode."""
+    import jax
+    _, dcfg, p = _setup()
+    rng = np.random.RandomState(54)
+    memory = jnp.asarray(rng.randn(1, 6, 32), jnp.float32)
+    memory_lens = jnp.array([6], jnp.int32)
+    step = jax.jit(lambda p, m, ml, t, pos, c: aed.forward_one_step(
+        p, dcfg, m, ml, t, pos, c))
+    cache = aed.init_cache(dcfg, 1, 4, 32)
+    tok = jnp.array([12], jnp.int32)
+    for t in range(4):
+        y, cache = step(p, memory, memory_lens, tok, jnp.int32(t),
+                        cache)
+        tok = jnp.argmax(y, axis=-1).astype(jnp.int32)
+    assert step._cache_size() == 1
