@@ -45,7 +45,8 @@ def _kernel(gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
     y = jnp.dot(h, w2_ref[0], preferred_element_type=jnp.float32)
     if use_b2:
         y = y + b2_ref[e][None, :].astype(jnp.float32)
-    sel = (gate_ref[:] == e)[:, None]                # (N, 1)
+    sel = gate_ref[:] == e                           # (N, 1); gate is 2-D
+    # (1-D VMEM blocks crash this Mosaic toolchain)
     out_ref[:] += jnp.where(sel, y, 0.0).astype(out_ref.dtype)
 
 
@@ -58,10 +59,10 @@ def moe_experts_dense_pallas(p, x: jax.Array,
     N = B * T
     pad = (-N) % 8
     x2 = x.reshape(N, d)
-    g = gate_idx.reshape(N).astype(jnp.int32)
+    g = gate_idx.reshape(N, 1).astype(jnp.int32)
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-        g = jnp.pad(g, (0, pad), constant_values=-1)
+        g = jnp.pad(g, ((0, pad), (0, 0)), constant_values=-1)
     Np = x2.shape[0]
 
     w1 = p["w1"].astype(x.dtype)
@@ -76,7 +77,7 @@ def moe_experts_dense_pallas(p, x: jax.Array,
         functools.partial(_kernel, use_b2=use_b2),
         grid=(E,),
         in_specs=[
-            pl.BlockSpec((Np,), lambda e: (0,),
+            pl.BlockSpec((Np, 1), lambda e: (0, 0),
                          memory_space=pltpu.VMEM),          # gate
             pl.BlockSpec((Np, d), lambda e: (0, 0),
                          memory_space=pltpu.VMEM),          # x

@@ -2,9 +2,11 @@
 """Minimal serving daemon: newline-delimited JSON over TCP.
 
 Production-deployment entry point the reference leaves to the user
-(its infer.py is one-shot). One engine, optional batching of requests
-that arrive within a window, CTC decode on host (native C++ when
-available).
+(its infer.py is one-shot). One engine; concurrent requests arriving
+within --batch-window-ms are padded into ONE batched engine call
+(runtime/batching.MicroBatcher — the MoE forward is HBM-bound, so a
+batch of B costs ~one utterance of wall time); CTC decode on host
+(native C++ when available).
 
 Protocol (one JSON object per line):
   request:  {"id": "utt1", "feat": [[...frame...], ...],
@@ -18,7 +20,6 @@ import json
 import os
 import socketserver
 import sys
-import threading
 import time
 
 import numpy as np
@@ -26,10 +27,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def make_handler(engine, default_beam):
+def make_handler(batcher, default_beam):
     from m3asr_tpu.decode import native
-
-    lock = threading.Lock()
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):
@@ -39,23 +38,22 @@ def make_handler(engine, default_beam):
                     continue
                 try:
                     req = json.loads(line)
-                    feat = np.asarray(req["feat"], np.float32)[None]
+                    feat = np.asarray(req["feat"], np.float32)
                     t0 = time.perf_counter()
-                    with lock:  # one engine; jax dispatch is not MT-safe
-                        out, out_lens = engine.infer(
-                            feat, np.array([feat.shape[1]], np.int32))
+                    out1, out_len = batcher.infer(feat)
                     mode = req.get("decode", "greedy")
                     if mode == "beam":
-                        m = out.max(-1, keepdims=True)
-                        lp = out - m - np.log(
-                            np.exp(out - m).sum(-1, keepdims=True))
+                        m = out1.max(-1, keepdims=True)
+                        lp = out1 - m - np.log(
+                            np.exp(out1 - m).sum(-1, keepdims=True))
                         hyp = list(native.ctc_prefix_beam_search(
-                            lp[0], int(out_lens[0]),
+                            lp, out_len,
                             int(req.get("beam_size", default_beam)))[0][0])
                     else:
-                        hyp = native.ctc_greedy_search(out, out_lens)[0]
+                        hyp = native.ctc_greedy_search(
+                            out1[None], np.array([out_len]))[0]
                     resp = {"id": req.get("id"), "hyp": [int(t) for t in hyp],
-                            "out_len": int(out_lens[0]),
+                            "out_len": out_len,
                             "latency_ms": round(
                                 (time.perf_counter() - t0) * 1e3, 2)}
                 except Exception as e:  # noqa: BLE001 — report to client
@@ -73,15 +71,19 @@ def main(args):
         jax.config.update("jax_platforms", plat)
     from m3asr_tpu.runtime.engine import Engine
 
+    from m3asr_tpu.runtime.batching import MicroBatcher
+
     engine = Engine.load(args.plan_name)
     if args.warmup:
         engine.warmup([(1, engine.buckets.lengths[0])])
+    batcher = MicroBatcher(engine.infer, window_ms=args.batch_window_ms,
+                           max_batch=args.max_batch)
 
     class Server(socketserver.ThreadingTCPServer):
         allow_reuse_address = True
 
     with Server((args.host, args.port),
-                make_handler(engine, args.beam_size)) as srv:
+                make_handler(batcher, args.beam_size)) as srv:
         print(f"serving on {args.host}:{srv.server_address[1]}",
               flush=True)
         srv.serve_forever()
@@ -94,4 +96,7 @@ if __name__ == "__main__":
     p.add_argument("--port", type=int, default=0)
     p.add_argument("--beam_size", type=int, default=10)
     p.add_argument("--warmup", action="store_true")
+    p.add_argument("--batch_window_ms", type=float, default=5.0,
+                   help="co-arrival window for request micro-batching")
+    p.add_argument("--max_batch", type=int, default=8)
     main(p.parse_args())
