@@ -34,6 +34,7 @@ def main(args):
 
     from m3asr_tpu import checkpoint as ckpt
     from m3asr_tpu.config import model_config_from_dict
+    from m3asr_tpu.models.registry import get_family
     from m3asr_tpu.runtime.engine import Engine, EngineConfig
     from m3asr_tpu.utils.prior import read_prior
 
@@ -41,11 +42,12 @@ def main(args):
         raw = yaml.safe_load(f)
     raw.setdefault("input_dim", 40)  # builder.py:124
     model_cfg = model_config_from_dict(raw)
+    family = get_family(model_cfg.nnet_proto)
 
     decoders = {}
     if args.load_path:
         sd = ckpt.load_torch_checkpoint(args.load_path)
-        params = ckpt.convert_encoder(sd, model_cfg)
+        params = family.convert(sd, model_cfg)
         # AED decoders (for attention rescoring) ride along in the
         # engine dir when the checkpoint has them
         for name in ("decoder", "decoder_1", "decoder_2"):
@@ -55,12 +57,11 @@ def main(args):
     else:
         # synthetic init (for benchmarking without the external ckpt)
         import jax
-        from m3asr_tpu.config import MOE_HIER_PROTOS
-        from m3asr_tpu.models import conformer, moe_conformer
-        mod = (moe_conformer if model_cfg.nnet_proto in MOE_HIER_PROTOS
-               else conformer)
-        params = mod.init(jax.random.PRNGKey(0), model_cfg.encoder_conf,
-                          model_cfg.input_dim, model_cfg.output_dim)
+        if family.init is None:
+            raise SystemExit(
+                f"{model_cfg.nnet_proto}: synthetic init unsupported — "
+                "pass a checkpoint with -m")
+        params = family.init(jax.random.PRNGKey(0), model_cfg)
         print("No checkpoint given — using synthetic init")
 
     import jax

@@ -63,6 +63,10 @@ class MoEConfig:
     router_with_bias: bool = False
     keep_expert_output: bool = False
     rand_init_router: bool = False
+    # DFSMN-MoE variants (dfsmn_san_fmoe_localComm_catEmbed.py:185-197)
+    ln_before_router: bool = False
+    detach_router_input: bool = False
+    non_expert_dropout: float = 0.0
     # expert-parallel sharding (replaces reference rank/world_size/comm)
     rank: int = 0
     world_size: int = 1
@@ -140,6 +144,46 @@ class MoEEncoderConfig(EncoderConfig):
     @property
     def embed_dim(self) -> int:
         return self.embed_conf.attention_dim
+
+
+@dataclass
+class DfsmnEncoderConfig:
+    """DFSMN family encoder config, first-class (the reference passes
+    model_conf straight into the Net constructors:
+    dfsmn_base_res.py:120-122, dfsmn_san_res.py:120-123; the MoE variant
+    nests fsmn_conf/san_conf/moe_conf/embed_conf which
+    model_config_from_dict flattens onto these fields —
+    dfsmn_san_fmoe_localComm_catEmbed.py:137-205)."""
+
+    # SAN family (dfsmn_san_res.py Net kwargs)
+    num_block: int = 3
+    fsmn_each_block: int = 10
+    hidden_dim: int = 1024
+    memory_dim: int = 512
+    look_back: int = 4
+    look_ahead: int = 1
+    stride_left: int = 2
+    stride_right: int = 1
+    num_head: int = 8
+    num_memory: int = 64
+    norm_type: str = "LN"
+    hidden_dropout: float = 0.0
+    attn_dropout: float = 0.0
+    dropout: float = 0.0
+    # base family (dfsmn_base_res.py Net kwargs)
+    fsmn_layers: int = 30
+    # fmoe catEmbed variants
+    embed_before_output: bool = True
+    embed_conf: Dict[str, Any] = field(default_factory=dict)
+    moe_conf: MoEConfig = field(default_factory=MoEConfig)
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+    # engine-path compat (Engine._moe_impl_for consults the frontend;
+    # DFSMN has no conv subsampling)
+    input_layer: str = "linear"
+    use_dynamic_chunk: bool = False
+    use_dynamic_left_chunk: bool = False
+    static_chunk_size: int = 0
 
 
 @dataclass
@@ -237,11 +281,26 @@ def model_config_from_dict(configs: Dict[str, Any]) -> ModelConfig:
     enc = dict(enc or {})
     embed_conf = enc.pop("embed_conf", None)
     moe_conf = enc.pop("moe_conf", None)
-    _update_from_dict(cfg.encoder_conf, enc)
-    if embed_conf:
-        _update_from_dict(cfg.encoder_conf.embed_conf, embed_conf)
-    if moe_conf:
-        _update_from_dict(cfg.encoder_conf.moe_conf, moe_conf)
+    if cfg.nnet_proto in DFSMN_PROTOS or cfg.nnet_proto.startswith("dfsmn"):
+        dcfg = DfsmnEncoderConfig()
+        # the MoE variant nests fsmn/san hyperparams; flatten them
+        # (dfsmn_san_fmoe_localComm_catEmbed.py:164-183)
+        for sub in ("fsmn_conf", "san_conf"):
+            d = enc.pop(sub, None)
+            if d:
+                _update_from_dict(dcfg, d)
+        _update_from_dict(dcfg, enc)
+        if embed_conf:
+            dcfg.embed_conf = dict(embed_conf)
+        if moe_conf:
+            _update_from_dict(dcfg.moe_conf, moe_conf)
+        cfg.encoder_conf = dcfg
+    else:
+        _update_from_dict(cfg.encoder_conf, enc)
+        if embed_conf:
+            _update_from_dict(cfg.encoder_conf.embed_conf, embed_conf)
+        if moe_conf:
+            _update_from_dict(cfg.encoder_conf.moe_conf, moe_conf)
 
     if "ExMarc" in cfg.nnet_proto and hasattr(cfg.encoder_conf, "exmarc"):
         cfg.encoder_conf.exmarc = True

@@ -55,31 +55,88 @@ def _moe_family():
     )
 
 
-def _dfsmn_family():
+def _dfsmn_family(nnet_proto: str):
     from m3asr_tpu import checkpoint as ckpt
     from m3asr_tpu.checkpoint import StateDict
+    from m3asr_tpu.config import DfsmnEncoderConfig
     from m3asr_tpu.models import dfsmn
 
-    def dfsmn_cfg(mc: ModelConfig) -> dfsmn.DfsmnSanConfig:
-        extra = {**mc.encoder_conf.extra, **mc.extra}
-        fields = {f.name for f in
-                  dataclasses.fields(dfsmn.DfsmnSanConfig)}
-        return dfsmn.DfsmnSanConfig(
+    is_moe = "fmoe" in nnet_proto
+    is_base = nnet_proto == "dfsmn_base_res"
+
+    def enc_conf(mc: ModelConfig) -> DfsmnEncoderConfig:
+        ec = mc.encoder_conf
+        if isinstance(ec, DfsmnEncoderConfig):
+            return ec
+        # legacy path: DFSMN fields riding the extra passthrough
+        extra = {**getattr(ec, "extra", {}), **mc.extra}
+        fields = {f.name for f in dataclasses.fields(DfsmnEncoderConfig)}
+        return DfsmnEncoderConfig(
             **{k: v for k, v in extra.items() if k in fields})
 
+    def san_cfg(e: DfsmnEncoderConfig) -> dfsmn.DfsmnSanConfig:
+        return dfsmn.DfsmnSanConfig(
+            num_block=e.num_block, fsmn_each_block=e.fsmn_each_block,
+            hidden_dim=e.hidden_dim, memory_dim=e.memory_dim,
+            look_back=e.look_back, look_ahead=e.look_ahead,
+            stride_left=e.stride_left, stride_right=e.stride_right,
+            num_head=e.num_head, num_memory=e.num_memory,
+            norm_type=e.norm_type)
+
+    def base_cfg(e: DfsmnEncoderConfig) -> dfsmn.DfsmnBaseConfig:
+        return dfsmn.DfsmnBaseConfig(
+            fsmn_layers=e.fsmn_layers, hidden_dim=e.hidden_dim,
+            memory_dim=e.memory_dim, look_back=e.look_back,
+            look_ahead=e.look_ahead, stride_left=e.stride_left,
+            stride_right=e.stride_right)
+
+    def embed_cfg(e: DfsmnEncoderConfig) -> dfsmn.DfsmnSanConfig:
+        c = dfsmn.DfsmnSanConfig()  # reference embed_conf defaults
+        for k, v in (e.embed_conf or {}).items():
+            if hasattr(c, k):
+                setattr(c, k, v)
+        return c
+
+    def moe_cfg(e: DfsmnEncoderConfig) -> dfsmn.DfsmnSanMoEConfig:
+        emb = embed_cfg(e)
+        return dfsmn.DfsmnSanMoEConfig(
+            **dataclasses.asdict(san_cfg(e)),
+            num_experts=e.moe_conf.total_experts,
+            embed_dim=emb.memory_dim,
+            ln_before_router=e.moe_conf.ln_before_router,
+            keep_expert_output=e.moe_conf.keep_expert_output,
+            embed_conf=emb)
+
+    def forward(p, mc, feat, feat_len, **kw):
+        e = enc_conf(mc)
+        if is_moe:
+            out, _embed_out, lens = dfsmn.dfsmn_san_moe_forward(
+                p, moe_cfg(e), feat, feat_len,
+                moe_impl=kw.get("moe_impl", "dense"))
+            return out, lens
+        if is_base:
+            return dfsmn.dfsmn_base_forward(p, base_cfg(e), feat, feat_len)
+        return dfsmn.dfsmn_san_forward(p, san_cfg(e), feat, feat_len)
+
     def convert(sd, mc):
-        c = dfsmn_cfg(mc)
+        e = enc_conf(mc)
         s = StateDict(sd)
         if any(k.startswith("encoder.") for k in sd):
             s = s.sub("encoder")
-        return ckpt.convert_dfsmn_san(s, c.num_block, c.fsmn_each_block,
-                                      c.norm_type)
+        if is_moe:
+            emb = embed_cfg(e)
+            return ckpt.convert_dfsmn_san_moe(
+                s, e.num_block, e.fsmn_each_block,
+                emb.num_block, emb.fsmn_each_block, e.norm_type)
+        if is_base:
+            return ckpt.convert_dfsmn_base(s, e.fsmn_layers)
+        return ckpt.convert_dfsmn_san(s, e.num_block, e.fsmn_each_block,
+                                      e.norm_type)
 
     return ModelFamily(
-        name="dfsmn",
+        name="dfsmn_moe" if is_moe else "dfsmn",
         init=None,  # DFSMN serving loads from checkpoints
-        forward=lambda p, mc, feat, feat_len, **kw:
-            dfsmn.dfsmn_san_forward(p, dfsmn_cfg(mc), feat, feat_len),
+        forward=forward,
         convert=convert,
     )
 
@@ -89,7 +146,7 @@ def get_family(nnet_proto: str) -> ModelFamily:
             "dfsmn" not in nnet_proto:
         return _moe_family()
     if nnet_proto in DFSMN_PROTOS or nnet_proto.startswith("dfsmn"):
-        return _dfsmn_family()
+        return _dfsmn_family(nnet_proto)
     if nnet_proto in DENSE_CONFORMER_PROTOS or "conformer" in nnet_proto:
         return _conformer_family()
     raise KeyError(f"unknown nnet_proto: {nnet_proto}")

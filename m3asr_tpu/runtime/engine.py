@@ -48,6 +48,10 @@ def _flatten(tree, prefix=""):
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        # per-layer lists (DFSMN blocks are not scan-stacked)
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
     elif tree is not None:
         a = np.asarray(tree)
         if str(a.dtype) == "bfloat16":  # npz can't store ml_dtypes
@@ -64,7 +68,16 @@ def _unflatten(flat: Dict[str, np.ndarray]):
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = v
-    return tree
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        if node and all(k.isdigit() for k in node):
+            return [node[str(i)] for i in range(len(node))]
+        return node
+
+    return listify(tree)
 
 
 @dataclasses.dataclass

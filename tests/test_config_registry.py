@@ -38,7 +38,8 @@ def test_registry_covers_reference_model_zoo():
     ]
     for p in protos:
         fam = get_family(p)
-        assert fam.name in ("conformer", "moe_conformer", "dfsmn"), p
+        assert fam.name in ("conformer", "moe_conformer", "dfsmn",
+                            "dfsmn_moe"), p
 
 
 def test_scalar_writer(tmp_path):

@@ -1,0 +1,128 @@
+"""DFSMN first-class config + engine path: a dfsmn YAML builds an
+engine via build.py and decodes (VERDICT r1 item 7)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import torch
+import yaml
+
+from golden import torch_ref as G
+
+from m3asr_tpu.config import (DfsmnEncoderConfig, load_yaml_config,
+                              model_config_from_dict)
+from m3asr_tpu.models.registry import get_family
+from m3asr_tpu.runtime.engine import Engine, EngineConfig
+
+from test_op_parity import allclose
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def dfsmn_yaml():
+    # reference style: builder.py passes model_conf straight into
+    # Net(input_dim, output_dim, **model_conf) (dfsmn_san_res.py:120-123)
+    return {
+        "nnet_proto": "dfsmn_san_res",
+        "input_dim": 16,
+        "output_dim": 9,
+        "model_conf": {
+            "num_block": 2, "fsmn_each_block": 3, "hidden_dim": 32,
+            "memory_dim": 16, "look_back": 4, "look_ahead": 1,
+            "stride_left": 2, "stride_right": 1, "num_head": 4,
+            "num_memory": 8,
+        },
+    }
+
+
+def golden_dfsmn():
+    torch.manual_seed(70)
+    return G.randomize_(G.DfsmnSanNet(16, 9, num_block=2,
+                                      fsmn_each_block=3, hidden_dim=32,
+                                      memory_dim=16, num_head=4,
+                                      num_memory=8), seed=71)
+
+
+def test_dfsmn_yaml_is_first_class():
+    cfg = model_config_from_dict(dfsmn_yaml())
+    assert isinstance(cfg.encoder_conf, DfsmnEncoderConfig)
+    e = cfg.encoder_conf
+    assert (e.num_block, e.fsmn_each_block, e.hidden_dim,
+            e.memory_dim) == (2, 3, 32, 16)
+    assert e.extra == {}  # nothing rode the passthrough
+
+
+def test_dfsmn_moe_yaml_nested_confs_flatten():
+    raw = {
+        "nnet_proto": "dfsmn_san_fmoe_localComm_catEmbed",
+        "input_dim": 16, "output_dim": 9,
+        "model_conf": {
+            "num_block": 2, "fsmn_each_block": 3,
+            "fsmn_conf": {"hidden_dim": 48, "memory_dim": 24},
+            "san_conf": {"num_head": 4, "num_memory": 8},
+            "moe_conf": {"num_experts": 4, "ln_before_router": True},
+            "embed_conf": {"num_block": 1, "fsmn_each_block": 2,
+                           "memory_dim": 24},
+        },
+    }
+    cfg = model_config_from_dict(raw)
+    e = cfg.encoder_conf
+    assert isinstance(e, DfsmnEncoderConfig)
+    assert e.hidden_dim == 48 and e.memory_dim == 24
+    assert e.num_head == 4 and e.num_memory == 8
+    assert e.moe_conf.num_experts == 4
+    assert e.moe_conf.ln_before_router is True
+    assert e.embed_conf["memory_dim"] == 24
+    assert get_family(cfg.nnet_proto).name == "dfsmn_moe"
+
+
+def test_dfsmn_engine_infer_matches_torch(tmp_path):
+    m = golden_dfsmn()
+    cfg = model_config_from_dict(dfsmn_yaml())
+    fam = get_family(cfg.nnet_proto)
+    params = fam.convert(m.state_dict(), cfg)
+    eng = Engine(cfg, params,
+                 EngineConfig(bucket_lengths=(32,), bucket_batches=(2,),
+                              donate_input=False))
+    g = torch.Generator().manual_seed(72)
+    feat = torch.randn(2, 21, 16, generator=g)
+    lens = torch.tensor([21, 13])
+    with torch.no_grad():
+        y_t, _ = m(feat, lens)
+    out, out_len = eng.infer(feat.numpy(), lens.numpy())
+    assert list(out_len) == [21, 13]  # no subsampling in DFSMN
+    for b, n in enumerate([21, 13]):
+        allclose(out[b, :n], y_t.numpy()[b, :n])
+
+
+def test_dfsmn_build_and_infer_cli(tmp_path):
+    m = golden_dfsmn()
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(dfsmn_yaml(), f)
+    torch.save(m.state_dict(), tmp_path / "ckpt.pt")
+    g = torch.Generator().manual_seed(73)
+    feat = torch.randn(1, 27, 16, generator=g)
+    np.save(tmp_path / "feat.npy", feat.numpy()[0])
+    with torch.no_grad():
+        y_t, _ = m(feat, torch.tensor([27]))
+    np.save(tmp_path / "ref_out.npy", y_t.numpy())
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", M3ASR_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "build.py"),
+         "-c", str(tmp_path / "cfg.yaml"), "-m", str(tmp_path / "ckpt.pt"),
+         "-o", str(tmp_path / "eng"), "--buckets", "1x32",
+         "--skip-warmup"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "infer.py"),
+         "-p", str(tmp_path / "eng"), "-i", str(tmp_path / "feat.npy"),
+         "-o", str(tmp_path / "ref_out.npy"), "-d", "greedy"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    assert "allclose(rtol=1e-05, atol=1e-03): True" in r.stdout, r.stdout
+    assert "hyp:" in r.stdout
