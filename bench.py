@@ -54,10 +54,17 @@ def bench_device(cfg, params, feat, feat_len, dtype, moe_impl, iters,
     from m3asr_tpu.models import moe_conformer
 
     enc = cfg.encoder_conf
-    jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    jdtype = jnp.float32 if dtype == "float32" else jnp.bfloat16
     p = jax.tree.map(lambda a: jnp.asarray(a, jdtype)
                      if np.issubdtype(np.asarray(a).dtype, np.floating)
                      else jnp.asarray(a), params)
+    if dtype == "int8":
+        # int8 expert weights + bf16 activations (the engine's int8 mode)
+        from m3asr_tpu.ops.quant import quantize_moe_params
+        blocks = dict(p["blocks"])
+        blocks["feed_forward"] = quantize_moe_params(blocks["feed_forward"])
+        p["blocks"] = blocks
+        moe_impl = "quant"
     feat_d = jnp.asarray(feat, jdtype)
     len_d = jnp.asarray(feat_len, jnp.int32)
 
@@ -140,7 +147,8 @@ def main(args):
     headline_dtype = "float32" if "float32" in results else args.dtype
     p50, call_ms = results[headline_dtype]
     audio_s = args.seq * 0.01  # 10 ms frame shift
-    tag = "fp32" if headline_dtype == "float32" else "bf16"
+    tag = {"float32": "fp32", "bfloat16": "bf16",
+           "int8": "int8"}[headline_dtype]
     baseline = BASELINES.get(args.seq, BASELINE_MS)
     out = {
         "metric": f"p50_device_latency_ms_{args.batch}x{args.seq}x40_{tag}",
@@ -163,9 +171,10 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--impl", default="auto",
-                        choices=["auto", "dense", "ragged", "capacity"])
+                        choices=["auto", "dense", "ragged", "capacity",
+                                 "pallas"])
     parser.add_argument("--dtype", default="both",
-                        choices=["float32", "bfloat16", "both"])
+                        choices=["float32", "bfloat16", "int8", "both"])
     parser.add_argument("--seq", type=int, default=206)
     parser.add_argument("--batch", type=int, default=1)
     main(parser.parse_args())

@@ -179,7 +179,13 @@ def read_int_vector_ark(path: str) -> Iterator[Tuple[str, np.ndarray]]:
                     vec[i] = _read_int32(f)
                 yield key, vec
             else:
-                rest = (binary + f.readline()).decode().split()
+                # text format; the 2-byte binary sniff may already have
+                # consumed the newline of a short (single-digit) vector
+                if b"\n" in binary:
+                    line = binary.split(b"\n", 1)[0]
+                else:
+                    line = binary + f.readline().rstrip(b"\n")
+                rest = line.decode().split()
                 yield key, np.asarray([int(x) for x in rest], np.int32)
 
 

@@ -26,10 +26,13 @@ from m3asr_tpu.io import kaldi_io
 
 
 def put_thread(q: queue.Queue, generator, *args):
-    for item in generator(*args):
-        q.put(item)
-        if item is None:
-            break
+    try:
+        for item in generator(*args):
+            q.put(item)
+            if item is None:
+                break
+    except BaseException as e:  # surface in the consumer, don't hang it
+        q.put(e)
 
 
 class DataLoader:
@@ -54,6 +57,18 @@ class DataLoader:
         conf = dict(loader_conf or {})
         self.feat_rspec = feat_rspec
         self.label_rspec = label_rspec
+        # on-the-fly wav -> fbank mode (the reference's raw-wav loader
+        # path, loader/augment.py:169-240: speed perturb -> wav
+        # distortion -> kaldi fbank); enabled by raw_wav=True with
+        # feat_rspec pointing at a wav scp ("key /path.wav" lines)
+        self.raw_wav = bool(conf.get("raw_wav", False))
+        self.feature_extraction_conf = dict(conf.get(
+            "feature_extraction_conf",
+            {"mel_bins": conf.get("feat_dim", 40), "frame_length": 25,
+             "frame_shift": 10}))
+        self.speed_perturb = bool(conf.get("speed_perturb", False))
+        self.wav_distortion_conf = conf.get("wav_distortion_conf")
+        self._wav_rng = np.random.RandomState(conf.get("seed", 0))
         # auxiliary label streams of the deployed recipe
         # (ctc_aed_loader_domain_acc emits (data, target, domain, acc,
         # aed_target, lens...))
@@ -79,9 +94,44 @@ class DataLoader:
         return self.transform.input_dim
 
     def _read_feats(self) -> Iterator[Tuple[str, np.ndarray]]:
+        if self.raw_wav:
+            return self._read_wavs()
         reader = (kaldi_io.read_scp if self.feat_rspec.endswith(".scp")
                   else kaldi_io.read_ark)
         return reader(self.feat_rspec)
+
+    def _read_wavs(self) -> Iterator[Tuple[str, np.ndarray]]:
+        """wav scp -> fbank, with training-time speed perturbation and
+        waveform distortion (loader/augment.py:169-240)."""
+        from m3asr_tpu.frontend import fbank as F
+        from m3asr_tpu.frontend.wav_distortion import distort_wav_conf
+        fe = self.feature_extraction_conf
+        dither = fe.get("wav_dither", 0.0) if self.training else 0.0
+        with open(self.feat_rspec) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                key, path = parts[0], parts[1]
+                wave, sr = F.read_wav(path)
+                if self.training and self.speed_perturb:
+                    speed = self._wav_rng.choice([0.9, 1.0, 1.1])
+                    wave = F.speed_perturb(wave, float(speed))
+                if self.training and self.wav_distortion_conf:
+                    c = self.wav_distortion_conf
+                    rate = c.get("distortion_rate", 0.0)
+                    if rate > 0 and self._wav_rng.rand() < rate:
+                        wave = distort_wav_conf(
+                            wave / 32768.0, c["distortion_type"],
+                            c.get("distortion_conf"),
+                            rng=self._wav_rng) * 32768.0
+                feat = F.fbank(
+                    wave, num_mel_bins=fe.get("mel_bins", 40),
+                    frame_length=fe.get("frame_length", 25),
+                    frame_shift=fe.get("frame_shift", 10),
+                    dither=dither, sample_frequency=sr,
+                    rng=self._wav_rng)
+                yield key, feat
 
     def _utterances(self, skip_num: int = 0):
         labels: Dict[str, np.ndarray] = {}
@@ -171,5 +221,8 @@ class DataLoader:
             q.task_done()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                thread.join()
+                raise item
             yield item
         thread.join()

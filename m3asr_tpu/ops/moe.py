@@ -290,6 +290,9 @@ def _dispatch(p, x, gate_idx, impl: str):
         return moe_experts_ragged(p, x, gate_idx)
     if impl == "capacity":
         return moe_experts_capacity(p, x, gate_idx)
+    if impl == "pallas":
+        from m3asr_tpu.ops.pallas_moe import moe_experts_dense_pallas
+        return moe_experts_dense_pallas(p, x, gate_idx)
     if impl == "quant":
         from m3asr_tpu.ops.quant import moe_experts_dense_q
         return moe_experts_dense_q(p, x, gate_idx)

@@ -1,8 +1,8 @@
-"""Pallas MoE expert kernel == XLA dense path (interpret mode on CPU;
-the real-TPU speed comparison lives in scripts/)."""
+"""Pallas MoE streaming kernels == XLA dense path (interpret mode on
+CPU; the compiled real-TPU correctness + speed runs live in the round
+benchmarks, scripts/ + BENCHMARKS.md)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -10,27 +10,20 @@ import jax.numpy as jnp
 from m3asr_tpu.ops import moe, pallas_moe
 
 
-@pytest.fixture()
-def interpret(monkeypatch):
-    import jax.experimental.pallas as pl
-    orig = pl.pallas_call
-    monkeypatch.setattr(pallas_moe.pl, "pallas_call",
-                        lambda *a, **k: orig(*a, interpret=True, **k))
-
-
-def test_pallas_matches_dense(interpret):
+def test_pallas_matches_dense():
     key = jax.random.PRNGKey(0)
     p = moe.init_moe_ffn(key, 16, 8, 4, 32)
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(2, 9, 16), jnp.float32)
     gate_idx = jnp.asarray(rng.randint(0, 4, (2, 9)), jnp.int32)
     ref = moe.moe_experts_dense(p, x, gate_idx)
-    got = pallas_moe.moe_experts_dense_pallas(p, x, gate_idx)
+    got = pallas_moe.moe_experts_dense_pallas(p, x, gate_idx,
+                                              interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
 
-def test_pallas_padding_tokens_ignored(interpret):
+def test_pallas_padding_tokens_ignored():
     """gate -1 on padded rows selects no expert -> zero output rows."""
     key = jax.random.PRNGKey(2)
     p = moe.init_moe_ffn(key, 16, 8, 4, 32)
@@ -38,6 +31,41 @@ def test_pallas_padding_tokens_ignored(interpret):
     # N=5 pads to 8 internally; result must be exact for the 5 real rows
     gate_idx = jnp.asarray([[0, 1, 2, 3, 0]], jnp.int32)
     ref = moe.moe_experts_dense(p, x, gate_idx)
-    got = pallas_moe.moe_experts_dense_pallas(p, x, gate_idx)
+    got = pallas_moe.moe_experts_dense_pallas(p, x, gate_idx,
+                                              interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_no_b2():
+    """DFSMN-MoE mem_proj has no second bias."""
+    key = jax.random.PRNGKey(4)
+    p = moe.init_moe_ffn(key, 16, 8, 4, 32)
+    p = dict(p, b2=None)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 8, 16), jnp.float32)
+    gate_idx = jnp.asarray(rng.randint(0, 4, (1, 8)), jnp.int32)
+    ref = moe.moe_experts_dense(p, x, gate_idx)
+    got = pallas_moe.moe_experts_dense_pallas(p, x, gate_idx,
+                                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_quantized_matches_xla_quant_path():
+    """int8 streaming kernel == the XLA int8 dense path on the same
+    quantized weights."""
+    from m3asr_tpu.ops.quant import moe_experts_dense_q, quantize_moe_params
+    key = jax.random.PRNGKey(6)
+    p = moe.init_moe_ffn(key, 16, 8, 4, 32)
+    # non-trivial weights so quantization error is exercised
+    p["w1"] = jax.random.normal(jax.random.PRNGKey(7), p["w1"].shape) * 0.1
+    p["w2"] = jax.random.normal(jax.random.PRNGKey(8), p["w2"].shape) * 0.1
+    q = quantize_moe_params(p)
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(2, 9, 16), jnp.float32)
+    gate_idx = jnp.asarray(rng.randint(0, 4, (2, 9)), jnp.int32)
+    ref = moe_experts_dense_q(q, x, gate_idx)
+    got = pallas_moe.moe_experts_pallas_q(q, x, gate_idx, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
