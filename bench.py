@@ -100,6 +100,13 @@ def bench_device(cfg, params, feat, feat_len, dtype, moe_impl, iters,
 def main(args):
     import jax
 
+    # persistent XLA cache: repeat benchmark invocations skip the slow
+    # remote compile of unchanged programs
+    cache = os.environ.get("M3ASR_BENCH_CACHE", "/tmp/m3asr_bench_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     from __graft_entry__ import _flagship_cfg
     from m3asr_tpu.models import moe_conformer
     from m3asr_tpu.runtime.engine import Engine, EngineConfig

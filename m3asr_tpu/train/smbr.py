@@ -8,6 +8,11 @@ part — injecting an externally computed output-gradient through the
 model — is `external_grad_step` (a vjp pullback); the Kaldi process
 boundary is a pluggable callable so deployments wire in their own
 lattice tools (the binaries themselves are outside this repo's scope).
+
+Test status: plumbing-tested only — tests/test_smbr.py exercises the
+vjp pullback and the posterior/gradient ark round-trip with a FAKE
+runner standing in for the Kaldi binaries; no end-to-end sMBR run
+against real lattice tools has been performed.
 """
 
 from __future__ import annotations
