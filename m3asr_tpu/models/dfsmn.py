@@ -39,6 +39,23 @@ class FsmnConfig:
     skip_connect: bool = False
 
 
+def fir_kernel(p, cfg: FsmnConfig, mem_dim: int, dtype) -> jax.Array:
+    """Dense (K, mem_dim) FIR kernel with the strided taps scattered at
+    static indices (K = lctx + 1 + rctx)."""
+    lctx = cfg.look_back * cfg.stride_left
+    rctx = cfg.look_ahead * cfg.stride_right
+    K = lctx + 1 + rctx
+    f_mat = jnp.zeros((K, mem_dim), dtype)
+    if cfg.look_back:
+        f_mat = f_mat.at[0:lctx:cfg.stride_left].set(
+            p["left_factor"].astype(dtype))
+    f_mat = f_mat.at[lctx].set(p["cur_factor"][0].astype(dtype))
+    if cfg.look_ahead:
+        f_mat = f_mat.at[lctx + cfg.stride_right::cfg.stride_right].set(
+            p["right_factor"].astype(dtype))
+    return f_mat
+
+
 def cfsmn_layer(p, x: jax.Array, lengths: Optional[jax.Array],
                 cfg: FsmnConfig) -> jax.Array:
     """Compact FSMN layer (dfsmn_base_res.py:19-113):
@@ -57,15 +74,7 @@ def cfsmn_layer(p, x: jax.Array, lengths: Optional[jax.Array],
     mem_dim = pp.shape[-1]
     lctx = cfg.look_back * cfg.stride_left
     rctx = cfg.look_ahead * cfg.stride_right
-    K = lctx + 1 + rctx
-    f_mat = jnp.zeros((K, mem_dim), pp.dtype)
-    if cfg.look_back:
-        f_mat = f_mat.at[0:lctx:cfg.stride_left].set(
-            p["left_factor"].astype(pp.dtype))
-    f_mat = f_mat.at[lctx].set(p["cur_factor"][0].astype(pp.dtype))
-    if cfg.look_ahead:
-        f_mat = f_mat.at[lctx + cfg.stride_right::cfg.stride_right].set(
-            p["right_factor"].astype(pp.dtype))
+    f_mat = fir_kernel(p, cfg, mem_dim, pp.dtype)
 
     conv = jax.lax.conv_general_dilated(
         pp, f_mat[:, None, :], window_strides=(1,),
@@ -75,9 +84,12 @@ def cfsmn_layer(p, x: jax.Array, lengths: Optional[jax.Array],
 
 
 def attn_mem_layer(p, x: jax.Array, lengths: Optional[jax.Array],
-                   num_heads: int, memory_num: int) -> jax.Array:
+                   num_heads: int, memory_num: int,
+                   attn_mask: Optional[jax.Array] = None) -> jax.Array:
     """Multi-head attention with learned memory slots
-    (layer/attention.py:11-111). x: (B, T, D)."""
+    (layer/attention.py:11-111). x: (B, T, D). attn_mask: optional
+    (T, T) bool, True=attend (chunk-causal streaming training/parity);
+    memory slots are always attendable."""
     B, T, D = x.shape
     dk = D // num_heads
     q = linear(p["linear_query"], x).reshape(B, T, num_heads, dk)
@@ -92,6 +104,12 @@ def attn_mem_layer(p, x: jax.Array, lengths: Optional[jax.Array],
                                 preferred_element_type=jnp.float32)
         scores = jnp.concatenate([scores, mem_scores], axis=-1)
     scores = scores * (dk ** -0.5)
+    if attn_mask is not None:
+        full = attn_mask
+        if memory_num > 0:
+            full = jnp.concatenate(
+                [full, jnp.ones((T, memory_num), bool)], axis=1)
+        scores = jnp.where(full[None, None], scores, -1e30)
     if lengths is not None:
         valid = make_valid_mask(lengths, T)  # (B, T)
         if memory_num > 0:
@@ -109,9 +127,11 @@ def attn_mem_layer(p, x: jax.Array, lengths: Optional[jax.Array],
 
 
 def self_attn_mem_layer(p, x: jax.Array, lengths, num_heads: int,
-                        memory_num: int, norm_type: str = "LN") -> jax.Array:
+                        memory_num: int, norm_type: str = "LN",
+                        attn_mask: Optional[jax.Array] = None) -> jax.Array:
     """x = Norm(x + attn(x)) (dfsmn_san_res.py:11-57)."""
-    h = attn_mem_layer(p["attn_layer"], x, lengths, num_heads, memory_num)
+    h = attn_mem_layer(p["attn_layer"], x, lengths, num_heads, memory_num,
+                       attn_mask=attn_mask)
     x = x + h
     if norm_type == "LN":
         return layer_norm(p["ln_layer"], x, eps=1e-5)
@@ -135,11 +155,12 @@ class DfsmnSanConfig:
 
 def dfsmn_san_forward(params, cfg: DfsmnSanConfig, x: jax.Array,
                       lengths: Optional[jax.Array],
-                      output_embed: bool = False):
+                      output_embed: bool = False, attn_mask=None):
     """model/dfsmn_san_res.py Net.forward: blocks of (N x cFSMN -> [PE
     on block 0] -> self-attn-mem), then out_linear. output_embed=True
     additionally returns the pre-out_linear hidden (the catEmbed
-    feature, dfsmn_san_res_embed.py:147-157)."""
+    feature, dfsmn_san_res_embed.py:147-157). attn_mask: optional
+    (T, T) chunk/causal mask for streaming-style forward."""
     for i in range(cfg.num_block):
         bp = params["blocks"][i]
         for j in range(cfg.fsmn_each_block):
@@ -155,7 +176,7 @@ def dfsmn_san_forward(params, cfg: DfsmnSanConfig, x: jax.Array,
             x = x + pe[None, : x.shape[1]]
         x = self_attn_mem_layer(bp["attn_layer"], x, lengths,
                                 cfg.num_head, cfg.num_memory,
-                                cfg.norm_type)
+                                cfg.norm_type, attn_mask=attn_mask)
     out = linear(params["out_linear"], x)
     if output_embed:
         return out, x, lengths

@@ -1,0 +1,185 @@
+"""Chunk-by-chunk streaming inference for the DFSMN family.
+
+The reference never implemented DFSMN streaming (its streaming plugins
+target the conformer); the FSMN architecture is *made* for it — the
+memory is a finite FIR, so exact streaming needs only:
+
+* per-cFSMN-layer: a cache of the last (lctx + rctx) memory-projection
+  frames. A chunk of C inputs then yields exactly C FIR outputs for
+  positions shifted back by rctx — each layer with look-ahead delays
+  the stream by rctx frames, so a stack of F layers emits outputs
+  lagging F*rctx frames behind the input (the standard FSMN latency).
+  The initial zero cache reproduces the full forward's zero padding
+  bit-exactly, so FIR streaming is EXACT (test: single layer vs
+  cfsmn_layer, delay-aligned).
+* per-block attention: a window cache of the last cache_T attention
+  inputs; chunk queries attend over [cache, chunk] + the learned memory
+  slots. This is prefix/windowed attention — it matches a full forward
+  under a chunk-causal attn_mask (exact when cache_T covers the
+  utterance and look_ahead == 0; with look-ahead the FIR delay shifts
+  block-local chunk boundaries, standard for streaming FSMN).
+
+All caches are fixed-shape tensors: one compiled chunk program serves
+the whole stream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from m3asr_tpu.models.dfsmn import (DfsmnSanConfig, FsmnConfig, fir_kernel)
+from m3asr_tpu.ops.common import layer_norm, linear, scale_shift
+from m3asr_tpu.ops import positional
+
+
+@dataclasses.dataclass
+class DfsmnStreamState:
+    offset: jax.Array            # () int32 — chunk frames consumed
+    fsmn_caches: List[jax.Array]  # per cFSMN layer: (B, lctx+rctx, M)
+    att_caches: List[jax.Array]   # per block: (B, cache_T, M)
+
+
+jax.tree_util.register_dataclass(
+    DfsmnStreamState, data_fields=["offset", "fsmn_caches", "att_caches"],
+    meta_fields=[])
+
+
+def init_state(cfg: DfsmnSanConfig, batch: int,
+               cache_T: int) -> DfsmnStreamState:
+    lctx = cfg.look_back * cfg.stride_left
+    rctx = cfg.look_ahead * cfg.stride_right
+    n_fsmn = cfg.num_block * cfg.fsmn_each_block
+    return DfsmnStreamState(
+        offset=jnp.zeros((), jnp.int32),
+        fsmn_caches=[jnp.zeros((batch, lctx + rctx, cfg.memory_dim),
+                               jnp.float32) for _ in range(n_fsmn)],
+        att_caches=[jnp.zeros((batch, cache_T, cfg.memory_dim),
+                              jnp.float32) for _ in range(cfg.num_block)],
+    )
+
+
+def stream_delay(cfg: DfsmnSanConfig) -> int:
+    """Output latency in frames: every cFSMN layer adds rctx."""
+    return (cfg.num_block * cfg.fsmn_each_block
+            * cfg.look_ahead * cfg.stride_right)
+
+
+def _stream_cfsmn(p, x: jax.Array, cache: jax.Array, fcfg: FsmnConfig
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """One cFSMN layer on a chunk. x: (B, C, d_in); cache: the previous
+    (lctx+rctx) memory-projection frames. Returns (out (B, C, M) for
+    positions delayed by rctx, new cache)."""
+    hid = jax.nn.relu(linear(p["hid_proj"], x))
+    if fcfg.upper_bound is not None:
+        hid = jnp.minimum(hid, jnp.asarray(fcfg.upper_bound, hid.dtype))
+    pp = linear(p["mem_proj"], hid)
+    if fcfg.skip_connect:
+        pp = pp + x
+
+    lctx = fcfg.look_back * fcfg.stride_left
+    rctx = fcfg.look_ahead * fcfg.stride_right
+    M = pp.shape[-1]
+    ext = jnp.concatenate([cache.astype(pp.dtype), pp], axis=1)
+    new_cache = ext[:, ext.shape[1] - (lctx + rctx):]
+    f_mat = fir_kernel(p, fcfg, M, pp.dtype)
+    conv = jax.lax.conv_general_dilated(
+        ext, f_mat[:, None, :], window_strides=(1,), padding=[(0, 0)],
+        dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=M)
+    # valid output j is the FIR at absolute position t0 - rctx + j,
+    # whose residual center sits at ext[:, lctx + j]
+    C = x.shape[1]
+    centers = jax.lax.dynamic_slice_in_dim(ext, lctx, C, axis=1)
+    return conv + centers, new_cache
+
+
+def _stream_attn_mem(p, x: jax.Array, cache: jax.Array,
+                     key_valid: jax.Array, num_heads: int,
+                     memory_num: int, norm_type: str
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Windowed memory-slot attention of chunk queries over
+    [cache, chunk] keys + memory slots. x: (B, C, M);
+    cache: (B, Tc, M) raw attention inputs; key_valid: (Tc + C,)."""
+    B, C, D = x.shape
+    dk = D // num_heads
+    ap = p["attn_layer"]
+    ext = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    Tc = cache.shape[1]
+    new_cache = ext[:, ext.shape[1] - Tc:] if Tc > 0 else cache
+
+    q = linear(ap["linear_query"], x).reshape(B, C, num_heads, dk)
+    k = linear(ap["linear_key"], ext).reshape(B, Tc + C, num_heads, dk)
+    v = linear(ap["linear_value"], ext).reshape(B, Tc + C, num_heads, dk)
+    scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(key_valid[None, None, None, :], scores, -1e30)
+    if memory_num > 0:
+        km = ap["key_memory"].astype(x.dtype)
+        mem_scores = jnp.einsum("bthd,hmd->bhtm", q, km,
+                                preferred_element_type=jnp.float32)
+        scores = jnp.concatenate([scores, mem_scores], axis=-1)
+    scores = scores * (dk ** -0.5)
+    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhts,bshd->bthd", attn[..., :Tc + C], v,
+                     preferred_element_type=x.dtype)
+    if memory_num > 0:
+        ctx = ctx + jnp.einsum("bhtm,hmd->bthd", attn[..., Tc + C:],
+                               ap["value_memory"].astype(x.dtype),
+                               preferred_element_type=x.dtype)
+    h = linear(ap["linear_out"], ctx.reshape(B, C, D))
+    x = x + h
+    if norm_type == "LN":
+        x = layer_norm(p["ln_layer"], x, eps=1e-5)
+    else:
+        x = scale_shift(p["bn_layer"], x)
+    return x, new_cache
+
+
+def forward_chunk(params, cfg: DfsmnSanConfig, chunk: jax.Array,
+                  state: DfsmnStreamState
+                  ) -> Tuple[jax.Array, DfsmnStreamState]:
+    """One streaming step. chunk: (B, C, input_dim) raw feature frames.
+    Returns (logits (B, C, V), new state). Output frame j of chunk k
+    corresponds to absolute frame k*C + j - stream_delay(cfg); the
+    first stream_delay(cfg) frames ever emitted are warm-up garbage
+    (SessionStreaming-style drivers discard them)."""
+    x = chunk
+    new_fsmn: List[jax.Array] = []
+    new_att: List[jax.Array] = []
+    C = chunk.shape[1]
+    li = 0
+    rctx = cfg.look_ahead * cfg.stride_right
+    for i in range(cfg.num_block):
+        bp = params["blocks"][i]
+        for j in range(cfg.fsmn_each_block):
+            first = (i == 0 and j == 0)
+            fcfg = FsmnConfig(cfg.look_back, cfg.look_ahead,
+                              cfg.stride_left, cfg.stride_right,
+                              upper_bound=None if first else 1.0,
+                              skip_connect=not first)
+            x, nc = _stream_cfsmn(bp["fsmn_layers"][j], x,
+                                  state.fsmn_caches[li], fcfg)
+            new_fsmn.append(nc)
+            li += 1
+        if i == 0:
+            # PE at the (delay-shifted) absolute positions of this
+            # block's output stream; warm-up frames clamp to 0
+            delay0 = cfg.fsmn_each_block * rctx
+            pe = positional.sinusoid_table(cfg.memory_dim, dtype=x.dtype)
+            start = jnp.maximum(state.offset - delay0, 0)
+            x = x + jax.lax.dynamic_slice_in_dim(pe, start, C, axis=0)[None]
+        cache = state.att_caches[i]
+        Tc = cache.shape[1]
+        idx = jnp.arange(Tc + C)
+        key_valid = (state.offset - Tc + idx) >= 0
+        x, na = _stream_attn_mem(bp["attn_layer"], x, cache, key_valid,
+                                 cfg.num_head, cfg.num_memory,
+                                 cfg.norm_type)
+        new_att.append(na)
+    out = linear(params["out_linear"], x)
+    return out, DfsmnStreamState(offset=state.offset + C,
+                                 fsmn_caches=new_fsmn,
+                                 att_caches=new_att)

@@ -1,0 +1,93 @@
+"""DFSMN streaming: exact FIR chunking + windowed-attention parity
+with a chunk-causal-masked full forward."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from golden import torch_ref as G
+
+from m3asr_tpu import checkpoint as ckpt
+from m3asr_tpu.checkpoint import StateDict
+from m3asr_tpu.models import dfsmn, dfsmn_streaming as S
+
+from test_op_parity import allclose
+
+
+def test_stream_cfsmn_exact_with_lookahead():
+    """Chunked cFSMN == full cfsmn_layer, delay-aligned (rctx > 0)."""
+    torch.manual_seed(90)
+    m = G.randomize_(G.CFSMNLayer(16, 24, 16, look_back=4, look_ahead=1,
+                                  stride_left=2, stride_right=1,
+                                  skip_connect=True, upper_bound=1.0),
+                     seed=91)
+    p = ckpt._to_jax(ckpt.convert_cfsmn(StateDict(m.state_dict())))
+    fcfg = dfsmn.FsmnConfig(4, 1, 2, 1, upper_bound=1.0, skip_connect=True)
+    rctx = 1
+    lctx = 8
+    T, C = 24, 6
+    x = jnp.asarray(np.random.RandomState(92).randn(2, T, 16), jnp.float32)
+
+    full = dfsmn.cfsmn_layer(p, x, None, fcfg)          # (2, T, 16)
+
+    cache = jnp.zeros((2, lctx + rctx, 16), jnp.float32)
+    outs = []
+    for k in range(T // C):
+        o, cache = S._stream_cfsmn(p, x[:, k * C:(k + 1) * C], cache, fcfg)
+        outs.append(np.asarray(o))
+    stream = np.concatenate(outs, axis=1)
+    # stream frame j is full frame j - rctx; first rctx frames warm-up
+    np.testing.assert_allclose(stream[:, rctx:], np.asarray(full)[:, :T - rctx],
+                               rtol=1e-5, atol=1e-5)
+
+
+def _causal_cfg():
+    return dict(num_block=2, fsmn_each_block=3, hidden_dim=32,
+                memory_dim=16, look_back=4, look_ahead=0, stride_left=2,
+                stride_right=1, num_head=4, num_memory=8)
+
+
+def test_dfsmn_streaming_matches_chunk_masked_full_forward():
+    torch.manual_seed(93)
+    kw = _causal_cfg()
+    m = G.randomize_(G.DfsmnSanNet(16, 9, **kw), seed=94)
+    p = ckpt.convert_dfsmn_san(StateDict(m.state_dict()), num_block=2,
+                               fsmn_each_block=3)
+    cfg = dfsmn.DfsmnSanConfig(**kw)
+    assert S.stream_delay(cfg) == 0
+
+    T, C, B = 24, 6, 2
+    x = jnp.asarray(np.random.RandomState(95).randn(B, T, 16), jnp.float32)
+
+    # reference: full forward where each frame attends to everything up
+    # to the end of its own chunk (what windowed streaming computes)
+    pos = np.arange(T)
+    mask = jnp.asarray(pos[None, :] < ((pos[:, None] // C) + 1) * C)
+    full, _ = dfsmn.dfsmn_san_forward(p, cfg, x, None, attn_mask=mask)
+
+    state = S.init_state(cfg, B, cache_T=T)  # window covers everything
+    step = jax.jit(lambda c, s: S.forward_chunk(p, cfg, c, s))
+    outs = []
+    for k in range(T // C):
+        o, state = step(x[:, k * C:(k + 1) * C], state)
+        outs.append(np.asarray(o))
+    stream = np.concatenate(outs, axis=1)
+    allclose(stream, np.asarray(full), atol=1e-4)
+    assert int(state.offset) == T
+
+
+def test_dfsmn_streaming_one_compilation():
+    kw = _causal_cfg()
+    torch.manual_seed(96)
+    m = G.randomize_(G.DfsmnSanNet(16, 9, **kw), seed=97)
+    p = ckpt.convert_dfsmn_san(StateDict(m.state_dict()), num_block=2,
+                               fsmn_each_block=3)
+    cfg = dfsmn.DfsmnSanConfig(**kw)
+    step = jax.jit(lambda c, s: S.forward_chunk(p, cfg, c, s))
+    state = S.init_state(cfg, 1, cache_T=12)
+    chunk = jnp.zeros((1, 6, 16), jnp.float32)
+    for _ in range(4):
+        _, state = step(chunk, state)
+    assert step._cache_size() == 1
