@@ -81,6 +81,8 @@ class DataLoader:
         # optional bucket ladder: pad each batch's time axis up to the
         # next bucket so the engine compiles few shapes
         self.bucket_lengths = tuple(conf.get("bucket_lengths", ()))
+        # dp-sharded training needs every batch the same size
+        self.drop_last = bool(conf.get("drop_last", False))
         self.transform = FeatureTransform(
             conf.get("feat_dim", 40),
             order=conf.get("add_deltas", 0),
@@ -162,7 +164,7 @@ class DataLoader:
             if len(batch) == self.batch_size:
                 yield self._pad(batch, output_keys, self.bucket_lengths)
                 batch = []
-        if batch:
+        if batch and not self.drop_last:
             yield self._pad(batch, output_keys, self.bucket_lengths)
         yield None
 

@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Training CLI — TPU-native equivalent of the reference's trainer
+entry points (trainer_3m_fix/bk/train_*.py:816-839: `python -m
+torch.distributed.launch train_X.py --config yaml --tr_rspecifier ...`).
+
+One jitted train step over a (dp, ep) device mesh replaces the
+DDP/BMUF process groups; multi-host runs initialize via
+parallel.distributed (torch.distributed-compatible env). The YAML
+schema is the reference's: model_conf / loader_conf / collate_conf +
+optimizer keys (lr, optim, optim_conf, schedule_type, schedule_conf,
+max_grad_norm, weight_decay, name_nodecay).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(args):
+    plat = os.environ.get("M3ASR_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+    import yaml
+    import jax
+    import numpy as np
+
+    from m3asr_tpu.config import model_config_from_dict
+    from m3asr_tpu.frontend.augment import CollateFunc
+    from m3asr_tpu.io.loader import DataLoader
+    from m3asr_tpu.models.registry import get_family
+    from m3asr_tpu.parallel import distributed as dist
+    from m3asr_tpu.parallel import mesh as pmesh
+    from m3asr_tpu.train.lr_scheduler import build_optimizer
+    from m3asr_tpu.train.step import (TrainConfig, _needs_rng, loss_fn,
+                                      make_train_step)
+    from m3asr_tpu.train.trainer import Trainer
+    from m3asr_tpu.train.metrics import set_logger
+
+    dist.initialize()
+
+    with open(args.config) as f:
+        raw = yaml.safe_load(f)
+    model_cfg = model_config_from_dict(raw)
+
+    collate = CollateFunc(**(raw.get("collate_conf") or {}))
+    loader_conf = dict(raw.get("loader_conf") or {})
+    loader_conf.setdefault("drop_last", True)  # dp shards need full batches
+
+    def make_tr_loader(skip):
+        loader = DataLoader(args.tr_rspecifier, args.tr_labels,
+                            training=True, loader_conf=loader_conf,
+                            collate_func=collate,
+                            aed_label_rspec=args.tr_aed_labels)
+        return loader(skip_num=skip)
+
+    cv_loader = None
+    if args.cv_rspecifier:
+        def cv_loader():
+            return DataLoader(args.cv_rspecifier, args.cv_labels,
+                              loader_conf=loader_conf)()
+
+    probe = DataLoader(args.tr_rspecifier, args.tr_labels,
+                       loader_conf=loader_conf)
+    model_cfg.input_dim = probe.input_dim
+
+    family = get_family(model_cfg.nnet_proto)
+    params = family.init(jax.random.PRNGKey(args.seed), model_cfg)
+
+    tcfg = TrainConfig(
+        learning_rate=raw.get("lr", 1e-3),
+        warmup_steps=(raw.get("schedule_conf") or {}).get("warmup_steps",
+                                                          25000),
+        grad_clip=raw.get("max_grad_norm", 5.0),
+        weight_decay=raw.get("weight_decay", 0.0),
+        embed_ctc_weight=raw.get("embed_ctc_weight", 0.0))
+    optimizer = build_optimizer(
+        raw.get("schedule_type", "warmup_noam"),
+        raw.get("schedule_conf"), raw.get("lr", 1e-3),
+        optim_type=raw.get("optim", "adam"),
+        optim_conf=raw.get("optim_conf"),
+        max_grad_norm=raw.get("max_grad_norm", 5.0),
+        weight_decay=raw.get("weight_decay", 0.0),
+        name_nodecay=raw.get("name_nodecay"), params=params)
+    step = make_train_step(model_cfg, tcfg, optimizer)
+
+    # mesh + shardings: dp x ep (the reference's dp_groups/mp_groups);
+    # dp must divide the global batch, so cap it at gcd(batch, devices)
+    import math
+    n_dev = len(jax.devices())
+    ep = args.ep if args.ep > 0 else 1
+    dp = math.gcd(loader_conf.get("batch_size", 1), n_dev // ep)
+    mesh = pmesh.make_mesh(dp=dp, ep=ep,
+                           devices=jax.devices()[:dp * ep])
+    p_shard = pmesh.moe_param_sharding(mesh, params)
+    opt_probe = optimizer.init(params)
+    o_shard = pmesh.moe_param_sharding(mesh, opt_probe)
+    b_shard = pmesh.batch_sharding(mesh)
+    r_shard = pmesh.replicated(mesh)
+    needs_rng = _needs_rng(model_cfg)
+    in_shardings = (p_shard, o_shard, b_shard, r_shard, r_shard, r_shard)
+    if needs_rng:
+        in_shardings = in_shardings + (r_shard,)
+    jstep = jax.jit(step, in_shardings=in_shardings,
+                    out_shardings=(p_shard, o_shard, r_shard))
+    params = jax.device_put(params, p_shard)
+
+    valid_step = None
+    if cv_loader is not None:
+        def valid_step(p, feat, feat_len, targets, target_lens):
+            return loss_fn(p, model_cfg, tcfg, feat, feat_len, targets,
+                           target_lens)[0]
+        valid_step = jax.jit(valid_step)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    logger = set_logger("m3asr.train",
+                        log_file=args.log_file or
+                        os.path.join(args.output_dir, "train.log"))
+    trainer = Trainer(model_cfg, params, optimizer, jstep,
+                      make_loader=make_tr_loader, valid_loader=cv_loader,
+                      save_dir=args.output_dir,
+                      log_period=raw.get("log_period", 100),
+                      max_epochs=raw.get("max_epoch", args.max_epochs),
+                      step_takes_rng=needs_rng, seed=args.seed,
+                      scalar_dir=os.path.join(args.output_dir, "scalars"),
+                      logger=logger)
+    if args.resume:
+        trainer.load_checkpoint("last")
+    with mesh:
+        trainer.run(valid_step)
+    trainer.save_checkpoint("final")
+    print(f"training done: {args.output_dir}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="TPU ASR training")
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--tr_rspecifier", required=True,
+                        help="training features ark/scp (or wav scp with "
+                             "loader_conf.raw_wav)")
+    parser.add_argument("--tr_labels", required=True)
+    parser.add_argument("--tr_aed_labels", required=False)
+    parser.add_argument("--cv_rspecifier", required=False)
+    parser.add_argument("--cv_labels", required=False)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--log_file", required=False)
+    parser.add_argument("--ep", type=int, default=1,
+                        help="expert-parallel mesh size")
+    parser.add_argument("--max_epochs", type=int, default=20)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--resume", action="store_true")
+    main(parser.parse_args())
