@@ -136,14 +136,34 @@ class _ConcatStream:
 # public API
 # ---------------------------------------------------------------------------
 
-def read_ark(path: str) -> Iterator[Tuple[str, np.ndarray]]:
-    """Stream (key, matrix) pairs from a Kaldi ark file."""
+def read_ark_py(path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    """Pure-python ark reader (all formats incl. CompressedMatrix)."""
     with open(path, "rb") as f:
         while True:
             key = _read_key(f)
             if key is None:
                 return
             yield key, read_mat(f)
+
+
+def read_ark(path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    """Stream (key, matrix) pairs from a Kaldi ark file. Binary float32
+    arks go through the native C++ reader (native/io/ark_reader.cpp);
+    other formats fall back to the python parser."""
+    from m3asr_tpu.io import native_io
+    if native_io.available():
+        yielded = False
+        try:
+            for kv in native_io.read_ark(path):
+                yielded = True
+                yield kv
+            return
+        except native_io.UnsupportedArk:
+            if yielded:
+                # mixed-format ark mid-stream; a python re-read would
+                # duplicate entries — surface it instead
+                raise
+    yield from read_ark_py(path)
 
 
 def read_scp(path: str) -> Iterator[Tuple[str, np.ndarray]]:

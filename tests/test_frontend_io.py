@@ -103,3 +103,36 @@ def test_text_matrix_read(tmp_path):
     p.write_text(" [\n 1 2 3\n 4 5 6 ]\n")
     m = read_kaldi_matrix(str(p))
     np.testing.assert_array_equal(m, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_native_ark_reader_matches_python(tmp_path):
+    """C++ ark fast path == python reader on binary BFM arks, and
+    throughput-path availability is real (builds on demand)."""
+    from m3asr_tpu.io import kaldi_io, native_io
+    rng = np.random.RandomState(4)
+    mats = {f"u{i}": rng.randn(5 + i, 8).astype(np.float32)
+            for i in range(4)}
+    path = str(tmp_path / "t.ark")
+    with kaldi_io.ArkWriter(path) as w:
+        for k, m in mats.items():
+            w.write(k, m)
+    via_py = dict(kaldi_io.read_ark_py(path))
+    via_dispatch = dict(kaldi_io.read_ark(path))
+    assert set(via_dispatch) == set(mats)
+    for k in mats:
+        np.testing.assert_array_equal(via_dispatch[k], mats[k])
+        np.testing.assert_array_equal(via_py[k], mats[k])
+    if native_io.available():
+        via_native = dict(native_io.read_ark(path))
+        for k in mats:
+            np.testing.assert_array_equal(via_native[k], mats[k])
+
+
+def test_native_ark_reader_falls_back_on_text(tmp_path):
+    """A non-BFM ark routes to the python reader, not a crash."""
+    from m3asr_tpu.io import kaldi_io
+    path = str(tmp_path / "text.ark")
+    with open(path, "w") as f:
+        f.write("utt0  [\n  1.0 2.0\n  3.0 4.0 ]\n")
+    got = dict(kaldi_io.read_ark(path))
+    np.testing.assert_allclose(got["utt0"], [[1.0, 2.0], [3.0, 4.0]])
