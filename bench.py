@@ -132,14 +132,17 @@ def main(args):
     pad_feat[:, :args.seq] = feat
 
     def pick_impl(dtype):
+        # mirror Engine._moe_impl_for (the engine auto policy)
         if args.impl != "auto":
             return args.impl
+        if dtype == "float32":
+            return "dense"  # measured fastest at all profiled lengths
         from m3asr_tpu.runtime.engine import MOE_DENSE_TOKEN_THRESHOLD
         from m3asr_tpu.ops.masking import subsampling4_length
         tokens = args.batch * int(subsampling4_length(
             np.array([bucket]))[0])
         if tokens <= MOE_DENSE_TOKEN_THRESHOLD:
-            return "dense"  # engine auto policy
+            return "dense"
         return "ragged"
 
     results = {}

@@ -150,13 +150,19 @@ class Engine:
             return "quant"
         if self.cfg.moe_impl != "auto":
             return self.cfg.moe_impl
+        if self.dtype == jnp.float32:
+            # measured (v5e, random routers, 18 layers): dense beats
+            # ragged at every profiled token count — 64 tok 3.74 vs
+            # 6.11 ms, 255 tok 17.1 vs 18.3 ms full model, 511 tok
+            # 32.2 vs 33.2 ms. fp32 ragged_dot underperforms; the
+            # all-experts einsum rides the same weight stream.
+            return "dense"
         from m3asr_tpu.ops.masking import subsampling4_length
         tokens = batch * int(subsampling4_length(np.array([length]))[0])
         if tokens <= MOE_DENSE_TOKEN_THRESHOLD:
-            # capacity measures ~7% faster fp32 (4.64 vs 5.02 ms x18
-            # layers) but its lax.cond fallback doubles compile time
-            # (prohibitive through this environment's remote compiler);
-            # dense is the default, capacity available via moe_impl
+            # bf16: weight streaming dominates below ~128 tokens and
+            # dense skips the sort/scatter; above it the E x FLOPs of
+            # dense turn compute-bound and ragged wins (BENCHMARKS.md)
             return "dense"
         return "ragged"
 
