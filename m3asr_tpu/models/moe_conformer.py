@@ -34,7 +34,7 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
             moe_impl: str = "dense", hier_taps: bool = False,
             chunk_mask=None, embed_chunk_mask="same",
             return_router_probs: bool = False,
-            return_hidden: bool = False):
+            return_hidden: bool = False, remat: bool = False):
     """feat: (B, T, input_dim) -> logits (B, T', output_dim).
 
     Returns (out, out_len) | + embed_out (output_embed) | + (h6, h12,
@@ -80,6 +80,10 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
         return h, ((h if hier_taps else None),
                    (probs if return_router_probs else None))
 
+    if remat:
+        # rematerialize per block: activation memory ~O(1 block)
+        # instead of O(18 blocks) in the backward pass
+        body = jax.checkpoint(body)
     x, (hiddens, router_ps) = jax.lax.scan(body, x, params["blocks"])
 
     if cfg.normalize_before:

@@ -32,6 +32,7 @@ class TrainConfig:
     router_l1_weight: float = 0.0
     router_importance_weight: float = 0.0
     blank_idx: int = 0
+    remat: bool = False            # per-block rematerialization
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -77,7 +78,7 @@ def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
         out, out_len, embed_out = moe_conformer.forward(
             params, model_cfg.encoder_conf, feat, feat_len,
             output_embed=True, moe_impl="dense", chunk_mask=chunk_mask,
-            embed_chunk_mask=embed_mask)
+            embed_chunk_mask=embed_mask, remat=tcfg.remat)
     else:
         out, out_len = conformer.forward(params, model_cfg.encoder_conf,
                                          feat, feat_len,

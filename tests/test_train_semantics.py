@@ -209,3 +209,27 @@ def test_recovery_halves_lr_and_restores_best_opt_state(tmp_path):
     _, st1, _ = jstep(trainer.params, trainer.opt_state, feat, lens, tgt,
                       tlens)
     assert get_lr_scale(st1) == 0.25  # scale survives the update
+
+
+def test_remat_training_matches_plain():
+    """jax.checkpoint per block changes memory, not math."""
+    mc = tiny_cfg()
+    params = moe_conformer.init(jax.random.PRNGKey(0), mc.encoder_conf,
+                                mc.input_dim, mc.output_dim)
+    from m3asr_tpu.train.step import loss_fn
+    rng = np.random.RandomState(1)
+    feat = jnp.asarray(rng.randn(2, 25, 12), jnp.float32)
+    lens = jnp.array([25, 19], jnp.int32)
+    tgt = jnp.asarray(rng.randint(1, 7, (2, 3)), jnp.int32)
+    tlens = jnp.array([3, 2], jnp.int32)
+
+    def loss(p, remat):
+        cfg = TrainConfig(remat=remat)
+        return loss_fn(p, mc, cfg, feat, lens, tgt, tlens)[0]
+
+    g_plain = jax.grad(lambda p: loss(p, False))(params)
+    g_remat = jax.grad(lambda p: loss(p, True))(params)
+    import optax
+    diff = optax.global_norm(jax.tree.map(lambda a, b: a - b, g_plain,
+                                          g_remat))
+    assert float(diff) < 1e-5 * float(optax.global_norm(g_plain)) + 1e-8
