@@ -135,8 +135,6 @@ def main(args):
         # mirror Engine._moe_impl_for (the engine auto policy)
         if args.impl != "auto":
             return args.impl
-        if dtype == "float32":
-            return "dense"  # measured fastest at all profiled lengths
         from m3asr_tpu.runtime.engine import MOE_DENSE_TOKEN_THRESHOLD
         from m3asr_tpu.ops.masking import subsampling4_length
         tokens = args.batch * int(subsampling4_length(

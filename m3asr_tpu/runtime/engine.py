@@ -37,10 +37,13 @@ from m3asr_tpu.runtime.buckets import (BucketSpec, DEFAULT_BATCHES,
                                        DEFAULT_LENGTHS)
 
 # Below this many post-subsampling tokens the dense (all-experts) MoE
-# path wins: weight streaming dominates both paths there and dense
-# avoids the sort/scatter. Measured on v5e at the 206-frame headline
-# shape (64 tokens): dense fp32 5.6 ms vs ragged 8.7 ms.
-MOE_DENSE_TOKEN_THRESHOLD = 128
+# path wins; above it dense's E x FLOPs turn compute-bound and the
+# sorted grouped-GEMM (ragged) takes over. Measured on v5e with random
+# routers, full model: dense beats ragged at every profiled count up
+# to 511 tokens (fp32 64tok 3.74 vs 6.11 ms/18L; bf16 255tok 4.01 vs
+# 5.14 ms, 511tok 6.51 vs 8.16 ms full model); by FLOP extrapolation
+# ragged wins past ~1k tokens (6144-frame bucket / big batches).
+MOE_DENSE_TOKEN_THRESHOLD = 512
 
 
 def _flatten(tree, prefix=""):
@@ -150,19 +153,9 @@ class Engine:
             return "quant"
         if self.cfg.moe_impl != "auto":
             return self.cfg.moe_impl
-        if self.dtype == jnp.float32:
-            # measured (v5e, random routers, 18 layers): dense beats
-            # ragged at every profiled token count — 64 tok 3.74 vs
-            # 6.11 ms, 255 tok 17.1 vs 18.3 ms full model, 511 tok
-            # 32.2 vs 33.2 ms. fp32 ragged_dot underperforms; the
-            # all-experts einsum rides the same weight stream.
-            return "dense"
         from m3asr_tpu.ops.masking import subsampling4_length
         tokens = batch * int(subsampling4_length(np.array([length]))[0])
         if tokens <= MOE_DENSE_TOKEN_THRESHOLD:
-            # bf16: weight streaming dominates below ~128 tokens and
-            # dense skips the sort/scatter; above it the E x FLOPs of
-            # dense turn compute-bound and ragged wins (BENCHMARKS.md)
             return "dense"
         return "ragged"
 
