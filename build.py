@@ -70,9 +70,12 @@ def main(args):
 
     prior = read_prior(args.prior_file) if args.prior_file else None
 
-    ecfg = EngineConfig(
-        dtype="bfloat16" if args.bf16 else "float32",
-        use_prior=prior is not None)
+    dtype = "float32"
+    if args.bf16:
+        dtype = "bfloat16"
+    if args.int8:
+        dtype = "int8"   # int8 expert weights + bf16 activations
+    ecfg = EngineConfig(dtype=dtype, use_prior=prior is not None)
     if args.buckets:
         pairs = [tuple(map(int, b.split("x"))) for b in
                  args.buckets.split(",")]
@@ -114,6 +117,9 @@ if __name__ == "__main__":
                         help="cmvn file (copied into the engine dir)")
     parser.add_argument("-f", "--bf16", action="store_true",
                         help="bfloat16 inference (the TPU fp16 analogue)")
+    parser.add_argument("--int8", action="store_true",
+                        help="weight-only int8 experts + bf16 activations "
+                             "(beyond the reference: its int8 asserts)")
     parser.add_argument("--buckets", required=False,
                         help="comma list of BxL buckets, e.g. 1x256,4x1024")
     parser.add_argument("--skip-warmup", action="store_true",

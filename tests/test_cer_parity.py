@@ -116,16 +116,19 @@ def train_twin(m, corpus, max_steps=1500):
     return m
 
 
-def test_cer_parity_engine_vs_torch(tmp_path):
+@pytest.fixture(scope="module")
+def trained():
     rng = np.random.RandomState(2)
     train_corpus = make_corpus(rng, 48)
     test_corpus = make_corpus(np.random.RandomState(3), 16)
-
     m = train_twin(tiny_twin(), train_corpus)
-
-    # torch-side decode on the held-out set
     t_hyps = torch_greedy(m, test_corpus)
     refs = [list(t) for _, t in test_corpus]
+    return m, test_corpus, t_hyps, refs
+
+
+def test_cer_parity_engine_vs_torch(tmp_path, trained):
+    m, test_corpus, t_hyps, refs = trained
     t_cer = cer(refs, t_hyps)
     assert t_cer < 0.2, f"twin failed to learn the toy task: CER {t_cer}"
 
@@ -171,3 +174,27 @@ def test_cer_parity_engine_vs_torch(tmp_path):
     # recognize.py rounds its stats to 5 decimals
     assert stats["cer"] == pytest.approx(t_cer, abs=1e-5)
     assert stats["cer"] < 0.2
+
+
+def test_int8_and_bf16_engines_keep_cer(trained):
+    """The fast serving modes decode the toy task as well as fp32 —
+    quantization noise must not cost accuracy on this margin."""
+    from m3asr_tpu.config import model_config_from_dict
+    from m3asr_tpu.models.registry import get_family
+    from m3asr_tpu.runtime.engine import Engine, EngineConfig
+
+    m, test_corpus, t_hyps, refs = trained
+    t_cer = cer(refs, t_hyps)
+    cfg = model_config_from_dict(small_yaml())
+    params = get_family(cfg.nnet_proto).convert(
+        {f"encoder.{k}": v for k, v in m.state_dict().items()}, cfg)
+    for dtype in ("bfloat16", "int8"):
+        eng = Engine(cfg, params,
+                     EngineConfig(dtype=dtype, bucket_lengths=(64,),
+                                  bucket_batches=(4,), donate_input=False))
+        hyps = []
+        for f, _ in test_corpus:
+            out, out_len = eng.infer(f[None], np.array([f.shape[0]]))
+            hyps.append(native.ctc_greedy_search(out, out_len)[0])
+        q_cer = cer(refs, hyps)
+        assert q_cer <= t_cer + 0.05, (dtype, q_cer, t_cer)
