@@ -135,11 +135,14 @@ def main(args):
         # mirror Engine._moe_impl_for (the engine auto policy)
         if args.impl != "auto":
             return args.impl
-        from m3asr_tpu.runtime.engine import MOE_DENSE_TOKEN_THRESHOLD
+        from m3asr_tpu.runtime.engine import (
+            MOE_DENSE_TOKEN_THRESHOLD, MOE_DENSE_TOKEN_THRESHOLD_FP32)
         from m3asr_tpu.ops.masking import subsampling4_length
         tokens = args.batch * int(subsampling4_length(
             np.array([bucket]))[0])
-        if tokens <= MOE_DENSE_TOKEN_THRESHOLD:
+        threshold = (MOE_DENSE_TOKEN_THRESHOLD_FP32
+                     if dtype == "float32" else MOE_DENSE_TOKEN_THRESHOLD)
+        if tokens <= threshold:
             return "dense"
         return "ragged"
 

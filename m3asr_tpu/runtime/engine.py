@@ -39,11 +39,12 @@ from m3asr_tpu.runtime.buckets import (BucketSpec, DEFAULT_BATCHES,
 # Below this many post-subsampling tokens the dense (all-experts) MoE
 # path wins; above it dense's E x FLOPs turn compute-bound and the
 # sorted grouped-GEMM (ragged) takes over. Measured on v5e with random
-# routers, full model: dense beats ragged at every profiled count up
-# to 511 tokens (fp32 64tok 3.74 vs 6.11 ms/18L; bf16 255tok 4.01 vs
-# 5.14 ms, 511tok 6.51 vs 8.16 ms full model); by FLOP extrapolation
-# ragged wins past ~1k tokens (6144-frame bucket / big batches).
-MOE_DENSE_TOKEN_THRESHOLD = 512
+# routers, full model: bf16 dense wins through 511 tokens (255tok 4.01
+# vs 5.14 ms, 504tok 5.01 vs 5.27, 511tok 6.51 vs 8.16); fp32 runs
+# 3-pass matmuls so its crossover is lower — dense wins at 252 tokens
+# (15.4 vs 17.8 ms) but loses badly at 504 (27.5 vs 14.6).
+MOE_DENSE_TOKEN_THRESHOLD = 512          # bf16 / int8 activations
+MOE_DENSE_TOKEN_THRESHOLD_FP32 = 256
 
 
 def _flatten(tree, prefix=""):
@@ -155,7 +156,10 @@ class Engine:
             return self.cfg.moe_impl
         from m3asr_tpu.ops.masking import subsampling4_length
         tokens = batch * int(subsampling4_length(np.array([length]))[0])
-        if tokens <= MOE_DENSE_TOKEN_THRESHOLD:
+        threshold = (MOE_DENSE_TOKEN_THRESHOLD_FP32
+                     if self.dtype == jnp.float32
+                     else MOE_DENSE_TOKEN_THRESHOLD)
+        if tokens <= threshold:
             return "dense"
         return "ragged"
 
