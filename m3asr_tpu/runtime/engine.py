@@ -18,6 +18,8 @@ Precision modes:
   fp32  — parity mode; matmuls run with highest precision (fp32 on MXU)
   bf16  — fast mode; weights+activations bfloat16 (the reference never
           shipped fp16 — its FMoE plugin asserts on half)
+  int8  — weight-only int8 experts + bf16 activations (the reference's
+          int8 builder path asserts; this one is measured+tested)
 """
 
 from __future__ import annotations
@@ -86,12 +88,13 @@ def _unflatten(flat: Dict[str, np.ndarray]):
 
 @dataclasses.dataclass
 class EngineConfig:
-    dtype: str = "float32"            # float32 | bfloat16
+    dtype: str = "float32"            # float32 | bfloat16 | int8
     decode_output: str = "logits"     # logits | log_softmax
     use_prior: bool = False           # subtract log-prior (builder.py:83-88)
     bucket_lengths: Tuple[int, ...] = DEFAULT_LENGTHS
     bucket_batches: Tuple[int, ...] = DEFAULT_BATCHES
-    moe_impl: str = "auto"            # auto | dense | ragged | capacity
+    moe_impl: str = "auto"  # auto|dense|ragged|capacity|pallas (quant is
+                             # implied by dtype="int8")
     donate_input: bool = True
     return_hidden: bool = False       # also emit the normalized hidden
                                       # (AED rescoring memory)
