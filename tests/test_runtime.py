@@ -1,5 +1,6 @@
 """Engine round-trip, bucketing, and CLI smoke tests."""
 
+import dataclasses
 import os
 import subprocess
 import sys
@@ -125,3 +126,23 @@ def test_cli_build_and_infer(tmp_path):
     assert r.returncode == 0, r.stderr
     assert "allclose(rtol=1e-05, atol=1e-03): True" in r.stdout, r.stdout
     assert "hyp:" in r.stdout
+
+
+def test_moe_impl_auto_policy():
+    """Measured dtype-aware dense/ragged crossover (BENCHMARKS.md)."""
+    m = golden_model()
+    raw = small_yaml()
+    cfg = model_config_from_dict(raw)
+    params = ckpt.convert_encoder(
+        {f"encoder.{k}": v for k, v in m.state_dict().items()}, cfg)
+    ecfg = EngineConfig(bucket_lengths=(256, 4096), bucket_batches=(1, 8),
+                        donate_input=False)
+    fp32 = Engine(cfg, params, ecfg)
+    assert fp32._moe_impl_for(1, 256) == "dense"      # 63 tokens
+    assert fp32._moe_impl_for(4, 256) == "dense"      # 252
+    assert fp32._moe_impl_for(8, 256) == "ragged"     # 504 > 256 (fp32)
+    bf16 = Engine(cfg, params, dataclasses.replace(ecfg, dtype="bfloat16"))
+    assert bf16._moe_impl_for(8, 256) == "dense"      # 504 <= 512
+    assert bf16._moe_impl_for(1, 4096) == "ragged"    # 1023 tokens
+    int8 = Engine(cfg, params, dataclasses.replace(ecfg, dtype="int8"))
+    assert int8._moe_impl_for(1, 256) == "quant"
