@@ -64,7 +64,8 @@ def bench_device(cfg, params, feat, feat_len, dtype, moe_impl, iters,
         blocks = dict(p["blocks"])
         blocks["feed_forward"] = quantize_moe_params(blocks["feed_forward"])
         p["blocks"] = blocks
-        moe_impl = "quant"
+        moe_impl = {"dense": "quant", "capacity": "quant_capacity"}.get(
+            moe_impl, "quant")
     feat_d = jnp.asarray(feat, jdtype)
     len_d = jnp.asarray(feat_len, jnp.int32)
 
@@ -144,7 +145,7 @@ def main(args):
                      if dtype == "float32" else MOE_DENSE_TOKEN_THRESHOLD)
         if tokens <= threshold:
             return "dense"
-        return "ragged"
+        return "capacity"
 
     results = {}
     impls = {}

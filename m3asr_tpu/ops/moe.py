@@ -296,6 +296,9 @@ def _dispatch(p, x, gate_idx, impl: str):
     if impl == "quant":
         from m3asr_tpu.ops.quant import moe_experts_dense_q
         return moe_experts_dense_q(p, x, gate_idx)
+    if impl == "quant_capacity":
+        from m3asr_tpu.ops.quant import moe_experts_capacity_q
+        return moe_experts_capacity_q(p, x, gate_idx)
     raise ValueError(f"unknown moe impl: {impl}")
 
 

@@ -64,6 +64,19 @@ def moe_experts_dense_q(p, x: jax.Array, gate_idx: jax.Array,
                       preferred_element_type=x.dtype)
 
 
+def moe_experts_capacity_q(p, x: jax.Array, gate_idx: jax.Array,
+                           activation=swish) -> jax.Array:
+    """Capacity-dispatch path on int8 weights: the dequant (convert *
+    scale) fuses into the batched (E, C, d) einsum's weight-operand
+    read, so HBM traffic stays the int8 bytes while FLOPs drop to
+    ~E*C/(E*N) of the dense path — the long-input int8 mode."""
+    from m3asr_tpu.ops.moe import moe_experts_capacity
+    deq = dict(p)
+    deq["w1"] = _deq(p, "w1", x.dtype)
+    deq["w2"] = _deq(p, "w2", x.dtype)
+    return moe_experts_capacity(deq, x, gate_idx, activation=activation)
+
+
 def moe_ffn_q(p, x: jax.Array, embed: Optional[jax.Array],
               lengths: Optional[jax.Array]) -> jax.Array:
     """Top-1 MoE FFN with int8 expert weights (dense dispatch)."""

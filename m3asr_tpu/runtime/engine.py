@@ -39,14 +39,22 @@ from m3asr_tpu.runtime.buckets import (BucketSpec, DEFAULT_BATCHES,
                                        DEFAULT_LENGTHS)
 
 # Below this many post-subsampling tokens the dense (all-experts) MoE
-# path wins; above it dense's E x FLOPs turn compute-bound and the
-# sorted grouped-GEMM (ragged) takes over. Measured on v5e with random
-# routers, full model: bf16 dense wins through 511 tokens (255tok 4.01
-# vs 5.14 ms, 504tok 5.01 vs 5.27, 511tok 6.51 vs 8.16); fp32 runs
-# 3-pass matmuls so its crossover is lower — dense wins at 252 tokens
-# (15.4 vs 17.8 ms) but loses badly at 504 (27.5 vs 14.6).
-MOE_DENSE_TOKEN_THRESHOLD = 512          # bf16 / int8 activations
-MOE_DENSE_TOKEN_THRESHOLD_FP32 = 256
+# path wins (weight streaming dominates, and dense skips all dispatch
+# machinery); above it the GShard-style capacity path takes over — its
+# batched (E, C, d) GEMM cuts dense's E x FLOPs by ~E*C/N while keeping
+# one pass over the weights. Measured on v5e with random routers
+# (ms per 18 MoE layers):
+#   tokens:         64     255     511     1023
+#   fp32  dense    3.74   11.7    22.0      —
+#   fp32  capacity 8.45    5.44    6.40     —
+#   bf16  dense    1.65    ~2.6    3.38    7.49
+#   bf16  capacity  —       —      2.68    2.33
+#   ragged (both dtypes) never wins: fp32 6.1@64 / 21.2@511,
+#   bf16 3.05@64 / 9.54@1023 — kept for reference/EP use.
+# capacity compiles an exact dense fallback branch (lax.cond), so AOT
+# build time roughly doubles for buckets that select it.
+MOE_DENSE_TOKEN_THRESHOLD = 256          # bf16 / int8 activations
+MOE_DENSE_TOKEN_THRESHOLD_FP32 = 128
 
 
 def _flatten(tree, prefix=""):
@@ -153,18 +161,24 @@ class Engine:
     # forward construction
     # ------------------------------------------------------------------
     def _moe_impl_for(self, batch: int, length: int) -> str:
-        if self.int8_experts:
-            return "quant"
-        if self.cfg.moe_impl != "auto":
-            return self.cfg.moe_impl
         from m3asr_tpu.ops.masking import subsampling4_length
         tokens = batch * int(subsampling4_length(np.array([length]))[0])
+        if self.int8_experts:
+            if self.cfg.moe_impl != "auto":
+                # int8 params only run the quant impls
+                return {"dense": "quant",
+                        "capacity": "quant_capacity"}.get(
+                            self.cfg.moe_impl, self.cfg.moe_impl)
+            return ("quant" if tokens <= MOE_DENSE_TOKEN_THRESHOLD
+                    else "quant_capacity")
+        if self.cfg.moe_impl != "auto":
+            return self.cfg.moe_impl
         threshold = (MOE_DENSE_TOKEN_THRESHOLD_FP32
                      if self.dtype == jnp.float32
                      else MOE_DENSE_TOKEN_THRESHOLD)
         if tokens <= threshold:
             return "dense"
-        return "ragged"
+        return "capacity"
 
     def _make_forward(self, batch: int, length: int):
         from m3asr_tpu.models.registry import get_family

@@ -45,3 +45,25 @@ def test_cer():
     refs = [[1, 2, 3, 4], [5, 6]]
     hyps = [[1, 2, 3, 4], [5, 7]]
     np.testing.assert_allclose(cer(refs, hyps), 1 / 6)
+
+
+def test_capacity_q_matches_dense_q():
+    """int8 capacity dispatch == int8 dense dispatch (exact: same
+    dequantized weights, the capacity path is exact for top-1)."""
+    import jax
+    import jax.numpy as jnp
+    from m3asr_tpu.ops import moe
+    from m3asr_tpu.ops.quant import (moe_experts_capacity_q,
+                                     moe_experts_dense_q,
+                                     quantize_moe_params)
+    p = moe.init_moe_ffn(jax.random.PRNGKey(0), 16, 8, 4, 32)
+    p["w1"] = jax.random.normal(jax.random.PRNGKey(1), p["w1"].shape) * 0.1
+    p["w2"] = jax.random.normal(jax.random.PRNGKey(2), p["w2"].shape) * 0.1
+    q = quantize_moe_params(p)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 9, 16), jnp.float32)
+    g = jnp.asarray(rng.randint(0, 4, (2, 9)), jnp.int32)
+    a = moe_experts_dense_q(q, x, g)
+    b = moe_experts_capacity_q(q, x, g)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
