@@ -79,7 +79,10 @@ def main(args):
                         decoders["decoder"], cfg.decoder_conf,
                         nb, hidden[b:b + 1], int(out_lens[b]),
                         sos=cfg.sos, eos=cfg.eos,
-                        ignore_id=0, ctc_weight=args.ctc_weight)
+                        ignore_id=0, ctc_weight=args.ctc_weight,
+                        reverse_weight=(args.reverse_weight
+                                        if args.reverse_weight >= 0
+                                        else cfg.reverse_weight))
                     hyps.append(hyp)
             else:
                 hyps = [list(nb[0][0]) for nb in nbests]
@@ -111,6 +114,9 @@ if __name__ == "__main__":
                    choices=["greedy", "beam", "rescore"])
     p.add_argument("-b", "--beam_size", type=int, default=10)
     p.add_argument("--ctc_weight", type=float, default=0.5)
+    p.add_argument("--reverse_weight", type=float, default=-1.0,
+                   help="R2L decoder weight in rescoring; <0 = use the "
+                        "model config's reverse_weight")
     p.add_argument("--feat_dim", type=int, default=40)
     p.add_argument("--add_deltas", type=int, default=0)
     p.add_argument("--cmvn", dest="cmvn_file", required=False)
