@@ -145,7 +145,7 @@ def main(args):
                      if dtype == "float32" else MOE_DENSE_TOKEN_THRESHOLD)
         if tokens <= threshold:
             return "dense"
-        return "capacity"
+        return "ragged"
 
     results = {}
     impls = {}

@@ -39,22 +39,23 @@ from m3asr_tpu.runtime.buckets import (BucketSpec, DEFAULT_BATCHES,
                                        DEFAULT_LENGTHS)
 
 # Below this many post-subsampling tokens the dense (all-experts) MoE
-# path wins (weight streaming dominates, and dense skips all dispatch
-# machinery); above it the GShard-style capacity path takes over — its
-# batched (E, C, d) GEMM cuts dense's E x FLOPs by ~E*C/N while keeping
-# one pass over the weights. Measured on v5e with random routers
-# (ms per 18 MoE layers):
-#   tokens:         64     255     511     1023
-#   fp32  dense    3.74   11.7    22.0      —
-#   fp32  capacity 8.45    5.44    6.40     —
-#   bf16  dense    1.65    ~2.6    3.38    7.49
-#   bf16  capacity  —       —      2.68    2.33
-#   ragged (both dtypes) never wins: fp32 6.1@64 / 21.2@511,
-#   bf16 3.05@64 / 9.54@1023 — kept for reference/EP use.
-# capacity compiles an exact dense fallback branch (lax.cond), so AOT
-# build time roughly doubles for buckets that select it.
-MOE_DENSE_TOKEN_THRESHOLD = 256          # bf16 / int8 activations
-MOE_DENSE_TOKEN_THRESHOLD_FP32 = 128
+# path wins (weight streaming dominates, dense skips all dispatch
+# machinery); above it the sorted grouped-GEMM (ragged) takes over for
+# fp32, whose 3-pass matmuls make dense compute-bound early. Measured
+# full model on v5e, untrained-random routers (BENCHMARKS.md):
+#   fp32: dense best at 63-255 tokens (17.1 vs 18.3 ragged at 255);
+#         ragged best at 504 (14.6 vs 27.5); ~tied at 511-long.
+#   bf16: dense best at every measured count through 1023 tokens
+#         (MoE-only 7.49 vs ragged 9.54 at 1023); crossover ~1.3k by
+#         FLOP extrapolation.
+# The GShard capacity path is NOT in auto: it beats everything under
+# BALANCED routing (fp32 6.4 vs 22 ms/18L at 511 uniform tokens) but
+# real activations through untrained routers are heavily skewed (max
+# expert load 15-51 of 63 tokens), its exact-fallback lax.cond then
+# degrades to dense + overhead (21.3 vs 17.1 full model). Opt in with
+# moe_impl="capacity" for checkpoints trained with balance losses.
+MOE_DENSE_TOKEN_THRESHOLD = 1024         # bf16 / int8 activations
+MOE_DENSE_TOKEN_THRESHOLD_FP32 = 256
 
 
 def _flatten(tree, prefix=""):
@@ -169,8 +170,7 @@ class Engine:
                 return {"dense": "quant",
                         "capacity": "quant_capacity"}.get(
                             self.cfg.moe_impl, self.cfg.moe_impl)
-            return ("quant" if tokens <= MOE_DENSE_TOKEN_THRESHOLD
-                    else "quant_capacity")
+            return "quant"  # dense int8; quant_capacity is opt-in
         if self.cfg.moe_impl != "auto":
             return self.cfg.moe_impl
         threshold = (MOE_DENSE_TOKEN_THRESHOLD_FP32
@@ -178,7 +178,7 @@ class Engine:
                      else MOE_DENSE_TOKEN_THRESHOLD)
         if tokens <= threshold:
             return "dense"
-        return "capacity"
+        return "ragged"
 
     def _make_forward(self, batch: int, length: int):
         from m3asr_tpu.models.registry import get_family
