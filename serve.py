@@ -76,8 +76,11 @@ def main(args):
     engine = Engine.load(args.plan_name)
     if args.warmup:
         engine.warmup([(1, engine.buckets.lengths[0])])
+    # never collect more requests than the engine's largest batch
+    # bucket can run in one call
+    max_batch = min(args.max_batch, max(engine.buckets.batches))
     batcher = MicroBatcher(engine.infer, window_ms=args.batch_window_ms,
-                           max_batch=args.max_batch)
+                           max_batch=max_batch)
 
     class Server(socketserver.ThreadingTCPServer):
         allow_reuse_address = True

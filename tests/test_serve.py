@@ -59,3 +59,61 @@ def test_serve_roundtrip(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_serve_concurrent_requests_micro_batch(tmp_path):
+    """Co-arriving clients are served through one batched engine call
+    (and max_batch clamps to the engine's batch buckets)."""
+    import threading
+
+    m = golden_model()
+    torch.save({f"encoder.{k}": v for k, v in m.state_dict().items()},
+               tmp_path / "ckpt.pt")
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(small_yaml(), f)
+    env = dict(os.environ, M3ASR_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "build.py"),
+         "-c", str(tmp_path / "cfg.yaml"), "-m", str(tmp_path / "ckpt.pt"),
+         "-o", str(tmp_path / "eng"), "--buckets", "1x64,4x64",
+         "--skip-warmup"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve.py"),
+         "-p", str(tmp_path / "eng"), "--port", "0",
+         "--batch_window_ms", "200", "--max_batch", "64"],
+        stdout=subprocess.PIPE, text=True, env=env)
+    try:
+        line = proc.stdout.readline()
+        port = int(re.search(r":(\d+)$", line.strip()).group(1))
+        rng = np.random.RandomState(1)
+        feats = [rng.randn(30 + 2 * i, 20).round(4).tolist()
+                 for i in range(6)]
+        results = [None] * 6
+        barrier = threading.Barrier(6)
+
+        def client(i):
+            barrier.wait()
+            with socket.create_connection(("127.0.0.1", port),
+                                          timeout=180) as s:
+                f = s.makefile("rw")
+                f.write(json.dumps({"id": f"c{i}", "feat": feats[i]}) + "\n")
+                f.flush()
+                results[i] = json.loads(f.readline())
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        def sub4(T):
+            return ((T - 3) // 2 + 1 - 3) // 2 + 1
+        for i, resp in enumerate(results):
+            assert resp is not None and "hyp" in resp, resp
+            assert resp["id"] == f"c{i}"
+            assert resp["out_len"] == sub4(30 + 2 * i), resp
+    finally:
+        proc.terminate()
