@@ -83,3 +83,74 @@ class StreamingSession:
         w[:, :rest] = self._buf[:, self._consumed:]
         out = self._step(w)
         return [out[:, :n_out]]
+
+
+class DfsmnStreamingSession:
+    """Streaming session for the DFSMN family (models/dfsmn_streaming):
+    no subsampling, so chunks are frame-aligned (stride == chunk); the
+    only host bookkeeping is the FIR look-ahead latency — output frame
+    j of the stream corresponds to input frame j - delay, so the first
+    `delay` emitted frames are warm-up and dropped. `finish()` pushes
+    `delay` zero frames to flush the matured tail."""
+
+    def __init__(self, params, cfg, chunk_size: int = 16, batch: int = 1,
+                 cache_T: int = 256):
+        from m3asr_tpu.models import dfsmn_streaming as S
+        self.params = params
+        self.cfg = cfg
+        self.chunk = chunk_size
+        self.delay = S.stream_delay(cfg)
+        self.state = S.init_state(cfg, batch, cache_T)
+        self._fn = jax.jit(lambda p, c, s: S.forward_chunk(p, cfg, c, s))
+        self._buf: Optional[np.ndarray] = None
+        self._consumed = 0         # chunk frames fed to the model
+        self._next_pos = 0         # next matured input position to emit
+
+    def _run(self, c: np.ndarray, real_limit: Optional[int]
+             ) -> Optional[np.ndarray]:
+        out, self.state = self._fn(self.params, jnp.asarray(c), self.state)
+        self._consumed += c.shape[1]
+        out = np.asarray(out)
+        C = out.shape[1]
+        first_pos = self._consumed - C - self.delay  # position of out[0]
+        start = max(0, self._next_pos - first_pos)
+        end = C if real_limit is None else min(C, real_limit - first_pos)
+        if end <= start:
+            return None
+        self._next_pos = first_pos + end
+        return out[:, start:end]
+
+    def push(self, feat: np.ndarray) -> List[np.ndarray]:
+        """feat: (B, t, input_dim). Returns matured logits pieces."""
+        feat = np.asarray(feat, np.float32)
+        self._buf = feat if self._buf is None else np.concatenate(
+            [self._buf, feat], axis=1)
+        outs = []
+        while self._buf.shape[1] - self._consumed >= self.chunk:
+            c = self._buf[:, self._consumed: self._consumed + self.chunk]
+            o = self._run(c, None)
+            if o is not None:
+                outs.append(o)
+        return outs
+
+    def finish(self) -> List[np.ndarray]:
+        """Zero-pad the tail + delay so every real frame matures; emits
+        only frames covered by real input."""
+        if self._buf is None:
+            return []
+        total = self._buf.shape[1]
+        rest = total - self._consumed
+        need = rest + self.delay
+        pad = (-need) % self.chunk
+        tail = np.zeros((self._buf.shape[0], need + pad,
+                         self._buf.shape[2]), np.float32)
+        if rest:
+            tail[:, :rest] = self._buf[:, self._consumed:]
+        outs = []
+        off = 0
+        while off < tail.shape[1]:
+            o = self._run(tail[:, off:off + self.chunk], total)
+            off += self.chunk
+            if o is not None:
+                outs.append(o)
+        return outs

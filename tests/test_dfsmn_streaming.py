@@ -91,3 +91,55 @@ def test_dfsmn_streaming_one_compilation():
     for _ in range(4):
         _, state = step(chunk, state)
     assert step._cache_size() == 1
+
+
+def test_dfsmn_streaming_session_causal_exact():
+    """Session (look_ahead=0) emits exactly the chunk-masked full
+    forward over arbitrary push sizes + finish()."""
+    from m3asr_tpu.runtime.streaming_session import DfsmnStreamingSession
+    kw = _causal_cfg()
+    torch.manual_seed(98)
+    m = G.randomize_(G.DfsmnSanNet(16, 9, **kw), seed=99)
+    p = ckpt.convert_dfsmn_san(StateDict(m.state_dict()), num_block=2,
+                               fsmn_each_block=3)
+    cfg = dfsmn.DfsmnSanConfig(**kw)
+    T, C = 26, 6
+    x = np.random.RandomState(100).randn(1, T, 16).astype(np.float32)
+
+    pos = np.arange(T)
+    # finish() pads the tail chunk with zeros, which the full forward
+    # must see too for exactness: pad to the chunk multiple
+    Tp = ((T + C - 1) // C) * C
+    xp = np.zeros((1, Tp, 16), np.float32)
+    xp[:, :T] = x
+    posp = np.arange(Tp)
+    mask = jnp.asarray(posp[None, :] < ((posp[:, None] // C) + 1) * C)
+    full, _ = dfsmn.dfsmn_san_forward(p, cfg, jnp.asarray(xp), None,
+                                      attn_mask=mask)
+
+    sess = DfsmnStreamingSession(p, cfg, chunk_size=C, cache_T=Tp)
+    outs = sess.push(x[:, :7]) + sess.push(x[:, 7:20]) \
+        + sess.push(x[:, 20:]) + sess.finish()
+    stream = np.concatenate(outs, axis=1)
+    assert stream.shape[1] == T
+    allclose(stream, np.asarray(full)[:, :T], atol=1e-4)
+
+
+def test_dfsmn_streaming_session_lookahead_delay_bookkeeping():
+    """With look-ahead the session drops warm-up frames and still emits
+    exactly T matured frames."""
+    from m3asr_tpu.runtime.streaming_session import DfsmnStreamingSession
+    kw = dict(_causal_cfg(), look_ahead=1)
+    torch.manual_seed(101)
+    m = G.randomize_(G.DfsmnSanNet(16, 9, **kw), seed=102)
+    p = ckpt.convert_dfsmn_san(StateDict(m.state_dict()), num_block=2,
+                               fsmn_each_block=3)
+    cfg = dfsmn.DfsmnSanConfig(**kw)
+    from m3asr_tpu.models.dfsmn_streaming import stream_delay
+    assert stream_delay(cfg) == 6  # 2 blocks x 3 fsmn x rctx 1
+    T = 23
+    x = np.random.RandomState(103).randn(1, T, 16).astype(np.float32)
+    sess = DfsmnStreamingSession(p, cfg, chunk_size=8, cache_T=64)
+    outs = sess.push(x) + sess.finish()
+    stream = np.concatenate(outs, axis=1)
+    assert stream.shape[1] == T
