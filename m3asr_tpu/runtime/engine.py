@@ -45,16 +45,17 @@ from m3asr_tpu.runtime.buckets import (BucketSpec, DEFAULT_BATCHES,
 # full model on v5e, untrained-random routers (BENCHMARKS.md):
 #   fp32: dense best at 63-255 tokens (17.1 vs 18.3 ragged at 255);
 #         ragged best at 504 (14.6 vs 27.5); ~tied at 511-long.
-#   bf16: dense best at every measured count through 1023 tokens
-#         (MoE-only 7.49 vs ragged 9.54 at 1023); crossover ~1.3k by
-#         FLOP extrapolation.
+#   bf16: dense best at every measured count through 1499 tokens
+#         (full model at 6000 frames: dense 22.9 vs ragged 26.4 ms) —
+#         ragged only pays off for large diverse batches (load balance,
+#         see BENCHMARKS.md), i.e. batch x length past the ladder.
 # The GShard capacity path is NOT in auto: it beats everything under
 # BALANCED routing (fp32 6.4 vs 22 ms/18L at 511 uniform tokens) but
 # real activations through untrained routers are heavily skewed (max
 # expert load 15-51 of 63 tokens), its exact-fallback lax.cond then
 # degrades to dense + overhead (21.3 vs 17.1 full model). Opt in with
 # moe_impl="capacity" for checkpoints trained with balance losses.
-MOE_DENSE_TOKEN_THRESHOLD = 1024         # bf16 / int8 activations
+MOE_DENSE_TOKEN_THRESHOLD = 2048         # bf16 / int8 activations
 MOE_DENSE_TOKEN_THRESHOLD_FP32 = 256
 
 
