@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +40,9 @@ class Trainer:
                  max_epochs: int = 20, early_stop_count: int = 5,
                  keep_recent: int = 5, logger=None,
                  step_takes_rng: bool = False, seed: int = 0,
-                 scalar_dir: Optional[str] = None):
+                 scalar_dir: Optional[str] = None,
+                 batch_keys: Tuple[str, ...] = ("data", "lens", "target",
+                                                "target_lens")):
         self.model_cfg = model_cfg
         self.params = params
         self.optimizer = optimizer
@@ -65,6 +67,7 @@ class Trainer:
         self.recent_models: list = []
         self.lr_scale = 1.0
         self.step_takes_rng = step_takes_rng
+        self.batch_keys = tuple(batch_keys)
         self.rng = jax.random.PRNGKey(seed)
         # scalar observability: JSONL + TensorBoard event files
         # (bk/..._hier.py:190-193,622-623)
@@ -156,8 +159,8 @@ class Trainer:
         stat = MetricStat(["loss", "ctc_loss"])
         meter = ThroughputMeter()
         for i, batch in enumerate(self.make_loader(self.resume_skip)):
-            args = (self.params, self.opt_state, batch["data"],
-                    batch["lens"], batch["target"], batch["target_lens"])
+            args = (self.params, self.opt_state) + tuple(
+                batch[k] for k in self.batch_keys)
             if self.step_takes_rng:
                 # per-batch chunk-size sample (dynamic-chunk training)
                 args += (jax.random.fold_in(self.rng, self.global_step),)

@@ -79,3 +79,43 @@ def test_train_cli_end_to_end(tmp_path):
     assert any(e["tag"] == "train/loss" for e in events)
     assert any(e["tag"] == "valid/loss" for e in events)
     assert glob.glob(str(scalars / "events.out.tfevents.*"))
+
+
+def test_train_cli_hier_aed_recipe(tmp_path):
+    """--tr_aed_labels switches to the deployed CTC + hier AED recipe
+    (3 decoders on taps 6/12/final)."""
+    rng = np.random.RandomState(1)
+    with ArkWriter(str(tmp_path / "tr.ark")) as w:
+        for i in range(8):
+            w.write(f"utt{i}", rng.randn(20 + i, 12).astype(np.float32))
+    with open(tmp_path / "tr_labels.ark", "w") as f:
+        for i in range(8):
+            toks = " ".join(str(t) for t in rng.randint(1, 6, 3))
+            f.write(f"utt{i} {toks}\n")
+    with open(tmp_path / "aed_labels.ark", "w") as f:
+        for i in range(8):
+            toks = " ".join(str(t) for t in rng.randint(1, 6, 3))
+            f.write(f"utt{i} {toks}\n")
+    cfgd = tiny_train_yaml()
+    cfgd["model_conf"]["decoder_conf"] = {
+        "attention_heads": 4, "linear_units": 16, "num_blocks": 1}
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(cfgd, f)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", M3ASR_PLATFORM="cpu")
+    out_dir = tmp_path / "exp"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py"),
+         "--config", str(tmp_path / "cfg.yaml"),
+         "--output_dir", str(out_dir),
+         "--tr_rspecifier", str(tmp_path / "tr.ark"),
+         "--tr_labels", str(tmp_path / "tr_labels.ark"),
+         "--tr_aed_labels", str(tmp_path / "aed_labels.ark")],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr
+    with open(out_dir / "checkpoint_final.pkl", "rb") as f:
+        ckpt = pickle.load(f)
+    # the AED wrapper layout trained: encoder + 3 decoders present
+    for name in ("encoder", "decoder", "decoder_1", "decoder_2"):
+        assert name in ckpt["params"], sorted(ckpt["params"])
+    assert ckpt["global_step"] > 0

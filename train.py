@@ -35,8 +35,9 @@ def main(args):
     from m3asr_tpu.parallel import distributed as dist
     from m3asr_tpu.parallel import mesh as pmesh
     from m3asr_tpu.train.lr_scheduler import build_optimizer
-    from m3asr_tpu.train.step import (TrainConfig, _needs_rng, loss_fn,
-                                      make_train_step)
+    from m3asr_tpu.train.step import (HierTrainConfig, TrainConfig,
+                                      _needs_rng, loss_fn,
+                                      make_hier_train_step, make_train_step)
     from m3asr_tpu.train.trainer import Trainer
     from m3asr_tpu.train.metrics import set_logger
 
@@ -70,13 +71,29 @@ def main(args):
     family = get_family(model_cfg.nnet_proto)
     params = family.init(jax.random.PRNGKey(args.seed), model_cfg)
 
-    tcfg = TrainConfig(
+    # the deployed recipe: CTC + hier label-smoothing AED when AED
+    # labels are given (bk/..._hier.py LossCompute)
+    hier = bool(args.tr_aed_labels)
+    tkw = dict(
         learning_rate=raw.get("lr", 1e-3),
         warmup_steps=(raw.get("schedule_conf") or {}).get("warmup_steps",
                                                           25000),
         grad_clip=raw.get("max_grad_norm", 5.0),
         weight_decay=raw.get("weight_decay", 0.0),
         embed_ctc_weight=raw.get("embed_ctc_weight", 0.0))
+    if hier:
+        from m3asr_tpu.models import aed
+        tcfg = HierTrainConfig(
+            **tkw, aed_weight=raw.get("aed_weight", 0.3),
+            lsm_weight=raw.get("lsm_weight", 0.1))
+        d_model = model_cfg.encoder_conf.attention_dim
+        dkeys = jax.random.split(jax.random.PRNGKey(args.seed + 1), 3)
+        params = {"encoder": params}
+        for i, name in enumerate(("decoder", "decoder_1", "decoder_2")):
+            params[name] = aed.init(dkeys[i], model_cfg.decoder_conf,
+                                    model_cfg.output_dim, d_model)
+    else:
+        tcfg = TrainConfig(**tkw)
     optimizer = build_optimizer(
         raw.get("schedule_type", "warmup_noam"),
         raw.get("schedule_conf"), raw.get("lr", 1e-3),
@@ -85,7 +102,8 @@ def main(args):
         max_grad_norm=raw.get("max_grad_norm", 5.0),
         weight_decay=raw.get("weight_decay", 0.0),
         name_nodecay=raw.get("name_nodecay"), params=params)
-    step = make_train_step(model_cfg, tcfg, optimizer)
+    step = (make_hier_train_step(model_cfg, tcfg, optimizer) if hier
+            else make_train_step(model_cfg, tcfg, optimizer))
 
     # mesh + shardings: dp x ep (the reference's dp_groups/mp_groups);
     # dp must divide the global batch, so cap it at gcd(batch, devices)
@@ -101,7 +119,9 @@ def main(args):
     b_shard = pmesh.batch_sharding(mesh)
     r_shard = pmesh.replicated(mesh)
     needs_rng = _needs_rng(model_cfg)
-    in_shardings = (p_shard, o_shard, b_shard, r_shard, r_shard, r_shard)
+    n_label_args = 6 if hier else 4
+    in_shardings = (p_shard, o_shard, b_shard) + (r_shard,) * (
+        n_label_args - 1)
     if needs_rng:
         in_shardings = in_shardings + (r_shard,)
     jstep = jax.jit(step, in_shardings=in_shardings,
@@ -109,9 +129,17 @@ def main(args):
     params = jax.device_put(params, p_shard)
 
     valid_step = None
-    if cv_loader is not None:
+    if cv_loader is not None and not hier:
         def valid_step(p, feat, feat_len, targets, target_lens):
             return loss_fn(p, model_cfg, tcfg, feat, feat_len, targets,
+                           target_lens)[0]
+        valid_step = jax.jit(valid_step)
+    elif cv_loader is not None:
+        from m3asr_tpu.train.step import hier_aed_loss_fn
+        # hier validation scores CTC only (cv arks carry CTC labels)
+        def valid_step(p, feat, feat_len, targets, target_lens):
+            return loss_fn(p["encoder"], model_cfg,
+                           TrainConfig(**tkw), feat, feat_len, targets,
                            target_lens)[0]
         valid_step = jax.jit(valid_step)
 
@@ -119,7 +147,11 @@ def main(args):
     logger = set_logger("m3asr.train",
                         log_file=args.log_file or
                         os.path.join(args.output_dir, "train.log"))
+    batch_keys = ("data", "lens", "target", "target_lens")
+    if hier:
+        batch_keys += ("aed_target", "aed_target_lens")
     trainer = Trainer(model_cfg, params, optimizer, jstep,
+                      batch_keys=batch_keys,
                       make_loader=make_tr_loader, valid_loader=cv_loader,
                       save_dir=args.output_dir,
                       log_period=raw.get("log_period", 100),
