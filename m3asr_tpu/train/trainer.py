@@ -42,7 +42,8 @@ class Trainer:
                  step_takes_rng: bool = False, seed: int = 0,
                  scalar_dir: Optional[str] = None,
                  batch_keys: Tuple[str, ...] = ("data", "lens", "target",
-                                                "target_lens")):
+                                                "target_lens"),
+                 ckpt_format: str = "pickle"):
         self.model_cfg = model_cfg
         self.params = params
         self.optimizer = optimizer
@@ -68,6 +69,8 @@ class Trainer:
         self.lr_scale = 1.0
         self.step_takes_rng = step_takes_rng
         self.batch_keys = tuple(batch_keys)
+        assert ckpt_format in ("pickle", "orbax"), ckpt_format
+        self.ckpt_format = ckpt_format
         self.rng = jax.random.PRNGKey(seed)
         # scalar observability: JSONL + TensorBoard event files
         # (bk/..._hier.py:190-193,622-623)
@@ -81,11 +84,11 @@ class Trainer:
     # checkpointing (bk/..._hier.py:435-506)
     # ------------------------------------------------------------------
     def _ckpt_path(self, tag: str) -> str:
-        return os.path.join(self.save_dir, f"checkpoint_{tag}.pkl")
+        suffix = ".pkl" if self.ckpt_format == "pickle" else ".orbax"
+        return os.path.join(self.save_dir, f"checkpoint_{tag}{suffix}")
 
-    def save_checkpoint(self, tag: str = "last"):
-        os.makedirs(self.save_dir, exist_ok=True)
-        state = {
+    def _gather_state(self):
+        return {
             "epoch": self.epoch,
             "global_step": self.global_step,
             "resume_skip": self.resume_skip,
@@ -101,10 +104,41 @@ class Trainer:
                 lambda x: np.asarray(x) if hasattr(x, "shape") else x,
                 self.best_opt_state),
         }
+
+    def _apply_state(self, state):
+        self.epoch = int(state["epoch"])
+        self.global_step = int(state["global_step"])
+        self.resume_skip = int(state["resume_skip"])
+        self.best_valid = float(state["best_valid"])
+        self.early_stop = int(state["early_stop"])
+        self.lr_scale = float(state.get("lr_scale", 1.0))
+        as_jnp = lambda x: (jnp.asarray(x)                 # noqa: E731
+                            if isinstance(x, np.ndarray) else x)
+        self.params = jax.tree.map(as_jnp, state["params"])
+        self.best_params = jax.tree.map(as_jnp, state["best_params"])
+        self.opt_state = jax.tree.map(as_jnp, state["opt_state"])
+        self.best_opt_state = jax.tree.map(
+            as_jnp, state.get("best_opt_state", state["opt_state"]))
+
+    def save_checkpoint(self, tag: str = "last"):
+        os.makedirs(self.save_dir, exist_ok=True)
+        state = self._gather_state()
         path = self._ckpt_path(tag)
-        with open(path + ".tmp", "wb") as f:
-            pickle.dump(state, f)
-        os.replace(path + ".tmp", path)
+        if self.ckpt_format == "orbax":
+            # TPU-native path: multi-host-aware, per-array files
+            import shutil
+            import orbax.checkpoint as ocp
+            tmp = os.path.abspath(path) + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(tmp, state)
+            ckptr.wait_until_finished()
+            shutil.rmtree(path, ignore_errors=True)
+            os.replace(tmp, path)
+        else:
+            with open(path + ".tmp", "wb") as f:
+                pickle.dump(state, f)
+            os.replace(path + ".tmp", path)
         if tag == "last":
             self.recent_models.append(self.global_step)
             while len(self.recent_models) > self.keep_recent:
@@ -114,22 +148,15 @@ class Trainer:
         path = self._ckpt_path(tag)
         if not os.path.exists(path):
             return False
-        with open(path, "rb") as f:
-            state = pickle.load(f)
-        self.epoch = state["epoch"]
-        self.global_step = state["global_step"]
-        self.resume_skip = state["resume_skip"]
-        self.best_valid = state["best_valid"]
-        self.early_stop = state["early_stop"]
-        self.lr_scale = state.get("lr_scale", 1.0)
-        self.params = jax.tree.map(jnp.asarray, state["params"])
-        self.best_params = jax.tree.map(jnp.asarray, state["best_params"])
-        self.opt_state = jax.tree.map(
-            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
-            state["opt_state"])
-        self.best_opt_state = jax.tree.map(
-            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
-            state.get("best_opt_state", state["opt_state"]))
+        if self.ckpt_format == "orbax":
+            import orbax.checkpoint as ocp
+            target = self._gather_state()  # structure/dtype template
+            ckptr = ocp.StandardCheckpointer()
+            state = ckptr.restore(os.path.abspath(path), target)
+        else:
+            with open(path, "rb") as f:
+                state = pickle.load(f)
+        self._apply_state(state)
         self.logger.info(
             f"resumed epoch={self.epoch} step={self.global_step} "
             f"skip={self.resume_skip}")

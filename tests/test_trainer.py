@@ -104,3 +104,32 @@ def test_divergence_recovery(tmp_path):
     assert trainer.early_stop == 1          # recovered once
     assert trainer.lr_scale == 0.5          # halved lr
     assert trainer.global_step == 3         # nan step not counted
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """ckpt_format='orbax': save/restore the full trainer state through
+    orbax (the multi-host-aware TPU-native checkpoint path)."""
+    mc = tiny_cfg()
+    params = moe_conformer.init(jax.random.PRNGKey(0), mc.encoder_conf,
+                                mc.input_dim, mc.output_dim)
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_steps=5)
+    opt = make_optimizer(tcfg)
+    step = jax.jit(make_train_step(mc, tcfg, opt))
+    batches = make_batches(2)
+    t1 = Trainer(mc, params, opt, step,
+                 make_loader=lambda skip: iter(batches),
+                 save_dir=str(tmp_path), max_epochs=1, log_period=1,
+                 ckpt_format="orbax")
+    t1.run()
+    assert t1.global_step == 2
+
+    t2 = Trainer(mc, params, opt, step,
+                 make_loader=lambda skip: iter(batches),
+                 save_dir=str(tmp_path), max_epochs=1,
+                 ckpt_format="orbax")
+    assert t2.load_checkpoint("last")
+    assert t2.global_step == t1.global_step
+    import optax
+    diff = optax.global_norm(jax.tree.map(lambda a, b: a - b, t1.params,
+                                          t2.params))
+    assert float(diff) == 0.0
