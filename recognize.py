@@ -52,7 +52,11 @@ def main(args):
         loader_conf={"feat_dim": args.feat_dim,
                      "add_deltas": args.add_deltas,
                      "cmvn_file": args.cmvn_file,
-                     "batch_size": args.batch_size})
+                     "batch_size": args.batch_size,
+                     "raw_wav": args.raw_wav,
+                     "feature_extraction_conf": {
+                         "mel_bins": args.feat_dim,
+                         "frame_length": 25, "frame_shift": 10}})
 
     hyps_all, refs_all = [], []
     t0 = time.perf_counter()
@@ -107,7 +111,10 @@ if __name__ == "__main__":
     p.add_argument("-p", "--plan_name", required=True,
                    help="engine directory")
     p.add_argument("-i", "--input_rspec", required=True,
-                   help="feature ark/scp")
+                   help="feature ark/scp (or wav scp with --raw_wav)")
+    p.add_argument("--raw_wav", action="store_true",
+                   help="input is a wav scp; extract fbank on the fly "
+                        "(frontend/fbank.py)")
     p.add_argument("-l", "--label_rspec", required=False,
                    help="reference labels (int-vector ark) for CER")
     p.add_argument("-d", "--decode", default="greedy",

@@ -144,3 +144,46 @@ def test_raw_wav_training_augmentation_is_deterministic(tmp_path):
     b = next(iter(DataLoader(str(tmp_path / "wav.scp"), training=True,
                              loader_conf=conf)()))
     np.testing.assert_array_equal(a["data"], b["data"])  # seeded rng
+
+
+def test_recognize_cli_raw_wav(tmp_path):
+    """recognize.py --raw_wav decodes straight from wav files through
+    the fbank frontend."""
+    import subprocess
+    import sys
+    import torch
+    import yaml
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from test_runtime import REPO, golden_model, small_yaml
+
+    m = golden_model()
+    torch.save({f"encoder.{k}": v for k, v in m.state_dict().items()},
+               tmp_path / "ckpt.pt")
+    cfgd = small_yaml()
+    cfgd["input_dim"] = 20
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(cfgd, f)
+    env = dict(os.environ, M3ASR_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "build.py"),
+         "-c", str(tmp_path / "cfg.yaml"), "-m", str(tmp_path / "ckpt.pt"),
+         "-o", str(tmp_path / "eng"), "--buckets", "2x64", "--skip-warmup"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+
+    # 20-mel fbank wavs
+    for i in range(2):
+        _write_wav(tmp_path / f"u{i}.wav", tone(400.0 + 300 * i, dur=0.3))
+    with open(tmp_path / "wav.scp", "w") as f:
+        for i in range(2):
+            f.write(f"utt{i} {tmp_path}/u{i}.wav\n")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recognize.py"),
+         "-p", str(tmp_path / "eng"), "-i", str(tmp_path / "wav.scp"),
+         "--raw_wav", "--feat_dim", "20", "-d", "greedy",
+         "--batch_size", "2"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    keys = [line.split()[0] for line in r.stdout.strip().splitlines()]
+    assert keys == ["utt0", "utt1"]
