@@ -16,9 +16,9 @@ RelPositionalEncodingPluginDyn  ops.positional.rel_positional_encoding
 GluPluginDynamic                ops.conv.glu
 DumpTensorPluginDynamic         jax.debug.print (ops.common.dump_tensor)
 CeluPluginDynamic               jax.nn.celu
-AttStreamSoftmaxPluginDynamic   ops.attention.stream_masked_softmax
-CatSplitCachePluginDynamic      ops.streaming.cat_split_cache
-cmvn_plugin (incomplete)        frontend.cmvn.apply_cmvn
+AttStreamSoftmaxPluginDynamic   models.streaming._stream_rel_mha (windowed key_valid mask)
+CatSplitCachePluginDynamic      models.streaming fixed-shape KV/conv caches
+cmvn_plugin (incomplete)        frontend.features.apply_cmvn
 ==============================  =========================================
 """
 
