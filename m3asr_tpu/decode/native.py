@@ -97,3 +97,25 @@ def ctc_greedy_search(logits: np.ndarray, out_lens: np.ndarray,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         hyps.append([int(x) for x in out[:n]])
     return hyps
+
+
+def ctc_prefix_beam_search_batch(log_probs: np.ndarray,
+                                 out_lens: np.ndarray, beam_size: int,
+                                 blank_idx: int = 0,
+                                 max_workers: Optional[int] = None):
+    """Prefix beam search over a batch, decoded in parallel threads —
+    the C call releases the GIL (ctypes), so host decode scales with
+    cores (the reference decodes utterances serially in python,
+    model/encoder.py:182-260). log_probs: (B, T, V) log-softmax.
+    Returns a list of nbest lists."""
+    from concurrent.futures import ThreadPoolExecutor
+    B = log_probs.shape[0]
+    if B <= 1 or _load() is None:
+        return [ctc_prefix_beam_search(log_probs[b], int(out_lens[b]),
+                                       beam_size, blank_idx)
+                for b in range(B)]
+    with ThreadPoolExecutor(max_workers=max_workers or min(B, 8)) as ex:
+        futs = [ex.submit(ctc_prefix_beam_search, log_probs[b],
+                          int(out_lens[b]), beam_size, blank_idx)
+                for b in range(B)]
+        return [f.result() for f in futs]

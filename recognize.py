@@ -70,9 +70,8 @@ def main(args):
         else:
             m = out.max(-1, keepdims=True)
             lp = out - m - np.log(np.exp(out - m).sum(-1, keepdims=True))
-            nbests = [native.ctc_prefix_beam_search(
-                lp[b], int(out_lens[b]), args.beam_size)
-                for b in range(out.shape[0])]
+            nbests = native.ctc_prefix_beam_search_batch(
+                lp, out_lens, args.beam_size)
             if args.decode == "rescore":
                 from m3asr_tpu.models.aed import attention_rescoring
                 cfg = engine.model_cfg

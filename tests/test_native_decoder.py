@@ -50,3 +50,16 @@ def test_native_is_faster(lib_ok):
     ctc.ctc_prefix_beam_search(lp, 300, beam_size=10)
     t_py = time.perf_counter() - t0
     assert t_cc < t_py, (t_cc, t_py)
+
+
+def test_batch_beam_search_matches_sequential():
+    from m3asr_tpu.decode import native
+    rng = np.random.RandomState(11)
+    B, T, V = 4, 17, 9
+    logits = rng.randn(B, T, V).astype(np.float32)
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    lens = np.array([17, 12, 9, 5])
+    batch = native.ctc_prefix_beam_search_batch(lp, lens, beam_size=5)
+    for b in range(B):
+        seq = native.ctc_prefix_beam_search(lp[b], int(lens[b]), 5)
+        assert batch[b] == seq
