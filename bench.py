@@ -64,8 +64,8 @@ def bench_device(cfg, params, feat, feat_len, dtype, moe_impl, iters,
         blocks = dict(p["blocks"])
         blocks["feed_forward"] = quantize_moe_params(blocks["feed_forward"])
         p["blocks"] = blocks
-        moe_impl = {"dense": "quant", "capacity": "quant_capacity"}.get(
-            moe_impl, "quant")
+        from m3asr_tpu.runtime.engine import _INT8_IMPL
+        moe_impl = _INT8_IMPL.get(moe_impl, "quant")
     feat_d = jnp.asarray(feat, jdtype)
     len_d = jnp.asarray(feat_len, jnp.int32)
 

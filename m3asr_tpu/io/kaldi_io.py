@@ -151,19 +151,20 @@ def read_ark(path: str) -> Iterator[Tuple[str, np.ndarray]]:
     arks go through the native C++ reader (native/io/ark_reader.cpp);
     other formats fall back to the python parser."""
     from m3asr_tpu.io import native_io
+    done = 0
     if native_io.available():
-        yielded = False
         try:
             for kv in native_io.read_ark(path):
-                yielded = True
+                done += 1
                 yield kv
             return
         except native_io.UnsupportedArk:
-            if yielded:
-                # mixed-format ark mid-stream; a python re-read would
-                # duplicate entries — surface it instead
-                raise
-    yield from read_ark_py(path)
+            pass  # mixed-format ark: python re-read, skipping what we
+            # already emitted (entries stream in file order)
+    it = read_ark_py(path)
+    for _ in range(done):
+        next(it)
+    yield from it
 
 
 def read_scp(path: str) -> Iterator[Tuple[str, np.ndarray]]:
@@ -191,20 +192,19 @@ def read_int_vector_ark(path: str) -> Iterator[Tuple[str, np.ndarray]]:
             key = _read_key(f)
             if key is None:
                 return
-            binary = f.read(2)
-            if binary == b"\x00B":
+            first = f.read(1)
+            if first == b"\x00":
+                assert f.read(1) == b"B", "malformed binary marker"
                 n = _read_int32(f)
                 vec = np.empty(n, np.int32)
                 for i in range(n):
                     vec[i] = _read_int32(f)
                 yield key, vec
+            elif first == b"\n" or first == b"":
+                # empty transcript ("utt0 \n")
+                yield key, np.zeros((0,), np.int32)
             else:
-                # text format; the 2-byte binary sniff may already have
-                # consumed the newline of a short (single-digit) vector
-                if b"\n" in binary:
-                    line = binary.split(b"\n", 1)[0]
-                else:
-                    line = binary + f.readline().rstrip(b"\n")
+                line = first + f.readline().rstrip(b"\n")
                 rest = line.decode().split()
                 yield key, np.asarray([int(x) for x in rest], np.int32)
 

@@ -166,11 +166,16 @@ def forward_chunk(params, cfg: DfsmnSanConfig, chunk: jax.Array,
             li += 1
         if i == 0:
             # PE at the (delay-shifted) absolute positions of this
-            # block's output stream; warm-up frames clamp to 0
+            # block's output stream: output frame j of this chunk sits
+            # at position offset - delay0 + j. Per-frame clipped gather
+            # (not a clamped slice start) so the matured frames in the
+            # first chunks keep the right alignment; warm-up frames
+            # (negative positions, discarded by drivers) clip to 0.
             delay0 = cfg.fsmn_each_block * rctx
             pe = positional.sinusoid_table(cfg.memory_dim, dtype=x.dtype)
-            start = jnp.maximum(state.offset - delay0, 0)
-            x = x + jax.lax.dynamic_slice_in_dim(pe, start, C, axis=0)[None]
+            idx = jnp.clip(state.offset - delay0 + jnp.arange(C), 0,
+                           pe.shape[0] - 1)
+            x = x + jnp.take(pe, idx, axis=0)[None]
         cache = state.att_caches[i]
         Tc = cache.shape[1]
         idx = jnp.arange(Tc + C)

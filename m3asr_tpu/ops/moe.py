@@ -299,6 +299,9 @@ def _dispatch(p, x, gate_idx, impl: str):
     if impl == "quant_capacity":
         from m3asr_tpu.ops.quant import moe_experts_capacity_q
         return moe_experts_capacity_q(p, x, gate_idx)
+    if impl == "quant_pallas":
+        from m3asr_tpu.ops.pallas_moe import moe_experts_pallas_q
+        return moe_experts_pallas_q(p, x, gate_idx)
     raise ValueError(f"unknown moe impl: {impl}")
 
 

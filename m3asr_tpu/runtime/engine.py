@@ -58,6 +58,33 @@ from m3asr_tpu.runtime.buckets import (BucketSpec, DEFAULT_BATCHES,
 MOE_DENSE_TOKEN_THRESHOLD = 2048         # bf16 / int8 activations
 MOE_DENSE_TOKEN_THRESHOLD_FP32 = 256
 
+# int8 engines quantize the expert tensors at init, so only the quant
+# impls can run; explicit impl choices map onto their quant twins.
+_INT8_IMPL = {"dense": "quant", "capacity": "quant_capacity",
+              "pallas": "quant_pallas", "quant": "quant",
+              "quant_capacity": "quant_capacity",
+              "quant_pallas": "quant_pallas"}
+
+
+def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
+                  requested: str = "auto") -> str:
+    """The measured MoE dispatch policy (BENCHMARKS.md), shared by the
+    Engine and bench.py. dtype: 'float32'|'bfloat16'."""
+    if int8:
+        if requested != "auto":
+            impl = _INT8_IMPL.get(requested)
+            if impl is None:
+                raise ValueError(
+                    f"moe_impl={requested!r} cannot run on int8 expert "
+                    f"weights; choose one of {sorted(set(_INT8_IMPL))}")
+            return impl
+        return "quant"  # dense int8; quant_capacity is opt-in
+    if requested != "auto":
+        return requested
+    threshold = (MOE_DENSE_TOKEN_THRESHOLD_FP32 if dtype == "float32"
+                 else MOE_DENSE_TOKEN_THRESHOLD)
+    return "dense" if tokens <= threshold else "ragged"
+
 
 def _flatten(tree, prefix=""):
     out = {}
@@ -123,10 +150,16 @@ class Engine:
                                   tuple(self.cfg.bucket_batches))
         self._fns: Dict[Tuple[int, int], object] = {}
         from m3asr_tpu.models.registry import get_family
-        self.is_moe = get_family(model_cfg.nnet_proto).name == "moe_conformer"
+        family_name = get_family(model_cfg.nnet_proto).name
+        self.is_moe = family_name in ("moe_conformer", "dfsmn_moe")
 
         # int8 mode: bf16 activations/dense weights + int8 expert weights
         self.int8_experts = self.cfg.dtype == "int8"
+        if self.int8_experts and family_name == "dfsmn_moe":
+            raise NotImplementedError(
+                "int8 expert quantization is implemented for the MoE "
+                "conformer param layout only; build the DFSMN-MoE engine "
+                "with -f (bf16) instead")
         dtype = (jnp.bfloat16 if self.cfg.dtype in ("bfloat16", "int8")
                  else jnp.float32)
         self.dtype = dtype
@@ -141,7 +174,7 @@ class Engine:
             return jnp.asarray(a, dtype)
 
         self.params = jax.tree_util.tree_map_with_path(cast, params)
-        if self.int8_experts and self.is_moe:
+        if self.int8_experts and family_name == "moe_conformer":
             from m3asr_tpu.ops.quant import quantize_moe_params
             blocks = dict(self.params["blocks"])
             for ff in ("feed_forward", "feed_forward_macaron"):
@@ -163,23 +196,15 @@ class Engine:
     # forward construction
     # ------------------------------------------------------------------
     def _moe_impl_for(self, batch: int, length: int) -> str:
-        from m3asr_tpu.ops.masking import subsampling4_length
-        tokens = batch * int(subsampling4_length(np.array([length]))[0])
-        if self.int8_experts:
-            if self.cfg.moe_impl != "auto":
-                # int8 params only run the quant impls
-                return {"dense": "quant",
-                        "capacity": "quant_capacity"}.get(
-                            self.cfg.moe_impl, self.cfg.moe_impl)
-            return "quant"  # dense int8; quant_capacity is opt-in
-        if self.cfg.moe_impl != "auto":
-            return self.cfg.moe_impl
-        threshold = (MOE_DENSE_TOKEN_THRESHOLD_FP32
-                     if self.dtype == jnp.float32
-                     else MOE_DENSE_TOKEN_THRESHOLD)
-        if tokens <= threshold:
-            return "dense"
-        return "ragged"
+        from m3asr_tpu.ops import masking
+        input_layer = getattr(self.model_cfg.encoder_conf, "input_layer",
+                              "conv2d")
+        sub = masking.SUBSAMPLED_LENGTH.get(
+            input_layer, masking.subsampling4_length)
+        tokens = batch * int(np.asarray(sub(np.array([length])))[0])
+        dtype = "float32" if self.dtype == jnp.float32 else "bfloat16"
+        return moe_auto_impl(dtype, tokens, int8=self.int8_experts,
+                             requested=self.cfg.moe_impl)
 
     def _make_forward(self, batch: int, length: int):
         from m3asr_tpu.models.registry import get_family

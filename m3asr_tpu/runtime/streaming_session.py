@@ -56,6 +56,9 @@ class StreamingSession:
             w = self._buf[:, self._consumed: self._consumed + self.window]
             outs.append(self._step(w))
             self._consumed += self.stride
+        if self._consumed > 0:  # bound memory on long-lived streams
+            self._buf = self._buf[:, self._consumed:]
+            self._consumed = 0
         return outs
 
     def _step(self, w: np.ndarray) -> np.ndarray:
@@ -103,16 +106,17 @@ class DfsmnStreamingSession:
         self.state = S.init_state(cfg, batch, cache_T)
         self._fn = jax.jit(lambda p, c, s: S.forward_chunk(p, cfg, c, s))
         self._buf: Optional[np.ndarray] = None
-        self._consumed = 0         # chunk frames fed to the model
+        self._consumed = 0         # buffer-relative frames consumed
+        self._fed = 0              # total frames fed to the model
         self._next_pos = 0         # next matured input position to emit
 
     def _run(self, c: np.ndarray, real_limit: Optional[int]
              ) -> Optional[np.ndarray]:
         out, self.state = self._fn(self.params, jnp.asarray(c), self.state)
-        self._consumed += c.shape[1]
+        self._fed += c.shape[1]
         out = np.asarray(out)
         C = out.shape[1]
-        first_pos = self._consumed - C - self.delay  # position of out[0]
+        first_pos = self._fed - C - self.delay       # position of out[0]
         start = max(0, self._next_pos - first_pos)
         end = C if real_limit is None else min(C, real_limit - first_pos)
         if end <= start:
@@ -128,9 +132,13 @@ class DfsmnStreamingSession:
         outs = []
         while self._buf.shape[1] - self._consumed >= self.chunk:
             c = self._buf[:, self._consumed: self._consumed + self.chunk]
+            self._consumed += self.chunk
             o = self._run(c, None)
             if o is not None:
                 outs.append(o)
+        if self._consumed > 0:  # bound memory on long-lived streams
+            self._buf = self._buf[:, self._consumed:]
+            self._consumed = 0
         return outs
 
     def finish(self) -> List[np.ndarray]:
@@ -138,8 +146,8 @@ class DfsmnStreamingSession:
         only frames covered by real input."""
         if self._buf is None:
             return []
-        total = self._buf.shape[1]
-        rest = total - self._consumed
+        rest = self._buf.shape[1] - self._consumed
+        total = self._fed + rest           # global stream length
         need = rest + self.delay
         pad = (-need) % self.chunk
         tail = np.zeros((self._buf.shape[0], need + pad,

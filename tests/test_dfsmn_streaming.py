@@ -143,3 +143,20 @@ def test_dfsmn_streaming_session_lookahead_delay_bookkeeping():
     outs = sess.push(x) + sess.finish()
     stream = np.concatenate(outs, axis=1)
     assert stream.shape[1] == T
+
+
+def test_dfsmn_streaming_session_buffer_stays_bounded():
+    """Long-lived streams must not accumulate the whole history."""
+    from m3asr_tpu.runtime.streaming_session import DfsmnStreamingSession
+    kw = _causal_cfg()
+    torch.manual_seed(104)
+    m = G.randomize_(G.DfsmnSanNet(16, 9, **kw), seed=105)
+    p = ckpt.convert_dfsmn_san(StateDict(m.state_dict()), num_block=2,
+                               fsmn_each_block=3)
+    cfg = dfsmn.DfsmnSanConfig(**kw)
+    sess = DfsmnStreamingSession(p, cfg, chunk_size=8, cache_T=16)
+    x = np.zeros((1, 8, 16), np.float32)
+    for _ in range(50):
+        sess.push(x)
+    assert sess._buf.shape[1] < 16  # trimmed, not 400 frames
+    assert sess._fed == 400

@@ -60,9 +60,12 @@ def main(args):
 
     cv_loader = None
     if args.cv_rspecifier:
+        # validation must see every utterance (and isn't dp-sharded)
+        cv_conf = dict(loader_conf, drop_last=False)
+
         def cv_loader():
             return DataLoader(args.cv_rspecifier, args.cv_labels,
-                              loader_conf=loader_conf)()
+                              loader_conf=cv_conf)()
 
     probe = DataLoader(args.tr_rspecifier, args.tr_labels,
                        loader_conf=loader_conf)
