@@ -179,7 +179,12 @@ def forward_chunk(params, cfg: DfsmnSanConfig, chunk: jax.Array,
         cache = state.att_caches[i]
         Tc = cache.shape[1]
         idx = jnp.arange(Tc + C)
-        key_valid = (state.offset - Tc + idx) >= 0
+        # a key slot holds this block's output frame number
+        # (state.offset - Tc + idx); frames below the block's cumulative
+        # FIR delay are warm-up (input position < 0) and must not leak
+        # into matured queries through attention
+        delay_i = (i + 1) * cfg.fsmn_each_block * rctx
+        key_valid = (state.offset - Tc + idx) >= delay_i
         x, na = _stream_attn_mem(bp["attn_layer"], x, cache, key_valid,
                                  cfg.num_head, cfg.num_memory,
                                  cfg.norm_type)
