@@ -20,6 +20,7 @@ importable and property-checks otherwise.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -32,8 +33,10 @@ def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+@functools.lru_cache(maxsize=8)
 def _povey_window(n: int) -> np.ndarray:
-    # hann^0.85 (kaldi feature-window.cc)
+    # hann^0.85 (kaldi feature-window.cc); cached — the loader calls
+    # fbank() once per utterance
     a = 2 * math.pi / (n - 1)
     return (0.5 - 0.5 * np.cos(a * np.arange(n))) ** 0.85
 
@@ -42,6 +45,7 @@ def mel_scale(freq):
     return 1127.0 * np.log(1.0 + np.asarray(freq, np.float64) / 700.0)
 
 
+@functools.lru_cache(maxsize=8)
 def mel_banks(num_bins: int, window_length_padded: int, sample_freq: float,
               low_freq: float = 20.0, high_freq: float = 0.0) -> np.ndarray:
     """Kaldi MelBanks (mel-computations.cc): triangular filters over the

@@ -125,6 +125,8 @@ class MicroBatcher:
                 lens[i] = it.length
             out, out_lens = self._infer(feats, lens)
             self._batch_sizes.append(len(batch))
+            if len(self._batch_sizes) > 1000:   # bounded history
+                del self._batch_sizes[:-1000]
             for i, it in enumerate(batch):
                 n = int(out_lens[i])
                 it.result = (out[i, :n], n)

@@ -155,6 +155,10 @@ class Engine:
 
         # int8 mode: bf16 activations/dense weights + int8 expert weights
         self.int8_experts = self.cfg.dtype == "int8"
+        if self.cfg.return_hidden and family_name.startswith("dfsmn"):
+            raise NotImplementedError(
+                "return_hidden (AED rescoring memory) is supported for "
+                "the conformer families only")
         if self.int8_experts and family_name == "dfsmn_moe":
             raise NotImplementedError(
                 "int8 expert quantization is implemented for the MoE "

@@ -112,8 +112,8 @@ class Trainer:
         self.best_valid = float(state["best_valid"])
         self.early_stop = int(state["early_stop"])
         self.lr_scale = float(state.get("lr_scale", 1.0))
-        as_jnp = lambda x: (jnp.asarray(x)                 # noqa: E731
-                            if isinstance(x, np.ndarray) else x)
+        def as_jnp(x):
+            return jnp.asarray(x) if isinstance(x, np.ndarray) else x
         self.params = jax.tree.map(as_jnp, state["params"])
         self.best_params = jax.tree.map(as_jnp, state["best_params"])
         self.opt_state = jax.tree.map(as_jnp, state["opt_state"])

@@ -26,7 +26,6 @@ def main(args):
 
     import yaml
     import jax
-    import numpy as np
 
     from m3asr_tpu.config import model_config_from_dict
     from m3asr_tpu.frontend.augment import CollateFunc
@@ -138,7 +137,6 @@ def main(args):
                            target_lens)[0]
         valid_step = jax.jit(valid_step)
     elif cv_loader is not None:
-        from m3asr_tpu.train.step import hier_aed_loss_fn
         # hier validation scores CTC only (cv arks carry CTC labels)
         def valid_step(p, feat, feat_len, targets, target_lens):
             return loss_fn(p["encoder"], model_cfg,
