@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def client_loop(host, port, feat, stop_at, latencies, errors):
     try:
-        with socket.create_connection((host, port), timeout=120) as s:
+        with socket.create_connection((host, port), timeout=600) as s:
             f = s.makefile("rw")
             i = 0
             while time.monotonic() < stop_at:
