@@ -134,20 +134,20 @@ def hier_aed_loss_fn(params, model_cfg: ModelConfig, tcfg: "HierTrainConfig",
                               chunk_mask=chunk_mask,
                               embed_chunk_mask=embed_mask)
     metrics = {}
-    loss = tcfg.ctc_weight * losses.ctc_loss(out, out_len, targets,
-                                             target_lens, tcfg.blank_idx)
-    metrics["ctc_loss"] = loss
-    if tcfg.embed_ctc_weight > 0:
-        e_loss = losses.ctc_loss(embed_out, out_len, targets, target_lens,
-                                 tcfg.blank_idx)
-        metrics["embed_ctc_loss"] = e_loss
-        loss = loss + tcfg.embed_ctc_weight * e_loss
+    ctc = losses.ctc_loss(out, out_len, targets, target_lens,
+                          tcfg.blank_idx)
+    metrics["ctc_loss"] = ctc
+    loss = tcfg.ctc_weight * ctc
 
+    # AED branch: final decoder at weight 1, tap decoders down-weighted
+    # by tap_weight, all scaled by (1 - ctc_weight)
+    # (bk/..._hier.py:64-89)
     sos = eos = model_cfg.output_dim - 1
     ys_in, ys_out = add_sos_eos_jnp(aed_targets, aed_target_lens, sos, eos,
                                     -1)
     ys_in = jnp.where(ys_in < 0, 0, ys_in)
     ys_in_lens = aed_target_lens + 1
+    aed_total = 0.0
     for i, (dec_name, memory) in enumerate(
             [("decoder", h_final), ("decoder_1", h6), ("decoder_2", h12)]):
         if dec_name not in params:
@@ -159,7 +159,19 @@ def hier_aed_loss_fn(params, model_cfg: ModelConfig, tcfg: "HierTrainConfig",
         a_loss = losses.label_smoothing_loss(dec_out, ys_out, -1,
                                              tcfg.lsm_weight)
         metrics[f"aed_loss_{i}"] = a_loss
-        loss = loss + tcfg.aed_weight * a_loss
+        aed_total = aed_total + (a_loss if i == 0
+                                 else tcfg.tap_weight * a_loss)
+    loss = loss + (1.0 - tcfg.ctc_weight) * aed_total
+
+    # the reference scales the CTC+AED sum by 1e-4 BEFORE adding the
+    # embed and aux terms (bk/..._hier.py:87-99)
+    loss = loss * tcfg.loss_scale
+
+    if tcfg.embed_ctc_weight > 0:
+        e_loss = losses.ctc_loss(embed_out, out_len, targets, target_lens,
+                                 tcfg.blank_idx)
+        metrics["embed_ctc_loss"] = e_loss
+        loss = loss + tcfg.embed_ctc_weight * e_loss
 
     if tcfg.router_l1_weight > 0 or tcfg.router_importance_weight > 0:
         # router_ps: (L, B, T, E)
@@ -178,8 +190,19 @@ def hier_aed_loss_fn(params, model_cfg: ModelConfig, tcfg: "HierTrainConfig",
 
 @dataclasses.dataclass
 class HierTrainConfig(TrainConfig):
-    aed_weight: float = 0.3
+    """Weights of the deployed hier recipe (bk/..._hier.py:52-154):
+
+        loss = [ctc_w*CTC + (1-ctc_w)*(AED + 0.1*AED_6 + 0.1*AED_12)]
+               * loss_scale + embed_ctc_weight*CTC(embed) + router aux
+
+    tap AED losses are down-weighted by `tap_weight`; the CTC+AED sum
+    is globally scaled by `loss_scale` (the reference's literal 1e-4,
+    applied BEFORE the embed and aux terms) — set loss_scale=1.0 for a
+    conventionally-scaled loss."""
+    ctc_weight: float = 0.7
     lsm_weight: float = 0.1
+    tap_weight: float = 0.1
+    loss_scale: float = 1e-4
     embed_ctc_weight: float = 0.3
     router_l1_weight: float = 0.0
     router_importance_weight: float = 0.0

@@ -86,7 +86,9 @@ def main(args):
     if hier:
         from m3asr_tpu.models import aed
         tcfg = HierTrainConfig(
-            **tkw, aed_weight=raw.get("aed_weight", 0.3),
+            **tkw, ctc_weight=raw.get("ctc_weight", 0.7),
+            tap_weight=raw.get("tap_weight", 0.1),
+            loss_scale=raw.get("loss_scale", 1e-4),
             lsm_weight=raw.get("lsm_weight", 0.1))
         d_model = model_cfg.encoder_conf.attention_dim
         dkeys = jax.random.split(jax.random.PRNGKey(args.seed + 1), 3)
