@@ -216,6 +216,53 @@ def attention_rescoring(decoder_params, cfg: DecoderConfig,
     return hyps[best], float(total[best])
 
 
+def hier_attention_rescoring(decoder_params, cfg: DecoderConfig,
+                             nbest: List[Tuple[Tuple[int, ...], float]],
+                             taps, encoder_len: int,
+                             sos: int, eos: int, ignore_id: int,
+                             ctc_weight: float = 0.5,
+                             reverse_weight: float = 0.0
+                             ) -> Tuple[List[int], float]:
+    """Attention rescoring with the hier net's three decoders.
+
+    The hier AED net trains `decoder`/`decoder_1`/`decoder_2` against
+    the final/h6/h12 tap memories with equal loss weight
+    (conformer_aed_fmoe_localComm_catEmbed_domain_acc_hier.py:49-70,
+    all three CE terms summed unweighted in the trainer). Rescoring
+    accordingly averages the three decoders' hypothesis scores, each
+    decoder attending its own tap. The reference never shipped any
+    rescoring (its impl is commented out, ctc_aed.py:160-252); this is
+    the natural extension of that sketch to the hier heads.
+
+    taps: (h6, h12, h_final) each (1, T', d) for one utterance — the
+    engine's return_taps output order.
+    decoder_params: {"decoder": tree [, "decoder_1", "decoder_2"]}.
+    """
+    hyps = [list(h) for h, _ in nbest]
+    ctc_scores = np.array([s for _, s in nbest])
+    mlens = jnp.asarray([encoder_len], jnp.int32)
+    h6, h12, h_final = taps
+    memory_of = {"decoder": h_final, "decoder_1": h6, "decoder_2": h12}
+
+    def one(p, memory):
+        left = p.get("left_decoder", p)
+        att = score_hyps(left, cfg, memory, mlens, hyps, sos, eos,
+                         ignore_id)
+        if reverse_weight > 0.0 and "right_decoder" in p:
+            r = score_hyps(p["right_decoder"], cfg, memory, mlens, hyps,
+                           sos, eos, ignore_id, reverse=True)
+            att = (1.0 - reverse_weight) * att + reverse_weight * r
+        return att
+
+    scores = [one(decoder_params[name], memory_of[name])
+              for name in ("decoder", "decoder_1", "decoder_2")
+              if name in decoder_params]
+    att = np.mean(scores, axis=0)
+    total = att + ctc_weight * ctc_scores
+    best = int(np.argmax(total))
+    return hyps[best], float(total[best])
+
+
 def init(key, cfg: DecoderConfig, vocab_size: int, d_model: int,
          dtype=jnp.float32):
     ks = jax.random.split(key, cfg.num_blocks + 2)

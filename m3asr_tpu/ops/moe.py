@@ -201,6 +201,128 @@ def moe_experts_ragged(p, x: jax.Array, gate_idx: jax.Array,
     return out.reshape(B, T, d)
 
 
+def _tile_layout(flat_e: jax.Array, N: int, E: int, tile: int):
+    """Shared megablocks-style tile layout: sort tokens by expert, pad
+    each expert's group to a multiple of `tile`.
+
+    Returns (order, slot, padded_counts, n_tiles, tile_e) where
+    `order` is the stable sort permutation, `slot[i]` is the padded-
+    buffer row of sorted token i, and `tile_e[g]` is the expert owning
+    tile g (every tile holds rows of exactly one expert by
+    construction). The padded size is static: each expert wastes at
+    most tile-1 slots, so Npad = roundup(N + E*(tile-1), tile).
+    """
+    counts = jnp.bincount(flat_e, length=E)                  # (E,)
+    padded_counts = ((counts + tile - 1) // tile) * tile
+    n_tiles = (N + E * (tile - 1) + tile - 1) // tile        # static
+    padded_offsets = jnp.cumsum(padded_counts) - padded_counts
+
+    order = jnp.argsort(flat_e, stable=True)                 # scatter map
+    sorted_e = jnp.take(flat_e, order, axis=0)
+    offsets = jnp.cumsum(counts) - counts
+    pos = jnp.arange(N) - jnp.take(offsets, sorted_e)
+    slot = jnp.take(padded_offsets, sorted_e) + pos          # (N,) < Npad
+
+    ends = jnp.cumsum(padded_counts)                         # (E,)
+    tile_starts = jnp.arange(n_tiles) * tile
+    tile_e = jnp.searchsorted(ends, tile_starts, side="right")
+    tile_e = jnp.minimum(tile_e, E - 1).astype(jnp.int32)    # tail tiles
+    return order, slot, n_tiles, tile_e
+
+
+def moe_experts_tiled(p, x: jax.Array, gate_idx: jax.Array,
+                      tile: int = 256, activation=swish,
+                      upper_bound: Optional[float] = None) -> jax.Array:
+    """Skew-robust grouped GEMM (megablocks-style tile padding).
+
+    The ragged path's grouped-GEMM throughput degrades when routing is
+    skewed (group boundaries fall mid-tile and `lax.ragged_dot` re-reads
+    weights per row-tile x group intersection); the capacity path needs
+    an overflow fallback. Here each expert's token group is padded to a
+    multiple of `tile`, giving a STATIC number of tiles with exactly one
+    expert per tile; the expert stage is then one batched
+    (G, tile, d) x (G, d, h) GEMM with per-tile gathered weights. FLOPs
+    and HBM traffic are deterministic in N — routing skew only changes
+    which weights are gathered, not how much work runs. Exact: padded
+    rows are zeros and their outputs are never gathered back.
+
+    Reference equivalence: FMoEExpertPluginDynamic's scatter ->
+    per-expert GEMM -> gather (fmoe_expert_kernel.cu:25-128,
+    fmoe_expert_plugin.cpp:75-130), with the dynamic per-expert GEMM
+    sizes replaced by tile-quantized static ones.
+    """
+    B, T, d = x.shape
+    E = p["w1"].shape[0]
+    N = B * T
+    flat_x = x.reshape(N, d)
+    flat_e = gate_idx.reshape(N)
+    order, slot, n_tiles, tile_e = _tile_layout(flat_e, N, E, tile)
+
+    x_pad = jnp.zeros((n_tiles * tile, d), x.dtype).at[slot].set(
+        jnp.take(flat_x, order, axis=0))
+    xt = x_pad.reshape(n_tiles, tile, d)
+
+    w1g = jnp.take(p["w1"].astype(x.dtype), tile_e, axis=0)  # (G, d, h)
+    h = jnp.einsum("gtd,gdh->gth", xt, w1g, preferred_element_type=x.dtype)
+    if p.get("b1") is not None:
+        h = h + jnp.take(p["b1"].astype(x.dtype), tile_e, axis=0)[:, None, :]
+    h = activation(h)
+    if upper_bound is not None:
+        h = jnp.minimum(h, jnp.asarray(upper_bound, h.dtype))
+    w2g = jnp.take(p["w2"].astype(x.dtype), tile_e, axis=0)  # (G, h, d)
+    y = jnp.einsum("gth,ghd->gtd", h, w2g, preferred_element_type=x.dtype)
+    if p.get("b2") is not None:
+        y = y + jnp.take(p["b2"].astype(x.dtype), tile_e, axis=0)[:, None, :]
+
+    out_sorted = jnp.take(y.reshape(n_tiles * tile, d), slot, axis=0)
+    out = jnp.zeros_like(flat_x).at[order].set(out_sorted)
+    return out.reshape(B, T, d)
+
+
+def moe_experts_ragged_padded(p, x: jax.Array, gate_idx: jax.Array,
+                              tile: int = 256, activation=swish,
+                              upper_bound: Optional[float] = None
+                              ) -> jax.Array:
+    """Tile-padded variant of the ragged path: same layout as
+    `moe_experts_tiled` but the GEMMs go through `lax.ragged_dot` with
+    tile-aligned group sizes (no per-tile weight gather). Measured
+    alternative — see BENCHMARKS.md for which wins where."""
+    B, T, d = x.shape
+    E = p["w1"].shape[0]
+    N = B * T
+    flat_x = x.reshape(N, d)
+    flat_e = gate_idx.reshape(N)
+    order, slot, n_tiles, _ = _tile_layout(flat_e, N, E, tile)
+    counts = jnp.bincount(flat_e, length=E)
+    padded_counts = (((counts + tile - 1) // tile) * tile).astype(jnp.int32)
+    # distribute the static remainder into the LAST group so sizes sum
+    # to the static padded length (ragged_dot requires that)
+    npad = n_tiles * tile
+    padded_counts = padded_counts.at[E - 1].add(
+        npad - jnp.sum(padded_counts))
+
+    x_pad = jnp.zeros((npad, d), x.dtype).at[slot].set(
+        jnp.take(flat_x, order, axis=0))
+    sorted_e_pad = jnp.repeat(jnp.arange(E, dtype=jnp.int32), padded_counts,
+                              total_repeat_length=npad)
+    w1 = p["w1"].astype(x.dtype)
+    w2 = p["w2"].astype(x.dtype)
+    h = jax.lax.ragged_dot(x_pad, w1, padded_counts,
+                           preferred_element_type=x.dtype)
+    if p.get("b1") is not None:
+        h = h + jnp.take(p["b1"].astype(x.dtype), sorted_e_pad, axis=0)
+    h = activation(h)
+    if upper_bound is not None:
+        h = jnp.minimum(h, jnp.asarray(upper_bound, h.dtype))
+    y = jax.lax.ragged_dot(h, w2, padded_counts,
+                           preferred_element_type=x.dtype)
+    if p.get("b2") is not None:
+        y = y + jnp.take(p["b2"].astype(x.dtype), sorted_e_pad, axis=0)
+    out_sorted = jnp.take(y, slot, axis=0)
+    out = jnp.zeros_like(flat_x).at[order].set(out_sorted)
+    return out.reshape(B, T, d)
+
+
 def moe_experts_capacity(p, x: jax.Array, gate_idx: jax.Array,
                          capacity: Optional[int] = None,
                          activation=swish,
@@ -288,6 +410,13 @@ def _dispatch(p, x, gate_idx, impl: str):
         return moe_experts_dense(p, x, gate_idx)
     if impl == "ragged":
         return moe_experts_ragged(p, x, gate_idx)
+    if impl == "tiled":
+        return moe_experts_tiled(p, x, gate_idx)
+    if impl == "ragged_padded":
+        return moe_experts_ragged_padded(p, x, gate_idx)
+    if impl == "quant_tiled":
+        from m3asr_tpu.ops.quant import moe_experts_tiled_q
+        return moe_experts_tiled_q(p, x, gate_idx)
     if impl == "capacity":
         return moe_experts_capacity(p, x, gate_idx)
     if impl == "pallas":

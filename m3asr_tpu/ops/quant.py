@@ -77,6 +77,40 @@ def moe_experts_capacity_q(p, x: jax.Array, gate_idx: jax.Array,
     return moe_experts_capacity(deq, x, gate_idx, activation=activation)
 
 
+def moe_experts_tiled_q(p, x: jax.Array, gate_idx: jax.Array,
+                        tile: int = 256, activation=swish) -> jax.Array:
+    """Skew-robust tiled grouped GEMM on int8 weights (see
+    ops.moe.moe_experts_tiled). The per-tile weight gather moves int8
+    bytes (4x less than fp32); dequant fuses into the batched einsum."""
+    from m3asr_tpu.ops.moe import _tile_layout
+    B, T, d = x.shape
+    E = p["w1_q"].shape[0]
+    N = B * T
+    flat_x = x.reshape(N, d)
+    flat_e = gate_idx.reshape(N)
+    order, slot, n_tiles, tile_e = _tile_layout(flat_e, N, E, tile)
+
+    x_pad = jnp.zeros((n_tiles * tile, d), x.dtype).at[slot].set(
+        jnp.take(flat_x, order, axis=0))
+    xt = x_pad.reshape(n_tiles, tile, d)
+
+    w1g = (jnp.take(p["w1_q"], tile_e, axis=0).astype(x.dtype)
+           * jnp.take(p["w1_scale"], tile_e, axis=0).astype(x.dtype))
+    h = jnp.einsum("gtd,gdh->gth", xt, w1g, preferred_element_type=x.dtype)
+    if p.get("b1") is not None:
+        h = h + jnp.take(p["b1"].astype(x.dtype), tile_e, axis=0)[:, None, :]
+    h = activation(h)
+    w2g = (jnp.take(p["w2_q"], tile_e, axis=0).astype(x.dtype)
+           * jnp.take(p["w2_scale"], tile_e, axis=0).astype(x.dtype))
+    y = jnp.einsum("gth,ghd->gtd", h, w2g, preferred_element_type=x.dtype)
+    if p.get("b2") is not None:
+        y = y + jnp.take(p["b2"].astype(x.dtype), tile_e, axis=0)[:, None, :]
+
+    out_sorted = jnp.take(y.reshape(n_tiles * tile, d), slot, axis=0)
+    out = jnp.zeros_like(flat_x).at[order].set(out_sorted)
+    return out.reshape(B, T, d)
+
+
 def moe_ffn_q(p, x: jax.Array, embed: Optional[jax.Array],
               lengths: Optional[jax.Array]) -> jax.Array:
     """Top-1 MoE FFN with int8 expert weights (dense dispatch)."""

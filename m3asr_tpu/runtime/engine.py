@@ -61,9 +61,10 @@ MOE_DENSE_TOKEN_THRESHOLD_FP32 = 256
 # int8 engines quantize the expert tensors at init, so only the quant
 # impls can run; explicit impl choices map onto their quant twins.
 _INT8_IMPL = {"dense": "quant", "capacity": "quant_capacity",
-              "pallas": "quant_pallas", "quant": "quant",
-              "quant_capacity": "quant_capacity",
-              "quant_pallas": "quant_pallas"}
+              "pallas": "quant_pallas", "tiled": "quant_tiled",
+              "quant": "quant", "quant_capacity": "quant_capacity",
+              "quant_pallas": "quant_pallas",
+              "quant_tiled": "quant_tiled"}
 
 
 def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
@@ -135,6 +136,10 @@ class EngineConfig:
     donate_input: bool = True
     return_hidden: bool = False       # also emit the normalized hidden
                                       # (AED rescoring memory)
+    return_taps: bool = False         # also emit the hier tap hiddens
+                                      # (h6, h12, h_final) — the three
+                                      # AED decoder memories of the hier
+                                      # net (conformer_aed_...hier.py:49-70)
 
 
 class Engine:
@@ -159,6 +164,10 @@ class Engine:
             raise NotImplementedError(
                 "return_hidden (AED rescoring memory) is supported for "
                 "the conformer families only")
+        if self.cfg.return_taps and family_name != "moe_conformer":
+            raise NotImplementedError(
+                "return_taps (hier decoder memories h6/h12) requires the "
+                "hier MoE conformer family")
         if self.int8_experts and family_name == "dfsmn_moe":
             raise NotImplementedError(
                 "int8 expert quantization is implemented for the MoE "
@@ -220,9 +229,12 @@ class Engine:
         is_moe = self.is_moe
 
         return_hidden = self.cfg.return_hidden
+        return_taps = self.cfg.return_taps
 
         def forward(params, feat, feat_len):
-            if is_moe:
+            if return_taps:
+                kw = {"moe_impl": moe_impl, "hier_taps": True}
+            elif is_moe:
                 kw = {"moe_impl": moe_impl, "return_hidden": return_hidden}
             else:
                 kw = {"output_embed": return_hidden}
@@ -232,6 +244,9 @@ class Engine:
                 out = out + neg_log_prior[None, None, :]
             if out_mode == "log_softmax":
                 out = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+            if return_taps:
+                # (h6, h12, h_final) — decoder_1/decoder_2/decoder memories
+                return out, out_len, res[2], res[3], res[4]
             if return_hidden:
                 return out, out_len, res[-1]
             return out, out_len
@@ -283,6 +298,10 @@ class Engine:
         out = np.asarray(res[0], np.float32)
         out_len = np.asarray(res[1])
         max_out = int(out_len[:B].max()) if B else 0
+        if self.cfg.return_taps:
+            taps = tuple(np.asarray(h, np.float32)[:B, :max_out]
+                         for h in res[2:5])
+            return (out[:B, :max_out], out_len[:B]) + taps
         if self.cfg.return_hidden:
             hidden = np.asarray(res[2], np.float32)
             return (out[:B, :max_out], out_len[:B],

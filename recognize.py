@@ -36,6 +36,7 @@ def main(args):
 
     engine = Engine.load(args.plan_name)
     decoders = None
+    hier = False
     if args.decode == "rescore":
         from m3asr_tpu.runtime.engine import _unflatten
         dec_path = os.path.join(args.plan_name, "decoders.npz")
@@ -46,7 +47,12 @@ def main(args):
         import jax as _jax
         decoders = _jax.tree.map(jnp.asarray,
                                  _unflatten(dict(np.load(dec_path))))
-        engine.cfg.return_hidden = True
+        hier = (args.hier_rescore
+                and any(k in decoders for k in ("decoder_1", "decoder_2")))
+        if hier:
+            engine.cfg.return_taps = True
+        else:
+            engine.cfg.return_hidden = True
     loader = DataLoader(
         args.input_rspec, args.label_rspec,
         loader_conf={"feat_dim": args.feat_dim,
@@ -73,19 +79,27 @@ def main(args):
             nbests = native.ctc_prefix_beam_search_batch(
                 lp, out_lens, args.beam_size)
             if args.decode == "rescore":
-                from m3asr_tpu.models.aed import attention_rescoring
+                from m3asr_tpu.models.aed import (attention_rescoring,
+                                                  hier_attention_rescoring)
                 cfg = engine.model_cfg
-                hidden = res[2]
+                rw = (args.reverse_weight if args.reverse_weight >= 0
+                      else cfg.reverse_weight)
                 hyps = []
                 for b, nb in enumerate(nbests):
-                    hyp, _ = attention_rescoring(
-                        decoders["decoder"], cfg.decoder_conf,
-                        nb, hidden[b:b + 1], int(out_lens[b]),
-                        sos=cfg.sos, eos=cfg.eos,
-                        ignore_id=0, ctc_weight=args.ctc_weight,
-                        reverse_weight=(args.reverse_weight
-                                        if args.reverse_weight >= 0
-                                        else cfg.reverse_weight))
+                    if hier:
+                        taps = tuple(h[b:b + 1] for h in res[2:5])
+                        hyp, _ = hier_attention_rescoring(
+                            decoders, cfg.decoder_conf, nb, taps,
+                            int(out_lens[b]), sos=cfg.sos, eos=cfg.eos,
+                            ignore_id=0, ctc_weight=args.ctc_weight,
+                            reverse_weight=rw)
+                    else:
+                        hyp, _ = attention_rescoring(
+                            decoders["decoder"], cfg.decoder_conf,
+                            nb, res[2][b:b + 1], int(out_lens[b]),
+                            sos=cfg.sos, eos=cfg.eos,
+                            ignore_id=0, ctc_weight=args.ctc_weight,
+                            reverse_weight=rw)
                     hyps.append(hyp)
             else:
                 hyps = [list(nb[0][0]) for nb in nbests]
@@ -120,6 +134,10 @@ if __name__ == "__main__":
                    choices=["greedy", "beam", "rescore"])
     p.add_argument("-b", "--beam_size", type=int, default=10)
     p.add_argument("--ctc_weight", type=float, default=0.5)
+    p.add_argument("--hier_rescore", action="store_true",
+                   help="rescore with all three hier decoders "
+                        "(decoder/decoder_1/decoder_2 attending "
+                        "h_final/h6/h12), averaged")
     p.add_argument("--reverse_weight", type=float, default=-1.0,
                    help="R2L decoder weight in rescoring; <0 = use the "
                         "model config's reverse_weight")

@@ -1,0 +1,152 @@
+#!/usr/bin/env python3
+"""Measure MoE dispatch impls (dense/ragged/tiled/ragged_padded/quant*)
+on the real chip across token counts, dtypes, and routing skew.
+
+Flagship dims: 18 layers, E=32, d=512, h=1024. Same chained-scan
+differencing as bench.py. Routing: 'uniform' (iid experts) and 'zipf'
+(heavy skew, a=1.3 — emulates real activations through untrained
+routers, where max expert load was measured at 15-51 of 63 tokens).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from m3asr_tpu.ops import moe as moe_ops
+from m3asr_tpu.ops import quant as quant_ops
+
+E, D, H = 32, 512, 1024
+
+
+def timed(fn, args, iters=10, k=8, precision="highest"):
+    def scan_n(n):
+        def run(*a):
+            def body(c, _):
+                out = fn(*a, carry=c)
+                return out, None
+            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                length=n)
+            return c
+        with jax.default_matmul_precision(precision):
+            return jax.jit(run).lower(*args).compile()
+
+    f1, fk = scan_n(1), scan_n(k)
+    float(f1(*args)); float(fk(*args))
+
+    def sample(f):
+        t0 = time.perf_counter(); float(f(*args))
+        return (time.perf_counter() - t0) * 1e3
+
+    t1 = np.median([sample(f1) for _ in range(iters)])
+    tk = np.median([sample(fk) for _ in range(iters)])
+    return (tk - t1) / (k - 1)
+
+
+def make_gate_idx(rng, n, routing):
+    if routing == "uniform":
+        return rng.randint(0, E, (1, n))
+    if routing == "zipf":
+        z = rng.zipf(1.3, (1, n)) - 1
+        perm = rng.permutation(E)  # don't always favor expert 0
+        return perm[np.minimum(z, E - 1)]
+    if routing == "extreme":
+        # 90% of tokens on one expert (ragged's known bad case: one long
+        # utterance with correlated activations)
+        gi = rng.randint(0, E, (1, n))
+        gi[0, :int(0.9 * n)] = 7
+        return gi
+    raise ValueError(routing)
+
+
+def main(args):
+    cache = os.environ.get("M3ASR_BENCH_CACHE", "/tmp/m3asr_bench_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    key = jax.random.PRNGKey(0)
+    p = moe_ops.init_moe_ffn(key, D, 0, E, H)
+    p.pop("router")
+    ks = jax.random.split(key, 2)
+    p["w1"] = jax.random.normal(ks[0], (E, D, H)) * 0.05
+    p["w2"] = jax.random.normal(ks[1], (E, H, D)) * 0.05
+    qp = quant_ops.quantize_moe_params(p)
+
+    rng = np.random.RandomState(0)
+    results = {}
+    for n_tokens in args.tokens:
+        x = jnp.asarray(rng.randn(1, n_tokens, D), jnp.float32)
+        for routing in args.routing:
+            gi = jnp.asarray(make_gate_idx(rng, n_tokens, routing),
+                             jnp.int32)
+            for dtype_name in args.dtypes:
+                if dtype_name == "int8":
+                    xx = x.astype(jnp.bfloat16)
+                    impls = {
+                        "quant": lambda pp, xv, g: quant_ops
+                        .moe_experts_dense_q(pp, xv, g),
+                        "quant_tiled128": lambda pp, xv, g: quant_ops
+                        .moe_experts_tiled_q(pp, xv, g, tile=128),
+                        "quant_tiled256": lambda pp, xv, g: quant_ops
+                        .moe_experts_tiled_q(pp, xv, g, tile=256),
+                    }
+                    pp, prec = qp, "default"
+                else:
+                    dt = (jnp.float32 if dtype_name == "float32"
+                          else jnp.bfloat16)
+                    xx = x.astype(dt)
+                    pp = jax.tree.map(lambda a: a.astype(dt), p)
+                    prec = ("highest" if dtype_name == "float32"
+                            else "default")
+                    impls = {
+                        "dense": moe_ops.moe_experts_dense,
+                        "ragged": moe_ops.moe_experts_ragged,
+                        "tiled64": lambda pp, xv, g: moe_ops
+                        .moe_experts_tiled(pp, xv, g, tile=64),
+                        "tiled128": lambda pp, xv, g: moe_ops
+                        .moe_experts_tiled(pp, xv, g, tile=128),
+                        "tiled256": lambda pp, xv, g: moe_ops
+                        .moe_experts_tiled(pp, xv, g, tile=256),
+                        "tiled512": lambda pp, xv, g: moe_ops
+                        .moe_experts_tiled(pp, xv, g, tile=512),
+                        "ragged_padded256": lambda pp, xv, g: moe_ops
+                        .moe_experts_ragged_padded(pp, xv, g, tile=256),
+                    }
+                if args.impls:
+                    impls = {k: v for k, v in impls.items()
+                             if k in args.impls}
+                for name, fn in impls.items():
+                    def stage(pp, xv, g, carry, fn=fn):
+                        def body(c, _):
+                            y = fn(pp, xv + c, g)
+                            return y[0, 0, 0].astype(jnp.float32) * 1e-30, \
+                                None
+                        c, _ = jax.lax.scan(body, carry, None, length=18)
+                        return c
+                    ms = timed(stage, (pp, xx, gi), iters=args.iters,
+                               precision=prec)
+                    key_s = f"{n_tokens}tok/{routing}/{dtype_name}/{name}"
+                    results[key_s] = round(ms, 3)
+                    print(json.dumps({key_s: results[key_s]}), flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tokens", type=int, nargs="+",
+                    default=[63, 255, 504, 1023, 1499])
+    ap.add_argument("--routing", nargs="+", default=["uniform", "zipf"])
+    ap.add_argument("--dtypes", nargs="+",
+                    default=["float32", "bfloat16", "int8"])
+    ap.add_argument("--impls", nargs="+", default=None)
+    ap.add_argument("--iters", type=int, default=10)
+    main(ap.parse_args())

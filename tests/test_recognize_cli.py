@@ -23,6 +23,13 @@ def test_recognize_pipeline(tmp_path):
                        seed=99)
     sd = {f"encoder.{k}": v for k, v in m.state_dict().items()}
     sd.update({f"decoder.{k}": v for k, v in dec.state_dict().items()})
+    # hier aux decoders (attend taps h6/h12) ride along like the
+    # reference checkpoint's decoder_1/decoder_2
+    for i, name in enumerate(("decoder_1", "decoder_2")):
+        d = G.randomize_(G.TransformerDecoder(11, 32, attention_heads=4,
+                                              linear_units=48,
+                                              num_blocks=1), seed=100 + i)
+        sd.update({f"{name}.{k}": v for k, v in d.state_dict().items()})
     torch.save(sd, tmp_path / "ckpt.pt")
     raw = small_yaml()
     raw["model_conf"]["decoder_conf"] = {
@@ -50,14 +57,15 @@ def test_recognize_pipeline(tmp_path):
             for x in lab:
                 f.write(b"\x04" + struct.pack("<i", x))
 
-    for mode in ("beam", "rescore"):
+    for mode, extra in (("beam", []), ("rescore", []),
+                        ("rescore", ["--hier_rescore"])):
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "recognize.py"),
              "-p", str(tmp_path / "eng"), "-i", str(tmp_path / "feats.ark"),
              "-l", str(tmp_path / "labels.ark"), "--feat_dim", "20",
-             "--batch_size", "2", "-d", mode, "-b", "4"],
+             "--batch_size", "2", "-d", mode, "-b", "4"] + extra,
             capture_output=True, text=True, env=env)
-        assert r.returncode == 0, (mode, r.stderr)
+        assert r.returncode == 0, (mode, extra, r.stderr)
         lines = [l for l in r.stdout.splitlines() if l.startswith("utt")]
         assert len(lines) == 3, (mode, r.stdout)
         assert '"cer"' in r.stderr and '"rtf"' in r.stderr
