@@ -133,19 +133,14 @@ def main(args):
     pad_feat[:, :args.seq] = feat
 
     def pick_impl(dtype):
-        # mirror Engine._moe_impl_for (the engine auto policy)
-        if args.impl != "auto":
-            return args.impl
-        from m3asr_tpu.runtime.engine import (
-            MOE_DENSE_TOKEN_THRESHOLD, MOE_DENSE_TOKEN_THRESHOLD_FP32)
+        # the engine auto policy (shared function)
+        from m3asr_tpu.runtime.engine import moe_auto_impl
         from m3asr_tpu.ops.masking import subsampling4_length
         tokens = args.batch * int(subsampling4_length(
             np.array([bucket]))[0])
-        threshold = (MOE_DENSE_TOKEN_THRESHOLD_FP32
-                     if dtype == "float32" else MOE_DENSE_TOKEN_THRESHOLD)
-        if tokens <= threshold:
-            return "dense"
-        return "ragged"
+        return moe_auto_impl("bfloat16" if dtype == "int8" else dtype,
+                             tokens, int8=(dtype == "int8"),
+                             requested=args.impl)
 
     results = {}
     impls = {}
@@ -183,8 +178,8 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--impl", default="auto",
-                        choices=["auto", "dense", "ragged", "capacity",
-                                 "pallas"])
+                        choices=["auto", "dense", "ragged", "tiled",
+                                 "capacity", "pallas"])
     parser.add_argument("--dtype", default="both",
                         choices=["float32", "bfloat16", "int8", "both"])
     parser.add_argument("--seq", type=int, default=206)

@@ -205,7 +205,7 @@ def _tile_layout(flat_e: jax.Array, N: int, E: int, tile: int):
     """Shared megablocks-style tile layout: sort tokens by expert, pad
     each expert's group to a multiple of `tile`.
 
-    Returns (order, slot, padded_counts, n_tiles, tile_e) where
+    Returns (order, slot, n_tiles, tile_e) where
     `order` is the stable sort permutation, `slot[i]` is the padded-
     buffer row of sorted token i, and `tile_e[g]` is the expert owning
     tile g (every tile holds rows of exactly one expert by
@@ -231,7 +231,7 @@ def _tile_layout(flat_e: jax.Array, N: int, E: int, tile: int):
 
 
 def moe_experts_tiled(p, x: jax.Array, gate_idx: jax.Array,
-                      tile: int = 256, activation=swish,
+                      tile: int = 128, activation=swish,
                       upper_bound: Optional[float] = None) -> jax.Array:
     """Skew-robust grouped GEMM (megablocks-style tile padding).
 

@@ -112,7 +112,7 @@ def _call_stream(x2, g2, w1, b1, w2, b2, *, use_b2, quant,
     kernel = functools.partial(_stream_kernel, use_b2=use_b2,
                                n_experts=E, quant=quant)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-    hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)    # noqa: E731
+    hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)       # noqa: E731
     in_specs = [vmem(), vmem(), hbm(), vmem(), hbm(), vmem()]
     args = [g2, x2, w1, b1, w2, b2]
     if quant:

@@ -78,7 +78,7 @@ def moe_experts_capacity_q(p, x: jax.Array, gate_idx: jax.Array,
 
 
 def moe_experts_tiled_q(p, x: jax.Array, gate_idx: jax.Array,
-                        tile: int = 256, activation=swish) -> jax.Array:
+                        tile: int = 128, activation=swish) -> jax.Array:
     """Skew-robust tiled grouped GEMM on int8 weights (see
     ops.moe.moe_experts_tiled). The per-tile weight gather moves int8
     bytes (4x less than fp32); dequant fuses into the batched einsum."""

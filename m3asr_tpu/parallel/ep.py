@@ -53,9 +53,43 @@ def _local_experts_ragged(w1, b1, w2, b2, x, local_idx, is_local):
     return jnp.where(is_local[:, None], out, 0.0)
 
 
+def _local_experts_tiled(w1, b1, w2, b2, x, local_idx, is_local,
+                         tile: int = 128):
+    """Tiled (megablocks-style) per-device dispatch — the skew-robust
+    grouped GEMM of ops.moe.moe_experts_tiled applied to the local
+    expert shard + zero dummy expert. Preferred over the ragged variant
+    at large token counts (ragged_dot degrades non-monotonically there,
+    BENCHMARKS.md)."""
+    from m3asr_tpu.ops.moe import _tile_layout
+    E_local = w1.shape[0]
+    d = x.shape[-1]
+    h = w1.shape[-1]
+    w1p = jnp.concatenate([w1, jnp.zeros((1, d, h), w1.dtype)], axis=0)
+    b1p = jnp.concatenate([b1, jnp.zeros((1, h), b1.dtype)], axis=0)
+    w2p = jnp.concatenate([w2, jnp.zeros((1, h, d), w2.dtype)], axis=0)
+    b2p = jnp.concatenate([b2, jnp.zeros((1, d), b2.dtype)], axis=0)
+
+    N = x.shape[0]
+    order, slot, n_tiles, tile_e = _tile_layout(local_idx, N, E_local + 1,
+                                                tile)
+    x_pad = jnp.zeros((n_tiles * tile, d), x.dtype).at[slot].set(
+        jnp.take(x, order, axis=0))
+    xt = x_pad.reshape(n_tiles, tile, d)
+    hmid = jnp.einsum("gtd,gdh->gth", xt, jnp.take(w1p, tile_e, axis=0),
+                      preferred_element_type=x.dtype)
+    hmid = swish(hmid + jnp.take(b1p, tile_e, axis=0)[:, None, :])
+    y = jnp.einsum("gth,ghd->gtd", hmid, jnp.take(w2p, tile_e, axis=0),
+                   preferred_element_type=x.dtype)
+    y = y + jnp.take(b2p, tile_e, axis=0)[:, None, :]
+    out_sorted = jnp.take(y.reshape(n_tiles * tile, d), slot, axis=0)
+    out = jnp.zeros_like(x).at[order].set(out_sorted)
+    return jnp.where(is_local[:, None], out, 0.0)
+
+
 def moe_experts_ep(p_shard, x: jax.Array, gate_idx: jax.Array,
                    num_experts_total: int,
-                   axis_name: str = EXPERT_AXIS) -> jax.Array:
+                   axis_name: str = EXPERT_AXIS,
+                   impl: str = "ragged") -> jax.Array:
     """Inside shard_map: p_shard holds THIS device's expert slice
     (E_local, ...); x (B, T, d) and gate_idx (B, T) are replicated over
     `axis_name`. Returns the combined (psum) expert output."""
@@ -67,7 +101,9 @@ def moe_experts_ep(p_shard, x: jax.Array, gate_idx: jax.Array,
     owner = flat_e // E_local
     is_local = owner == pidx
     local_idx = jnp.where(is_local, flat_e - pidx * E_local, E_local)
-    out = _local_experts_ragged(
+    local_fn = (_local_experts_tiled if impl == "tiled"
+                else _local_experts_ragged)
+    out = local_fn(
         p_shard["w1"].astype(x.dtype), p_shard["b1"].astype(x.dtype),
         p_shard["w2"].astype(x.dtype), p_shard["b2"].astype(x.dtype),
         flat_x, local_idx, is_local)
@@ -76,10 +112,11 @@ def moe_experts_ep(p_shard, x: jax.Array, gate_idx: jax.Array,
 
 
 def make_ep_moe_ffn(mesh: Mesh, num_experts_total: int,
-                    axis_name: str = EXPERT_AXIS):
+                    axis_name: str = EXPERT_AXIS, impl: str = "ragged"):
     """Returns moe_ffn_ep(p, x, embed, lengths) with the same contract
     as ops.moe.moe_ffn, where p's expert tensors are sharded over
-    `axis_name` (parallel.mesh.moe_param_sharding layout)."""
+    `axis_name` (parallel.mesh.moe_param_sharding layout). impl:
+    'ragged' (default) or 'tiled' (skew-robust, large token counts)."""
     from m3asr_tpu.ops.moe import softmax_top1_gate
 
     def ffn(p, x, embed, lengths):
@@ -97,7 +134,7 @@ def make_ep_moe_ffn(mesh: Mesh, num_experts_total: int,
         def inner(etree_stack, xx, gi):
             etree = jax.tree.map(lambda a: a[0], etree_stack)
             return moe_experts_ep(etree, xx, gi, num_experts_total,
-                                  axis_name)
+                                  axis_name, impl=impl)
 
         # add a leading singleton axis so in_specs can name the expert
         # axis as dim 1 of every leaf uniformly

@@ -57,6 +57,18 @@ from m3asr_tpu.runtime.buckets import (BucketSpec, DEFAULT_BATCHES,
 # moe_impl="capacity" for checkpoints trained with balance losses.
 MOE_DENSE_TOKEN_THRESHOLD = 2048         # bf16 / int8 activations
 MOE_DENSE_TOKEN_THRESHOLD_FP32 = 256
+# Above this many tokens the skew-robust tiled grouped GEMM
+# (moe_experts_tiled, megablocks-style) takes over: its FLOPs/traffic
+# are deterministic in N while ragged_dot degrades non-monotonically in
+# size and with routing skew (fp32 MoE-only x18L: ragged 43.4/64.6 ms
+# at 1023/1499 tokens vs tiled 16.2/17.6 — identical under uniform/
+# zipf/90%-one-expert routing). Full-model on REAL activations, which
+# skew harder than any synthetic routing: fp32 at 504 tokens tiled
+# 24.3 vs ragged 32.2 ms, so fp32 goes tiled straight after dense;
+# bf16/int8 dense keeps 504 tokens (6.51/6.03 vs tiled 8.83/7.00) and
+# tiled takes 1499 (18.0/16.9 vs dense 22.9/22.5). See BENCHMARKS.md.
+MOE_TILED_TOKEN_THRESHOLD_FP32 = 256
+MOE_TILED_TOKEN_THRESHOLD = 1024         # bf16 / int8 activations
 
 # int8 engines quantize the expert tensors at init, so only the quant
 # impls can run; explicit impl choices map onto their quant twins.
@@ -79,12 +91,19 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
                     f"moe_impl={requested!r} cannot run on int8 expert "
                     f"weights; choose one of {sorted(set(_INT8_IMPL))}")
             return impl
-        return "quant"  # dense int8; quant_capacity is opt-in
+        # dense int8 below the tiled threshold; quant_capacity is opt-in
+        return ("quant" if tokens <= MOE_TILED_TOKEN_THRESHOLD
+                else "quant_tiled")
     if requested != "auto":
         return requested
-    threshold = (MOE_DENSE_TOKEN_THRESHOLD_FP32 if dtype == "float32"
+    fp32 = dtype == "float32"
+    dense_max = (MOE_DENSE_TOKEN_THRESHOLD_FP32 if fp32
                  else MOE_DENSE_TOKEN_THRESHOLD)
-    return "dense" if tokens <= threshold else "ragged"
+    tiled_min = (MOE_TILED_TOKEN_THRESHOLD_FP32 if fp32
+                 else MOE_TILED_TOKEN_THRESHOLD)
+    if tokens <= dense_max:
+        return "dense"
+    return "tiled" if tokens > tiled_min else "ragged"
 
 
 def _flatten(tree, prefix=""):

@@ -28,3 +28,23 @@ def test_ep_shardmap_matches_dense():
         got = jax.jit(ffn)(p, x, embed, lengths)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_ep_shardmap_tiled_matches_dense():
+    E = 8
+    key = jax.random.PRNGKey(2)
+    p = moe.init_moe_ffn(key, 16, 8, E, 32)
+    p["router"]["kernel"] = jax.random.normal(key, (24, E)) * 0.5
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 9, 16), jnp.float32)
+    embed = jnp.asarray(rng.randn(2, 9, 8), jnp.float32)
+    lengths = jnp.array([9, 7])
+
+    ref = moe.moe_ffn(p, x, embed, lengths, impl="dense")
+
+    mesh = pmesh.make_mesh(dp=2, ep=4)
+    ffn = make_ep_moe_ffn(mesh, E, impl="tiled")
+    with mesh:
+        got = jax.jit(ffn)(p, x, embed, lengths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
