@@ -38,7 +38,7 @@ def bench_e2e(engine, feat, feat_len, iters):
 
 
 def bench_device(cfg, params, feat, feat_len, dtype, moe_impl, iters,
-                 k=8):
+                 k=8, fp32_precision="high"):
     """Device-execution latency, excluding host<->device transfer and
     the test harness's RPC round-trip (~27 ms/fetch here). Matches what
     the reference times: execute_v2 between pre-staged device buffers
@@ -79,7 +79,12 @@ def bench_device(cfg, params, feat, feat_len, dtype, moe_impl, iters,
             carry, _ = jax.lax.scan(body, jnp.zeros((), feat.dtype), None,
                                     length=n)
             return carry
-        prec = "highest" if dtype == "float32" else "default"
+        # fp32 runs at the engine's default fp32 precision ("high",
+        # bf16_3x) — measured to meet the reference parity standard
+        # allclose(1e-5, 1e-3); see scripts/precision_experiment.py and
+        # EngineConfig.fp32_precision. --fp32_precision highest gives
+        # the strict 6-pass mode.
+        prec = fp32_precision if dtype == "float32" else "default"
         with jax.default_matmul_precision(prec):
             return jax.jit(run).lower(p, feat_d, len_d).compile()
 
@@ -148,7 +153,8 @@ def main(args):
                   else [args.dtype]):
         impls[dtype] = pick_impl(dtype)
         dev_ms, call_ms = bench_device(cfg, params, pad_feat, feat_len,
-                                       dtype, impls[dtype], args.iters)
+                                       dtype, impls[dtype], args.iters,
+                                       fp32_precision=args.fp32_precision)
         results[dtype] = (dev_ms, call_ms)
 
     headline_dtype = "float32" if "float32" in results else args.dtype
@@ -184,4 +190,9 @@ if __name__ == "__main__":
                         choices=["float32", "bfloat16", "int8", "both"])
     parser.add_argument("--seq", type=int, default=206)
     parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--fp32_precision", default="high",
+                        choices=["high", "highest"],
+                        help="fp32 matmul precision (engine default "
+                             "'high' meets the reference parity "
+                             "tolerance; 'highest' is strict fp32)")
     main(parser.parse_args())

@@ -15,7 +15,15 @@ Unlike a TRT plan, the artifact is portable across TPU generations —
 the compilation cache re-warms per platform.
 
 Precision modes:
-  fp32  — parity mode; matmuls run with highest precision (fp32 on MXU)
+  fp32  — parity mode. Matmuls default to "high" precision (3-pass
+          bf16_3x on the MXU), which measures max|err| ~1e-4 on the
+          flagship logits vs the 6-pass "highest" mode and passes the
+          reference's own parity standard allclose(rtol 1e-5, atol
+          1e-3) (trt_helper/infer_helper.py:93) while running ~13%
+          faster (scripts/precision_experiment.py, measured on v5e:
+          high 4.86 ms vs highest 5.61 ms at 1x206x40). Set
+          EngineConfig.fp32_precision="highest" for bit-strict 6-pass
+          fp32.
   bf16  — fast mode; weights+activations bfloat16 (the reference never
           shipped fp16 — its FMoE plugin asserts on half)
   int8  — weight-only int8 experts + bf16 activations (the reference's
@@ -40,11 +48,13 @@ from m3asr_tpu.runtime.buckets import (BucketSpec, DEFAULT_BATCHES,
 
 # Below this many post-subsampling tokens the dense (all-experts) MoE
 # path wins (weight streaming dominates, dense skips all dispatch
-# machinery); above it the sorted grouped-GEMM (ragged) takes over for
-# fp32, whose 3-pass matmuls make dense compute-bound early. Measured
-# full model on v5e, untrained-random routers (BENCHMARKS.md):
-#   fp32: dense best at 63-255 tokens (17.1 vs 18.3 ragged at 255);
-#         ragged best at 504 (14.6 vs 27.5); ~tied at 511-long.
+# machinery); above it dense goes compute-bound and the skew-robust
+# tiled grouped GEMM takes over. Measured full model on v5e,
+# untrained-random routers (BENCHMARKS.md):
+#   fp32 (at the engine's default "high"/bf16_3x precision): dense best
+#         through 504 tokens (9.6/17.0 ms at 255/504 vs tiled
+#         14.2/17.3); tiled best from 1023 (26.3 vs dense 33.6, and
+#         38.5 vs 55.5 at 1499).
 #   bf16: dense best at every measured count through 1499 tokens
 #         (full model at 6000 frames: dense 22.9 vs ragged 26.4 ms) —
 #         ragged only pays off for large diverse batches (load balance,
@@ -56,18 +66,18 @@ from m3asr_tpu.runtime.buckets import (BucketSpec, DEFAULT_BATCHES,
 # degrades to dense + overhead (21.3 vs 17.1 full model). Opt in with
 # moe_impl="capacity" for checkpoints trained with balance losses.
 MOE_DENSE_TOKEN_THRESHOLD = 2048         # bf16 / int8 activations
-MOE_DENSE_TOKEN_THRESHOLD_FP32 = 256
+MOE_DENSE_TOKEN_THRESHOLD_FP32 = 512
 # Above this many tokens the skew-robust tiled grouped GEMM
 # (moe_experts_tiled, megablocks-style) takes over: its FLOPs/traffic
 # are deterministic in N while ragged_dot degrades non-monotonically in
 # size and with routing skew (fp32 MoE-only x18L: ragged 43.4/64.6 ms
 # at 1023/1499 tokens vs tiled 16.2/17.6 — identical under uniform/
-# zipf/90%-one-expert routing). Full-model on REAL activations, which
-# skew harder than any synthetic routing: fp32 at 504 tokens tiled
-# 24.3 vs ragged 32.2 ms, so fp32 goes tiled straight after dense;
-# bf16/int8 dense keeps 504 tokens (6.51/6.03 vs tiled 8.83/7.00) and
-# tiled takes 1499 (18.0/16.9 vs dense 22.9/22.5). See BENCHMARKS.md.
-MOE_TILED_TOKEN_THRESHOLD_FP32 = 256
+# zipf/90%-one-expert routing). fp32 goes tiled straight after the
+# dense band (full model at "high" precision: tiled 26.3/38.5 vs dense
+# 33.6/55.5 ms at 1023/1499 tokens); bf16/int8 dense keeps 504 tokens
+# (6.51/6.03 vs tiled 8.83/7.00) and tiled takes 1499 (18.0/16.9 vs
+# dense 22.9/22.5). See BENCHMARKS.md.
+MOE_TILED_TOKEN_THRESHOLD_FP32 = 512
 MOE_TILED_TOKEN_THRESHOLD = 1024         # bf16 / int8 activations
 
 # int8 engines quantize the expert tensors at init, so only the quant
@@ -152,6 +162,11 @@ class EngineConfig:
     bucket_batches: Tuple[int, ...] = DEFAULT_BATCHES
     moe_impl: str = "auto"  # auto|dense|ragged|capacity|pallas (quant is
                              # implied by dtype="int8")
+    fp32_precision: str = "high"      # matmul precision for fp32
+                                      # engines: "high" (bf16_3x; meets
+                                      # the reference parity tolerance,
+                                      # ~13% faster) | "highest"
+                                      # (6-pass strict fp32)
     donate_input: bool = True
     return_hidden: bool = False       # also emit the normalized hidden
                                       # (AED rescoring memory)
@@ -271,7 +286,8 @@ class Engine:
             return out, out_len
 
         donate = (1,) if self.cfg.donate_input else ()
-        prec = "highest" if self.dtype == jnp.float32 else "default"
+        prec = (self.cfg.fp32_precision if self.dtype == jnp.float32
+                else "default")
         with jax.default_matmul_precision(prec):
             fn = jax.jit(forward, donate_argnums=donate)
             lowered = fn.lower(

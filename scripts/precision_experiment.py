@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""fp32 matmul-precision ladder on the flagship forward (206 frames).
+
+'highest' = 6-pass bf16 emulation of fp32 on the MXU (the parity mode);
+'high' = 3-pass (bf16_3x); 'default' = single-pass bf16 MXU with fp32
+accumulate. At 63 tokens the dense MoE computes all 32 experts x all
+tokens, so pass count directly scales MXU time. This measures the
+latency ladder AND the worst-case logit error vs 'highest' to judge
+whether a faster mode still meets the reference parity standard
+allclose(rtol 1e-5, atol 1e-3) (infer_helper.py:93).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg
+    from m3asr_tpu.models import moe_conformer
+
+    cfg = _flagship_cfg()
+    params = moe_conformer.init(jax.random.PRNGKey(0), cfg.encoder_conf,
+                                cfg.input_dim, cfg.output_dim)
+    r = params["blocks"]["feed_forward"]["router"]["kernel"]
+    params["blocks"]["feed_forward"]["router"]["kernel"] = \
+        jax.random.normal(jax.random.PRNGKey(1), r.shape, r.dtype) * 0.5
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(np.pad(rng.randn(1, 206, 40), ((0, 0), (0, 50),
+                                                      (0, 0))), jnp.float32)
+    fl = jnp.asarray([206], jnp.int32)
+    enc = cfg.encoder_conf
+
+    def build(prec, n):
+        def run(p, feat, fl):
+            def body(carry, _):
+                out, _ = moe_conformer.forward(p, enc, feat + carry, fl,
+                                               moe_impl="dense")
+                return out[0, 0, 0].astype(feat.dtype) * 1e-30, None
+            carry, _ = jax.lax.scan(body, jnp.zeros((), feat.dtype), None,
+                                    length=n)
+            return carry
+        with jax.default_matmul_precision(prec):
+            return jax.jit(run).lower(params, feat, fl).compile()
+
+    def logits(prec):
+        def run(p, feat, fl):
+            return moe_conformer.forward(p, enc, feat, fl,
+                                         moe_impl="dense")[0]
+        with jax.default_matmul_precision(prec):
+            return np.asarray(jax.jit(run)(params, feat, fl))
+
+    ref = logits("highest")
+    results = {}
+    for prec in ("highest", "high", "default"):
+        f1, fk = build(prec, 1), build(prec, 8)
+        float(f1(params, feat, fl)); float(fk(params, feat, fl))
+
+        def sample(f):
+            t0 = time.perf_counter(); float(f(params, feat, fl))
+            return (time.perf_counter() - t0) * 1e3
+        t1 = np.median([sample(f1) for _ in range(10)])
+        tk = np.median([sample(fk) for _ in range(10)])
+        ms = (tk - t1) / 7
+        out = logits(prec)
+        v = out[0, :51]          # valid region (206 -> 51 tokens)
+        rv = ref[0, :51]
+        abs_err = float(np.max(np.abs(v - rv)))
+        rel_err = float(np.max(np.abs(v - rv) /
+                               (np.abs(rv) + 1e-6)))
+        ok = bool(np.allclose(rv, v, rtol=1e-5, atol=1e-3))
+        results[prec] = {"ms": round(ms, 3), "max_abs_err": abs_err,
+                         "max_rel_err": rel_err,
+                         "allclose_1e-5_1e-3": ok}
+        print(prec, results[prec], flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -139,7 +139,8 @@ def test_moe_impl_auto_policy():
                         donate_input=False)
     fp32 = Engine(cfg, params, ecfg)
     assert fp32._moe_impl_for(1, 256) == "dense"      # 63 tokens
-    assert fp32._moe_impl_for(8, 256) == "tiled"      # 504 > 256 (fp32)
+    assert fp32._moe_impl_for(8, 256) == "dense"      # 504 <= 512 (fp32
+    # at "high" precision dense stays cheapest through the 504 band)
     assert fp32._moe_impl_for(8, 4096) == "tiled"     # skew-robust at scale
     bf16 = Engine(cfg, params, dataclasses.replace(ecfg, dtype="bfloat16"))
     assert bf16._moe_impl_for(8, 256) == "dense"      # 504 <= 1024
