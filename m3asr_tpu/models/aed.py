@@ -263,6 +263,99 @@ def hier_attention_rescoring(decoder_params, cfg: DecoderConfig,
     return hyps[best], float(total[best])
 
 
+def attention_beam_search(p, cfg: DecoderConfig, memory: jax.Array,
+                          memory_lens: jax.Array, beam_size: int,
+                          max_len: int, sos: int, eos: int):
+    """Batched AED beam search over encoder memories — the standalone
+    attention decode mode (the WeNet-style `recognize()` the reference's
+    finish-mask utilities exist for, utils/mask.py:205-251). One jitted
+    lax.scan of `forward_one_step` over a static-shape cache; beam
+    reordering is a gather, finished hypotheses ride along under
+    mask_finished_scores/preds.
+
+    memory: (B, T, d); returns (hyps (B, beam, max_len) int32 — eos
+    padded, sorted best-first — and scores (B, beam))."""
+    from m3asr_tpu.ops.masking import (mask_finished_preds,
+                                       mask_finished_scores)
+
+    B, _, d = memory.shape
+    N = B * beam_size
+    mem = jnp.repeat(memory, beam_size, axis=0)              # (N, T, d)
+    mlens = jnp.repeat(memory_lens, beam_size, axis=0)
+    cache = init_cache(cfg, N, max_len, d, memory.dtype)
+    neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
+    # only beam 0 is alive at step 0 (all beams start identical at sos)
+    scores = jnp.tile(jnp.where(jnp.arange(beam_size) == 0, 0.0, neg_inf),
+                      (B, 1))                                # (B, beam)
+    hyps = jnp.full((N, max_len), eos, jnp.int32)
+    end_flag = jnp.zeros((N, 1), bool)
+    tokens = jnp.full((N,), sos, jnp.int32)
+
+    def step(carry, pos):
+        tokens, scores, hyps, cache, end_flag = carry
+        logp, cache = forward_one_step(p, cfg, mem, mlens, tokens, pos,
+                                       cache)                # (N, V)
+        top_logp, top_idx = jax.lax.top_k(logp.astype(jnp.float32),
+                                          beam_size)         # (N, beam)
+        top_logp = mask_finished_scores(top_logp, end_flag)
+        top_idx = mask_finished_preds(top_idx, end_flag, eos)
+        cand = (scores.reshape(N, 1) + top_logp).reshape(B,
+                                                         beam_size * beam_size)
+        scores, offset = jax.lax.top_k(cand, beam_size)      # (B, beam)
+        parent = offset // beam_size                         # beam index
+        parent_glob = (jnp.arange(B)[:, None] * beam_size +
+                       parent).reshape(N)
+        best_pred = jnp.take_along_axis(
+            top_idx.reshape(B, beam_size * beam_size), offset,
+            axis=1).reshape(N)
+        # reorder per-beam state to the surviving parents
+        hyps = hyps[parent_glob]
+        cache = cache[:, parent_glob]
+        end_flag = end_flag[parent_glob]
+        hyps = hyps.at[:, pos].set(best_pred)
+        end_flag = end_flag | (best_pred == eos)[:, None]
+        return (best_pred, scores, hyps, cache, end_flag), None
+
+    (_, scores, hyps, _, _), _ = jax.lax.scan(
+        step, (tokens, scores, hyps, cache, end_flag),
+        jnp.arange(max_len))
+    return hyps.reshape(B, beam_size, max_len), scores
+
+
+_BEAM_SEARCH_JIT = {}
+
+
+def attention_search_decode(p, cfg: DecoderConfig, memory, memory_lens,
+                            beam_size: int, sos: int, eos: int,
+                            max_len: int = 0) -> List[List[int]]:
+    """Host wrapper: run attention_beam_search and cut each best
+    hypothesis at its first eos. max_len defaults to the memory length
+    (one token per encoder frame is a safe AED bound)."""
+    memory = jnp.asarray(memory)
+    memory_lens = jnp.asarray(memory_lens, jnp.int32)
+    if max_len <= 0:
+        max_len = int(memory.shape[1])
+    key = (cfg.attention_heads, cfg.num_blocks, cfg.linear_units,
+           beam_size, max_len, sos, eos)
+    fn = _BEAM_SEARCH_JIT.get(key)
+    if fn is None:
+        fn = jax.jit(lambda p, m, ml: attention_beam_search(
+            p, cfg, m, ml, beam_size, max_len, sos, eos))
+        _BEAM_SEARCH_JIT[key] = fn
+    hyps, _ = fn(p, memory, memory_lens)
+    hyps = np.asarray(hyps)
+    out = []
+    for b in range(hyps.shape[0]):
+        best = hyps[b, 0]
+        toks = []
+        for t in best:
+            if int(t) == eos:
+                break
+            toks.append(int(t))
+        out.append(toks)
+    return out
+
+
 def init(key, cfg: DecoderConfig, vocab_size: int, d_model: int,
          dtype=jnp.float32):
     ks = jax.random.split(key, cfg.num_blocks + 2)

@@ -174,3 +174,27 @@ def add_optional_chunk_mask(lengths: jax.Array, max_len: int,
         return None
     valid = make_valid_mask(lengths, max_len)            # (B, T)
     return (chunk[None] & valid[:, None, :])[:, None]    # (B, 1, T, T)
+
+
+def mask_finished_scores(score: jax.Array, flag: jax.Array) -> jax.Array:
+    """Beam-search finish masking (utils/mask.py:205-232): for finished
+    hypotheses keep exactly one alive branch — candidate 0 gets score 0,
+    the rest -inf — so a finished hyp rides along unchanged while
+    unfinished hyps expand normally.
+
+    score: (N, beam) candidate scores; flag: (N, 1) bool finished."""
+    beam = score.shape[-1]
+    first = jnp.arange(beam)[None, :] == 0                 # (1, beam)
+    neg_inf = jnp.asarray(-jnp.inf, score.dtype)
+    score = jnp.where(flag & ~first, neg_inf, score)       # kill branches
+    score = jnp.where(flag & first, jnp.zeros((), score.dtype), score)
+    return score
+
+
+def mask_finished_preds(pred: jax.Array, flag: jax.Array,
+                        eos: int) -> jax.Array:
+    """Beam-search finish masking (utils/mask.py:235-251): predictions
+    of finished hypotheses all become eos.
+
+    pred: (N, beam) int candidates; flag: (N, 1) bool finished."""
+    return jnp.where(flag, jnp.asarray(eos, pred.dtype), pred)

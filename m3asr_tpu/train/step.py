@@ -28,6 +28,13 @@ class TrainConfig:
     weight_decay: float = 0.0
     grad_clip: float = 5.0
     ctc_weight: float = 1.0
+    loss_type: str = "ctc"            # 'ctc' | 'ce' — the reference's
+                                      # cectc recipe selects CE by the
+                                      # loader mode (train_cectc_ddp.py
+                                      # LossCompute loss_type='ce':
+                                      # frame-level CE on alignment
+                                      # labels instead of CTC)
+    padding_idx: int = -1             # ignored frame label in CE mode
     embed_ctc_weight: float = 0.0     # aux CTC on the embed encoder head
     router_l1_weight: float = 0.0
     router_importance_weight: float = 0.0
@@ -84,9 +91,23 @@ def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
                                          feat, feat_len,
                                          chunk_mask=chunk_mask)
         embed_out = None
-    loss = tcfg.ctc_weight * losses.ctc_loss(
-        out, out_len, targets, target_lens, tcfg.blank_idx)
-    metrics["ctc_loss"] = loss
+    if tcfg.loss_type == "ce":
+        # frame-level CE on alignment labels (the cectc recipe,
+        # bk/train_cectc_ddp.py LossCompute loss_type='ce'); labels
+        # beyond each utterance's length are masked to padding_idx
+        T_out = out.shape[1]
+        tgt = targets[:, :T_out]
+        valid = jnp.arange(T_out)[None, :] < target_lens[:, None]
+        tgt = jnp.where(valid, tgt, tcfg.padding_idx)
+        loss, (_, likely, hit), (frames, _, _) = losses.ce_loss(
+            out, tgt, tcfg.padding_idx, mean_in_frames=True)
+        metrics["ce_loss"] = loss
+        metrics["likely"] = likely / jnp.maximum(frames, 1)
+        metrics["acc"] = hit / jnp.maximum(frames, 1)
+    else:
+        loss = tcfg.ctc_weight * losses.ctc_loss(
+            out, out_len, targets, target_lens, tcfg.blank_idx)
+        metrics["ctc_loss"] = loss
     if embed_out is not None and tcfg.embed_ctc_weight > 0:
         e_loss = losses.ctc_loss(embed_out, out_len, targets, target_lens,
                                  tcfg.blank_idx)

@@ -37,17 +37,17 @@ def main(args):
     engine = Engine.load(args.plan_name)
     decoders = None
     hier = False
-    if args.decode == "rescore":
+    if args.decode in ("rescore", "attention"):
         from m3asr_tpu.runtime.engine import _unflatten
         dec_path = os.path.join(args.plan_name, "decoders.npz")
         if not os.path.exists(dec_path):
-            sys.exit("rescoring needs decoders.npz in the engine dir "
-                     "(build from an AED checkpoint)")
+            sys.exit(f"{args.decode} decoding needs decoders.npz in the "
+                     "engine dir (build from an AED checkpoint)")
         import jax.numpy as jnp
         import jax as _jax
         decoders = _jax.tree.map(jnp.asarray,
                                  _unflatten(dict(np.load(dec_path))))
-        hier = (args.hier_rescore
+        hier = (args.decode == "rescore" and args.hier_rescore
                 and any(k in decoders for k in ("decoder_1", "decoder_2")))
         if hier:
             engine.cfg.return_taps = True
@@ -71,7 +71,16 @@ def main(args):
         res = engine.infer(batch["data"], batch["lens"])
         out, out_lens = res[0], res[1]
         frames += int(np.sum(batch["lens"]))
-        if args.decode == "greedy":
+        if args.decode == "attention":
+            # standalone AED beam search over the encoder hidden (the
+            # WeNet-style recognize() the reference's finish-mask
+            # utilities target, utils/mask.py:205-251) — no CTC involved
+            from m3asr_tpu.models.aed import attention_search_decode
+            cfg = engine.model_cfg
+            hyps = attention_search_decode(
+                decoders["decoder"], cfg.decoder_conf, res[2], out_lens,
+                beam_size=args.beam_size, sos=cfg.sos, eos=cfg.eos)
+        elif args.decode == "greedy":
             hyps = native.ctc_greedy_search(out, out_lens)
         else:
             m = out.max(-1, keepdims=True)
@@ -131,7 +140,7 @@ if __name__ == "__main__":
     p.add_argument("-l", "--label_rspec", required=False,
                    help="reference labels (int-vector ark) for CER")
     p.add_argument("-d", "--decode", default="greedy",
-                   choices=["greedy", "beam", "rescore"])
+                   choices=["greedy", "beam", "rescore", "attention"])
     p.add_argument("-b", "--beam_size", type=int, default=10)
     p.add_argument("--ctc_weight", type=float, default=0.5)
     p.add_argument("--hier_rescore", action="store_true",

@@ -116,3 +116,115 @@ def test_forward_one_step_jits_once_across_positions():
                         cache)
         tok = jnp.argmax(y, axis=-1).astype(jnp.int32)
     assert step._cache_size() == 1
+
+
+def test_mask_finished_scores_and_preds():
+    """Reference semantics (utils/mask.py:205-251): a finished hyp keeps
+    exactly one alive branch at score 0, others -inf; its preds all
+    become eos."""
+    from m3asr_tpu.ops.masking import (mask_finished_preds,
+                                       mask_finished_scores)
+    score = jnp.asarray([[0.1, 0.2, 0.3], [0.4, 0.5, 0.6]], jnp.float32)
+    flag = jnp.asarray([[True], [False]])
+    out = np.asarray(mask_finished_scores(score, flag))
+    np.testing.assert_array_equal(out[0], [0.0, -np.inf, -np.inf])
+    np.testing.assert_allclose(out[1], [0.4, 0.5, 0.6])
+    pred = jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32)
+    out = np.asarray(mask_finished_preds(pred, flag, eos=9))
+    np.testing.assert_array_equal(out[0], [9, 9, 9])
+    np.testing.assert_array_equal(out[1], [4, 5, 6])
+
+
+def _numpy_beam_search(p, dcfg, memory, memory_lens, beam, max_len, sos,
+                       eos):
+    """Independent reference beam search: next-token distributions come
+    from the TEACHER-FORCED aed.forward on each alive prefix (no cache,
+    no batching tricks), beam bookkeeping in plain numpy."""
+    import jax
+    B = memory.shape[0]
+    results = []
+    for b in range(B):
+        mem_b = memory[b:b + 1]
+        ml_b = memory_lens[b:b + 1]
+        beams = [([sos], 0.0, False)]  # (prefix incl sos, score, done)
+        for pos in range(max_len):
+            cands = []
+            for prefix, score, done in beams:
+                if done:
+                    cands.append((prefix + [eos], score, True))
+                    continue
+                ys = jnp.asarray([prefix], jnp.int32)
+                logits = aed.forward(
+                    p, dcfg, mem_b, ml_b, ys,
+                    jnp.array([len(prefix)], jnp.int32))
+                logp = np.asarray(jax.nn.log_softmax(
+                    logits[0, len(prefix) - 1].astype(jnp.float32)))
+                top = np.argsort(logp)[::-1][:beam]
+                for t in top:
+                    cands.append((prefix + [int(t)], score + logp[t],
+                                  int(t) == eos))
+            cands.sort(key=lambda c: -c[1])
+            beams = cands[:beam]
+        results.append(beams)
+    return results
+
+
+def test_attention_beam_search_matches_reference_impl():
+    """The jitted cached/batched beam search equals an independent
+    teacher-forced numpy beam search (same top-k tie order) on both
+    hypotheses and scores."""
+    _, dcfg, p = _setup()
+    rng = np.random.RandomState(55)
+    B, T, d = 2, 7, 32
+    memory = jnp.asarray(rng.randn(B, T, d), jnp.float32)
+    memory_lens = jnp.array([7, 5], jnp.int32)
+    beam, max_len, sos, eos = 3, 5, 12, 12
+
+    hyps, scores = aed.attention_beam_search(
+        p, dcfg, memory, memory_lens, beam, max_len, sos, eos)
+    hyps, scores = np.asarray(hyps), np.asarray(scores)
+
+    ref = _numpy_beam_search(p, dcfg, memory, memory_lens, beam,
+                             max_len, sos, eos)
+    for b in range(B):
+        ref_prefix, ref_score, _ = ref[b][0]
+        got = list(hyps[b, 0])
+        got_cut = []
+        for t in got:
+            if t == eos:
+                break
+            got_cut.append(int(t))
+        ref_cut = []
+        for t in ref_prefix[1:]:
+            if t == eos:
+                break
+            ref_cut.append(int(t))
+        assert got_cut == ref_cut, (b, got_cut, ref_cut)
+        np.testing.assert_allclose(scores[b, 0], ref_score, rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_attention_search_decode_beam1_is_greedy():
+    """beam=1 equals a greedy argmax roll-out of forward_one_step."""
+    import jax
+    _, dcfg, p = _setup()
+    rng = np.random.RandomState(56)
+    memory = jnp.asarray(rng.randn(1, 6, 32), jnp.float32)
+    memory_lens = jnp.array([6], jnp.int32)
+    max_len, sos, eos = 4, 12, 12
+
+    out = aed.attention_search_decode(p, dcfg, memory, memory_lens,
+                                      beam_size=1, sos=sos, eos=eos,
+                                      max_len=max_len)
+    cache = aed.init_cache(dcfg, 1, max_len, 32)
+    tok = jnp.array([sos], jnp.int32)
+    greedy = []
+    for t in range(max_len):
+        y, cache = aed.forward_one_step(p, dcfg, memory, memory_lens,
+                                        tok, jnp.int32(t), cache)
+        nxt = int(jnp.argmax(y[0]))
+        if nxt == eos:
+            break
+        greedy.append(nxt)
+        tok = jnp.array([nxt], jnp.int32)
+    assert out[0] == greedy

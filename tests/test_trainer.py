@@ -133,3 +133,36 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     diff = optax.global_norm(jax.tree.map(lambda a, b: a - b, t1.params,
                                           t2.params))
     assert float(diff) == 0.0
+
+
+def test_ce_mode_training_reduces_loss():
+    """loss_type='ce' (the cectc recipe, bk/train_cectc_ddp.py): frame-
+    level CE on alignment labels learns a toy frame-classification task
+    and reports likely/acc metrics."""
+    mc = tiny_cfg()
+    params = moe_conformer.init(jax.random.PRNGKey(2), mc.encoder_conf,
+                                mc.input_dim, mc.output_dim)
+    tcfg = TrainConfig(learning_rate=2e-3, warmup_steps=5,
+                       loss_type="ce")
+    optimizer = make_optimizer(tcfg)
+    opt_state = optimizer.init(params)
+    step = make_train_step(mc, tcfg, optimizer)
+
+    # fixed alignment labels at the subsampled frame rate (31 -> 7)
+    rng = np.random.RandomState(7)
+    feat = rng.randn(2, 31, 12).astype(np.float32)
+    lens = np.array([31, 25], np.int32)
+    tgt = rng.randint(0, 7, (2, 7)).astype(np.int32)
+    tgt_lens = np.array([7, 6], np.int32)
+
+    first = last = None
+    for i in range(30):
+        params, opt_state, metrics = step(params, opt_state, feat, lens,
+                                          tgt, tgt_lens)
+        if first is None:
+            first = float(metrics["ce_loss"])
+        last = float(metrics["ce_loss"])
+        assert np.isfinite(last)
+    assert last < first * 0.7, (first, last)
+    assert 0.0 <= float(metrics["acc"]) <= 1.0
+    assert "ctc_loss" not in metrics

@@ -82,7 +82,10 @@ def main(args):
                                                           25000),
         grad_clip=raw.get("max_grad_norm", 5.0),
         weight_decay=raw.get("weight_decay", 0.0),
-        embed_ctc_weight=raw.get("embed_ctc_weight", 0.0))
+        embed_ctc_weight=raw.get("embed_ctc_weight", 0.0),
+        # the cectc trainers pick CE vs CTC from the loader mode
+        # (bk/train_cectc_ddp.py: loss_type = loader_conf['mode'])
+        loss_type=loader_conf.get("mode", "ctc"))
     if hier:
         from m3asr_tpu.models import aed
         tcfg = HierTrainConfig(
