@@ -30,7 +30,9 @@ class StreamingSession:
         self.window = 4 * chunk_size + 3
         self.stride = 4 * chunk_size
         self.moe = moe
-        cache_T = chunk_size * num_left_chunks
+        self._batch = batch
+        self._cache_T = chunk_size * num_left_chunks
+        cache_T = self._cache_T
         self.state = streaming.init_state(cfg, batch, cache_T)
         if moe:
             assert isinstance(cfg, MoEEncoderConfig)
@@ -70,6 +72,18 @@ class StreamingSession:
                                        self.state)
         return np.asarray(out)
 
+    def reset(self) -> None:
+        """Back to a fresh stream, keeping the jitted chunk function
+        (so pooled sessions never recompile — serve.py reuses released
+        sessions across connections)."""
+        self.state = streaming.init_state(self.cfg, self._batch,
+                                          self._cache_T)
+        if self.moe:
+            self.embed_state = streaming.init_state(
+                self.cfg.embed_conf, self._batch, self._cache_T)
+        self._buf = None
+        self._consumed = 0
+
     def finish(self) -> List[np.ndarray]:
         """Flush remaining frames (zero-padded to a full window); emits
         only the output frames covered by real input."""
@@ -102,6 +116,8 @@ class DfsmnStreamingSession:
         self.params = params
         self.cfg = cfg
         self.chunk = chunk_size
+        self._batch = batch
+        self._cache_T = cache_T
         self.delay = S.stream_delay(cfg)
         self.state = S.init_state(cfg, batch, cache_T)
         self._fn = jax.jit(lambda p, c, s: S.forward_chunk(p, cfg, c, s))
@@ -140,6 +156,15 @@ class DfsmnStreamingSession:
             self._buf = self._buf[:, self._consumed:]
             self._consumed = 0
         return outs
+
+    def reset(self) -> None:
+        """Fresh stream, same jitted chunk function (pool reuse)."""
+        from m3asr_tpu.models import dfsmn_streaming as S
+        self.state = S.init_state(self.cfg, self._batch, self._cache_T)
+        self._buf = None
+        self._consumed = 0
+        self._fed = 0
+        self._next_pos = 0
 
     def finish(self) -> List[np.ndarray]:
         """Zero-pad the tail + delay so every real frame matures; emits

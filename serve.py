@@ -13,6 +13,16 @@ Protocol (one JSON object per line):
              "decode": "greedy"|"beam", "beam_size": 10}
   response: {"id": "utt1", "hyp": [ids...], "out_len": N,
              "latency_ms": x}
+
+Streaming (one stream per connection; chunk-incremental greedy CTC
+partials via StreamingSession / DfsmnStreamingSession — sessions are
+pooled and their jitted chunk forwards reused across connections):
+  {"stream": "start", "chunk_size": 16, "num_left_chunks": 2}
+      -> {"ok": true, "chunk_size": 16}
+  {"stream": "chunk", "feat": [[...frame...], ...]}
+      -> {"partial": [ids...], "out_frames": N}
+  {"stream": "end"}
+      -> {"hyp": [ids...], "out_frames": N, "final": true}
 """
 
 import argparse
@@ -20,6 +30,7 @@ import json
 import os
 import socketserver
 import sys
+import threading
 import time
 
 import numpy as np
@@ -27,17 +38,107 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def make_handler(batcher, default_beam):
+class _StreamDecode:
+    """Incremental greedy CTC over emitted logits chunks: collapse
+    consecutive repeats, drop blanks (model/encoder.py:156-180
+    semantics, frame-local so it streams)."""
+
+    def __init__(self, session, blank: int = 0):
+        self.session = session
+        self.blank = blank
+        self.prev = -1
+        self.hyp = []
+        self.frames = 0
+
+    def update(self, chunks) -> None:
+        for ch in chunks:
+            ids = np.asarray(ch).argmax(-1)[0]
+            self.frames += len(ids)
+            for t in ids:
+                t = int(t)
+                if t != self.prev and t != self.blank:
+                    self.hyp.append(t)
+                self.prev = t
+
+
+class SessionPool:
+    """Released sessions keep their compiled chunk step; acquire()
+    prefers one with the same (chunk_size, left) key."""
+
+    def __init__(self, factory):
+        self._factory = factory
+        self._free = {}
+        self._lock = threading.Lock()
+
+    def acquire(self, key):
+        with self._lock:
+            lst = self._free.get(key)
+            if lst:
+                return lst.pop()
+        return self._factory(*key)
+
+    def release(self, key, session) -> None:
+        session.reset()
+        with self._lock:
+            self._free.setdefault(key, []).append(session)
+
+
+def make_handler(batcher, default_beam, stream_pool=None):
     from m3asr_tpu.decode import native
 
     class Handler(socketserver.StreamRequestHandler):
+        def _stream_request(self, req):
+            if stream_pool is None:
+                return {"error": "streaming unsupported for this model "
+                                 "family"}
+            op = req["stream"]
+            if op == "start":
+                if self._stream is not None:
+                    return {"error": "stream already started"}
+                key = (int(req.get("chunk_size", 16)),
+                       int(req.get("num_left_chunks", 2)))
+                self._stream_key = key
+                self._stream = _StreamDecode(stream_pool.acquire(key))
+                return {"ok": True, "chunk_size": key[0]}
+            if self._stream is None:
+                return {"error": "no active stream (send start first)"}
+            if op == "chunk":
+                feat = np.asarray(req["feat"], np.float32)[None]
+                self._stream.update(self._stream.session.push(feat))
+                return {"partial": list(self._stream.hyp),
+                        "out_frames": self._stream.frames}
+            if op == "end":
+                self._stream.update(self._stream.session.finish())
+                resp = {"hyp": list(self._stream.hyp),
+                        "out_frames": self._stream.frames, "final": True}
+                stream_pool.release(self._stream_key,
+                                    self._stream.session)
+                self._stream = None
+                return resp
+            return {"error": f"unknown stream op {op!r}"}
+
+        def finish(self):
+            # connection dropped mid-stream: recycle the session
+            if getattr(self, "_stream", None) is not None:
+                stream_pool.release(self._stream_key,
+                                    self._stream.session)
+                self._stream = None
+            super().finish()
+
         def handle(self):
+            self._stream = None
             for line in self.rfile:
                 line = line.strip()
                 if not line:
                     continue
                 try:
                     req = json.loads(line)
+                    if "stream" in req:
+                        resp = self._stream_request(req)
+                        self.wfile.write((json.dumps(resp) + "\n")
+                                         .encode())
+                        self.wfile.flush()
+                        continue
                     feat = np.asarray(req["feat"], np.float32)
                     t0 = time.perf_counter()
                     out1, out_len = batcher.infer(feat)
@@ -82,11 +183,28 @@ def main(args):
     batcher = MicroBatcher(engine.infer, window_ms=args.batch_window_ms,
                            max_batch=max_batch)
 
+    from m3asr_tpu.models.registry import get_family
+    from m3asr_tpu.runtime.streaming_session import (DfsmnStreamingSession,
+                                                     StreamingSession)
+    family = get_family(engine.model_cfg.nnet_proto).name
+    enc_cfg = engine.model_cfg.encoder_conf
+    if family.startswith("dfsmn"):
+        def factory(chunk, left):
+            return DfsmnStreamingSession(engine.params, enc_cfg,
+                                         chunk_size=chunk)
+    else:
+        def factory(chunk, left):
+            return StreamingSession(engine.params, enc_cfg,
+                                    chunk_size=chunk,
+                                    num_left_chunks=left,
+                                    moe=engine.is_moe)
+    stream_pool = SessionPool(factory)
+
     class Server(socketserver.ThreadingTCPServer):
         allow_reuse_address = True
 
     with Server((args.host, args.port),
-                make_handler(batcher, args.beam_size)) as srv:
+                make_handler(batcher, args.beam_size, stream_pool)) as srv:
         print(f"serving on {args.host}:{srv.server_address[1]}",
               flush=True)
         srv.serve_forever()

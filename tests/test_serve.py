@@ -117,3 +117,74 @@ def test_serve_concurrent_requests_micro_batch(tmp_path):
             assert resp["out_len"] == sub4(30 + 2 * i), resp
     finally:
         proc.terminate()
+
+
+def test_serve_streaming_protocol(tmp_path):
+    """Per-connection streaming: start/chunk/end yields partials and a
+    final hyp; a second connection reuses the pooled (reset) session
+    and must produce the identical transcript for identical input."""
+    m = golden_model()
+    torch.save({f"encoder.{k}": v for k, v in m.state_dict().items()},
+               tmp_path / "ckpt.pt")
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(small_yaml(), f)
+    env = dict(os.environ, M3ASR_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "build.py"),
+         "-c", str(tmp_path / "cfg.yaml"), "-m", str(tmp_path / "ckpt.pt"),
+         "-o", str(tmp_path / "eng"), "--buckets", "1x64", "--skip-warmup"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve.py"),
+         "-p", str(tmp_path / "eng"), "--port", "0"],
+        stdout=subprocess.PIPE, text=True, env=env)
+    try:
+        line = proc.stdout.readline()
+        port = int(re.search(r":(\d+)$", line.strip()).group(1))
+        rng = np.random.RandomState(3)
+        feat = rng.randn(75, 20).round(4)  # > one 4*8+3 window
+
+        def run_stream():
+            with socket.create_connection(("127.0.0.1", port),
+                                          timeout=300) as s:
+                f = s.makefile("rw")
+                f.write(json.dumps({"stream": "start", "chunk_size": 8,
+                                    "num_left_chunks": 2}) + "\n")
+                f.flush()
+                resp = json.loads(f.readline())
+                assert resp.get("ok"), resp
+                partials = []
+                for i in range(0, feat.shape[0], 25):
+                    f.write(json.dumps(
+                        {"stream": "chunk",
+                         "feat": feat[i:i + 25].tolist()}) + "\n")
+                    f.flush()
+                    resp = json.loads(f.readline())
+                    assert "partial" in resp, resp
+                    partials.append(resp["partial"])
+                f.write(json.dumps({"stream": "end"}) + "\n")
+                f.flush()
+                resp = json.loads(f.readline())
+                assert resp.get("final"), resp
+                assert resp["out_frames"] > 0
+                # partials are prefixes of the growing hypothesis
+                assert partials[-1] == resp["hyp"][:len(partials[-1])]
+                return resp["hyp"]
+
+        h1 = run_stream()
+        h2 = run_stream()  # pooled session, reset -> same transcript
+        assert h1 == h2
+
+        # chunk without start on a fresh connection -> error, server up
+        with socket.create_connection(("127.0.0.1", port),
+                                      timeout=300) as s:
+            f = s.makefile("rw")
+            f.write(json.dumps({"stream": "chunk",
+                                "feat": feat[:10].tolist()}) + "\n")
+            f.flush()
+            assert "error" in json.loads(f.readline())
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
