@@ -193,11 +193,16 @@ def main(args):
             return DfsmnStreamingSession(engine.params, enc_cfg,
                                          chunk_size=chunk)
     else:
+        # int8 engines hold quantized expert tensors — the chunk
+        # forward must use the matching quant dispatch
+        moe_impl = "quant" if engine.int8_experts else "dense"
+
         def factory(chunk, left):
             return StreamingSession(engine.params, enc_cfg,
                                     chunk_size=chunk,
                                     num_left_chunks=left,
-                                    moe=engine.is_moe)
+                                    moe=engine.is_moe,
+                                    moe_impl=moe_impl)
     stream_pool = SessionPool(factory)
 
     class Server(socketserver.ThreadingTCPServer):
