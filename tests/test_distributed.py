@@ -65,3 +65,35 @@ def test_initialize_env_parsing(monkeypatch):
     monkeypatch.setenv("RANK", "2")
     D.initialize()
     assert calls == {"addr": "10.0.0.1:1234", "n": 4, "pid": 2}
+
+
+def test_two_process_train_step(tmp_path):
+    """REAL multi-process jax.distributed: two OS processes (2 virtual
+    CPU devices each) form a global (dp=2, ep=2) mesh via the
+    torch.distributed env contract and run one sharded MoE train step;
+    both ranks must report the same finite global loss."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "dist_worker_main.py")
+    port = 29877
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ, MASTER_ADDR="127.0.0.1",
+                   MASTER_PORT=str(port), WORLD_SIZE="2", RANK=str(rank))
+        env.pop("XLA_FLAGS", None)  # worker sets its own device count
+        procs.append(subprocess.Popen(
+            [sys.executable, worker], env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    losses = {}
+    for out in outs:
+        m = re.search(r"RANK(\d) LOSS ([\d.eE+-]+)", out)
+        assert m, out[-2000:]
+        losses[int(m.group(1))] = float(m.group(2))
+    assert set(losses) == {0, 1}
+    assert abs(losses[0] - losses[1]) < 1e-6, losses
