@@ -34,13 +34,17 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
             moe_impl: str = "dense", hier_taps: bool = False,
             chunk_mask=None, embed_chunk_mask="same",
             return_router_probs: bool = False,
-            return_hidden: bool = False, remat: bool = False):
+            return_hidden: bool = False, remat: bool = False,
+            return_embed_hidden: bool = False):
     """feat: (B, T, input_dim) -> logits (B, T', output_dim).
 
     Returns (out, out_len) | + embed_out (output_embed) | + (h6, h12,
     h_final) normalized tap hiddens (hier_taps — the AED decoder
     memories, conformer_aed_...hier.py:49-70) | + router_probs
-    (L, B, T', E) (return_router_probs — for the aux losses).
+    (L, B, T', E) (return_router_probs — for the aux losses) | +
+    embed_hidden (return_embed_hidden — the embed encoder's hidden
+    BEFORE the router detach, for the domain/acc classifier heads that
+    train through the embed net, conformer_embed_domain_acc.py:146-147).
     """
     # The embed sub-encoder samples/holds its OWN chunk mask in the
     # reference (conformer_embed.py:170-176 calls add_optional_chunk_mask
@@ -51,6 +55,7 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
     embed_out, _, embed = conformer.forward(
         params["embed"], cfg.embed_conf, feat, feat_len, output_embed=True,
         chunk_mask=embed_chunk_mask)
+    embed_hidden = embed
     # "detach embed to maintain an individual embedding"
     # (conformer_fmoe_localComm_catEmbed.py:215-216): the router input
     # never backprops into the embed encoder — it trains only through
@@ -113,6 +118,8 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
         # the normalized final hidden — the AED rescoring memory
         # (encoder.py:182-260 returns res['hidden'])
         ret.append(x_normed)
+    if return_embed_hidden:
+        ret.append(embed_hidden)
     return tuple(ret)
 
 

@@ -132,9 +132,34 @@ def add_sos_eos_jnp(targets: jax.Array, target_lens: jax.Array, sos: int,
     return ys_in, ys_out
 
 
+def init_domain_acc_heads(key, d_model: int, output_dim_domain: int = 6,
+                          output_dim_acc: int = 8, bottleneck: int = 4,
+                          dtype=jnp.float32):
+    """The domain/accent classifier heads the reference sketches on the
+    embed encoder but left commented out
+    (conformer_embed_domain_acc.py:144-147: Linear(d->4) bottleneck then
+    Linear(4->output_dim_{domain,acc}); default dims 6/8 from
+    conformer_fmoe_...domain_acc.py:91-92). Functional here: per-frame
+    logits over the embed hidden, trained with the commented recipe of
+    bk/..._hier.py:100-139."""
+    from m3asr_tpu.ops.common import init_linear
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "domain_head": {"embed": init_linear(k1, d_model, bottleneck,
+                                             dtype=dtype),
+                        "out": init_linear(k2, bottleneck,
+                                           output_dim_domain, dtype=dtype)},
+        "acc_head": {"embed": init_linear(k3, d_model, bottleneck,
+                                          dtype=dtype),
+                     "out": init_linear(k4, bottleneck, output_dim_acc,
+                                        dtype=dtype)},
+    }
+
+
 def hier_aed_loss_fn(params, model_cfg: ModelConfig, tcfg: "HierTrainConfig",
                      feat, feat_len, targets, target_lens,
-                     aed_targets, aed_target_lens, rng=None):
+                     aed_targets, aed_target_lens, rng=None,
+                     domain_targets=None, acc_targets=None):
     """The deployed training recipe (bk/..._hier.py:52-154 LossCompute):
     CTC(final) + embed-CTC + label-smoothing AED at taps 6/12/final
     + router l1+importance aux. params must include 'decoder',
@@ -148,12 +173,15 @@ def hier_aed_loss_fn(params, model_cfg: ModelConfig, tcfg: "HierTrainConfig",
                                   rng_main)
     embed_mask = train_chunk_mask(model_cfg.encoder_conf.embed_conf,
                                   feat, feat_len, rng_embed)
-    out, out_len, embed_out, h6, h12, h_final, router_ps = \
-        moe_conformer.forward(enc, model_cfg.encoder_conf, feat, feat_len,
-                              output_embed=True, hier_taps=True,
-                              return_router_probs=True, moe_impl="dense",
-                              chunk_mask=chunk_mask,
-                              embed_chunk_mask=embed_mask)
+    with_heads = domain_targets is not None or acc_targets is not None
+    res = moe_conformer.forward(enc, model_cfg.encoder_conf, feat,
+                                feat_len, output_embed=True,
+                                hier_taps=True, return_router_probs=True,
+                                moe_impl="dense", chunk_mask=chunk_mask,
+                                embed_chunk_mask=embed_mask,
+                                return_embed_hidden=with_heads)
+    out, out_len, embed_out, h6, h12, h_final, router_ps = res[:7]
+    embed_hidden = res[7] if with_heads else None
     metrics = {}
     ctc = losses.ctc_loss(out, out_len, targets, target_lens,
                           tcfg.blank_idx)
@@ -194,6 +222,33 @@ def hier_aed_loss_fn(params, model_cfg: ModelConfig, tcfg: "HierTrainConfig",
         metrics["embed_ctc_loss"] = e_loss
         loss = loss + tcfg.embed_ctc_weight * e_loss
 
+    # domain/accent CE on the embed hidden (the reference sketches
+    # these heads but leaves them commented — loader format is ONE
+    # class id per utterance, loader/ctc_aed_loader_domain_acc.py:149;
+    # loss shape per the commented recipe bk/..._hier.py:100-139: CE
+    # sum / batch, weighted ce_weight, hit-rate metric. The pooling to
+    # utterance level is unspecified in the dead code; masked mean
+    # over valid frames is used here.)
+    from m3asr_tpu.ops.common import linear as _linear
+    B = feat.shape[0]
+    for tag, head_name, tgt in (("domain", "domain_head", domain_targets),
+                                ("acc", "acc_head", acc_targets)):
+        if tgt is None or head_name not in params:
+            continue
+        head = params[head_name]
+        T_out = embed_hidden.shape[1]
+        valid = (jnp.arange(T_out)[None, :] <
+                 out_len[:, None]).astype(embed_hidden.dtype)
+        pooled = ((embed_hidden * valid[:, :, None]).sum(1)
+                  / jnp.maximum(valid.sum(1), 1.0)[:, None])   # (B, d)
+        logits = _linear(head["out"], _linear(head["embed"], pooled))
+        ce_sum, (_, _, hit), (frames, _, _) = losses.ce_loss(
+            logits[:, None, :], tgt[:, None], -1, mean_in_frames=False)
+        ce = ce_sum / B
+        metrics[f"{tag}_loss"] = ce
+        metrics[f"{tag}_hit"] = hit / jnp.maximum(frames, 1)
+        loss = loss + tcfg.ce_weight * ce
+
     if tcfg.router_l1_weight > 0 or tcfg.router_importance_weight > 0:
         # router_ps: (L, B, T, E)
         l1 = jnp.mean(jax.vmap(
@@ -227,6 +282,9 @@ class HierTrainConfig(TrainConfig):
     embed_ctc_weight: float = 0.3
     router_l1_weight: float = 0.0
     router_importance_weight: float = 0.0
+    ce_weight: float = 1e-5          # domain/acc head CE weight
+                                     # (reference cfg default,
+                                     # bk/..._hier.py:378)
 
 
 def _needs_rng(model_cfg: ModelConfig) -> bool:
@@ -237,22 +295,45 @@ def _needs_rng(model_cfg: ModelConfig) -> bool:
 
 
 def make_hier_train_step(model_cfg: ModelConfig, tcfg: HierTrainConfig,
-                         optimizer: optax.GradientTransformation):
+                         optimizer: optax.GradientTransformation,
+                         with_domain_acc: bool = False):
     """Full hier AED training step (the deployed recipe). When the
     encoder config enables dynamic-chunk training, the returned step
-    takes a trailing PRNG key (the per-batch chunk-size sample)."""
+    takes a trailing PRNG key (the per-batch chunk-size sample). With
+    with_domain_acc, the step takes frame-level domain/acc label
+    matrices after the AED labels and trains the bottleneck classifier
+    heads (init_domain_acc_heads) on the embed hidden."""
 
-    def step(params, opt_state, feat, feat_len, targets, target_lens,
-             aed_targets, aed_target_lens, rng=None):
+    def _run(params, opt_state, feat, feat_len, targets, target_lens,
+             aed_targets, aed_target_lens, rng, domain_targets,
+             acc_targets):
         (loss, metrics), grads = jax.value_and_grad(
             lambda p: hier_aed_loss_fn(p, model_cfg, tcfg, feat, feat_len,
                                        targets, target_lens, aed_targets,
-                                       aed_target_lens, rng=rng),
+                                       aed_target_lens, rng=rng,
+                                       domain_targets=domain_targets,
+                                       acc_targets=acc_targets),
             has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
         return params, opt_state, metrics
+
+    if with_domain_acc:
+        # positional signature matches the Trainer's batch_keys order
+        # (..., domain, acc[, rng])
+        def step(params, opt_state, feat, feat_len, targets, target_lens,
+                 aed_targets, aed_target_lens, domain_targets,
+                 acc_targets, rng=None):
+            return _run(params, opt_state, feat, feat_len, targets,
+                        target_lens, aed_targets, aed_target_lens, rng,
+                        domain_targets, acc_targets)
+    else:
+        def step(params, opt_state, feat, feat_len, targets, target_lens,
+                 aed_targets, aed_target_lens, rng=None):
+            return _run(params, opt_state, feat, feat_len, targets,
+                        target_lens, aed_targets, aed_target_lens, rng,
+                        None, None)
 
     return step
 

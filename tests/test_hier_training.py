@@ -73,3 +73,58 @@ def test_hier_loss_components_and_step():
         if l0 is None:
             l0 = float(m["loss"])
     assert float(m["loss"]) < l0
+
+
+def test_domain_acc_heads_train():
+    """Domain/accent classifier heads (the reference's commented
+    sketch, functional here): loss gains weighted CE terms, hit-rate
+    metrics appear, and gradients reach the head weights."""
+    from m3asr_tpu.train.step import init_domain_acc_heads
+
+    mc, params = tiny_model()
+    params = {"encoder": {k: v for k, v in params.items()
+                          if k not in ("decoder", "decoder_1",
+                                       "decoder_2")},
+              **{k: params[k] for k in ("decoder", "decoder_1",
+                                        "decoder_2")}}
+    params.update(init_domain_acc_heads(
+        jax.random.PRNGKey(9), mc.encoder_conf.embed_conf.attention_dim,
+        output_dim_domain=3, output_dim_acc=4))
+    tcfg = HierTrainConfig(warmup_steps=5, ce_weight=0.5)
+    optimizer = make_optimizer(tcfg)
+    opt_state = optimizer.init(params)
+    step = make_hier_train_step(mc, tcfg, optimizer, with_domain_acc=True)
+
+    rng = np.random.RandomState(11)
+    B = 2
+    feat = rng.randn(B, 23, 12).astype(np.float32)
+    lens = np.array([23, 19], np.int32)
+    tgt = rng.randint(1, 9, (B, 3)).astype(np.int32)
+    tgt_lens = np.array([3, 2], np.int32)
+    aed = tgt.copy()
+    domain = np.array([1, 2], np.int32)
+    acc = np.array([0, 3], np.int32)
+
+    before = jax.tree.map(np.asarray, params["domain_head"])
+    params2, opt_state, metrics = step(params, opt_state, feat, lens,
+                                       tgt, tgt_lens, aed, tgt_lens,
+                                       domain, acc)
+    for k in ("domain_loss", "acc_loss", "domain_hit", "acc_hit"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    assert 0.0 <= float(metrics["domain_hit"]) <= 1.0
+    after = params2["domain_head"]
+    delta = jax.tree.map(lambda a, b: float(np.abs(a - b).max()),
+                         before, jax.tree.map(np.asarray, after))
+    assert max(jax.tree.leaves(delta)) > 0.0, "head got no gradient"
+
+    # the CE terms contribute to the total at weight ce_weight
+    loss_with, m_with = (float(metrics["loss"]), metrics)
+    zero = HierTrainConfig(warmup_steps=5, ce_weight=0.0)
+    from m3asr_tpu.train.step import hier_aed_loss_fn as lf
+    l0, _ = lf(params, mc, zero, feat, lens, tgt, tgt_lens, aed,
+               tgt_lens, domain_targets=domain, acc_targets=acc)
+    l1, m1 = lf(params, mc, tcfg, feat, lens, tgt, tgt_lens, aed,
+                tgt_lens, domain_targets=domain, acc_targets=acc)
+    expected = float(l0) + 0.5 * (float(m1["domain_loss"])
+                                  + float(m1["acc_loss"]))
+    np.testing.assert_allclose(float(l1), expected, rtol=1e-5)

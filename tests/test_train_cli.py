@@ -119,3 +119,48 @@ def test_train_cli_hier_aed_recipe(tmp_path):
     for name in ("encoder", "decoder", "decoder_1", "decoder_2"):
         assert name in ckpt["params"], sorted(ckpt["params"])
     assert ckpt["global_step"] > 0
+
+
+def test_train_cli_domain_acc_heads(tmp_path):
+    """--tr_domain_labels/--tr_acc_labels activate the domain/accent
+    classifier heads on top of the hier recipe (the reference's
+    domain_acc recipe with the commented heads made functional)."""
+    rng = np.random.RandomState(2)
+    with ArkWriter(str(tmp_path / "tr.ark")) as w:
+        for i in range(8):
+            w.write(f"utt{i}", rng.randn(20 + i, 12).astype(np.float32))
+    for name, hi in (("tr_labels", 6), ("aed_labels", 6)):
+        with open(tmp_path / f"{name}.ark", "w") as f:
+            for i in range(8):
+                toks = " ".join(str(t) for t in rng.randint(1, hi, 3))
+                f.write(f"utt{i} {toks}\n")
+    with open(tmp_path / "domain.ark", "w") as f:
+        for i in range(8):
+            f.write(f"utt{i} {rng.randint(0, 6)}\n")
+    with open(tmp_path / "acc.ark", "w") as f:
+        for i in range(8):
+            f.write(f"utt{i} {rng.randint(0, 8)}\n")
+    cfgd = tiny_train_yaml()
+    cfgd["model_conf"]["decoder_conf"] = {
+        "attention_heads": 4, "linear_units": 16, "num_blocks": 1}
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(cfgd, f)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", M3ASR_PLATFORM="cpu")
+    out_dir = tmp_path / "exp"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py"),
+         "--config", str(tmp_path / "cfg.yaml"),
+         "--output_dir", str(out_dir),
+         "--tr_rspecifier", str(tmp_path / "tr.ark"),
+         "--tr_labels", str(tmp_path / "tr_labels.ark"),
+         "--tr_aed_labels", str(tmp_path / "aed_labels.ark"),
+         "--tr_domain_labels", str(tmp_path / "domain.ark"),
+         "--tr_acc_labels", str(tmp_path / "acc.ark")],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr
+    with open(out_dir / "checkpoint_final.pkl", "rb") as f:
+        ckpt = pickle.load(f)
+    for name in ("encoder", "decoder", "domain_head", "acc_head"):
+        assert name in ckpt["params"], sorted(ckpt["params"])
+    assert ckpt["global_step"] > 0

@@ -54,7 +54,9 @@ def main(args):
         loader = DataLoader(args.tr_rspecifier, args.tr_labels,
                             training=True, loader_conf=loader_conf,
                             collate_func=collate,
-                            aed_label_rspec=args.tr_aed_labels)
+                            aed_label_rspec=args.tr_aed_labels,
+                            domain_rspec=args.tr_domain_labels,
+                            acc_rspec=args.tr_acc_labels)
         return loader(skip_num=skip)
 
     cv_loader = None
@@ -101,6 +103,19 @@ def main(args):
                                     model_cfg.output_dim, d_model)
     else:
         tcfg = TrainConfig(**tkw)
+    # optional domain/accent classifier heads on the embed hidden
+    # (must exist before the optimizer mask trees are built)
+    if bool(args.tr_domain_labels) != bool(args.tr_acc_labels):
+        sys.exit("--tr_domain_labels and --tr_acc_labels go together "
+                 "(the domain_acc recipe carries both streams)")
+    domain_acc = hier and bool(args.tr_domain_labels)
+    if domain_acc:
+        from m3asr_tpu.train.step import init_domain_acc_heads
+        enc_conf = model_cfg.encoder_conf
+        params.update(init_domain_acc_heads(
+            jax.random.PRNGKey(args.seed + 2),
+            enc_conf.embed_conf.attention_dim,
+            enc_conf.output_dim_domain, enc_conf.output_dim_acc))
     optimizer = build_optimizer(
         raw.get("schedule_type", "warmup_noam"),
         raw.get("schedule_conf"), raw.get("lr", 1e-3),
@@ -109,7 +124,8 @@ def main(args):
         max_grad_norm=raw.get("max_grad_norm", 5.0),
         weight_decay=raw.get("weight_decay", 0.0),
         name_nodecay=raw.get("name_nodecay"), params=params)
-    step = (make_hier_train_step(model_cfg, tcfg, optimizer) if hier
+    step = (make_hier_train_step(model_cfg, tcfg, optimizer,
+                                 with_domain_acc=domain_acc) if hier
             else make_train_step(model_cfg, tcfg, optimizer))
 
     # mesh + shardings: dp x ep (the reference's dp_groups/mp_groups);
@@ -126,7 +142,7 @@ def main(args):
     b_shard = pmesh.batch_sharding(mesh)
     r_shard = pmesh.replicated(mesh)
     needs_rng = _needs_rng(model_cfg)
-    n_label_args = 6 if hier else 4
+    n_label_args = (8 if domain_acc else 6) if hier else 4
     in_shardings = (p_shard, o_shard, b_shard) + (r_shard,) * (
         n_label_args - 1)
     if needs_rng:
@@ -156,6 +172,8 @@ def main(args):
     batch_keys = ("data", "lens", "target", "target_lens")
     if hier:
         batch_keys += ("aed_target", "aed_target_lens")
+    if domain_acc:
+        batch_keys += ("domain", "acc")
     trainer = Trainer(model_cfg, params, optimizer, jstep,
                       batch_keys=batch_keys,
                       make_loader=make_tr_loader, valid_loader=cv_loader,
@@ -181,6 +199,12 @@ if __name__ == "__main__":
                              "loader_conf.raw_wav)")
     parser.add_argument("--tr_labels", required=True)
     parser.add_argument("--tr_aed_labels", required=False)
+    parser.add_argument("--tr_domain_labels", required=False,
+                        help="per-utterance domain-id int-vector ark; "
+                             "activates the domain classifier head")
+    parser.add_argument("--tr_acc_labels", required=False,
+                        help="per-utterance accent-id int-vector ark; "
+                             "activates the accent classifier head")
     parser.add_argument("--cv_rspecifier", required=False)
     parser.add_argument("--cv_labels", required=False)
     parser.add_argument("--config", required=True)
