@@ -73,9 +73,12 @@ def main(seq=206, dtype=jnp.float32):
     bp0 = jax.tree.map(lambda a: a[0], params["blocks"])
 
     res = {}
+    # dense is the auto-policy pick at these token counts — the row is
+    # comparable to bench.py's headline (which also reports "high"
+    # fp32; this profiler times strict "highest" for floor analysis)
     res["full_model"] = timed(
         lambda p, f, l, carry: moe_conformer.forward(
-            p, cfg, f + carry, l, moe_impl="ragged")[0][0, 0, 0] * 1e-30,
+            p, cfg, f + carry, l, moe_impl="dense")[0][0, 0, 0] * 1e-30,
         (params, feat, fl))
     res["embed_encoder(6blk)"] = timed(
         lambda p, f, l, carry: conformer.forward(
