@@ -55,17 +55,20 @@ from m3asr_tpu.runtime.buckets import (BucketSpec, DEFAULT_BATCHES,
 #         through 504 tokens (9.6/17.0 ms at 255/504 vs tiled
 #         14.2/17.3); tiled best from 1023 (26.3 vs dense 33.6, and
 #         38.5 vs 55.5 at 1499).
-#   bf16: dense best at every measured count through 1499 tokens
-#         (full model at 6000 frames: dense 22.9 vs ragged 26.4 ms) —
-#         ragged only pays off for large diverse batches (load balance,
-#         see BENCHMARKS.md), i.e. batch x length past the ladder.
+#   bf16/int8: dense best through 504 tokens (6.51/6.03 vs tiled
+#         8.83/7.00 ms at 2048 frames); tiled best from 1023 tokens
+#         (bf16 11.37 vs dense 12.56; int8 tiled 10.47 while the quant
+#         dense program no longer compiles in reasonable time at that
+#         size) and at 1499 (18.0/16.9 vs dense 22.9/22.5). All bucket
+#         token counts fall on 63/127/255/511/1023/1535 (x batch), so
+#         any boundary in (511, 1023] is equivalent; 512 is used.
 # The GShard capacity path is NOT in auto: it beats everything under
 # BALANCED routing (fp32 6.4 vs 22 ms/18L at 511 uniform tokens) but
 # real activations through untrained routers are heavily skewed (max
 # expert load 15-51 of 63 tokens), its exact-fallback lax.cond then
 # degrades to dense + overhead (21.3 vs 17.1 full model). Opt in with
 # moe_impl="capacity" for checkpoints trained with balance losses.
-MOE_DENSE_TOKEN_THRESHOLD = 2048         # bf16 / int8 activations
+MOE_DENSE_TOKEN_THRESHOLD = 512          # bf16 / int8 activations
 MOE_DENSE_TOKEN_THRESHOLD_FP32 = 512
 # Above this many tokens the skew-robust tiled grouped GEMM
 # (moe_experts_tiled, megablocks-style) takes over: its FLOPs/traffic
@@ -75,10 +78,10 @@ MOE_DENSE_TOKEN_THRESHOLD_FP32 = 512
 # zipf/90%-one-expert routing). fp32 goes tiled straight after the
 # dense band (full model at "high" precision: tiled 26.3/38.5 vs dense
 # 33.6/55.5 ms at 1023/1499 tokens); bf16/int8 dense keeps 504 tokens
-# (6.51/6.03 vs tiled 8.83/7.00) and tiled takes 1499 (18.0/16.9 vs
-# dense 22.9/22.5). See BENCHMARKS.md.
+# (6.51/6.03 vs tiled 8.83/7.00) and tiled takes 1023/1499 (11.37/18.0
+# bf16, 10.47/16.9 int8). See BENCHMARKS.md.
 MOE_TILED_TOKEN_THRESHOLD_FP32 = 512
-MOE_TILED_TOKEN_THRESHOLD = 1024         # bf16 / int8 activations
+MOE_TILED_TOKEN_THRESHOLD = 512          # bf16 / int8 activations
 
 # int8 engines quantize the expert tensors at init, so only the quant
 # impls can run; explicit impl choices map onto their quant twins.

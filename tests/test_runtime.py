@@ -143,10 +143,12 @@ def test_moe_impl_auto_policy():
     # at "high" precision dense stays cheapest through the 504 band)
     assert fp32._moe_impl_for(8, 4096) == "tiled"     # skew-robust at scale
     bf16 = Engine(cfg, params, dataclasses.replace(ecfg, dtype="bfloat16"))
-    assert bf16._moe_impl_for(8, 256) == "dense"      # 504 <= 1024
+    assert bf16._moe_impl_for(8, 256) == "dense"      # 504 <= 512
+    assert bf16._moe_impl_for(1, 4096) == "tiled"     # 1023 > 512
     assert bf16._moe_impl_for(8, 4096) == "tiled"     # skew-robust at scale
     int8 = Engine(cfg, params, dataclasses.replace(ecfg, dtype="int8"))
     assert int8._moe_impl_for(1, 256) == "quant"
+    assert int8._moe_impl_for(1, 4096) == "quant_tiled"   # 1023 > 512
     assert int8._moe_impl_for(8, 4096) == "quant_tiled"
     # capacity stays opt-in (skewed-router degradation, BENCHMARKS.md)
     cap = Engine(cfg, params, dataclasses.replace(ecfg, dtype="int8",
