@@ -204,8 +204,14 @@ def cfsmn_moe_layer(p, x: jax.Array, embed: jax.Array,
         router_in = _ln(p["ln_for_router"], router_in, eps=1e-5)
     gate_value, gate_idx = moe_ops.softmax_top1_gate(p["router"], router_in,
                                                      lengths)
-    dispatch = (moe_ops.moe_experts_dense if moe_impl == "dense"
-                else moe_ops.moe_experts_ragged)
+    if moe_impl in ("quant", "quant_tiled"):
+        from m3asr_tpu.ops import quant as quant_ops
+        dispatch = (quant_ops.moe_experts_dense_q if moe_impl == "quant"
+                    else quant_ops.moe_experts_tiled_q)
+    else:
+        dispatch = {"dense": moe_ops.moe_experts_dense,
+                    "ragged": moe_ops.moe_experts_ragged,
+                    "tiled": moe_ops.moe_experts_tiled}[moe_impl]
     y = dispatch(p, x, gate_idx, activation=jax.nn.relu,
                  upper_bound=cfg.upper_bound)
     if not keep_expert_output:

@@ -47,7 +47,8 @@ def _deq(p, name, dtype):
 
 
 def moe_experts_dense_q(p, x: jax.Array, gate_idx: jax.Array,
-                        activation=swish) -> jax.Array:
+                        activation=swish,
+                        upper_bound=None) -> jax.Array:
     """Dense all-experts path on int8 weights. The convert+scale fuses
     into the einsum operand read, so HBM traffic is the int8 bytes."""
     w1 = _deq(p, "w1", x.dtype)
@@ -56,6 +57,8 @@ def moe_experts_dense_q(p, x: jax.Array, gate_idx: jax.Array,
     if p.get("b1") is not None:
         h = h + p["b1"].astype(x.dtype)[None, :, None, :]
     h = activation(h)
+    if upper_bound is not None:
+        h = jnp.minimum(h, jnp.asarray(upper_bound, h.dtype))
     y = jnp.einsum("beth,ehd->betd", h, w2, preferred_element_type=x.dtype)
     if p.get("b2") is not None:
         y = y + p["b2"].astype(x.dtype)[None, :, None, :]
@@ -78,7 +81,8 @@ def moe_experts_capacity_q(p, x: jax.Array, gate_idx: jax.Array,
 
 
 def moe_experts_tiled_q(p, x: jax.Array, gate_idx: jax.Array,
-                        tile: int = 128, activation=swish) -> jax.Array:
+                        tile: int = 128, activation=swish,
+                        upper_bound=None) -> jax.Array:
     """Skew-robust tiled grouped GEMM on int8 weights (see
     ops.moe.moe_experts_tiled). The per-tile weight gather moves int8
     bytes (4x less than fp32); dequant fuses into the batched einsum."""
@@ -100,6 +104,8 @@ def moe_experts_tiled_q(p, x: jax.Array, gate_idx: jax.Array,
     if p.get("b1") is not None:
         h = h + jnp.take(p["b1"].astype(x.dtype), tile_e, axis=0)[:, None, :]
     h = activation(h)
+    if upper_bound is not None:
+        h = jnp.minimum(h, jnp.asarray(upper_bound, h.dtype))
     w2g = (jnp.take(p["w2_q"], tile_e, axis=0).astype(x.dtype)
            * jnp.take(p["w2_scale"], tile_e, axis=0).astype(x.dtype))
     y = jnp.einsum("gth,ghd->gtd", h, w2g, preferred_element_type=x.dtype)

@@ -205,11 +205,7 @@ class Engine:
             raise NotImplementedError(
                 "return_taps (hier decoder memories h6/h12) requires the "
                 "hier MoE conformer family")
-        if self.int8_experts and family_name == "dfsmn_moe":
-            raise NotImplementedError(
-                "int8 expert quantization is implemented for the MoE "
-                "conformer param layout only; build the DFSMN-MoE engine "
-                "with -f (bf16) instead")
+        self._family = family_name
         dtype = (jnp.bfloat16 if self.cfg.dtype in ("bfloat16", "int8")
                  else jnp.float32)
         self.dtype = dtype
@@ -231,6 +227,21 @@ class Engine:
                 if "w1" in blocks.get(ff, {}):  # not yet quantized
                     blocks[ff] = quantize_moe_params(blocks[ff])
             self.params["blocks"] = blocks
+        elif self.int8_experts and family_name == "dfsmn_moe":
+            # per-layer dicts (not scan-stacked): quantize every node
+            # that carries an expert tensor pair + router
+            from m3asr_tpu.ops.quant import quantize_moe_params
+
+            def q(node):
+                if isinstance(node, dict):
+                    if "w1" in node and "w2" in node and "router" in node:
+                        return quantize_moe_params(node)
+                    return {k: q(v) for k, v in node.items()}
+                if isinstance(node, list):
+                    return [q(v) for v in node]
+                return node
+
+            self.params = q(self.params)
 
         self.neg_log_prior = None
         if prior is not None and self.cfg.use_prior:
@@ -247,11 +258,14 @@ class Engine:
     # ------------------------------------------------------------------
     def _moe_impl_for(self, batch: int, length: int) -> str:
         from m3asr_tpu.ops import masking
-        input_layer = getattr(self.model_cfg.encoder_conf, "input_layer",
-                              "conv2d")
-        sub = masking.SUBSAMPLED_LENGTH.get(
-            input_layer, masking.subsampling4_length)
-        tokens = batch * int(np.asarray(sub(np.array([length])))[0])
+        if self._family.startswith("dfsmn"):
+            tokens = batch * length       # DFSMN has no subsampling
+        else:
+            input_layer = getattr(self.model_cfg.encoder_conf,
+                                  "input_layer", "conv2d")
+            sub = masking.SUBSAMPLED_LENGTH.get(
+                input_layer, masking.subsampling4_length)
+            tokens = batch * int(np.asarray(sub(np.array([length])))[0])
         dtype = "float32" if self.dtype == jnp.float32 else "bfloat16"
         return moe_auto_impl(dtype, tokens, int8=self.int8_experts,
                              requested=self.cfg.moe_impl)
