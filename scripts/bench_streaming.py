@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Device latency of the streaming chunk forward (flagship MoE
+conformer): ms per chunk window and the implied streaming RTF.
+
+A chunk_size=16 window consumes 64 raw frames = 640 ms of audio; the
+MoE layers stream the full expert weights every chunk, so this is the
+worst case for streaming (weight traffic amortizes over only 16
+output frames).
+
+Usage: python scripts/bench_streaming.py [--chunk 16] [--left 2]
+                                         [--dtype float32|bfloat16|int8]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(args):
+    import jax
+    cache = os.environ.get("M3ASR_BENCH_CACHE", "/tmp/m3asr_bench_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg
+    from m3asr_tpu.models import moe_conformer
+    from m3asr_tpu.runtime.streaming_session import StreamingSession
+
+    cfg = _flagship_cfg()
+    params = moe_conformer.init(jax.random.PRNGKey(0), cfg.encoder_conf,
+                                cfg.input_dim, cfg.output_dim)
+    r = params["blocks"]["feed_forward"]["router"]["kernel"]
+    params["blocks"]["feed_forward"]["router"]["kernel"] = \
+        jax.random.normal(jax.random.PRNGKey(1), r.shape, r.dtype) * 0.5
+
+    moe_impl = "dense"
+    if args.dtype == "bfloat16":
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, params)
+    elif args.dtype == "int8":
+        from m3asr_tpu.ops.quant import quantize_moe_params
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, params)
+        blocks = dict(params["blocks"])
+        blocks["feed_forward"] = quantize_moe_params(blocks["feed_forward"])
+        params["blocks"] = blocks
+        moe_impl = "quant"
+
+    prec = "high" if args.dtype == "float32" else "default"
+    with jax.default_matmul_precision(prec):
+        sess = StreamingSession(params, cfg.encoder_conf,
+                                chunk_size=args.chunk,
+                                num_left_chunks=args.left, moe=True,
+                                moe_impl=moe_impl)
+        rng = np.random.RandomState(0)
+        w = rng.randn(1, sess.window, 40).astype(np.float32)
+        sess._step(w)                      # compile + warm
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            out = sess._step(w)
+            np.asarray(out)                # sync
+            times.append((time.perf_counter() - t0) * 1e3)
+    p50 = float(np.percentile(times, 50))
+    audio_ms = sess.stride * 10            # 10 ms frame shift
+    print(json.dumps({
+        "metric": f"stream_chunk_ms_c{args.chunk}_{args.dtype}",
+        "value": round(p50, 3), "unit": "ms",
+        "audio_ms_per_chunk": audio_ms,
+        "streaming_rtf": round(p50 / audio_ms, 5),
+        "note": "includes one host->device->host round trip per chunk "
+                "(the tunnel adds ~27 ms here; on-host serving won't "
+                "pay that)"}))
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--left", type=int, default=2)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"])
+    p.add_argument("--iters", type=int, default=30)
+    main(p.parse_args())
