@@ -113,20 +113,9 @@ def main(args):
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    from __graft_entry__ import _flagship_cfg
-    from m3asr_tpu.models import moe_conformer
-    from m3asr_tpu.runtime.engine import Engine, EngineConfig
+    from __graft_entry__ import _flagship_params
 
-    cfg = _flagship_cfg()
-    params = moe_conformer.init(jax.random.PRNGKey(0), cfg.encoder_conf,
-                                cfg.input_dim, cfg.output_dim)
-    # the reference inits routers to zero (trained checkpoints have real
-    # values); zero routers send every token to expert 0, which is the
-    # pathological load case — bench with random routers instead
-    import jax.numpy as jnp
-    r = params["blocks"]["feed_forward"]["router"]["kernel"]
-    params["blocks"]["feed_forward"]["router"]["kernel"] = \
-        jax.random.normal(jax.random.PRNGKey(1), r.shape, r.dtype) * 0.5
+    cfg, params = _flagship_params(randomize_router=True)
 
     rng = np.random.RandomState(0)
     feat = rng.randn(args.batch, args.seq, 40).astype(np.float32)

@@ -209,9 +209,15 @@ def cfsmn_moe_layer(p, x: jax.Array, embed: jax.Array,
         dispatch = (quant_ops.moe_experts_dense_q if moe_impl == "quant"
                     else quant_ops.moe_experts_tiled_q)
     else:
-        dispatch = {"dense": moe_ops.moe_experts_dense,
-                    "ragged": moe_ops.moe_experts_ragged,
-                    "tiled": moe_ops.moe_experts_tiled}[moe_impl]
+        table = {"dense": moe_ops.moe_experts_dense,
+                 "ragged": moe_ops.moe_experts_ragged,
+                 "tiled": moe_ops.moe_experts_tiled}
+        if moe_impl not in table:
+            raise ValueError(
+                f"moe_impl={moe_impl!r} is not supported for the "
+                f"DFSMN-MoE layer; choose one of "
+                f"{sorted(table) + ['quant', 'quant_tiled']}")
+        dispatch = table[moe_impl]
     y = dispatch(p, x, gate_idx, activation=jax.nn.relu,
                  upper_bound=cfg.upper_bound)
     if not keep_expert_output:

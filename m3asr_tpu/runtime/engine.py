@@ -68,20 +68,19 @@ from m3asr_tpu.runtime.buckets import (BucketSpec, DEFAULT_BATCHES,
 # expert load 15-51 of 63 tokens), its exact-fallback lax.cond then
 # degrades to dense + overhead (21.3 vs 17.1 full model). Opt in with
 # moe_impl="capacity" for checkpoints trained with balance losses.
-MOE_DENSE_TOKEN_THRESHOLD = 512          # bf16 / int8 activations
-MOE_DENSE_TOKEN_THRESHOLD_FP32 = 512
 # Above this many tokens the skew-robust tiled grouped GEMM
-# (moe_experts_tiled, megablocks-style) takes over: its FLOPs/traffic
-# are deterministic in N while ragged_dot degrades non-monotonically in
-# size and with routing skew (fp32 MoE-only x18L: ragged 43.4/64.6 ms
-# at 1023/1499 tokens vs tiled 16.2/17.6 — identical under uniform/
-# zipf/90%-one-expert routing). fp32 goes tiled straight after the
-# dense band (full model at "high" precision: tiled 26.3/38.5 vs dense
-# 33.6/55.5 ms at 1023/1499 tokens); bf16/int8 dense keeps 504 tokens
-# (6.51/6.03 vs tiled 8.83/7.00) and tiled takes 1023/1499 (11.37/18.0
-# bf16, 10.47/16.9 int8). See BENCHMARKS.md.
-MOE_TILED_TOKEN_THRESHOLD_FP32 = 512
-MOE_TILED_TOKEN_THRESHOLD = 512          # bf16 / int8 activations
+# (moe_experts_tiled, megablocks-style) takes over from dense: its
+# FLOPs/traffic are deterministic in N while ragged_dot degrades
+# non-monotonically in size and with routing skew (fp32 MoE-only x18L:
+# ragged 43.4/64.6 ms at 1023/1499 tokens vs tiled 16.2/17.6 —
+# identical under uniform/zipf/90%-one-expert routing). fp32 goes
+# tiled straight after the dense band (full model at "high" precision:
+# tiled 26.3/38.5 vs dense 33.6/55.5 ms at 1023/1499 tokens); bf16/int8
+# dense keeps 504 tokens (6.51/6.03 vs tiled 8.83/7.00) and tiled
+# takes 1023/1499 (11.37/18.0 bf16, 10.47/16.9 int8). Auto is a
+# two-way dense/tiled policy; ragged stays available by explicit
+# request for large diverse batches. See BENCHMARKS.md.
+MOE_DENSE_TOKEN_THRESHOLD = 512          # same crossover, every dtype
 
 # int8 engines quantize the expert tensors at init, so only the quant
 # impls can run; explicit impl choices map onto their quant twins.
@@ -104,19 +103,12 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
                     f"moe_impl={requested!r} cannot run on int8 expert "
                     f"weights; choose one of {sorted(set(_INT8_IMPL))}")
             return impl
-        # dense int8 below the tiled threshold; quant_capacity is opt-in
-        return ("quant" if tokens <= MOE_TILED_TOKEN_THRESHOLD
+        # dense int8 below the crossover; quant_capacity is opt-in
+        return ("quant" if tokens <= MOE_DENSE_TOKEN_THRESHOLD
                 else "quant_tiled")
     if requested != "auto":
         return requested
-    fp32 = dtype == "float32"
-    dense_max = (MOE_DENSE_TOKEN_THRESHOLD_FP32 if fp32
-                 else MOE_DENSE_TOKEN_THRESHOLD)
-    tiled_min = (MOE_TILED_TOKEN_THRESHOLD_FP32 if fp32
-                 else MOE_TILED_TOKEN_THRESHOLD)
-    if tokens <= dense_max:
-        return "dense"
-    return "tiled" if tokens > tiled_min else "ragged"
+    return ("dense" if tokens <= MOE_DENSE_TOKEN_THRESHOLD else "tiled")
 
 
 def _flatten(tree, prefix=""):

@@ -84,6 +84,14 @@ class StreamingSession:
         self._buf = None
         self._consumed = 0
 
+    def clone(self) -> "StreamingSession":
+        """A fresh-stream session SHARING this one's params and jitted
+        chunk function — pool growth costs state init, not a compile."""
+        s = object.__new__(type(self))
+        s.__dict__.update(self.__dict__)
+        s.reset()
+        return s
+
     def finish(self) -> List[np.ndarray]:
         """Flush remaining frames (zero-padded to a full window); emits
         only the output frames covered by real input."""
@@ -165,6 +173,13 @@ class DfsmnStreamingSession:
         self._consumed = 0
         self._fed = 0
         self._next_pos = 0
+
+    def clone(self) -> "DfsmnStreamingSession":
+        """Fresh-stream session sharing params + jitted chunk fn."""
+        s = object.__new__(type(self))
+        s.__dict__.update(self.__dict__)
+        s.reset()
+        return s
 
     def finish(self) -> List[np.ndarray]:
         """Zero-pad the tail + delay so every real frame matures; emits

@@ -94,9 +94,15 @@ def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
     if tcfg.loss_type == "ce":
         # frame-level CE on alignment labels (the cectc recipe,
         # bk/train_cectc_ddp.py LossCompute loss_type='ce'); labels
-        # beyond each utterance's length are masked to padding_idx
+        # beyond each utterance's length are masked to padding_idx.
+        # The label matrix is padded only to the batch's max label
+        # length, which under bucket padding is shorter than the
+        # model's padded output — pad it up before masking.
         T_out = out.shape[1]
-        tgt = targets[:, :T_out]
+        U = targets.shape[1]
+        tgt = (jnp.pad(targets, ((0, 0), (0, T_out - U)),
+                       constant_values=tcfg.padding_idx) if U < T_out
+               else targets[:, :T_out])
         valid = jnp.arange(T_out)[None, :] < target_lens[:, None]
         tgt = jnp.where(valid, tgt, tcfg.padding_idx)
         loss, (_, likely, hit), (frames, _, _) = losses.ce_loss(

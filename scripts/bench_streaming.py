@@ -30,16 +30,10 @@ def main(args):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_cfg
-    from m3asr_tpu.models import moe_conformer
+    from __graft_entry__ import _flagship_params
     from m3asr_tpu.runtime.streaming_session import StreamingSession
 
-    cfg = _flagship_cfg()
-    params = moe_conformer.init(jax.random.PRNGKey(0), cfg.encoder_conf,
-                                cfg.input_dim, cfg.output_dim)
-    r = params["blocks"]["feed_forward"]["router"]["kernel"]
-    params["blocks"]["feed_forward"]["router"]["kernel"] = \
-        jax.random.normal(jax.random.PRNGKey(1), r.shape, r.dtype) * 0.5
+    cfg, params = _flagship_params(randomize_router=True)
 
     moe_impl = "dense"
     if args.dtype == "bfloat16":

@@ -21,16 +21,10 @@ def main(args):
         # back through the TPU tunnel is pointlessly slow
         jax.config.update("jax_platforms", args.platform)
 
-    from __graft_entry__ import _flagship_cfg
-    from m3asr_tpu.models import moe_conformer
+    from __graft_entry__ import _flagship_params
     from m3asr_tpu.runtime.engine import Engine, EngineConfig
 
-    cfg = _flagship_cfg()
-    params = moe_conformer.init(jax.random.PRNGKey(0), cfg.encoder_conf,
-                                cfg.input_dim, cfg.output_dim)
-    r = params["blocks"]["feed_forward"]["router"]["kernel"]
-    params["blocks"]["feed_forward"]["router"]["kernel"] = \
-        jax.random.normal(jax.random.PRNGKey(1), r.shape, r.dtype) * 0.5
+    cfg, params = _flagship_params(randomize_router=True)
 
     pairs = [b.split("x") for b in args.buckets.split(",")]
     batches = tuple(sorted({int(b) for b, _ in pairs}))

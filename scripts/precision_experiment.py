@@ -24,15 +24,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_cfg
+    from __graft_entry__ import _flagship_params
     from m3asr_tpu.models import moe_conformer
 
-    cfg = _flagship_cfg()
-    params = moe_conformer.init(jax.random.PRNGKey(0), cfg.encoder_conf,
-                                cfg.input_dim, cfg.output_dim)
-    r = params["blocks"]["feed_forward"]["router"]["kernel"]
-    params["blocks"]["feed_forward"]["router"]["kernel"] = \
-        jax.random.normal(jax.random.PRNGKey(1), r.shape, r.dtype) * 0.5
+    cfg, params = _flagship_params(randomize_router=True)
     rng = np.random.RandomState(0)
     feat = jnp.asarray(np.pad(rng.randn(1, 206, 40), ((0, 0), (0, 50),
                                                       (0, 0))), jnp.float32)

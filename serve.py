@@ -63,11 +63,15 @@ class _StreamDecode:
 
 class SessionPool:
     """Released sessions keep their compiled chunk step; acquire()
-    prefers one with the same (chunk_size, left) key."""
+    prefers one with the same (chunk_size, left) key. The first
+    session per key becomes a template that later misses clone() —
+    N concurrent cold streams share ONE compile of the chunk program
+    instead of compiling it N times."""
 
     def __init__(self, factory):
         self._factory = factory
         self._free = {}
+        self._templates = {}
         self._lock = threading.Lock()
 
     def acquire(self, key):
@@ -75,7 +79,12 @@ class SessionPool:
             lst = self._free.get(key)
             if lst:
                 return lst.pop()
-        return self._factory(*key)
+            template = self._templates.get(key)
+        if template is None:
+            template = self._factory(*key)
+            with self._lock:
+                template = self._templates.setdefault(key, template)
+        return template.clone()
 
     def release(self, key, session) -> None:
         session.reset()
@@ -188,7 +197,12 @@ def main(args):
                                                      StreamingSession)
     family = get_family(engine.model_cfg.nnet_proto).name
     enc_cfg = engine.model_cfg.encoder_conf
-    if family.startswith("dfsmn"):
+    if family == "dfsmn_moe":
+        # dfsmn_streaming covers the plain DFSMN-SAN layout only; the
+        # MoE variant has no chunk forward yet -> streaming requests
+        # get a clear unsupported error instead of a KeyError
+        factory = None
+    elif family.startswith("dfsmn"):
         def factory(chunk, left):
             return DfsmnStreamingSession(engine.params, enc_cfg,
                                          chunk_size=chunk)
@@ -203,7 +217,7 @@ def main(args):
                                     num_left_chunks=left,
                                     moe=engine.is_moe,
                                     moe_impl=moe_impl)
-    stream_pool = SessionPool(factory)
+    stream_pool = SessionPool(factory) if factory is not None else None
 
     class Server(socketserver.ThreadingTCPServer):
         allow_reuse_address = True

@@ -77,8 +77,12 @@ def test_two_process_train_step(tmp_path):
     import subprocess
     import sys
 
+    import socket
+
     worker = os.path.join(os.path.dirname(__file__), "dist_worker_main.py")
-    port = 29877
+    with socket.socket() as s:          # grab a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     procs = []
     for rank in range(2):
         env = dict(os.environ, MASTER_ADDR="127.0.0.1",

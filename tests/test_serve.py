@@ -188,3 +188,95 @@ def test_serve_streaming_protocol(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_serve_streaming_dfsmn(tmp_path):
+    """Streaming over a DFSMN engine (frame-aligned chunks, FIR delay
+    handled by the session); and a DFSMN-MoE engine must refuse
+    streaming with a clear error instead of crashing."""
+    from test_dfsmn_engine import dfsmn_yaml, golden_dfsmn
+
+    m = golden_dfsmn()
+    torch.save({f"encoder.{k}": v for k, v in m.state_dict().items()},
+               tmp_path / "ckpt.pt")
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(dfsmn_yaml(), f)
+    env = dict(os.environ, M3ASR_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "build.py"),
+         "-c", str(tmp_path / "cfg.yaml"), "-m", str(tmp_path / "ckpt.pt"),
+         "-o", str(tmp_path / "eng"), "--buckets", "1x64", "--skip-warmup"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve.py"),
+         "-p", str(tmp_path / "eng"), "--port", "0"],
+        stdout=subprocess.PIPE, text=True, env=env)
+    try:
+        line = proc.stdout.readline()
+        port = int(re.search(r":(\d+)$", line.strip()).group(1))
+        rng = np.random.RandomState(4)
+        feat = rng.randn(48, 16).round(4)
+        with socket.create_connection(("127.0.0.1", port),
+                                      timeout=300) as s:
+            f = s.makefile("rw")
+            f.write(json.dumps({"stream": "start", "chunk_size": 8})
+                    + "\n")
+            f.flush()
+            assert json.loads(f.readline()).get("ok")
+            for i in range(0, feat.shape[0], 16):
+                f.write(json.dumps({"stream": "chunk",
+                                    "feat": feat[i:i + 16].tolist()})
+                        + "\n")
+                f.flush()
+                resp = json.loads(f.readline())
+                assert "partial" in resp, resp
+            f.write(json.dumps({"stream": "end"}) + "\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            assert resp.get("final") and resp["out_frames"] == 48, resp
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+
+    # DFSMN-MoE: streaming must be refused cleanly (no chunk forward
+    # for that layout yet), single-shot requests still served
+    import jax
+    from test_dfsmn_moe import _moe_net_params
+    from m3asr_tpu.config import model_config_from_dict
+    from m3asr_tpu.runtime.engine import Engine, EngineConfig
+    raw = {
+        "nnet_proto": "dfsmn_san_fmoe_localComm_catEmbed",
+        "input_dim": 12, "output_dim": 7,
+        "model_conf": {
+            "num_block": 2, "fsmn_each_block": 2,
+            "fsmn_conf": {"hidden_dim": 24, "memory_dim": 16},
+            "san_conf": {"num_head": 4, "num_memory": 8},
+            "moe_conf": {"num_experts": 4},
+            "embed_conf": {"num_block": 1, "fsmn_each_block": 2,
+                           "hidden_dim": 24, "memory_dim": 16,
+                           "num_head": 4, "num_memory": 8},
+        },
+    }
+    eng = Engine(model_config_from_dict(raw), _moe_net_params(),
+                 EngineConfig(bucket_lengths=(32,), bucket_batches=(1,),
+                              donate_input=False))
+    eng.save(str(tmp_path / "eng_moe"), raw_yaml=raw)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve.py"),
+         "-p", str(tmp_path / "eng_moe"), "--port", "0"],
+        stdout=subprocess.PIPE, text=True, env=env)
+    try:
+        line = proc.stdout.readline()
+        port = int(re.search(r":(\d+)$", line.strip()).group(1))
+        with socket.create_connection(("127.0.0.1", port),
+                                      timeout=300) as s:
+            f = s.makefile("rw")
+            f.write(json.dumps({"stream": "start"}) + "\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            assert "unsupported" in resp.get("error", ""), resp
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)

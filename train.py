@@ -108,6 +108,10 @@ def main(args):
     if bool(args.tr_domain_labels) != bool(args.tr_acc_labels):
         sys.exit("--tr_domain_labels and --tr_acc_labels go together "
                  "(the domain_acc recipe carries both streams)")
+    if args.tr_domain_labels and not hier:
+        sys.exit("--tr_domain_labels/--tr_acc_labels require the hier "
+                 "recipe (--tr_aed_labels); without it the streams "
+                 "would be silently ignored")
     domain_acc = hier and bool(args.tr_domain_labels)
     if domain_acc:
         from m3asr_tpu.train.step import init_domain_acc_heads
