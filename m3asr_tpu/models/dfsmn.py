@@ -259,13 +259,16 @@ class DfsmnSanMoEConfig(DfsmnSanConfig):
 
 def dfsmn_san_moe_forward(params, cfg: DfsmnSanMoEConfig, x: jax.Array,
                           lengths: Optional[jax.Array],
-                          moe_impl: str = "dense"):
+                          moe_impl: str = "dense", attn_mask=None):
     """model/dfsmn_san_fmoe_localComm_catEmbed.py Net.forward: embed
     sub-net (detached) feeds every MoE cFSMN router; blocks of
-    (num_fsmn MoE cFSMN -> [PE block 0] -> attn), out_linear_sw."""
+    (num_fsmn MoE cFSMN -> [PE block 0] -> attn), out_linear_sw.
+    attn_mask applies to the embed subnet and every main attention
+    (chunk-causal masks for streaming-parity checks)."""
     embed_cfg = cfg.embed_conf or DfsmnSanConfig()
     embed_out, embed, _ = dfsmn_san_forward(params["embed"], embed_cfg, x,
-                                            lengths, output_embed=True)
+                                            lengths, output_embed=True,
+                                            attn_mask=attn_mask)
     embed = jax.lax.stop_gradient(embed)  # embed.detach()
     h = x
     for i in range(cfg.num_block):
@@ -289,7 +292,7 @@ def dfsmn_san_moe_forward(params, cfg: DfsmnSanMoEConfig, x: jax.Array,
             h = h + pe[None, : h.shape[1]]
         h = self_attn_mem_layer(bp["attn_layer"], h, lengths,
                                 cfg.num_head, cfg.num_memory,
-                                cfg.norm_type)
+                                cfg.norm_type, attn_mask=attn_mask)
     out = linear(params["out_linear_sw"], h)
     return out, embed_out, lengths
 

@@ -68,18 +68,10 @@ def stream_delay(cfg: DfsmnSanConfig) -> int:
             * cfg.look_ahead * cfg.stride_right)
 
 
-def _stream_cfsmn(p, x: jax.Array, cache: jax.Array, fcfg: FsmnConfig
-                  ) -> Tuple[jax.Array, jax.Array]:
-    """One cFSMN layer on a chunk. x: (B, C, d_in); cache: the previous
-    (lctx+rctx) memory-projection frames. Returns (out (B, C, M) for
-    positions delayed by rctx, new cache)."""
-    hid = jax.nn.relu(linear(p["hid_proj"], x))
-    if fcfg.upper_bound is not None:
-        hid = jnp.minimum(hid, jnp.asarray(fcfg.upper_bound, hid.dtype))
-    pp = linear(p["mem_proj"], hid)
-    if fcfg.skip_connect:
-        pp = pp + x
-
+def _fir_stream(p, pp: jax.Array, cache: jax.Array, fcfg: FsmnConfig
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Shared FIR tail: cached depthwise FIR + residual center over the
+    pre-FIR memory stream pp (B, C, M)."""
     lctx = fcfg.look_back * fcfg.stride_left
     rctx = fcfg.look_ahead * fcfg.stride_right
     M = pp.shape[-1]
@@ -91,9 +83,53 @@ def _stream_cfsmn(p, x: jax.Array, cache: jax.Array, fcfg: FsmnConfig
         dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=M)
     # valid output j is the FIR at absolute position t0 - rctx + j,
     # whose residual center sits at ext[:, lctx + j]
-    C = x.shape[1]
+    C = pp.shape[1]
     centers = jax.lax.dynamic_slice_in_dim(ext, lctx, C, axis=1)
     return conv + centers, new_cache
+
+
+def _stream_cfsmn(p, x: jax.Array, cache: jax.Array, fcfg: FsmnConfig,
+                  pos_mask=None) -> Tuple[jax.Array, jax.Array]:
+    """One cFSMN layer on a chunk. x: (B, C, d_in); cache: the previous
+    (lctx+rctx) memory-projection frames. Returns (out (B, C, M) for
+    positions delayed by rctx, new cache). pos_mask (B, C, 1) zeroes
+    pre-stream synthetic frames (input-delayed MoE streaming) so the
+    cache reproduces the offline zero padding exactly."""
+    hid = jax.nn.relu(linear(p["hid_proj"], x))
+    if fcfg.upper_bound is not None:
+        hid = jnp.minimum(hid, jnp.asarray(fcfg.upper_bound, hid.dtype))
+    pp = linear(p["mem_proj"], hid)
+    if fcfg.skip_connect:
+        pp = pp + x
+    if pos_mask is not None:
+        pp = pp * pos_mask
+    return _fir_stream(p, pp, cache, fcfg)
+
+
+def _stream_cfsmn_moe(p, x: jax.Array, embed: jax.Array, cache: jax.Array,
+                      fcfg: FsmnConfig, pos_mask=None,
+                      ln_before_router: bool = False,
+                      keep_expert_output: bool = False
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """MoE cFSMN layer on a chunk (models/dfsmn.cfsmn_moe_layer, the
+    streaming twin): the expert stage is per-frame, so only the FIR
+    needs a cache; `embed` carries the catEmbed router feature for the
+    SAME absolute positions as x (aligned by forward_chunk_moe)."""
+    from m3asr_tpu.ops import moe as moe_ops
+
+    router_in = jnp.concatenate([embed.astype(x.dtype), x], axis=-1)
+    if ln_before_router:
+        router_in = layer_norm(p["ln_for_router"], router_in, eps=1e-5)
+    gate_value, gate_idx = moe_ops.softmax_top1_gate(p["router"],
+                                                     router_in, None)
+    y = moe_ops.moe_experts_dense(p, x, gate_idx, activation=jax.nn.relu,
+                                  upper_bound=fcfg.upper_bound)
+    if not keep_expert_output:
+        y = y * gate_value
+    pp = y + x
+    if pos_mask is not None:
+        pp = pp * pos_mask
+    return _fir_stream(p, pp, cache, fcfg)
 
 
 def _stream_attn_mem(p, x: jax.Array, cache: jax.Array,
@@ -138,14 +174,11 @@ def _stream_attn_mem(p, x: jax.Array, cache: jax.Array,
     return x, new_cache
 
 
-def forward_chunk(params, cfg: DfsmnSanConfig, chunk: jax.Array,
-                  state: DfsmnStreamState
-                  ) -> Tuple[jax.Array, DfsmnStreamState]:
-    """One streaming step. chunk: (B, C, input_dim) raw feature frames.
-    Returns (logits (B, C, V), new state). Output frame j of chunk k
-    corresponds to absolute frame k*C + j - stream_delay(cfg); the
-    first stream_delay(cfg) frames ever emitted are warm-up garbage
-    (SessionStreaming-style drivers discard them)."""
+def _stream_hidden(params, cfg: DfsmnSanConfig, chunk: jax.Array,
+                   state: DfsmnStreamState
+                   ) -> Tuple[jax.Array, DfsmnStreamState]:
+    """forward_chunk minus the output projection: the pre-out_linear
+    hidden stream (the embed feature the MoE net routes on)."""
     x = chunk
     new_fsmn: List[jax.Array] = []
     new_att: List[jax.Array] = []
@@ -189,7 +222,170 @@ def forward_chunk(params, cfg: DfsmnSanConfig, chunk: jax.Array,
                                  cfg.num_head, cfg.num_memory,
                                  cfg.norm_type)
         new_att.append(na)
-    out = linear(params["out_linear"], x)
-    return out, DfsmnStreamState(offset=state.offset + C,
-                                 fsmn_caches=new_fsmn,
-                                 att_caches=new_att)
+    return x, DfsmnStreamState(offset=state.offset + C,
+                               fsmn_caches=new_fsmn,
+                               att_caches=new_att)
+
+
+def forward_chunk(params, cfg: DfsmnSanConfig, chunk: jax.Array,
+                  state: DfsmnStreamState
+                  ) -> Tuple[jax.Array, DfsmnStreamState]:
+    """One streaming step. chunk: (B, C, input_dim) raw feature frames.
+    Returns (logits (B, C, V), new state). Output frame j of chunk k
+    corresponds to absolute frame k*C + j - stream_delay(cfg); the
+    first stream_delay(cfg) frames ever emitted are warm-up garbage
+    (SessionStreaming-style drivers discard them)."""
+    x, new_state = _stream_hidden(params, cfg, chunk, state)
+    return linear(params["out_linear"], x), new_state
+
+
+# ---------------------------------------------------------------------------
+# MoE-DFSMN streaming (dfsmn_san_fmoe_localComm_catEmbed)
+# ---------------------------------------------------------------------------
+#
+# Two extra alignment problems vs the plain stream:
+# * the catEmbed router at fsmn layer l consumes frames whose absolute
+#   input position lags the raw stream by l*rctx (one FIR look-ahead
+#   per layer), and needs the embed subnet's hidden for the SAME
+#   absolute position;
+# * the embed subnet is itself a DFSMN stream with total look-ahead
+#   D_e = stream_delay(embed_conf), so embed[p] only matures D_e frames
+#   after p arrives.
+# The main path is therefore fed through an input delay buffer of
+# B = max(0, D_e - rctx) frames (shallowest MoE layer l=1 then never
+# outruns the embed stream), matured embed frames ride a ring buffer,
+# and each layer slices its aligned window at a STATIC offset. The
+# synthetic pre-stream frames the delay introduces are zeroed at every
+# layer's pre-FIR stage (pos_mask), reproducing the offline zero
+# padding exactly — causal configs (look_ahead=0 everywhere) stream
+# bit-exactly vs the chunk-masked offline forward.
+
+
+@dataclasses.dataclass
+class DfsmnMoeStreamState:
+    offset: jax.Array               # () int32 — raw frames consumed
+    in_buf: jax.Array               # (B, delay_B, input_dim)
+    embed_state: DfsmnStreamState   # embed substream
+    embed_buf: jax.Array            # (B, K, embed_dim) matured ring
+    fsmn_caches: List[jax.Array]
+    att_caches: List[jax.Array]
+
+
+jax.tree_util.register_dataclass(
+    DfsmnMoeStreamState,
+    data_fields=["offset", "in_buf", "embed_state", "embed_buf",
+                 "fsmn_caches", "att_caches"], meta_fields=[])
+
+
+def _moe_consts(cfg, chunk_size: int):
+    from m3asr_tpu.models.dfsmn import DfsmnSanConfig as _San
+    ecfg = cfg.embed_conf or _San()
+    rctx = cfg.look_ahead * cfg.stride_right
+    d_e = stream_delay(ecfg)
+    b_delay = max(0, d_e - rctx)
+    n_layers = cfg.num_block * cfg.fsmn_each_block
+    # deepest layer's embed window must fit the ring:
+    # start = K - C + D_e - B - l*rctx >= 0 for l <= n_layers - 1
+    ring = max(chunk_size,
+               chunk_size - d_e + b_delay + (n_layers - 1) * rctx)
+    return ecfg, rctx, d_e, b_delay, n_layers, ring
+
+
+def moe_stream_delay(cfg, chunk_size: int = 16) -> int:
+    """Output latency: input delay buffer + the main FIR look-aheads."""
+    _, _, _, b_delay, _, _ = _moe_consts(cfg, chunk_size)
+    return b_delay + stream_delay(cfg)
+
+
+def init_moe_state(cfg, batch: int, cache_T: int, chunk_size: int,
+                   input_dim: int) -> DfsmnMoeStreamState:
+    ecfg, _, _, b_delay, n_layers, ring = _moe_consts(cfg, chunk_size)
+    lctx = cfg.look_back * cfg.stride_left
+    rctx = cfg.look_ahead * cfg.stride_right
+    return DfsmnMoeStreamState(
+        offset=jnp.zeros((), jnp.int32),
+        in_buf=jnp.zeros((batch, b_delay, input_dim), jnp.float32),
+        embed_state=init_state(ecfg, batch, cache_T),
+        embed_buf=jnp.zeros((batch, ring, cfg.embed_dim), jnp.float32),
+        fsmn_caches=[jnp.zeros((batch, lctx + rctx, cfg.memory_dim),
+                               jnp.float32) for _ in range(n_layers)],
+        att_caches=[jnp.zeros((batch, cache_T, cfg.memory_dim),
+                              jnp.float32) for _ in range(cfg.num_block)],
+    )
+
+
+def forward_chunk_moe(params, cfg, chunk: jax.Array,
+                      state: DfsmnMoeStreamState
+                      ) -> Tuple[jax.Array, DfsmnMoeStreamState]:
+    """One MoE-DFSMN streaming step. chunk: (B, C, input_dim). Output
+    frame j of this chunk corresponds to absolute input frame
+    offset + j - moe_stream_delay(cfg); warm-up frames are garbage and
+    dropped by the session driver."""
+    C = chunk.shape[1]
+    ecfg, rctx, d_e, b_delay, n_layers, ring = _moe_consts(cfg, C)
+
+    # 1. embed substream: matured hidden for positions
+    #    [offset - D_e, offset + C - D_e)
+    emb_h, new_est = _stream_hidden(params["embed"], ecfg, chunk,
+                                    state.embed_state)
+    new_ebuf = jnp.concatenate(
+        [state.embed_buf, emb_h.astype(state.embed_buf.dtype)],
+        axis=1)[:, -ring:]
+
+    # 2. delayed main input
+    if b_delay > 0:
+        ext_in = jnp.concatenate([state.in_buf, chunk], axis=1)
+        x = ext_in[:, :C]
+        new_inbuf = ext_in[:, C:]
+    else:
+        x = chunk
+        new_inbuf = state.in_buf
+
+    new_fsmn: List[jax.Array] = []
+    new_att: List[jax.Array] = []
+    li = 0
+    for i in range(cfg.num_block):
+        bp = params["blocks_sw"][i]
+        for j in range(cfg.fsmn_each_block):
+            first = (i == 0 and j == 0)
+            fcfg = FsmnConfig(cfg.look_back, cfg.look_ahead,
+                              cfg.stride_left, cfg.stride_right,
+                              upper_bound=None if first else 1.0,
+                              skip_connect=not first)
+            pos_mask = None
+            if b_delay > 0:
+                pos = state.offset - b_delay - li * rctx + jnp.arange(C)
+                pos_mask = (pos >= 0)[None, :, None].astype(x.dtype)
+            if first:
+                x, nc = _stream_cfsmn(bp["fsmn_layers"][j], x,
+                                      state.fsmn_caches[li], fcfg,
+                                      pos_mask)
+            else:
+                start = ring - C + d_e - b_delay - li * rctx
+                embed_l = jax.lax.slice_in_dim(new_ebuf, start,
+                                               start + C, axis=1)
+                x, nc = _stream_cfsmn_moe(
+                    bp["fsmn_layers"][j], x, embed_l,
+                    state.fsmn_caches[li], fcfg, pos_mask,
+                    cfg.ln_before_router, cfg.keep_expert_output)
+            new_fsmn.append(nc)
+            li += 1
+        if i == 0:
+            delay0 = cfg.fsmn_each_block * rctx
+            pe = positional.sinusoid_table(cfg.memory_dim, dtype=x.dtype)
+            idx = jnp.clip(state.offset - b_delay - delay0
+                           + jnp.arange(C), 0, pe.shape[0] - 1)
+            x = x + jnp.take(pe, idx, axis=0)[None]
+        cache = state.att_caches[i]
+        Tc = cache.shape[1]
+        idx = jnp.arange(Tc + C)
+        delay_i = (i + 1) * cfg.fsmn_each_block * rctx + b_delay
+        key_valid = (state.offset - Tc + idx) >= delay_i
+        x, na = _stream_attn_mem(bp["attn_layer"], x, cache, key_valid,
+                                 cfg.num_head, cfg.num_memory,
+                                 cfg.norm_type)
+        new_att.append(na)
+    out = linear(params["out_linear_sw"], x)
+    return out, DfsmnMoeStreamState(
+        offset=state.offset + C, in_buf=new_inbuf, embed_state=new_est,
+        embed_buf=new_ebuf, fsmn_caches=new_fsmn, att_caches=new_att)

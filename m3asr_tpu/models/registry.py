@@ -55,6 +55,59 @@ def _moe_family():
     )
 
 
+def dfsmn_enc_conf(mc: ModelConfig):
+    from m3asr_tpu.config import DfsmnEncoderConfig
+    ec = mc.encoder_conf
+    if isinstance(ec, DfsmnEncoderConfig):
+        return ec
+    # legacy path: DFSMN fields riding the extra passthrough
+    extra = {**getattr(ec, "extra", {}), **mc.extra}
+    fields = {f.name for f in dataclasses.fields(DfsmnEncoderConfig)}
+    return DfsmnEncoderConfig(
+        **{k: v for k, v in extra.items() if k in fields})
+
+
+def dfsmn_san_config(e):
+    from m3asr_tpu.models import dfsmn
+    return dfsmn.DfsmnSanConfig(
+        num_block=e.num_block, fsmn_each_block=e.fsmn_each_block,
+        hidden_dim=e.hidden_dim, memory_dim=e.memory_dim,
+        look_back=e.look_back, look_ahead=e.look_ahead,
+        stride_left=e.stride_left, stride_right=e.stride_right,
+        num_head=e.num_head, num_memory=e.num_memory,
+        norm_type=e.norm_type)
+
+
+def dfsmn_embed_config(e):
+    from m3asr_tpu.models import dfsmn
+    c = dfsmn.DfsmnSanConfig()  # reference embed_conf defaults
+    for k, v in (e.embed_conf or {}).items():
+        if hasattr(c, k):
+            setattr(c, k, v)
+    return c
+
+
+def dfsmn_moe_config(e):
+    from m3asr_tpu.models import dfsmn
+    emb = dfsmn_embed_config(e)
+    return dfsmn.DfsmnSanMoEConfig(
+        **dataclasses.asdict(dfsmn_san_config(e)),
+        num_experts=e.moe_conf.total_experts,
+        embed_dim=emb.memory_dim,
+        ln_before_router=e.moe_conf.ln_before_router,
+        keep_expert_output=e.moe_conf.keep_expert_output,
+        embed_conf=emb)
+
+
+def dfsmn_stream_config(mc: ModelConfig):
+    """The models.dfsmn config a streaming session needs for this
+    model: DfsmnSanMoEConfig for the MoE family, DfsmnSanConfig
+    otherwise (serve.py)."""
+    e = dfsmn_enc_conf(mc)
+    return (dfsmn_moe_config(e) if "fmoe" in mc.nnet_proto
+            else dfsmn_san_config(e))
+
+
 def _dfsmn_family(nnet_proto: str):
     from m3asr_tpu import checkpoint as ckpt
     from m3asr_tpu.checkpoint import StateDict
@@ -64,24 +117,8 @@ def _dfsmn_family(nnet_proto: str):
     is_moe = "fmoe" in nnet_proto
     is_base = nnet_proto == "dfsmn_base_res"
 
-    def enc_conf(mc: ModelConfig) -> DfsmnEncoderConfig:
-        ec = mc.encoder_conf
-        if isinstance(ec, DfsmnEncoderConfig):
-            return ec
-        # legacy path: DFSMN fields riding the extra passthrough
-        extra = {**getattr(ec, "extra", {}), **mc.extra}
-        fields = {f.name for f in dataclasses.fields(DfsmnEncoderConfig)}
-        return DfsmnEncoderConfig(
-            **{k: v for k, v in extra.items() if k in fields})
-
-    def san_cfg(e: DfsmnEncoderConfig) -> dfsmn.DfsmnSanConfig:
-        return dfsmn.DfsmnSanConfig(
-            num_block=e.num_block, fsmn_each_block=e.fsmn_each_block,
-            hidden_dim=e.hidden_dim, memory_dim=e.memory_dim,
-            look_back=e.look_back, look_ahead=e.look_ahead,
-            stride_left=e.stride_left, stride_right=e.stride_right,
-            num_head=e.num_head, num_memory=e.num_memory,
-            norm_type=e.norm_type)
+    enc_conf, san_cfg, embed_cfg = (dfsmn_enc_conf, dfsmn_san_config,
+                                    dfsmn_embed_config)
 
     def base_cfg(e: DfsmnEncoderConfig) -> dfsmn.DfsmnBaseConfig:
         return dfsmn.DfsmnBaseConfig(
@@ -90,22 +127,7 @@ def _dfsmn_family(nnet_proto: str):
             look_ahead=e.look_ahead, stride_left=e.stride_left,
             stride_right=e.stride_right)
 
-    def embed_cfg(e: DfsmnEncoderConfig) -> dfsmn.DfsmnSanConfig:
-        c = dfsmn.DfsmnSanConfig()  # reference embed_conf defaults
-        for k, v in (e.embed_conf or {}).items():
-            if hasattr(c, k):
-                setattr(c, k, v)
-        return c
-
-    def moe_cfg(e: DfsmnEncoderConfig) -> dfsmn.DfsmnSanMoEConfig:
-        emb = embed_cfg(e)
-        return dfsmn.DfsmnSanMoEConfig(
-            **dataclasses.asdict(san_cfg(e)),
-            num_experts=e.moe_conf.total_experts,
-            embed_dim=emb.memory_dim,
-            ln_before_router=e.moe_conf.ln_before_router,
-            keep_expert_output=e.moe_conf.keep_expert_output,
-            embed_conf=emb)
+    moe_cfg = dfsmn_moe_config
 
     def forward(p, mc, feat, feat_len, **kw):
         e = enc_conf(mc)

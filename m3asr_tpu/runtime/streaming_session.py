@@ -202,3 +202,46 @@ class DfsmnStreamingSession:
             if o is not None:
                 outs.append(o)
         return outs
+
+
+class DfsmnMoeStreamingSession(DfsmnStreamingSession):
+    """Streaming session for the MoE-DFSMN family
+    (dfsmn_streaming.forward_chunk_moe): the embed substream, its
+    router-alignment ring and the main-path input delay all live in the
+    chunk program's state; this driver only adds the total delay
+    (input buffer + FIR look-aheads) to the plain session's maturity
+    bookkeeping. State is created lazily on the first chunk (the input
+    feature dim sizes the delay buffer)."""
+
+    def __init__(self, params, cfg, chunk_size: int = 16, batch: int = 1,
+                 cache_T: int = 256):
+        from m3asr_tpu.models import dfsmn_streaming as S
+        self.params = params
+        self.cfg = cfg
+        self.chunk = chunk_size
+        self._batch = batch
+        self._cache_T = cache_T
+        self.delay = S.moe_stream_delay(cfg, chunk_size)
+        self.state = None
+        self._fn = jax.jit(
+            lambda p, c, s: S.forward_chunk_moe(p, cfg, c, s))
+        self._buf: Optional[np.ndarray] = None
+        self._consumed = 0
+        self._fed = 0
+        self._next_pos = 0
+
+    def _run(self, c: np.ndarray, real_limit: Optional[int]
+             ) -> Optional[np.ndarray]:
+        if self.state is None:
+            from m3asr_tpu.models import dfsmn_streaming as S
+            self.state = S.init_moe_state(self.cfg, self._batch,
+                                          self._cache_T, self.chunk,
+                                          c.shape[-1])
+        return super()._run(c, real_limit)
+
+    def reset(self) -> None:
+        self.state = None
+        self._buf = None
+        self._consumed = 0
+        self._fed = 0
+        self._next_pos = 0

@@ -192,19 +192,27 @@ def main(args):
     batcher = MicroBatcher(engine.infer, window_ms=args.batch_window_ms,
                            max_batch=max_batch)
 
-    from m3asr_tpu.models.registry import get_family
-    from m3asr_tpu.runtime.streaming_session import (DfsmnStreamingSession,
-                                                     StreamingSession)
+    from m3asr_tpu.models.registry import dfsmn_stream_config, get_family
+    from m3asr_tpu.runtime.streaming_session import (
+        DfsmnMoeStreamingSession, DfsmnStreamingSession, StreamingSession)
     family = get_family(engine.model_cfg.nnet_proto).name
     enc_cfg = engine.model_cfg.encoder_conf
     if family == "dfsmn_moe":
-        # dfsmn_streaming covers the plain DFSMN-SAN layout only; the
-        # MoE variant has no chunk forward yet -> streaming requests
-        # get a clear unsupported error instead of a KeyError
-        factory = None
+        if engine.int8_experts:
+            # the MoE chunk forward runs the float dense dispatch; a
+            # quant streaming path hasn't been wired
+            factory = None
+        else:
+            stream_cfg = dfsmn_stream_config(engine.model_cfg)
+
+            def factory(chunk, left):
+                return DfsmnMoeStreamingSession(engine.params, stream_cfg,
+                                                chunk_size=chunk)
     elif family.startswith("dfsmn"):
+        stream_cfg = dfsmn_stream_config(engine.model_cfg)
+
         def factory(chunk, left):
-            return DfsmnStreamingSession(engine.params, enc_cfg,
+            return DfsmnStreamingSession(engine.params, stream_cfg,
                                          chunk_size=chunk)
     else:
         # int8 engines hold quantized expert tensors — the chunk

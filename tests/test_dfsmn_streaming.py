@@ -160,3 +160,101 @@ def test_dfsmn_streaming_session_buffer_stays_bounded():
         sess.push(x)
     assert sess._buf.shape[1] < 16  # trimmed, not 400 frames
     assert sess._fed == 400
+
+
+def _causal_moe_net():
+    """Causal (look_ahead=0) MoE-DFSMN params + config."""
+    la = dict(look_ahead=0)
+    torch.manual_seed(110)
+    embed_net = G.randomize_(G.DfsmnSanNet(
+        12, 7, num_block=1, fsmn_each_block=2, hidden_dim=24,
+        memory_dim=16, num_head=4, num_memory=8, **la), seed=111)
+    embed_p = ckpt.convert_dfsmn_san(StateDict(embed_net.state_dict()),
+                                     1, 2)
+    blocks_sw = []
+    for i in range(2):
+        fsmn = []
+        for j in range(2):
+            if i == 0 and j == 0:
+                lay = G.randomize_(G.CFSMNLayer(
+                    12, 24, 16, skip_connect=False, **la), seed=112)
+                fsmn.append(ckpt._to_jax(
+                    ckpt.convert_cfsmn(StateDict(lay.state_dict()))))
+            else:
+                lay = G.randomize_(G.CFSMNMoELayer(16, 16, 24, 4, **la),
+                                   seed=113 + i * 2 + j)
+                fsmn.append(ckpt._to_jax(
+                    ckpt.convert_cfsmn_moe(StateDict(lay.state_dict()))))
+        attn_net = G.randomize_(G.AttnMemLayer(16, 4, 8), seed=118 + i)
+        ln = {"scale": jnp.ones(16), "bias": jnp.zeros(16)}
+        blocks_sw.append({
+            "fsmn_layers": fsmn,
+            "attn_layer": {"attn_layer": ckpt._to_jax(
+                ckpt.convert_attn_mem(StateDict(attn_net.state_dict()))),
+                "ln_layer": ln}})
+    rng = np.random.RandomState(9)
+    params = {"embed": embed_p, "blocks_sw": blocks_sw,
+              "out_linear_sw": {
+                  "kernel": jnp.asarray(rng.randn(16, 7) * 0.3,
+                                        jnp.float32),
+                  "bias": jnp.zeros(7)}}
+    cfg = dfsmn.DfsmnSanMoEConfig(
+        num_block=2, fsmn_each_block=2, hidden_dim=24, memory_dim=16,
+        num_head=4, num_memory=8, num_experts=4, embed_dim=16,
+        look_ahead=0,
+        embed_conf=dfsmn.DfsmnSanConfig(
+            num_block=1, fsmn_each_block=2, hidden_dim=24,
+            memory_dim=16, num_head=4, num_memory=8, look_ahead=0))
+    return params, cfg
+
+
+def test_dfsmn_moe_streaming_causal_exact():
+    """Causal MoE-DFSMN session (embed substream + catEmbed router
+    alignment) emits exactly the chunk-masked offline forward."""
+    from m3asr_tpu.runtime.streaming_session import DfsmnMoeStreamingSession
+    params, cfg = _causal_moe_net()
+    T, C = 22, 6
+    x = np.random.RandomState(120).randn(1, T, 12).astype(np.float32)
+    Tp = ((T + C - 1) // C) * C
+    xp = np.zeros((1, Tp, 12), np.float32)
+    xp[:, :T] = x
+    posp = np.arange(Tp)
+    mask = jnp.asarray(posp[None, :] < ((posp[:, None] // C) + 1) * C)
+    full, _, _ = dfsmn.dfsmn_san_moe_forward(params, cfg, jnp.asarray(xp),
+                                             None, attn_mask=mask)
+
+    sess = DfsmnMoeStreamingSession(params, cfg, chunk_size=C,
+                                    cache_T=Tp)
+    outs = sess.push(x[:, :5]) + sess.push(x[:, 5:16]) \
+        + sess.push(x[:, 16:]) + sess.finish()
+    stream = np.concatenate(outs, axis=1)
+    assert stream.shape[1] == T
+    allclose(stream, np.asarray(full)[:, :T], atol=1e-4)
+
+
+def test_dfsmn_moe_streaming_lookahead_bookkeeping():
+    """With FIR look-ahead the embed stream lags behind the router's
+    needs; the input delay buffer keeps alignment and the session still
+    emits exactly T matured frames."""
+    from test_dfsmn_moe import _moe_net_params
+    from m3asr_tpu.runtime.streaming_session import DfsmnMoeStreamingSession
+    from m3asr_tpu.models.dfsmn_streaming import moe_stream_delay
+
+    params = _moe_net_params()
+    cfg = dfsmn.DfsmnSanMoEConfig(
+        num_block=2, fsmn_each_block=2, hidden_dim=24, memory_dim=16,
+        num_head=4, num_memory=8, num_experts=4, embed_dim=16,
+        embed_conf=dfsmn.DfsmnSanConfig(
+            num_block=1, fsmn_each_block=2, hidden_dim=24,
+            memory_dim=16, num_head=4, num_memory=8))
+    # embed look-ahead total D_e = 2 > per-layer rctx 1 -> B = 1;
+    # session delay = B + 4 fsmn layers * rctx
+    assert moe_stream_delay(cfg, 8) == 1 + 4
+    T = 21
+    x = np.random.RandomState(121).randn(1, T, 12).astype(np.float32)
+    sess = DfsmnMoeStreamingSession(params, cfg, chunk_size=8,
+                                    cache_T=64)
+    outs = sess.push(x) + sess.finish()
+    stream = np.concatenate(outs, axis=1)
+    assert stream.shape[1] == T
+    assert np.isfinite(stream).all()

@@ -240,8 +240,8 @@ def test_serve_streaming_dfsmn(tmp_path):
         proc.terminate()
         proc.wait(timeout=10)
 
-    # DFSMN-MoE: streaming must be refused cleanly (no chunk forward
-    # for that layout yet), single-shot requests still served
+    # DFSMN-MoE: streams through DfsmnMoeStreamingSession (embed
+    # substream + router alignment inside the chunk program)
     import jax
     from test_dfsmn_moe import _moe_net_params
     from m3asr_tpu.config import model_config_from_dict
@@ -270,13 +270,26 @@ def test_serve_streaming_dfsmn(tmp_path):
     try:
         line = proc.stdout.readline()
         port = int(re.search(r":(\d+)$", line.strip()).group(1))
+        rngm = np.random.RandomState(6)
+        mfeat = rngm.randn(30, 12).round(4)
         with socket.create_connection(("127.0.0.1", port),
                                       timeout=300) as s:
             f = s.makefile("rw")
-            f.write(json.dumps({"stream": "start"}) + "\n")
+            f.write(json.dumps({"stream": "start", "chunk_size": 8})
+                    + "\n")
+            f.flush()
+            assert json.loads(f.readline()).get("ok")
+            for i in range(0, mfeat.shape[0], 15):
+                f.write(json.dumps({"stream": "chunk",
+                                    "feat": mfeat[i:i + 15].tolist()})
+                        + "\n")
+                f.flush()
+                resp = json.loads(f.readline())
+                assert "partial" in resp, resp
+            f.write(json.dumps({"stream": "end"}) + "\n")
             f.flush()
             resp = json.loads(f.readline())
-            assert "unsupported" in resp.get("error", ""), resp
+            assert resp.get("final") and resp["out_frames"] == 30, resp
     finally:
         proc.terminate()
         proc.wait(timeout=10)
