@@ -109,12 +109,14 @@ def _stream_cfsmn(p, x: jax.Array, cache: jax.Array, fcfg: FsmnConfig,
 def _stream_cfsmn_moe(p, x: jax.Array, embed: jax.Array, cache: jax.Array,
                       fcfg: FsmnConfig, pos_mask=None,
                       ln_before_router: bool = False,
-                      keep_expert_output: bool = False
+                      keep_expert_output: bool = False,
+                      moe_impl: str = "dense"
                       ) -> Tuple[jax.Array, jax.Array]:
     """MoE cFSMN layer on a chunk (models/dfsmn.cfsmn_moe_layer, the
     streaming twin): the expert stage is per-frame, so only the FIR
     needs a cache; `embed` carries the catEmbed router feature for the
-    SAME absolute positions as x (aligned by forward_chunk_moe)."""
+    SAME absolute positions as x (aligned by forward_chunk_moe).
+    moe_impl 'dense' (float) or 'quant' (int8 expert weights)."""
     from m3asr_tpu.ops import moe as moe_ops
 
     router_in = jnp.concatenate([embed.astype(x.dtype), x], axis=-1)
@@ -122,8 +124,14 @@ def _stream_cfsmn_moe(p, x: jax.Array, embed: jax.Array, cache: jax.Array,
         router_in = layer_norm(p["ln_for_router"], router_in, eps=1e-5)
     gate_value, gate_idx = moe_ops.softmax_top1_gate(p["router"],
                                                      router_in, None)
-    y = moe_ops.moe_experts_dense(p, x, gate_idx, activation=jax.nn.relu,
-                                  upper_bound=fcfg.upper_bound)
+    if moe_impl == "quant":
+        from m3asr_tpu.ops.quant import moe_experts_dense_q
+        y = moe_experts_dense_q(p, x, gate_idx, activation=jax.nn.relu,
+                                upper_bound=fcfg.upper_bound)
+    else:
+        y = moe_ops.moe_experts_dense(p, x, gate_idx,
+                                      activation=jax.nn.relu,
+                                      upper_bound=fcfg.upper_bound)
     if not keep_expert_output:
         y = y * gate_value
     pp = y + x
@@ -315,12 +323,14 @@ def init_moe_state(cfg, batch: int, cache_T: int, chunk_size: int,
 
 
 def forward_chunk_moe(params, cfg, chunk: jax.Array,
-                      state: DfsmnMoeStreamState
+                      state: DfsmnMoeStreamState,
+                      moe_impl: str = "dense"
                       ) -> Tuple[jax.Array, DfsmnMoeStreamState]:
     """One MoE-DFSMN streaming step. chunk: (B, C, input_dim). Output
     frame j of this chunk corresponds to absolute input frame
     offset + j - moe_stream_delay(cfg); warm-up frames are garbage and
-    dropped by the session driver."""
+    dropped by the session driver. moe_impl 'dense' | 'quant' (int8
+    expert weights)."""
     C = chunk.shape[1]
     ecfg, rctx, d_e, b_delay, n_layers, ring = _moe_consts(cfg, C)
 
@@ -367,7 +377,8 @@ def forward_chunk_moe(params, cfg, chunk: jax.Array,
                 x, nc = _stream_cfsmn_moe(
                     bp["fsmn_layers"][j], x, embed_l,
                     state.fsmn_caches[li], fcfg, pos_mask,
-                    cfg.ln_before_router, cfg.keep_expert_output)
+                    cfg.ln_before_router, cfg.keep_expert_output,
+                    moe_impl=moe_impl)
             new_fsmn.append(nc)
             li += 1
         if i == 0:

@@ -214,7 +214,7 @@ class DfsmnMoeStreamingSession(DfsmnStreamingSession):
     feature dim sizes the delay buffer)."""
 
     def __init__(self, params, cfg, chunk_size: int = 16, batch: int = 1,
-                 cache_T: int = 256):
+                 cache_T: int = 256, moe_impl: str = "dense"):
         from m3asr_tpu.models import dfsmn_streaming as S
         self.params = params
         self.cfg = cfg
@@ -224,7 +224,8 @@ class DfsmnMoeStreamingSession(DfsmnStreamingSession):
         self.delay = S.moe_stream_delay(cfg, chunk_size)
         self.state = None
         self._fn = jax.jit(
-            lambda p, c, s: S.forward_chunk_moe(p, cfg, c, s))
+            lambda p, c, s: S.forward_chunk_moe(p, cfg, c, s,
+                                                moe_impl=moe_impl))
         self._buf: Optional[np.ndarray] = None
         self._consumed = 0
         self._fed = 0

@@ -198,16 +198,13 @@ def main(args):
     family = get_family(engine.model_cfg.nnet_proto).name
     enc_cfg = engine.model_cfg.encoder_conf
     if family == "dfsmn_moe":
-        if engine.int8_experts:
-            # the MoE chunk forward runs the float dense dispatch; a
-            # quant streaming path hasn't been wired
-            factory = None
-        else:
-            stream_cfg = dfsmn_stream_config(engine.model_cfg)
+        stream_cfg = dfsmn_stream_config(engine.model_cfg)
+        dfsmn_impl = "quant" if engine.int8_experts else "dense"
 
-            def factory(chunk, left):
-                return DfsmnMoeStreamingSession(engine.params, stream_cfg,
-                                                chunk_size=chunk)
+        def factory(chunk, left):
+            return DfsmnMoeStreamingSession(engine.params, stream_cfg,
+                                            chunk_size=chunk,
+                                            moe_impl=dfsmn_impl)
     elif family.startswith("dfsmn"):
         stream_cfg = dfsmn_stream_config(engine.model_cfg)
 

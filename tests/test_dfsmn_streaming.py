@@ -258,3 +258,33 @@ def test_dfsmn_moe_streaming_lookahead_bookkeeping():
     stream = np.concatenate(outs, axis=1)
     assert stream.shape[1] == T
     assert np.isfinite(stream).all()
+
+
+def test_dfsmn_moe_streaming_int8():
+    """moe_impl='quant' streams the int8-quantized expert tensors and
+    stays close to the float stream."""
+    from m3asr_tpu.ops.quant import quantize_moe_params
+    from m3asr_tpu.runtime.streaming_session import DfsmnMoeStreamingSession
+    params, cfg = _causal_moe_net()
+
+    def q(node):
+        if isinstance(node, dict):
+            if "w1" in node and "w2" in node and "router" in node:
+                return quantize_moe_params(node)
+            return {k: q(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [q(v) for v in node]
+        return node
+
+    qparams = q(params)
+    T = 18
+    x = np.random.RandomState(122).randn(1, T, 12).astype(np.float32)
+
+    f32 = DfsmnMoeStreamingSession(params, cfg, chunk_size=6, cache_T=24)
+    i8 = DfsmnMoeStreamingSession(qparams, cfg, chunk_size=6, cache_T=24,
+                                  moe_impl="quant")
+    s32 = np.concatenate(f32.push(x) + f32.finish(), axis=1)
+    s8 = np.concatenate(i8.push(x) + i8.finish(), axis=1)
+    assert s8.shape == s32.shape == (1, T, 7)
+    rel = np.abs(s8 - s32).max() / (np.abs(s32).max() + 1e-6)
+    assert rel < 0.08, rel
