@@ -53,6 +53,9 @@ def main(args):
         for name in ("decoder", "decoder_1", "decoder_2"):
             if any(k.startswith(name + ".") for k in sd):
                 decoders[name] = ckpt.convert_decoder(sd, model_cfg, name)
+        # conversion accounting: every checkpoint key must map to a
+        # converted parameter (warn by default, reject under --strict)
+        ckpt.check_consumed(sd, strict=args.strict)
         print(f"Loading model from {args.load_path}")
     else:
         # synthetic init (for benchmarking without the external ckpt)
@@ -124,4 +127,7 @@ if __name__ == "__main__":
                         help="comma list of BxL buckets, e.g. 1x256,4x1024")
     parser.add_argument("--skip-warmup", action="store_true",
                         help="skip AOT pre-compilation of buckets")
+    parser.add_argument("--strict", action="store_true",
+                        help="fail if any checkpoint key is not consumed "
+                             "by the conversion (name-mapping drift guard)")
     main(parser.parse_args())

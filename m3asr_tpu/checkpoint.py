@@ -35,6 +35,57 @@ from m3asr_tpu.config import EncoderConfig, ModelConfig, MoEEncoderConfig
 BN_EPS = 1e-5
 
 
+class TrackedDict(dict):
+    """State dict that records which keys conversion consumed.
+
+    Every StateDict view constructed over a TrackedDict shares its
+    `_used` set, so after `family.convert` / `convert_decoder` ran,
+    `unconsumed_keys` reports exactly the checkpoint entries no
+    converter recognized — the defense against silent name-mapping
+    drift vs the reference state-dict contract
+    (conformer_fmoe_localComm_catEmbed_domain_acc_hier.py parameter
+    names)."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self._used: set = set()
+
+
+def track(state_dict: Dict[str, Any]) -> "TrackedDict":
+    if isinstance(state_dict, TrackedDict):
+        return state_dict
+    return TrackedDict(state_dict)
+
+
+# BN bookkeeping counters exist in torch state dicts but carry no
+# weights (the eval fold only needs weight/bias/running stats)
+_IGNORE_UNCONSUMED = re.compile(r"\.num_batches_tracked$")
+
+
+def unconsumed_keys(state_dict) -> List[str]:
+    """Keys of a track()ed state dict that no converter consumed."""
+    used = getattr(state_dict, "_used", set())
+    return sorted(k for k in state_dict
+                  if k not in used and not _IGNORE_UNCONSUMED.search(k))
+
+
+def check_consumed(state_dict, strict: bool = False, log=print) -> List[str]:
+    """Report (and under strict, reject) unconsumed checkpoint keys."""
+    missing = unconsumed_keys(state_dict)
+    if not missing:
+        log(f"checkpoint conversion: all {len(state_dict)} keys consumed")
+        return missing
+    log(f"checkpoint conversion: {len(missing)} of {len(state_dict)} "
+        "keys NOT consumed:")
+    for k in missing:
+        log(f"  unconsumed: {k}")
+    if strict:
+        raise KeyError(
+            f"strict conversion: {len(missing)} unconsumed checkpoint "
+            f"keys (first: {missing[0]})")
+    return missing
+
+
 def _np(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
         return t
@@ -412,7 +463,7 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"],
                                                                dict):
         obj = obj["model"]  # trainer checkpoints wrap the state dict
-    return {k: _np(v) for k, v in obj.items()}
+    return track({k: _np(v) for k, v in obj.items()})
 
 
 # ---------------------------------------------------------------------------

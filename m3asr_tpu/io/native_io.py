@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -22,6 +21,7 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libm3asr_io.so")
 
 _lib = None
 _load_failed = False
+_load_error: Optional[str] = None
 
 _OK, _END, _UNSUPPORTED, _CORRUPT = 1, 0, -1, -2
 
@@ -31,13 +31,12 @@ class UnsupportedArk(Exception):
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _load_failed
+    global _lib, _load_failed, _load_error
     if _lib is not None or _load_failed:
         return _lib
     try:
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True)
+        from m3asr_tpu.utils.native_build import ensure_built
+        ensure_built(_NATIVE_DIR, _LIB_PATH)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.ark_open.restype = ctypes.c_void_p
         lib.ark_open.argtypes = [ctypes.c_char_p]
@@ -52,13 +51,22 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ark_skip.restype = ctypes.c_int
         lib.ark_skip.argtypes = [ctypes.c_void_p]
         _lib = lib
-    except Exception:
+    except Exception as e:
         _load_failed = True
+        _load_error = f"{type(e).__name__}: {e}"
+        import logging
+        logging.getLogger("m3asr.native").warning(
+            "native ark reader unavailable (python fallback): %s",
+            _load_error)
     return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def load_error() -> Optional[str]:
+    return _load_error
 
 
 def read_ark(path: str) -> Iterator[Tuple[str, np.ndarray]]:

@@ -297,6 +297,189 @@ def dfsmn_san_moe_forward(params, cfg: DfsmnSanMoEConfig, x: jax.Array,
     return out, embed_out, lengths
 
 
+# ---------------------------------------------------------------------------
+# Initialization (training from scratch — the reference's DFSMN nets are
+# trainable torch modules; init semantics from dfsmn_base_res.py:49-61
+# (FIR factors xavier_uniform gain=0.5, Linear defaults),
+# layer/attention.py:27-38 (memory slots xavier gain=1, no-bias linears),
+# dfsmn_base_fmoe_localComm_catEmbed.py:131-149 (router weights ZEROS
+# unless rand_init_router; FMoELinear xavier gain=0.5 per expert slice).
+# ---------------------------------------------------------------------------
+
+def _xavier_uniform(key, out_shape, fan_out: int, fan_in: int,
+                    gain: float, dtype):
+    bound = gain * (6.0 / (fan_in + fan_out)) ** 0.5
+    return jax.random.uniform(key, out_shape, dtype, -bound, bound)
+
+
+def init_cfsmn(key, in_dim: int, hid_dim: int, mem_dim: int,
+               look_back: int, look_ahead: int, dtype=jnp.float32):
+    """cFSMN_layer params (dfsmn_base_res.py:49-61)."""
+    from m3asr_tpu.ops.common import init_linear
+    ks = jax.random.split(key, 5)
+    return {
+        "left_factor": _xavier_uniform(ks[0], (look_back, mem_dim),
+                                       look_back, mem_dim, 0.5, dtype),
+        "cur_factor": _xavier_uniform(ks[1], (1, mem_dim), 1, mem_dim,
+                                      0.5, dtype),
+        "right_factor": _xavier_uniform(ks[2], (look_ahead, mem_dim),
+                                        look_ahead, mem_dim, 0.5, dtype),
+        "hid_proj": init_linear(ks[3], in_dim, hid_dim, dtype=dtype),
+        "mem_proj": init_linear(ks[4], hid_dim, mem_dim, bias=False,
+                                dtype=dtype),
+    }
+
+
+def init_attn_mem(key, model_dim: int, num_head: int, memory_num: int,
+                  dtype=jnp.float32):
+    """MultiHeadAttnMemLayer params (layer/attention.py:19-38)."""
+    from m3asr_tpu.ops.common import init_linear
+    ks = jax.random.split(key, 6)
+    dk = model_dim // num_head
+    p = {name: init_linear(ks[i], model_dim, model_dim, bias=False,
+                           dtype=dtype)
+         for i, name in enumerate(("linear_query", "linear_key",
+                                   "linear_value", "linear_out"))}
+    if memory_num > 0:
+        # torch xavier on a (H, M, dk) tensor: fan_in = M*dk, fan_out = H*dk
+        p["key_memory"] = _xavier_uniform(
+            ks[4], (num_head, memory_num, dk), num_head * dk,
+            memory_num * dk, 1.0, dtype)
+        p["value_memory"] = _xavier_uniform(
+            ks[5], (num_head, memory_num, dk), num_head * dk,
+            memory_num * dk, 1.0, dtype)
+    return p
+
+
+def init_self_attn_mem(key, model_dim: int, num_head: int, memory_num: int,
+                       norm_type: str = "LN", dtype=jnp.float32):
+    from m3asr_tpu.ops.common import init_layer_norm
+    p = {"attn_layer": init_attn_mem(key, model_dim, num_head, memory_num,
+                                     dtype)}
+    if norm_type == "LN":
+        p["ln_layer"] = init_layer_norm(model_dim, dtype)
+    else:
+        # MaskBatchNorm at init folds to identity scale/shift (the eval
+        # fold this model family runs with; stats are not trained here)
+        p["bn_layer"] = {"scale": jnp.ones((model_dim,), dtype),
+                         "bias": jnp.zeros((model_dim,), dtype)}
+    return p
+
+
+def init_dfsmn_san(key, cfg: DfsmnSanConfig, input_dim: int,
+                   output_dim: int, dtype=jnp.float32):
+    """model/dfsmn_san_res.py Net init: blocks of (fsmn_each_block x
+    cFSMN + attn), layer (0,0) takes input_dim, everything after runs at
+    memory_dim; out_linear on top."""
+    from m3asr_tpu.ops.common import init_linear
+    keys = jax.random.split(key, cfg.num_block + 1)
+    blocks = []
+    for i in range(cfg.num_block):
+        bks = jax.random.split(keys[i], cfg.fsmn_each_block + 1)
+        fsmn = []
+        for j in range(cfg.fsmn_each_block):
+            in_dim = input_dim if (i == 0 and j == 0) else cfg.memory_dim
+            fsmn.append(init_cfsmn(bks[j], in_dim, cfg.hidden_dim,
+                                   cfg.memory_dim, cfg.look_back,
+                                   cfg.look_ahead, dtype))
+        blocks.append({
+            "fsmn_layers": fsmn,
+            "attn_layer": init_self_attn_mem(
+                bks[-1], cfg.memory_dim, cfg.num_head, cfg.num_memory,
+                cfg.norm_type, dtype)})
+    return {"blocks": blocks,
+            "out_linear": init_linear(keys[-1], cfg.memory_dim, output_dim,
+                                      dtype=dtype)}
+
+
+def init_dfsmn_base(key, cfg: DfsmnBaseConfig, input_dim: int,
+                    output_dim: int, dtype=jnp.float32):
+    """model/dfsmn_base_res.py Net init: plain cFSMN stack."""
+    from m3asr_tpu.ops.common import init_linear
+    keys = jax.random.split(key, cfg.fsmn_layers + 1)
+    layers = [init_cfsmn(keys[i],
+                         input_dim if i == 0 else cfg.memory_dim,
+                         cfg.hidden_dim, cfg.memory_dim, cfg.look_back,
+                         cfg.look_ahead, dtype)
+              for i in range(cfg.fsmn_layers)]
+    return {"fsmn_layers": layers,
+            "out_linear": init_linear(keys[-1], cfg.memory_dim, output_dim,
+                                      dtype=dtype)}
+
+
+def init_cfsmn_moe(key, mem_dim: int, hid_dim: int, embed_dim: int,
+                   num_experts: int, look_back: int, look_ahead: int,
+                   ln_before_router: bool = False,
+                   rand_init_router: bool = False, dtype=jnp.float32):
+    """MoE cFSMN layer init (dfsmn_base_fmoe_localComm_catEmbed.py:
+    131-149): expert hid_proj (bias) / mem_proj (no bias) xavier
+    gain=0.5 per expert slice, router zeros (rand_init_router=False in
+    the deployed conf), FIR factors xavier gain=0.5."""
+    from m3asr_tpu.ops.common import init_layer_norm
+    ks = jax.random.split(key, 6)
+
+    p = {
+        "left_factor": _xavier_uniform(ks[0], (look_back, mem_dim),
+                                       look_back, mem_dim, 0.5, dtype),
+        "cur_factor": _xavier_uniform(ks[1], (1, mem_dim), 1, mem_dim,
+                                      0.5, dtype),
+        "right_factor": _xavier_uniform(ks[2], (look_ahead, mem_dim),
+                                        look_ahead, mem_dim, 0.5, dtype),
+        "w1": _xavier_uniform(ks[3], (num_experts, mem_dim, hid_dim),
+                              hid_dim, mem_dim, 0.5, dtype),
+        "b1": jnp.zeros((num_experts, hid_dim), dtype),
+        "w2": _xavier_uniform(ks[4], (num_experts, hid_dim, mem_dim),
+                              mem_dim, hid_dim, 0.5, dtype),
+        "b2": None,  # mem_proj has no bias (Expert, :62-66)
+        "router": {"kernel": (
+            _xavier_uniform(ks[5], (embed_dim + mem_dim, num_experts),
+                            num_experts, embed_dim + mem_dim, 0.5, dtype)
+            if rand_init_router
+            else jnp.zeros((embed_dim + mem_dim, num_experts), dtype))},
+    }
+    if ln_before_router:
+        p["ln_for_router"] = init_layer_norm(embed_dim + mem_dim, dtype)
+    return p
+
+
+def init_dfsmn_san_moe(key, cfg: DfsmnSanMoEConfig, input_dim: int,
+                       output_dim: int, rand_init_router: bool = False,
+                       dtype=jnp.float32):
+    """model/dfsmn_san_fmoe_localComm_catEmbed.py Net init: dfsmn_san
+    embed sub-net (its own out_linear supplies the embed CTC head) +
+    MoE main stack; layer (0,0) is a plain cFSMN from input_dim
+    (skip_connect=False forbids MoE there, :121-127)."""
+    from m3asr_tpu.ops.common import init_linear
+    embed_cfg = cfg.embed_conf or DfsmnSanConfig()
+    k_embed, k_main, k_out = jax.random.split(key, 3)
+    p = {"embed": init_dfsmn_san(k_embed, embed_cfg, input_dim, output_dim,
+                                 dtype)}
+    keys = jax.random.split(k_main, cfg.num_block)
+    blocks = []
+    for i in range(cfg.num_block):
+        bks = jax.random.split(keys[i], cfg.fsmn_each_block + 1)
+        fsmn = []
+        for j in range(cfg.fsmn_each_block):
+            if i == 0 and j == 0:
+                fsmn.append(init_cfsmn(bks[j], input_dim, cfg.hidden_dim,
+                                       cfg.memory_dim, cfg.look_back,
+                                       cfg.look_ahead, dtype))
+            else:
+                fsmn.append(init_cfsmn_moe(
+                    bks[j], cfg.memory_dim, cfg.hidden_dim, cfg.embed_dim,
+                    cfg.num_experts, cfg.look_back, cfg.look_ahead,
+                    cfg.ln_before_router, rand_init_router, dtype))
+        blocks.append({
+            "fsmn_layers": fsmn,
+            "attn_layer": init_self_attn_mem(
+                bks[-1], cfg.memory_dim, cfg.num_head, cfg.num_memory,
+                cfg.norm_type, dtype)})
+    p["blocks_sw"] = blocks
+    p["out_linear_sw"] = init_linear(k_out, cfg.memory_dim, output_dim,
+                                     dtype=dtype)
+    return p
+
+
 @dataclasses.dataclass
 class DfsmnBaseConfig:
     fsmn_layers: int = 30

@@ -155,9 +155,22 @@ def _dfsmn_family(nnet_proto: str):
         return ckpt.convert_dfsmn_san(s, e.num_block, e.fsmn_each_block,
                                       e.norm_type)
 
+    def init(key, mc, dtype=jnp.float32):
+        """Trainable DFSMN init (reference init semantics:
+        dfsmn_san_res.py:59-115, dfsmn_base_res.py:49-61)."""
+        e = enc_conf(mc)
+        if is_moe:
+            return dfsmn.init_dfsmn_san_moe(key, moe_cfg(e), mc.input_dim,
+                                            mc.output_dim, dtype=dtype)
+        if is_base:
+            return dfsmn.init_dfsmn_base(key, base_cfg(e), mc.input_dim,
+                                         mc.output_dim, dtype=dtype)
+        return dfsmn.init_dfsmn_san(key, san_cfg(e), mc.input_dim,
+                                    mc.output_dim, dtype=dtype)
+
     return ModelFamily(
         name="dfsmn_moe" if is_moe else "dfsmn",
-        init=None,  # DFSMN serving loads from checkpoints
+        init=init,
         forward=forward,
         convert=convert,
     )

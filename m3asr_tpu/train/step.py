@@ -74,12 +74,30 @@ def train_chunk_mask(enc_cfg, feat, feat_len, rng):
 def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
             feat, feat_len, targets, target_lens, rng=None):
     is_moe = model_cfg.nnet_proto in MOE_HIER_PROTOS
+    is_dfsmn = "dfsmn" in model_cfg.nnet_proto
     metrics = {}
     rng_main, rng_embed = (jax.random.split(rng) if rng is not None
                            else (None, None))
-    chunk_mask = train_chunk_mask(model_cfg.encoder_conf, feat, feat_len,
-                                  rng_main)
-    if is_moe:
+    if is_dfsmn:
+        # DFSMN family (trainable from scratch, reference
+        # dfsmn_san_res.py / dfsmn_san_fmoe_localComm_catEmbed.py):
+        # no subsampling — frame-rate logits (the cectc recipes
+        # frame-align CE on them); the MoE variant's embed sub-net
+        # logits feed embed_ctc_weight like the conformer's
+        from m3asr_tpu.models import dfsmn as dfsmn_mod
+        from m3asr_tpu.models import registry as reg
+        e = reg.dfsmn_enc_conf(model_cfg)
+        if "fmoe" in model_cfg.nnet_proto:
+            out, embed_out, out_len = dfsmn_mod.dfsmn_san_moe_forward(
+                params, reg.dfsmn_moe_config(e), feat, feat_len,
+                moe_impl="dense")
+        else:
+            fwd = reg.get_family(model_cfg.nnet_proto).forward
+            out, out_len = fwd(params, model_cfg, feat, feat_len)
+            embed_out = None
+    elif is_moe:
+        chunk_mask = train_chunk_mask(model_cfg.encoder_conf, feat,
+                                      feat_len, rng_main)
         embed_mask = train_chunk_mask(model_cfg.encoder_conf.embed_conf,
                                       feat, feat_len, rng_embed)
         out, out_len, embed_out = moe_conformer.forward(
@@ -87,6 +105,8 @@ def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
             output_embed=True, moe_impl="dense", chunk_mask=chunk_mask,
             embed_chunk_mask=embed_mask, remat=tcfg.remat)
     else:
+        chunk_mask = train_chunk_mask(model_cfg.encoder_conf, feat,
+                                      feat_len, rng_main)
         out, out_len = conformer.forward(params, model_cfg.encoder_conf,
                                          feat, feat_len,
                                          chunk_mask=chunk_mask)
@@ -296,8 +316,10 @@ class HierTrainConfig(TrainConfig):
 def _needs_rng(model_cfg: ModelConfig) -> bool:
     enc = model_cfg.encoder_conf
     embed = getattr(enc, "embed_conf", None)
-    return enc.use_dynamic_chunk or (embed is not None
-                                     and embed.use_dynamic_chunk)
+    # DFSMN configs carry embed_conf as a raw dict — treat any
+    # non-attribute form as "no dynamic chunk"
+    return enc.use_dynamic_chunk or bool(getattr(embed,
+                                                 "use_dynamic_chunk", False))
 
 
 def make_hier_train_step(model_cfg: ModelConfig, tcfg: HierTrainConfig,

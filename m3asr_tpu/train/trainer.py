@@ -37,6 +37,7 @@ class Trainer:
                  make_loader: Callable[[int], Iterable],
                  valid_loader: Optional[Callable[[], Iterable]] = None,
                  save_dir: str = "exp", log_period: int = 100,
+                 save_period: Optional[int] = None,
                  max_epochs: int = 20, early_stop_count: int = 5,
                  keep_recent: int = 5, logger=None,
                  step_takes_rng: bool = False, seed: int = 0,
@@ -53,6 +54,9 @@ class Trainer:
         self.valid_loader = valid_loader
         self.save_dir = save_dir
         self.log_period = log_period
+        # crash-recovery granularity is its own knob — round-1 coupling
+        # to log_period made operators discover it the hard way
+        self.save_period = save_period if save_period else log_period
         self.max_epochs = max_epochs
         self.early_stop_limit = early_stop_count
         self.keep_recent = keep_recent
@@ -214,6 +218,7 @@ class Trainer:
                         w.add_scalar(f"train/{tag}", v, self.global_step)
                     w.add_scalar("train/frames_per_s", meter.rate(),
                                  self.global_step)
+            if (i + 1) % self.save_period == 0:
                 self.save_checkpoint("last")
         return dict(zip(stat.tags, stat.summary_stat()))
 

@@ -12,7 +12,15 @@ from m3asr_tpu.decode import native
 @pytest.fixture(scope="module")
 def lib_ok():
     if not native.available():
-        pytest.skip("no C++ toolchain to build the native decoder")
+        import os
+        # a prebuilt .so that fails to load is a real bug, not an
+        # environment gap — fail loudly (VERDICT r1 weak #2: this test
+        # must not skip silently while serve/recognize use the C path)
+        if os.path.exists(native._LIB_PATH):
+            pytest.fail(f"prebuilt {native._LIB_PATH} failed to load: "
+                        f"{native.load_error()}")
+        pytest.skip("no native lib and no C++ toolchain to build it: "
+                    f"{native.load_error()}")
     return True
 
 

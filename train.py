@@ -78,6 +78,9 @@ def main(args):
     # the deployed recipe: CTC + hier label-smoothing AED when AED
     # labels are given (bk/..._hier.py LossCompute)
     hier = bool(args.tr_aed_labels)
+    if hier and "dfsmn" in model_cfg.nnet_proto:
+        sys.exit("DFSMN protos carry no AED decoders (the reference's "
+                 "DFSMN recipes are CTC/CE-trained) — drop --tr_aed_labels")
     tkw = dict(
         learning_rate=raw.get("lr", 1e-3),
         warmup_steps=(raw.get("schedule_conf") or {}).get("warmup_steps",
@@ -183,6 +186,7 @@ def main(args):
                       make_loader=make_tr_loader, valid_loader=cv_loader,
                       save_dir=args.output_dir,
                       log_period=raw.get("log_period", 100),
+                      save_period=raw.get("save_period"),
                       max_epochs=raw.get("max_epoch", args.max_epochs),
                       step_takes_rng=needs_rng, seed=args.seed,
                       scalar_dir=os.path.join(args.output_dir, "scalars"),
