@@ -111,6 +111,11 @@ class EncoderConfig:
     output_dim_domain: int = 6
     output_dim_acc: int = 8
     subsampling_feat_norm: bool = False
+    # XLA scan unroll factor for the block loop (perf knob; 1 = rolled.
+    # Measured: the 18-block MoE loop must stay rolled — its
+    # software-pipelined weight streaming beats unrolled scheduling —
+    # but the small embed sub-encoder can profit from unrolling)
+    scan_unroll: int = 1
     extra: Dict[str, Any] = field(default_factory=dict)
 
     @property

@@ -53,7 +53,8 @@ class DataLoader:
                  collate_func: Optional[CollateFunc] = None,
                  aed_label_rspec: Optional[str] = None,
                  domain_rspec: Optional[str] = None,
-                 acc_rspec: Optional[str] = None):
+                 acc_rspec: Optional[str] = None,
+                 trans_file: Optional[str] = None):
         conf = dict(loader_conf or {})
         self.feat_rspec = feat_rspec
         self.label_rspec = label_rspec
@@ -75,6 +76,11 @@ class DataLoader:
         self.aed_label_rspec = aed_label_rspec
         self.domain_rspec = domain_rspec
         self.acc_rspec = acc_rspec
+        # per-utterance transcript side stream of the lattice loaders
+        # ("uttid w1 w2 ..." lines, strictly parallel to the feature
+        # stream and key-asserted; ctc_aed_lattice_loader.py:146-149,
+        # 189-201) — the sMBR lattice tools consume it
+        self.trans_file = trans_file
         self.training = training
         self.batch_size = conf.get("batch_size", 1)
         self.queue_size = conf.get("queue_size", 8)
@@ -145,8 +151,20 @@ class DataLoader:
                             ("acc", self.acc_rspec)):
             if rspec:
                 aux[name] = dict(kaldi_io.read_int_vector_ark(rspec))
+        trans_iter = None
+        if self.trans_file:
+            trans_iter = (ln.rstrip("\n") for ln in open(self.trans_file))
         n = 0
         for key, feat in self._read_feats():
+            trans = None
+            if trans_iter is not None:
+                # the transcript stream is strictly parallel to the
+                # feature stream — advance it for every feat, even
+                # skipped ones, and key-assert
+                # (ctc_aed_lattice_loader.py:189-201)
+                trans = next(trans_iter)
+                assert trans.split(maxsplit=1)[0] == key, \
+                    f"trans_file out of sync: {trans.split()[0]} != {key}"
             if self.label_rspec and key not in labels:
                 continue
             n += 1
@@ -155,6 +173,8 @@ class DataLoader:
             feat = self.transform.transform(feat)
             feat = self.collate(feat, self.training)
             extra = {name: d.get(key) for name, d in aux.items()}
+            if trans is not None:
+                extra["trans"] = trans
             yield key, np.asarray(feat, np.float32), labels.get(key), extra
 
     def _batches(self, skip_num: int, output_keys: bool):
@@ -202,7 +222,9 @@ class DataLoader:
             vals = [e[name] for e in extras]
             if vals[0] is None:
                 continue
-            if name in ("domain", "acc"):  # scalar class ids
+            if name == "trans":  # raw transcript lines (lattice loaders)
+                out[name] = vals
+            elif name in ("domain", "acc"):  # scalar class ids
                 out[name] = np.asarray([int(v[0]) for v in vals], np.int32)
             else:
                 out[name], out[name + "_lens"] = DataLoader._pad_labels(vals)

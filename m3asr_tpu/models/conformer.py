@@ -80,7 +80,8 @@ def run_blocks(stacked_blocks, cfg: EncoderConfig, x: jax.Array,
             mask=mask)
         return h, (h if collect_hidden else None)
 
-    x, hiddens = jax.lax.scan(body, x, stacked_blocks)
+    x, hiddens = jax.lax.scan(body, x, stacked_blocks,
+                              unroll=cfg.scan_unroll)
     return x, hiddens
 
 

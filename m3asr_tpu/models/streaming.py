@@ -52,12 +52,16 @@ jax.tree_util.register_dataclass(
     meta_fields=[])
 
 
-def init_state(cfg: EncoderConfig, batch: int, cache_T: int) -> StreamState:
+def init_state(cfg: EncoderConfig, batch: int, cache_T: int,
+               per_slot: bool = False) -> StreamState:
+    """per_slot=True gives each batch row its own offset — the batched
+    multi-stream serving mode where every slot hosts an independent
+    stream of a different age (runtime/streaming_batch.py)."""
     h = cfg.attention_heads
     dk = cfg.head_dim
     lorder = cfg.cnn_module_kernel - 1
     return StreamState(
-        offset=jnp.zeros((), jnp.int32),
+        offset=jnp.zeros((batch,) if per_slot else (), jnp.int32),
         att_cache=jnp.zeros((cfg.num_blocks, batch, h, cache_T, 2 * dk),
                             jnp.float32),
         cnn_cache=jnp.zeros((cfg.num_blocks, batch, lorder,
@@ -65,10 +69,27 @@ def init_state(cfg: EncoderConfig, batch: int, cache_T: int) -> StreamState:
     )
 
 
+def select_state(mask: jax.Array, new: StreamState, old: StreamState
+                 ) -> StreamState:
+    """Per-slot state update: keep `new` where mask (B,) is True, `old`
+    elsewhere — idle slots of a batched multi-stream step must not
+    advance."""
+    off = (jnp.where(mask, new.offset, old.offset) if new.offset.ndim
+           else new.offset)
+    return StreamState(
+        offset=off,
+        att_cache=jnp.where(mask[None, :, None, None, None],
+                            new.att_cache, old.att_cache),
+        cnn_cache=jnp.where(mask[None, :, None, None],
+                            new.cnn_cache, old.cnn_cache),
+    )
+
+
 def _stream_rel_mha(p, x, pos_emb, cache_kv, key_valid, num_heads):
     """Rel-pos attention of chunk queries over [cache, chunk] keys.
-    x: (B, C, D); cache_kv: (B, H, Tc, 2dk); pos_emb: (Tc+C, D);
-    key_valid: (Tc+C,) bool. Returns (out, new_cache_kv_full)."""
+    x: (B, C, D); cache_kv: (B, H, Tc, 2dk); pos_emb: (Tc+C, D) or
+    (B, Tc+C, D) per-slot; key_valid: (Tc+C,) or (B, Tc+C) bool.
+    Returns (out, new_cache_kv_full)."""
     B, C, D = x.shape
     h = num_heads
     dk = D // h
@@ -80,16 +101,24 @@ def _stream_rel_mha(p, x, pos_emb, cache_kv, key_valid, num_heads):
     full_v = jnp.concatenate([cv, v], axis=2)
     new_cache = jnp.concatenate([full_k, full_v], axis=-1)
 
-    pp = linear(p["linear_pos"], pos_emb[None])[0]     # (Tc+C, D)
-    pp = pp.reshape(-1, h, dk)
     u = p["pos_bias_u"].astype(x.dtype)
     w = p["pos_bias_v"].astype(x.dtype)
     ac = jnp.einsum("bthd,bhsd->bhts", q + u[None, None], full_k,
                     preferred_element_type=jnp.float32)
-    bd = jnp.einsum("bthd,shd->bhts", q + w[None, None], pp,
-                    preferred_element_type=jnp.float32)
+    if pos_emb.ndim == 3:                              # per-slot offsets
+        pp = linear(p["linear_pos"], pos_emb)          # (B, S, D)
+        pp = pp.reshape(B, -1, h, dk)
+        bd = jnp.einsum("bthd,bshd->bhts", q + w[None, None], pp,
+                        preferred_element_type=jnp.float32)
+    else:
+        pp = linear(p["linear_pos"], pos_emb[None])[0]  # (Tc+C, D)
+        pp = pp.reshape(-1, h, dk)
+        bd = jnp.einsum("bthd,shd->bhts", q + w[None, None], pp,
+                        preferred_element_type=jnp.float32)
     scores = (ac + bd) * (dk ** -0.5)
-    scores = jnp.where(key_valid[None, None, None, :], scores, -1e30)
+    kv = (key_valid[:, None, None, :] if key_valid.ndim == 2
+          else key_valid[None, None, None, :])
+    scores = jnp.where(kv, scores, -1e30)
     attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bhts,bhsd->bthd", attn, full_v,
                      preferred_element_type=x.dtype)
@@ -162,11 +191,17 @@ def _frontend_chunk(params, cfg: EncoderConfig, chunk_feat, state,
     pe = params["pos_enc"]["pe"]
     pe_padded = jnp.concatenate(
         [jnp.zeros((cache_T, pe.shape[1]), pe.dtype), pe], axis=0)
-    pos_emb = jax.lax.dynamic_slice_in_dim(pe_padded, state.offset,
-                                           cache_T + C, axis=0)
-    # key slot i (of Tc+C) has absolute position offset - cache_T + i
     idx = jnp.arange(cache_T + C)
-    key_valid = (state.offset - cache_T + idx) >= 0
+    if state.offset.ndim:          # per-slot offsets (batched streams)
+        pos_emb = jnp.take(pe_padded,
+                           state.offset[:, None] + idx[None, :],
+                           axis=0)                       # (B, Tc+C, D)
+        key_valid = (state.offset[:, None] - cache_T + idx[None, :]) >= 0
+    else:
+        pos_emb = jax.lax.dynamic_slice_in_dim(pe_padded, state.offset,
+                                               cache_T + C, axis=0)
+        # key slot i (of Tc+C) has absolute position offset-cache_T+i
+        key_valid = (state.offset - cache_T + idx) >= 0
     return x, pos_emb.astype(x.dtype), key_valid, C
 
 

@@ -63,6 +63,23 @@ def moe_param_sharding(mesh: Mesh, params):
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+def bmuf_stacked_sharding(mesh: Mesh, stacked_tree):
+    """Sharding for BMUF-mode trees whose leaves carry a leading dp
+    replica axis (train.bmuf.BmufRecipe.stack): dp on axis 0, and the
+    expert axis still over 'ep' (the same rule as moe_param_sharding
+    shifted by one axis)."""
+
+    def spec(path, leaf):
+        if _is_expert_path(path):
+            nd = np.ndim(leaf) - 1     # unstacked ndim
+            if nd >= 3:                # (dp, L, E, ...)
+                return NamedSharding(mesh, P(DATA_AXIS, None, EXPERT_AXIS))
+            return NamedSharding(mesh, P(DATA_AXIS, EXPERT_AXIS))
+        return NamedSharding(mesh, P(DATA_AXIS))
+
+    return jax.tree_util.tree_map_with_path(spec, stacked_tree)
+
+
 def batch_sharding(mesh: Mesh):
     return NamedSharding(mesh, P(DATA_AXIS))
 

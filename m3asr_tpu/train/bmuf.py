@@ -75,6 +75,91 @@ def split_expert_params(params):
     return expert, shared
 
 
+class BmufRecipe:
+    """Runnable BMUF training mode for the single-controller mesh —
+    the reference's deployed trainer flow (bk/..._hier.py:599-614:
+    local optimizer steps, `update_and_sync` every sync_period).
+
+    dp replicas train *locally* (no per-step gradient sync): params and
+    optimizer state carry a leading `dp` axis and the train step is
+    vmapped over it (train.py --bmuf). Every `sync_period` steps,
+    `sync()` runs the Nesterov block-momentum update
+    (fmoe_localComm_bmuf.py:82-107) on the replica mean and broadcasts
+    the new global back to every replica. Any non-finite delta returns
+    ok=False with state untouched (STOP), after which the Trainer
+    reloads the best model and halves the LR (bk/..._hier.py:764-774);
+    like the reference, the BMUF buffers are left as they were.
+
+    The reference's expert-vs-shared split (expert shards sync within
+    dp_groups, shared params across the world) collapses here: on the
+    (dp, ep) mesh, each expert shard lives at one ep position and is
+    replicated over dp, so the mean over the dp axis is the dp_group
+    mean for expert shards and the world mean for shared params.
+    """
+
+    def __init__(self, stacked_params, sync_period: int,
+                 block_momentum: float = 0.875, block_lr: float = 1.0,
+                 param_sharding=None):
+        self.sync_period = int(sync_period)
+        self.block_momentum = float(block_momentum)
+        self.block_lr = float(block_lr)
+        self.dp = int(jax.tree.leaves(stacked_params)[0].shape[0])
+        # sharding tree of the stacked params (mesh runs re-place the
+        # synced output so it matches the jitted step's in_shardings)
+        self.param_sharding = param_sharding
+        self.state = init_state(
+            jax.tree.map(lambda x: jnp.mean(x, 0), stacked_params))
+        self._sync = jax.jit(self._sync_impl)
+
+    @staticmethod
+    def stack(tree, dp: int):
+        """Replicate a pytree along a new leading dp axis (the initial
+        broadcast, fmoe_localComm_bmuf.py:33-80)."""
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
+                                       (dp,) + jnp.shape(x)),
+            tree)
+
+    def _sync_impl(self, state: BmufState, stacked):
+        local_mean = jax.tree.map(lambda x: jnp.mean(x, 0), stacked)
+        new_state, new_global, status = bmuf_update(
+            state, local_mean, self.block_momentum, self.block_lr)
+        new_stacked = jax.tree.map(
+            lambda g, s: jnp.broadcast_to(g[None], s.shape).astype(s.dtype),
+            new_global, stacked)
+        return new_state, new_stacked, status
+
+    def sync(self, stacked_params):
+        """Returns (new_stacked_params, ok). ok=False -> caller runs
+        divergence recovery; this state is unchanged in that case."""
+        new_state, new_stacked, status = self._sync(self.state,
+                                                    stacked_params)
+        if int(status) == STOP:
+            return stacked_params, False
+        self.state = new_state
+        if self.param_sharding is not None:
+            new_stacked = jax.device_put(new_stacked, self.param_sharding)
+        return new_stacked, True
+
+    def state_dict(self):
+        import numpy as np
+        return {"global_params": jax.tree.map(np.asarray,
+                                              self.state.global_params),
+                "delta_prev": jax.tree.map(np.asarray,
+                                           self.state.delta_prev),
+                "block_momentum": self.block_momentum,
+                "block_lr": self.block_lr,
+                "sync_period": self.sync_period}
+
+    def load_state_dict(self, d):
+        self.state = BmufState(jax.tree.map(jnp.asarray,
+                                            d["global_params"]),
+                               jax.tree.map(jnp.asarray, d["delta_prev"]))
+        self.block_momentum = float(d["block_momentum"])
+        self.block_lr = float(d["block_lr"])
+        self.sync_period = int(d.get("sync_period", self.sync_period))
+
+
 class MoEBmufTrainer:
     """MoE-aware BMUF: expert params average within the dp group (each
     expert shard lives on one 'ep' position), shared params average over

@@ -57,14 +57,22 @@ def _map_hyperparam(opt_state, name: str, fn):
 
 def set_lr_scale(opt_state, value: float):
     import jax.numpy as _jnp
-    return _map_hyperparam(opt_state, "lr_scale",
-                           lambda old: _jnp.asarray(value, _jnp.float32))
+    # keep the leaf's shape: in BMUF mode the opt_state is stacked over
+    # a leading dp axis and every leaf must keep it for the vmapped step
+    return _map_hyperparam(
+        opt_state, "lr_scale",
+        lambda old: _jnp.full(_jnp.shape(old), value, _jnp.float32))
 
 
 def get_lr_scale(opt_state) -> float:
+    import numpy as _np
     found = []
-    _map_hyperparam(opt_state, "lr_scale",
-                    lambda old: (found.append(float(old)), old)[1])
+    # reshape(-1)[0]: BMUF-mode opt_states stack the hyperparam over a
+    # leading dp axis (all replicas share one value)
+    _map_hyperparam(
+        opt_state, "lr_scale",
+        lambda old: (found.append(float(_np.asarray(old).reshape(-1)[0])),
+                     old)[1])
     return found[0] if found else 1.0
 
 

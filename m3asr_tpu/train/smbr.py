@@ -54,22 +54,102 @@ class KaldiLatticeBridge:
 
     def __init__(self, command: Optional[list] = None,
                  runner: Optional[Callable[[str, str], None]] = None):
-        """Either `command` (list, with {post} / {grad} placeholders) to
-        run via subprocess, or `runner(post_ark, grad_ark)` callable."""
+        """Either `command` (list, with {post} / {grad} / {trans}
+        placeholders) to run via subprocess, or `runner(post_ark,
+        grad_ark)` callable."""
         self.command = command
         self.runner = runner
 
     def __call__(self, keys, logits: np.ndarray, out_lens: np.ndarray,
-                 post_ark: str, grad_ark: str) -> Dict[str, np.ndarray]:
+                 post_ark: str, grad_ark: str,
+                 trans: Optional[list] = None) -> Dict[str, np.ndarray]:
         with ArkWriter(post_ark) as w:
             for i, key in enumerate(keys):
                 w.write(key, logits[i, : int(out_lens[i])])
+        trans_path = post_ark + ".trans"
+        if trans is not None:
+            # the lattice loaders' per-utterance transcript stream
+            # (ctc_aed_lattice_loader.py:146-149) — lattice tools align
+            # posteriors against these
+            with open(trans_path, "w") as f:
+                for line in trans:
+                    f.write(line + "\n")
         if self.runner is not None:
             self.runner(post_ark, grad_ark)
         elif self.command is not None:
-            cmd = [c.format(post=post_ark, grad=grad_ark)
-                   for c in self.command]
+            cmd = [c.format(post=post_ark, grad=grad_ark,
+                            trans=trans_path) for c in self.command]
             subprocess.run(cmd, check=True)
         else:
             raise ValueError("no lattice command or runner configured")
         return dict(read_ark(grad_ark))
+
+
+def make_external_grad_step(forward: Callable,
+                            optimizer: optax.GradientTransformation):
+    """Jitted twin of external_grad_step for the epoch loop (one
+    compile per batch shape; pair with loader bucket_lengths)."""
+
+    @jax.jit
+    def step(params, opt_state, feat, feat_len, out_grad):
+        def f(p):
+            out, out_len = forward(p, feat, feat_len)
+            return out, out_len
+
+        (out, out_len), pullback = jax.vjp(f, params)
+        grads = pullback((out_grad.astype(out.dtype),
+                          jnp.zeros_like(out_len)))[0]
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, out_len
+
+    return step
+
+
+def run_smbr_training(model_cfg, forward: Callable, params, optimizer,
+                      make_loader: Callable, bridge: KaldiLatticeBridge,
+                      work_dir: str, max_epochs: int = 1, logger=None,
+                      log_period: int = 100):
+    """The sMBR epoch loop (bk/..._hier.py:560-595): per batch, write
+    encoder posteriors to an ark, run the external lattice command
+    ({post}/{grad}/{trans} placeholders), read the per-frame gradient
+    ark back, and push it through the model with a vjp pullback
+    (`output.backward(beam_grad)`).
+
+    forward(params, feat, feat_len) -> (logits, out_len).
+    make_loader() must yield batches with 'keys' (and 'trans' when a
+    transcript stream is configured). Saves params each epoch into
+    work_dir. Returns (params, opt_state, num_batches)."""
+    import os
+    import pickle
+
+    opt_state = optimizer.init(params)
+    fwd = jax.jit(forward)
+    grad_step = make_external_grad_step(forward, optimizer)
+    n = 0
+    for epoch in range(max_epochs):
+        for batch in make_loader():
+            keys = batch["keys"]
+            feat = jnp.asarray(batch["data"])
+            feat_len = jnp.asarray(batch["lens"])
+            logits, out_len = fwd(params, feat, feat_len)
+            logits_np = np.asarray(logits)
+            out_len_np = np.asarray(out_len)
+            post = os.path.join(work_dir, "post.ark")
+            grad = os.path.join(work_dir, "grad.ark")
+            grads = bridge(keys, logits_np, out_len_np, post, grad,
+                           trans=batch.get("trans"))
+            out_grad = np.zeros_like(logits_np)
+            for i, k in enumerate(keys):
+                g = grads[k]
+                out_grad[i, : g.shape[0]] = g
+            params, opt_state, _ = grad_step(params, opt_state, feat,
+                                             feat_len,
+                                             jnp.asarray(out_grad))
+            n += 1
+            if logger is not None and n % log_period == 0:
+                logger.info(f"smbr epoch {epoch} batch {n}")
+        with open(os.path.join(work_dir, f"smbr_epoch{epoch}.pkl"),
+                  "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, params), f)
+    return params, opt_state, n

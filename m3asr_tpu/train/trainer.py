@@ -44,11 +44,15 @@ class Trainer:
                  scalar_dir: Optional[str] = None,
                  batch_keys: Tuple[str, ...] = ("data", "lens", "target",
                                                 "target_lens"),
-                 ckpt_format: str = "pickle"):
+                 ckpt_format: str = "pickle", bmuf=None,
+                 opt_state=None):
         self.model_cfg = model_cfg
         self.params = params
         self.optimizer = optimizer
-        self.opt_state = optimizer.init(params)
+        # BMUF mode passes a pre-stacked opt_state (per-replica); plain
+        # mode initializes from params
+        self.opt_state = (opt_state if opt_state is not None
+                          else optimizer.init(params))
         self.train_step = train_step
         self.make_loader = make_loader
         self.valid_loader = valid_loader
@@ -75,6 +79,11 @@ class Trainer:
         self.batch_keys = tuple(batch_keys)
         assert ckpt_format in ("pickle", "orbax"), ckpt_format
         self.ckpt_format = ckpt_format
+        # BMUF mode (train.py --bmuf): params/opt_state carry a leading
+        # dp axis, train_step is vmapped over it, `bmuf` is a
+        # train.bmuf.BmufRecipe driving the periodic sync
+        # (bk/..._hier.py:599-614)
+        self.bmuf = bmuf
         self.rng = jax.random.PRNGKey(seed)
         # scalar observability: JSONL + TensorBoard event files
         # (bk/..._hier.py:190-193,622-623)
@@ -107,6 +116,10 @@ class Trainer:
             "best_opt_state": jax.tree.map(
                 lambda x: np.asarray(x) if hasattr(x, "shape") else x,
                 self.best_opt_state),
+            # BMUF buffers ride the checkpoint like the reference's
+            # {..., 'bmuf'} dict (bk/..._hier.py:480-493)
+            "bmuf": (jax.tree.map(np.asarray, self.bmuf.state_dict())
+                     if self.bmuf is not None else None),
         }
 
     def _apply_state(self, state):
@@ -123,6 +136,8 @@ class Trainer:
         self.opt_state = jax.tree.map(as_jnp, state["opt_state"])
         self.best_opt_state = jax.tree.map(
             as_jnp, state.get("best_opt_state", state["opt_state"]))
+        if self.bmuf is not None and state.get("bmuf") is not None:
+            self.bmuf.load_state_dict(state["bmuf"])
 
     def save_checkpoint(self, tag: str = "last"):
         os.makedirs(self.save_dir, exist_ok=True)
@@ -186,26 +201,53 @@ class Trainer:
     # ------------------------------------------------------------------
     # loops
     # ------------------------------------------------------------------
+    def _batch_args(self, batch):
+        """Batch tensors in step-argument order; BMUF mode reshapes the
+        leading batch axis to (dp, B/dp) for the vmapped local step."""
+        vals = tuple(batch[k] for k in self.batch_keys)
+        if self.bmuf is None:
+            return vals
+        dp = self.bmuf.dp
+        out = []
+        for v in vals:
+            assert v.shape[0] % dp == 0, \
+                f"batch {v.shape[0]} not divisible by dp={dp} " \
+                "(use loader drop_last)"
+            out.append(v.reshape((dp, v.shape[0] // dp) + v.shape[1:]))
+        return tuple(out)
+
     def train_one_epoch(self) -> Dict[str, float]:
         stat = MetricStat(["loss", "ctc_loss"])
         meter = ThroughputMeter()
         for i, batch in enumerate(self.make_loader(self.resume_skip)):
-            args = (self.params, self.opt_state) + tuple(
-                batch[k] for k in self.batch_keys)
+            args = (self.params, self.opt_state) + self._batch_args(batch)
             if self.step_takes_rng:
                 # per-batch chunk-size sample (dynamic-chunk training)
-                args += (jax.random.fold_in(self.rng, self.global_step),)
+                key = jax.random.fold_in(self.rng, self.global_step)
+                if self.bmuf is not None:
+                    key = jax.random.split(key, self.bmuf.dp)
+                args += (key,)
             self.params, self.opt_state, metrics = self.train_step(*args)
-            loss = float(metrics["loss"])
+            loss = float(np.mean(metrics["loss"]))
             if not np.isfinite(loss):
                 self._recover_from_divergence()
                 if self.early_stop >= self.early_stop_limit:
                     raise RuntimeError("early stop: too many divergences")
                 continue
             self.global_step += 1
+            if self.bmuf is not None and \
+                    self.global_step % self.bmuf.sync_period == 0:
+                self.params, ok = self.bmuf.sync(self.params)
+                if not ok:  # STOP: non-finite delta (NaN guard)
+                    self._recover_from_divergence()
+                    if self.early_stop >= self.early_stop_limit:
+                        raise RuntimeError(
+                            "early stop: too many divergences")
+                    continue
             self.resume_skip += int(batch["data"].shape[0])
-            stat.update_stat([loss, float(metrics.get("ctc_loss", loss))],
-                             [1, 1])
+            stat.update_stat(
+                [loss, float(np.mean(metrics.get("ctc_loss", loss)))],
+                [1, 1])
             meter.update(int(np.sum(batch["lens"])))
             if (i + 1) % self.log_period == 0:
                 avg = stat.log_stat()
@@ -224,9 +266,14 @@ class Trainer:
 
     def validate(self, valid_step) -> float:
         assert self.valid_loader is not None
+        params = self.params
+        if self.bmuf is not None:
+            # validate the synced model (replica 0 == every replica
+            # right after a sync; mid-block, replica 0's local model)
+            params = jax.tree.map(lambda x: x[0], params)
         total, count = 0.0, 0
         for batch in self.valid_loader():
-            loss = float(valid_step(self.params, batch["data"],
+            loss = float(valid_step(params, batch["data"],
                                     batch["lens"], batch["target"],
                                     batch["target_lens"]))
             total += loss

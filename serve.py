@@ -215,13 +215,26 @@ def main(args):
         # int8 engines hold quantized expert tensors — the chunk
         # forward must use the matching quant dispatch
         moe_impl = "quant" if engine.int8_experts else "dense"
+        # conformer-family streams share one batched chunk program per
+        # (chunk, left) config: co-pending chunks from different
+        # connections coalesce into ONE call (the streaming analogue of
+        # MicroBatcher — B streams cost ~one stream of HBM traffic)
+        from m3asr_tpu.runtime.streaming_batch import (
+            BatchedStreamingSession, StreamBatcher)
+        batchers = {}
+        batchers_lock = threading.Lock()
 
         def factory(chunk, left):
-            return StreamingSession(engine.params, enc_cfg,
-                                    chunk_size=chunk,
-                                    num_left_chunks=left,
-                                    moe=engine.is_moe,
-                                    moe_impl=moe_impl)
+            key = (chunk, left)
+            with batchers_lock:
+                if key not in batchers:
+                    batchers[key] = StreamBatcher(
+                        engine.params, enc_cfg, chunk_size=chunk,
+                        num_left_chunks=left, slots=args.stream_slots,
+                        moe=engine.is_moe, moe_impl=moe_impl,
+                        window_ms=args.stream_window_ms)
+                b = batchers[key]
+            return BatchedStreamingSession(b)
     stream_pool = SessionPool(factory) if factory is not None else None
 
     class Server(socketserver.ThreadingTCPServer):
@@ -244,4 +257,11 @@ if __name__ == "__main__":
     p.add_argument("--batch_window_ms", type=float, default=5.0,
                    help="co-arrival window for request micro-batching")
     p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--stream_slots", type=int, default=8,
+                   help="concurrent streams sharing one batched chunk "
+                        "program (overflow streams get dedicated "
+                        "single-stream sessions)")
+    p.add_argument("--stream_window_ms", type=float, default=2.0,
+                   help="co-pending window for cross-stream chunk "
+                        "batching")
     main(p.parse_args())

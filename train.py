@@ -131,6 +131,38 @@ def main(args):
         max_grad_norm=raw.get("max_grad_norm", 5.0),
         weight_decay=raw.get("weight_decay", 0.0),
         name_nodecay=raw.get("name_nodecay"), params=params)
+
+    if args.smbr_cmd:
+        # sequence-discriminative mode (bk/..._hier.py:560-595): the
+        # external lattice command supplies d(loss)/d(logits)
+        import shlex
+        from m3asr_tpu.train.smbr import (KaldiLatticeBridge,
+                                          run_smbr_training)
+        if hier:
+            sys.exit("--smbr_cmd trains on encoder posteriors; drop "
+                     "--tr_aed_labels (the reference's sMBR recipe is "
+                     "CTC-posterior based)")
+        smbr_loader = DataLoader(
+            args.tr_rspecifier, args.tr_labels, training=True,
+            loader_conf=loader_conf, collate_func=collate,
+            trans_file=args.tr_trans_file)
+
+        def fwd(p, feat, feat_len):
+            return family.forward(p, model_cfg, feat, feat_len)
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        logger = set_logger("m3asr.smbr",
+                            log_file=args.log_file or
+                            os.path.join(args.output_dir, "train.log"))
+        bridge = KaldiLatticeBridge(command=shlex.split(args.smbr_cmd))
+        params, _, n = run_smbr_training(
+            model_cfg, fwd, params, optimizer,
+            make_loader=lambda: smbr_loader(output_keys=True),
+            bridge=bridge, work_dir=args.output_dir,
+            max_epochs=raw.get("max_epoch", args.max_epochs),
+            logger=logger, log_period=raw.get("log_period", 100))
+        print(f"smbr training done: {n} batches -> {args.output_dir}")
+        return
     step = (make_hier_train_step(model_cfg, tcfg, optimizer,
                                  with_domain_acc=domain_acc) if hier
             else make_train_step(model_cfg, tcfg, optimizer))
@@ -143,20 +175,50 @@ def main(args):
     dp = math.gcd(loader_conf.get("batch_size", 1), n_dev // ep)
     mesh = pmesh.make_mesh(dp=dp, ep=ep,
                            devices=jax.devices()[:dp * ep])
-    p_shard = pmesh.moe_param_sharding(mesh, params)
-    opt_probe = optimizer.init(params)
-    o_shard = pmesh.moe_param_sharding(mesh, opt_probe)
-    b_shard = pmesh.batch_sharding(mesh)
-    r_shard = pmesh.replicated(mesh)
     needs_rng = _needs_rng(model_cfg)
     n_label_args = (8 if domain_acc else 6) if hier else 4
-    in_shardings = (p_shard, o_shard, b_shard) + (r_shard,) * (
-        n_label_args - 1)
-    if needs_rng:
-        in_shardings = in_shardings + (r_shard,)
-    jstep = jax.jit(step, in_shardings=in_shardings,
-                    out_shardings=(p_shard, o_shard, r_shard))
-    params = jax.device_put(params, p_shard)
+    bmuf_recipe = None
+    opt_state = None
+    if args.bmuf:
+        # BMUF mode (the reference's deployed trainer,
+        # bk/..._hier.py:599-614): dp replicas step locally — the step
+        # is vmapped over a leading dp axis instead of psumming grads —
+        # and BmufRecipe block-momentum-syncs every sync_period batches
+        from m3asr_tpu.train.bmuf import BmufRecipe
+        bconf = dict(raw.get("bmuf_conf") or {})
+        sync_period = args.sync_period or bconf.get("sync_period", 100)
+        opt_state = BmufRecipe.stack(optimizer.init(params), dp)
+        params = BmufRecipe.stack(params, dp)
+        bmuf_recipe = BmufRecipe(
+            params, sync_period,
+            block_momentum=bconf.get("block_momentum", 0.875),
+            block_lr=bconf.get("block_lr", 1.0))
+        step = jax.vmap(step)
+        p_shard = pmesh.bmuf_stacked_sharding(mesh, params)
+        o_shard = pmesh.bmuf_stacked_sharding(mesh, opt_state)
+        # synced params must come back matching the step's in_shardings
+        bmuf_recipe.param_sharding = p_shard
+        b_shard = pmesh.batch_sharding(mesh)   # (dp, B/dp, ...) axis 0
+        in_shardings = (p_shard, o_shard) + (b_shard,) * n_label_args
+        if needs_rng:
+            in_shardings = in_shardings + (b_shard,)
+        jstep = jax.jit(step, in_shardings=in_shardings,
+                        out_shardings=(p_shard, o_shard, b_shard))
+        params = jax.device_put(params, p_shard)
+        opt_state = jax.device_put(opt_state, o_shard)
+    else:
+        p_shard = pmesh.moe_param_sharding(mesh, params)
+        opt_probe = optimizer.init(params)
+        o_shard = pmesh.moe_param_sharding(mesh, opt_probe)
+        b_shard = pmesh.batch_sharding(mesh)
+        r_shard = pmesh.replicated(mesh)
+        in_shardings = (p_shard, o_shard, b_shard) + (r_shard,) * (
+            n_label_args - 1)
+        if needs_rng:
+            in_shardings = in_shardings + (r_shard,)
+        jstep = jax.jit(step, in_shardings=in_shardings,
+                        out_shardings=(p_shard, o_shard, r_shard))
+        params = jax.device_put(params, p_shard)
 
     valid_step = None
     if cv_loader is not None and not hier:
@@ -182,6 +244,7 @@ def main(args):
     if domain_acc:
         batch_keys += ("domain", "acc")
     trainer = Trainer(model_cfg, params, optimizer, jstep,
+                      bmuf=bmuf_recipe, opt_state=opt_state,
                       batch_keys=batch_keys,
                       make_loader=make_tr_loader, valid_loader=cv_loader,
                       save_dir=args.output_dir,
@@ -219,6 +282,23 @@ if __name__ == "__main__":
     parser.add_argument("--log_file", required=False)
     parser.add_argument("--ep", type=int, default=1,
                         help="expert-parallel mesh size")
+    parser.add_argument("--smbr_cmd", required=False,
+                        help="external lattice command for sMBR-style "
+                             "sequence training; {post}/{grad}/{trans} "
+                             "placeholders are substituted per batch "
+                             "(the reference shells out to Kaldi "
+                             "tlg/ctc-nnet-train-mpe-sequential-online)")
+    parser.add_argument("--tr_trans_file", required=False,
+                        help="per-utterance transcript lines ('uttid w1 "
+                             "w2 ...'), strictly parallel to the feature "
+                             "stream (the lattice loaders' trans_file)")
+    parser.add_argument("--bmuf", action="store_true",
+                        help="BMUF training: local dp-replica steps + "
+                             "block-momentum sync every sync_period "
+                             "batches (the reference's deployed trainer)")
+    parser.add_argument("--sync_period", type=int, default=0,
+                        help="BMUF sync period in batches (or YAML "
+                             "bmuf_conf.sync_period; default 100)")
     parser.add_argument("--max_epochs", type=int, default=20)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--resume", action="store_true")
