@@ -48,17 +48,34 @@ jax.tree_util.register_dataclass(
     meta_fields=[])
 
 
-def init_state(cfg: DfsmnSanConfig, batch: int,
-               cache_T: int) -> DfsmnStreamState:
+def init_state(cfg: DfsmnSanConfig, batch: int, cache_T: int,
+               per_slot: bool = False) -> DfsmnStreamState:
+    """per_slot=True gives every batch row its own stream offset (the
+    batched multi-stream serving mode, runtime/streaming_batch)."""
     lctx = cfg.look_back * cfg.stride_left
     rctx = cfg.look_ahead * cfg.stride_right
     n_fsmn = cfg.num_block * cfg.fsmn_each_block
     return DfsmnStreamState(
-        offset=jnp.zeros((), jnp.int32),
+        offset=jnp.zeros((batch,) if per_slot else (), jnp.int32),
         fsmn_caches=[jnp.zeros((batch, lctx + rctx, cfg.memory_dim),
                                jnp.float32) for _ in range(n_fsmn)],
         att_caches=[jnp.zeros((batch, cache_T, cfg.memory_dim),
                               jnp.float32) for _ in range(cfg.num_block)],
+    )
+
+
+def select_state(mask: jax.Array, new: DfsmnStreamState,
+                 old: DfsmnStreamState) -> DfsmnStreamState:
+    """Per-slot state update: keep `new` where mask (B,) is True —
+    idle slots of a batched multi-stream step must not advance."""
+    m3 = mask[:, None, None]
+    return DfsmnStreamState(
+        offset=(jnp.where(mask, new.offset, old.offset)
+                if new.offset.ndim else new.offset),
+        fsmn_caches=[jnp.where(m3, n, o)
+                     for n, o in zip(new.fsmn_caches, old.fsmn_caches)],
+        att_caches=[jnp.where(m3, n, o)
+                    for n, o in zip(new.att_caches, old.att_caches)],
     )
 
 
@@ -159,7 +176,9 @@ def _stream_attn_mem(p, x: jax.Array, cache: jax.Array,
     v = linear(ap["linear_value"], ext).reshape(B, Tc + C, num_heads, dk)
     scores = jnp.einsum("bthd,bshd->bhts", q, k,
                         preferred_element_type=jnp.float32)
-    scores = jnp.where(key_valid[None, None, None, :], scores, -1e30)
+    kv = (key_valid[:, None, None, :] if key_valid.ndim == 2
+          else key_valid[None, None, None, :])     # per-slot offsets
+    scores = jnp.where(kv, scores, -1e30)
     if memory_num > 0:
         km = ap["key_memory"].astype(x.dtype)
         mem_scores = jnp.einsum("bthd,hmd->bhtm", q, km,
@@ -214,9 +233,15 @@ def _stream_hidden(params, cfg: DfsmnSanConfig, chunk: jax.Array,
             # (negative positions, discarded by drivers) clip to 0.
             delay0 = cfg.fsmn_each_block * rctx
             pe = positional.sinusoid_table(cfg.memory_dim, dtype=x.dtype)
-            idx = jnp.clip(state.offset - delay0 + jnp.arange(C), 0,
-                           pe.shape[0] - 1)
-            x = x + jnp.take(pe, idx, axis=0)[None]
+            if state.offset.ndim:        # per-slot offsets
+                idx = jnp.clip(state.offset[:, None] - delay0
+                               + jnp.arange(C)[None, :], 0,
+                               pe.shape[0] - 1)
+                x = x + jnp.take(pe, idx, axis=0)        # (B, C, D)
+            else:
+                idx = jnp.clip(state.offset - delay0 + jnp.arange(C), 0,
+                               pe.shape[0] - 1)
+                x = x + jnp.take(pe, idx, axis=0)[None]
         cache = state.att_caches[i]
         Tc = cache.shape[1]
         idx = jnp.arange(Tc + C)
@@ -225,7 +250,9 @@ def _stream_hidden(params, cfg: DfsmnSanConfig, chunk: jax.Array,
         # FIR delay are warm-up (input position < 0) and must not leak
         # into matured queries through attention
         delay_i = (i + 1) * cfg.fsmn_each_block * rctx
-        key_valid = (state.offset - Tc + idx) >= delay_i
+        off = (state.offset[:, None] if state.offset.ndim
+               else state.offset)
+        key_valid = (off - Tc + idx) >= delay_i
         x, na = _stream_attn_mem(bp["attn_layer"], x, cache, key_valid,
                                  cfg.num_head, cfg.num_memory,
                                  cfg.norm_type)
@@ -306,19 +333,37 @@ def moe_stream_delay(cfg, chunk_size: int = 16) -> int:
 
 
 def init_moe_state(cfg, batch: int, cache_T: int, chunk_size: int,
-                   input_dim: int) -> DfsmnMoeStreamState:
+                   input_dim: int,
+                   per_slot: bool = False) -> DfsmnMoeStreamState:
     ecfg, _, _, b_delay, n_layers, ring = _moe_consts(cfg, chunk_size)
     lctx = cfg.look_back * cfg.stride_left
     rctx = cfg.look_ahead * cfg.stride_right
     return DfsmnMoeStreamState(
-        offset=jnp.zeros((), jnp.int32),
+        offset=jnp.zeros((batch,) if per_slot else (), jnp.int32),
         in_buf=jnp.zeros((batch, b_delay, input_dim), jnp.float32),
-        embed_state=init_state(ecfg, batch, cache_T),
+        embed_state=init_state(ecfg, batch, cache_T, per_slot=per_slot),
         embed_buf=jnp.zeros((batch, ring, cfg.embed_dim), jnp.float32),
         fsmn_caches=[jnp.zeros((batch, lctx + rctx, cfg.memory_dim),
                                jnp.float32) for _ in range(n_layers)],
         att_caches=[jnp.zeros((batch, cache_T, cfg.memory_dim),
                               jnp.float32) for _ in range(cfg.num_block)],
+    )
+
+
+def select_moe_state(mask: jax.Array, new: DfsmnMoeStreamState,
+                     old: DfsmnMoeStreamState) -> DfsmnMoeStreamState:
+    """Per-slot hold-back of idle slots (batched multi-stream mode)."""
+    m3 = mask[:, None, None]
+    return DfsmnMoeStreamState(
+        offset=(jnp.where(mask, new.offset, old.offset)
+                if new.offset.ndim else new.offset),
+        in_buf=jnp.where(m3, new.in_buf, old.in_buf),
+        embed_state=select_state(mask, new.embed_state, old.embed_state),
+        embed_buf=jnp.where(m3, new.embed_buf, old.embed_buf),
+        fsmn_caches=[jnp.where(m3, n, o)
+                     for n, o in zip(new.fsmn_caches, old.fsmn_caches)],
+        att_caches=[jnp.where(m3, n, o)
+                    for n, o in zip(new.att_caches, old.att_caches)],
     )
 
 
@@ -364,8 +409,14 @@ def forward_chunk_moe(params, cfg, chunk: jax.Array,
                               skip_connect=not first)
             pos_mask = None
             if b_delay > 0:
-                pos = state.offset - b_delay - li * rctx + jnp.arange(C)
-                pos_mask = (pos >= 0)[None, :, None].astype(x.dtype)
+                if state.offset.ndim:    # per-slot offsets
+                    pos = (state.offset[:, None] - b_delay - li * rctx
+                           + jnp.arange(C)[None, :])
+                    pos_mask = (pos >= 0)[:, :, None].astype(x.dtype)
+                else:
+                    pos = (state.offset - b_delay - li * rctx
+                           + jnp.arange(C))
+                    pos_mask = (pos >= 0)[None, :, None].astype(x.dtype)
             if first:
                 x, nc = _stream_cfsmn(bp["fsmn_layers"][j], x,
                                       state.fsmn_caches[li], fcfg,
@@ -384,14 +435,22 @@ def forward_chunk_moe(params, cfg, chunk: jax.Array,
         if i == 0:
             delay0 = cfg.fsmn_each_block * rctx
             pe = positional.sinusoid_table(cfg.memory_dim, dtype=x.dtype)
-            idx = jnp.clip(state.offset - b_delay - delay0
-                           + jnp.arange(C), 0, pe.shape[0] - 1)
-            x = x + jnp.take(pe, idx, axis=0)[None]
+            if state.offset.ndim:        # per-slot offsets
+                idx = jnp.clip(state.offset[:, None] - b_delay - delay0
+                               + jnp.arange(C)[None, :], 0,
+                               pe.shape[0] - 1)
+                x = x + jnp.take(pe, idx, axis=0)
+            else:
+                idx = jnp.clip(state.offset - b_delay - delay0
+                               + jnp.arange(C), 0, pe.shape[0] - 1)
+                x = x + jnp.take(pe, idx, axis=0)[None]
         cache = state.att_caches[i]
         Tc = cache.shape[1]
         idx = jnp.arange(Tc + C)
         delay_i = (i + 1) * cfg.fsmn_each_block * rctx + b_delay
-        key_valid = (state.offset - Tc + idx) >= delay_i
+        off = (state.offset[:, None] if state.offset.ndim
+               else state.offset)
+        key_valid = (off - Tc + idx) >= delay_i
         x, na = _stream_attn_mem(bp["attn_layer"], x, cache, key_valid,
                                  cfg.num_head, cfg.num_memory,
                                  cfg.norm_type)

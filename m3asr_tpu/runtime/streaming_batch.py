@@ -10,8 +10,9 @@ mask, so B streams cost ~one stream of HBM traffic per tick.
 
 Mechanics:
  * the batched state gives every slot its own stream age
-   (models/streaming.init_state(per_slot=True) — per-slot offsets drive
-   per-slot PE slices and cache-validity masks);
+   (init_state(per_slot=True) — per-slot offsets drive per-slot PE
+   slices and cache-validity masks), for the conformer families
+   (models/streaming) and the DFSMN families (models/dfsmn_streaming);
  * idle slots receive zero windows and their state is held back with
    select_state, so an idle stream never advances;
  * one dispatch takes at most one pending chunk per slot (chunks of the
@@ -33,7 +34,9 @@ import numpy as np
 
 from m3asr_tpu.config import EncoderConfig, MoEEncoderConfig
 from m3asr_tpu.models import streaming
-from m3asr_tpu.runtime.streaming_session import StreamingSession
+from m3asr_tpu.runtime.streaming_session import (DfsmnMoeStreamingSession,
+                                                 DfsmnStreamingSession,
+                                                 StreamingSession)
 
 
 class SlotsFull(Exception):
@@ -50,59 +53,16 @@ class _PendingChunk:
         self.error: Optional[BaseException] = None
 
 
-class StreamBatcher:
-    """Shared batched chunk program for up to `slots` concurrent
-    streams of one (chunk_size, num_left_chunks) configuration."""
+class _BatcherCore:
+    """Slot management + pending-chunk dispatch loop shared by every
+    family batcher. Subclasses set `self.state` and provide
+    `_fn(params, windows (slots, W, D), mask (slots,), state)
+    -> (out (slots, C, V), new_state)` and `_fresh_state()`."""
 
-    def __init__(self, params, cfg: EncoderConfig, chunk_size: int = 16,
-                 num_left_chunks: int = 2, slots: int = 8,
-                 moe: bool = False, moe_impl: str = "dense",
-                 window_ms: float = 2.0):
+    def __init__(self, params, slots: int, window_ms: float):
         self.params = params
-        self.cfg = cfg
-        self.chunk = chunk_size
-        self.left = num_left_chunks
         self.slots = slots
-        self.moe = moe
-        self.moe_impl = moe_impl
         self._window_s = window_ms / 1e3
-        cache_T = chunk_size * num_left_chunks
-        self._cache_T = cache_T
-        self.state = streaming.init_state(cfg, slots, cache_T,
-                                          per_slot=True)
-        if moe:
-            assert isinstance(cfg, MoEEncoderConfig)
-            self.embed_state = streaming.init_state(
-                cfg.embed_conf, slots, cache_T, per_slot=True)
-
-            def step(p, windows, mask, state, embed_state):
-                out, ns, nes = streaming.forward_chunk_moe(
-                    p, cfg, windows, state, embed_state,
-                    moe_impl=moe_impl)
-                return (out, streaming.select_state(mask, ns, state),
-                        streaming.select_state(mask, nes, embed_state))
-        else:
-            self.embed_state = None
-
-            def step(p, windows, mask, state, embed_state):
-                out, ns = streaming.forward_chunk(p, cfg, windows, state)
-                return (out, streaming.select_state(mask, ns, state),
-                        embed_state)
-
-        self._fn = jax.jit(step)
-        self._reset = jax.jit(
-            lambda state, slot: streaming.select_state(
-                jnp.arange(slots) == slot,
-                streaming.init_state(cfg, slots, cache_T, per_slot=True),
-                state))
-        if moe:
-            self._reset_embed = jax.jit(
-                lambda state, slot: streaming.select_state(
-                    jnp.arange(slots) == slot,
-                    streaming.init_state(cfg.embed_conf, slots, cache_T,
-                                         per_slot=True),
-                    state))
-
         self._free: List[int] = list(range(slots))
         self._pending: Dict[int, List[_PendingChunk]] = {}
         self._cv = threading.Condition()
@@ -111,6 +71,16 @@ class StreamBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="m3asr-streambatcher")
         self._thread.start()
+
+    # -- provided by subclass ---------------------------------------------
+    def _fresh_state(self):
+        raise NotImplementedError
+
+    def _select(self, mask, new_state, old_state):
+        raise NotImplementedError
+
+    def _step(self, windows, mask, state):
+        raise NotImplementedError
 
     # -- slot management ---------------------------------------------------
     def open_slot(self) -> int:
@@ -122,15 +92,21 @@ class StreamBatcher:
     def reset_slot(self, slot: int) -> None:
         """Zero one slot's caches/offset (fresh stream, slot kept)."""
         with self._cv:
-            self.state = self._reset(self.state, slot)
-            if self.moe:
-                self.embed_state = self._reset_embed(self.embed_state,
-                                                     slot)
+            if self.state is not None:
+                self.state = self._reset_jit(self.state, slot)
 
     def close_slot(self, slot: int) -> None:
         self.reset_slot(slot)
         with self._cv:
             self._free.append(slot)
+
+    def _reset_jit(self, state, slot):
+        # jitted lazily (subclass state may not exist at construction)
+        if not hasattr(self, "_reset_fn"):
+            self._reset_fn = jax.jit(
+                lambda s, i: self._select(jnp.arange(self.slots) == i,
+                                          self._fresh_state(), s))
+        return self._reset_fn(state, slot)
 
     # -- caller side -------------------------------------------------------
     def push(self, slot: int, window: np.ndarray) -> np.ndarray:
@@ -203,14 +179,13 @@ class StreamBatcher:
                 windows[slot] = item.window[0]
                 mask[slot] = True
             with self._cv:
-                state, embed_state = self.state, self.embed_state
-            out, new_state, new_embed = self._fn(
-                self.params, jnp.asarray(windows), jnp.asarray(mask),
-                state, embed_state)
+                if self.state is None:
+                    self.state = self._lazy_init(D)
+                state = self.state
+            out, new_state = self._step(jnp.asarray(windows),
+                                        jnp.asarray(mask), state)
             with self._cv:
                 self.state = new_state
-                if self.moe:
-                    self.embed_state = new_embed
             out = np.asarray(out)
             self._batch_sizes.append(len(batch))
             if len(self._batch_sizes) > 1000:
@@ -223,6 +198,112 @@ class StreamBatcher:
         finally:
             for item in batch.values():
                 item.event.set()
+
+    def _lazy_init(self, input_dim: int):
+        raise NotImplementedError
+
+
+class StreamBatcher(_BatcherCore):
+    """Shared batched chunk program for up to `slots` concurrent
+    conformer-family streams of one (chunk_size, num_left_chunks)
+    configuration. The hier MoE variant batches its embed substream
+    state too."""
+
+    def __init__(self, params, cfg: EncoderConfig, chunk_size: int = 16,
+                 num_left_chunks: int = 2, slots: int = 8,
+                 moe: bool = False, moe_impl: str = "dense",
+                 window_ms: float = 2.0):
+        self.cfg = cfg
+        self.chunk = chunk_size
+        self.left = num_left_chunks
+        self.moe = moe
+        self.moe_impl = moe_impl
+        self._cache_T = chunk_size * num_left_chunks
+        if moe:
+            assert isinstance(cfg, MoEEncoderConfig)
+
+            def step(p, windows, mask, state):
+                st, est = state
+                out, ns, nes = streaming.forward_chunk_moe(
+                    p, cfg, windows, st, est, moe_impl=moe_impl)
+                return out, (streaming.select_state(mask, ns, st),
+                             streaming.select_state(mask, nes, est))
+        else:
+            def step(p, windows, mask, state):
+                st, _ = state
+                out, ns = streaming.forward_chunk(p, cfg, windows, st)
+                return out, (streaming.select_state(mask, ns, st), None)
+
+        self._jit_step = jax.jit(step)
+        super().__init__(params, slots, window_ms)
+        self.state = self._fresh_state()
+
+    def _fresh_state(self):
+        st = streaming.init_state(self.cfg, self.slots, self._cache_T,
+                                  per_slot=True)
+        est = (streaming.init_state(self.cfg.embed_conf, self.slots,
+                                    self._cache_T, per_slot=True)
+               if self.moe else None)
+        return (st, est)
+
+    def _select(self, mask, new_state, old_state):
+        st = streaming.select_state(mask, new_state[0], old_state[0])
+        est = (streaming.select_state(mask, new_state[1], old_state[1])
+               if self.moe else None)
+        return (st, est)
+
+    def _step(self, windows, mask, state):
+        return self._jit_step(self.params, windows, mask, state)
+
+
+class DfsmnStreamBatcher(_BatcherCore):
+    """Batched chunk program for DFSMN-family streams (frame-aligned
+    chunks; per-slot offsets drive the PE gather and FIR-delay masks)."""
+
+    def __init__(self, params, cfg, chunk_size: int = 16, slots: int = 8,
+                 cache_T: int = 256, moe: bool = False,
+                 moe_impl: str = "dense", window_ms: float = 2.0):
+        from m3asr_tpu.models import dfsmn_streaming as S
+        self.cfg = cfg
+        self.chunk = chunk_size
+        self.moe = moe
+        self.moe_impl = moe_impl
+        self._cache_T = cache_T
+        self._S = S
+        self._input_dim: Optional[int] = None     # moe: sized lazily
+        if moe:
+            def step(p, windows, mask, state):
+                out, ns = S.forward_chunk_moe(p, cfg, windows, state,
+                                              moe_impl=moe_impl)
+                return out, S.select_moe_state(mask, ns, state)
+        else:
+            def step(p, windows, mask, state):
+                out, ns = S.forward_chunk(p, cfg, windows, state)
+                return out, S.select_state(mask, ns, state)
+
+        self._jit_step = jax.jit(step)
+        super().__init__(params, slots, window_ms)
+        self.state = (None if moe else self._fresh_state())
+
+    def _fresh_state(self):
+        if self.moe:
+            return self._S.init_moe_state(self.cfg, self.slots,
+                                          self._cache_T, self.chunk,
+                                          self._input_dim, per_slot=True)
+        return self._S.init_state(self.cfg, self.slots, self._cache_T,
+                                  per_slot=True)
+
+    def _lazy_init(self, input_dim: int):
+        self._input_dim = input_dim
+        return self._fresh_state()
+
+    def _select(self, mask, new_state, old_state):
+        if self.moe:
+            return self._S.select_moe_state(mask, new_state, old_state)
+        return self._S.select_state(mask, new_state, old_state)
+
+    def _step(self, windows, mask, state):
+        return self._jit_step(self.params, windows, mask, state)
 
 
 class BatchedStreamingSession(StreamingSession):
@@ -258,6 +339,59 @@ class BatchedStreamingSession(StreamingSession):
             return StreamingSession(b.params, b.cfg, chunk_size=b.chunk,
                                     num_left_chunks=b.left, moe=b.moe,
                                     moe_impl=b.moe_impl)
+
+    def release(self) -> None:
+        self.batcher.close_slot(self.slot)
+
+
+class BatchedDfsmnStreamingSession(DfsmnStreamingSession):
+    """DfsmnStreamingSession on a shared DfsmnStreamBatcher slot (works
+    for the MoE family too — the batcher owns the whole chunk-program
+    state; this driver keeps only the host maturity bookkeeping)."""
+
+    def __init__(self, batcher: DfsmnStreamBatcher):
+        from m3asr_tpu.models import dfsmn_streaming as S
+        self.batcher = batcher
+        self.chunk = batcher.chunk
+        self.delay = (S.moe_stream_delay(batcher.cfg, batcher.chunk)
+                      if batcher.moe else S.stream_delay(batcher.cfg))
+        self.slot = batcher.open_slot()
+        self._buf = None
+        self._consumed = 0
+        self._fed = 0
+        self._next_pos = 0
+
+    def _run(self, c: np.ndarray, real_limit):
+        out = self.batcher.push(self.slot, c)
+        self._fed += c.shape[1]
+        C = out.shape[1]
+        first_pos = self._fed - C - self.delay
+        start = max(0, self._next_pos - first_pos)
+        end = C if real_limit is None else min(C, real_limit - first_pos)
+        if end <= start:
+            return None
+        self._next_pos = first_pos + end
+        return out[:, start:end]
+
+    def reset(self) -> None:
+        self.batcher.reset_slot(self.slot)
+        self._buf = None
+        self._consumed = 0
+        self._fed = 0
+        self._next_pos = 0
+
+    def clone(self):
+        try:
+            return BatchedDfsmnStreamingSession(self.batcher)
+        except SlotsFull:
+            b = self.batcher
+            if b.moe:
+                return DfsmnMoeStreamingSession(
+                    b.params, b.cfg, chunk_size=b.chunk,
+                    cache_T=b._cache_T, moe_impl=b.moe_impl)
+            return DfsmnStreamingSession(b.params, b.cfg,
+                                         chunk_size=b.chunk,
+                                         cache_T=b._cache_T)
 
     def release(self) -> None:
         self.batcher.close_slot(self.slot)

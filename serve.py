@@ -193,24 +193,30 @@ def main(args):
                            max_batch=max_batch)
 
     from m3asr_tpu.models.registry import dfsmn_stream_config, get_family
-    from m3asr_tpu.runtime.streaming_session import (
-        DfsmnMoeStreamingSession, DfsmnStreamingSession, StreamingSession)
     family = get_family(engine.model_cfg.nnet_proto).name
     enc_cfg = engine.model_cfg.encoder_conf
-    if family == "dfsmn_moe":
+    if family.startswith("dfsmn"):
+        # DFSMN streams (incl. MoE) share one batched chunk program per
+        # chunk size — the same cross-stream micro-batching as the
+        # conformer path (runtime/streaming_batch)
+        from m3asr_tpu.runtime.streaming_batch import (
+            BatchedDfsmnStreamingSession, DfsmnStreamBatcher)
         stream_cfg = dfsmn_stream_config(engine.model_cfg)
         dfsmn_impl = "quant" if engine.int8_experts else "dense"
+        dfsmn_batchers = {}
+        dfsmn_lock = threading.Lock()
 
         def factory(chunk, left):
-            return DfsmnMoeStreamingSession(engine.params, stream_cfg,
-                                            chunk_size=chunk,
-                                            moe_impl=dfsmn_impl)
-    elif family.startswith("dfsmn"):
-        stream_cfg = dfsmn_stream_config(engine.model_cfg)
-
-        def factory(chunk, left):
-            return DfsmnStreamingSession(engine.params, stream_cfg,
-                                         chunk_size=chunk)
+            with dfsmn_lock:
+                if chunk not in dfsmn_batchers:
+                    dfsmn_batchers[chunk] = DfsmnStreamBatcher(
+                        engine.params, stream_cfg, chunk_size=chunk,
+                        slots=args.stream_slots,
+                        moe=(family == "dfsmn_moe"),
+                        moe_impl=dfsmn_impl,
+                        window_ms=args.stream_window_ms)
+                b = dfsmn_batchers[chunk]
+            return BatchedDfsmnStreamingSession(b)
     else:
         # int8 engines hold quantized expert tensors — the chunk
         # forward must use the matching quant dispatch

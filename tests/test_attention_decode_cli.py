@@ -1,6 +1,10 @@
 """recognize.py -d attention: standalone AED beam-search decode through
 the CLI (engine dir + decoders.npz -> hypotheses)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # >90s: full training/CLI runs
+
 import os
 import subprocess
 import sys

@@ -10,6 +10,10 @@ Trainer epoch loop in BMUF mode trains (loss decreases) — the CLI is
 exercised in test_train_cli.py.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # >90s: full training/CLI runs
+
 import jax
 import jax.numpy as jnp
 import numpy as np

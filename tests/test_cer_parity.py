@@ -8,6 +8,10 @@ recognize.py, and assert the engine's transcripts and CER match the
 torch model's own decode exactly (the reference's parity philosophy,
 trt_helper/infer_helper.py:93, taken to the end metric)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # >90s: full training/CLI runs
+
 import json
 import os
 import subprocess

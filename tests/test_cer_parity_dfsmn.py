@@ -3,6 +3,10 @@ DFSMN-SAN twin on the synthetic token->pattern task, convert, and
 assert the engine's greedy transcripts and CER equal the torch model's
 own decode (same standard as test_cer_parity for the conformer)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # >90s: full training/CLI runs
+
 import numpy as np
 import pytest
 import torch

@@ -1,6 +1,7 @@
 """MoE-DFSMN layer parity + san-MoE net smoke."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -118,6 +119,7 @@ def _moe_net_params(seed=7):
                 "bias": jnp.zeros(7)}}
 
 
+@pytest.mark.slow
 def test_dfsmn_moe_int8_engine():
     """int8 expert quantization for the DFSMN-MoE layout: the engine
     quantizes every cfsmn-MoE layer's expert tensors and runs the quant

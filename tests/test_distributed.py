@@ -3,6 +3,10 @@ single-process jax.distributed bring-up (multi-process runs need real
 hosts; the mesh/collective semantics are covered on the 8-device
 virtual CPU mesh)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # >90s: full training/CLI runs
+
 import numpy as np
 
 import jax

@@ -1,5 +1,9 @@
 """int8 engine mode: close to fp32 logits, survives save/load."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # >90s: full training/CLI runs
+
 import numpy as np
 import torch
 

@@ -146,6 +146,7 @@ def test_raw_wav_training_augmentation_is_deterministic(tmp_path):
     np.testing.assert_array_equal(a["data"], b["data"])  # seeded rng
 
 
+@pytest.mark.slow
 def test_recognize_cli_raw_wav(tmp_path):
     """recognize.py --raw_wav decodes straight from wav files through
     the fbank frontend."""

@@ -1,6 +1,10 @@
 """Full hier AED training recipe: CTC + embed CTC + 3 AED heads +
 router aux losses, end to end on a tiny model."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # >90s: full training/CLI runs
+
 import numpy as np
 
 import jax

@@ -61,6 +61,7 @@ def test_noisy_gate_train_vs_eval():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_exmarc_block_uses_moe_macaron():
     from m3asr_tpu.config import (EncoderConfig, MoEConfig,
                                   MoEEncoderConfig)

@@ -2,6 +2,7 @@
 reference entirely lacks (SURVEY.md §4: 'Distributed tests: none')."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -15,6 +16,7 @@ def test_mesh_shapes():
     assert mesh.axis_names == ("dp", "ep")
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_trains():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

@@ -1,5 +1,9 @@
 """recognize.py end-to-end: ark features -> engine -> transcripts + CER."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # >90s: full training/CLI runs
+
 import os
 import struct
 import subprocess

@@ -9,6 +9,7 @@ import sys
 import time
 
 import numpy as np
+import pytest
 import torch
 import yaml
 
@@ -190,6 +191,7 @@ def test_serve_streaming_protocol(tmp_path):
         proc.wait(timeout=10)
 
 
+@pytest.mark.slow
 def test_serve_streaming_concurrent_batched(tmp_path):
     """Concurrent streams ride the shared batched chunk program
     (runtime/streaming_batch): every client's transcript equals its
@@ -263,6 +265,7 @@ def test_serve_streaming_concurrent_batched(tmp_path):
         proc.wait(timeout=10)
 
 
+@pytest.mark.slow
 def test_serve_streaming_dfsmn(tmp_path):
     """Streaming over a DFSMN engine (frame-aligned chunks, FIR delay
     handled by the session); and a DFSMN-MoE engine must refuse

@@ -2,6 +2,7 @@
 the equivalent surrogate loss; the lattice bridge round-trips arks."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,7 @@ from m3asr_tpu.models import conformer
 from m3asr_tpu.train.smbr import KaldiLatticeBridge, external_grad_step
 
 
+@pytest.mark.slow
 def test_external_grad_matches_surrogate_loss():
     cfg = EncoderConfig(attention_dim=24, attention_heads=4,
                         linear_units=32, num_blocks=1)
@@ -131,6 +133,7 @@ def test_loader_trans_stream(tmp_path):
         list(bad(output_keys=True))
 
 
+@pytest.mark.slow
 def test_run_smbr_training_updates_params(tmp_path):
     """The runnable epoch loop: fake lattice runner drives real
     parameter updates through the vjp pullback (the VERDICT r1 done

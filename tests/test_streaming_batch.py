@@ -3,6 +3,10 @@ on one batched chunk program produce exactly the per-stream outputs of
 independent single-stream sessions, idle slots never advance, and
 co-pending chunks actually coalesce into one call."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # >90s: full training/CLI runs
+
 import threading
 
 import numpy as np
@@ -181,6 +185,105 @@ def test_slots_full_falls_back_to_dedicated_session():
         fallback = first.clone()
         assert isinstance(fallback, StreamingSession)
         assert not isinstance(fallback, BatchedStreamingSession)
+    finally:
+        batcher.close()
+
+
+def test_dfsmn_batcher_parity():
+    """DFSMN streams (incl. FIR look-ahead delay bookkeeping) batch
+    across slots with per-slot offsets: outputs equal independent
+    DfsmnStreamingSessions."""
+    from m3asr_tpu.models import dfsmn
+    from m3asr_tpu.runtime.streaming_batch import (
+        BatchedDfsmnStreamingSession, DfsmnStreamBatcher)
+    from m3asr_tpu.runtime.streaming_session import DfsmnStreamingSession
+
+    cfg = dfsmn.DfsmnSanConfig(num_block=2, fsmn_each_block=2,
+                               hidden_dim=24, memory_dim=16, num_head=4,
+                               num_memory=8, look_ahead=1)
+    params = dfsmn.init_dfsmn_san(jax.random.PRNGKey(20), cfg, 16, 9)
+    rng = np.random.RandomState(21)
+    feats = [rng.randn(1, T, 16).astype(np.float32) for T in (26, 19)]
+    pieces = [[7, 13, 6], [10, 9]]
+
+    refs = []
+    for f, ps in zip(feats, pieces):
+        outs = []
+        _feed(DfsmnStreamingSession(params, cfg, chunk_size=6,
+                                    cache_T=32), f, ps, outs)
+        refs.append(outs)
+
+    batcher = DfsmnStreamBatcher(params, cfg, chunk_size=6, slots=3,
+                                 cache_T=32, window_ms=20.0)
+    try:
+        sessions = [BatchedDfsmnStreamingSession(batcher)
+                    for _ in range(2)]
+        got = [[] for _ in range(2)]
+        threads = [threading.Thread(target=_feed,
+                                    args=(sessions[i], feats[i],
+                                          pieces[i], got[i]))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(2):
+            assert len(got[i]) == len(refs[i]), (i, len(got[i]),
+                                                 len(refs[i]))
+            for a, b in zip(got[i], refs[i]):
+                allclose(a, b, rtol=1e-4, atol=1e-4)
+        assert max(batcher.batch_sizes) > 1, batcher.batch_sizes
+    finally:
+        batcher.close()
+
+
+def test_dfsmn_moe_batcher_parity():
+    """MoE-DFSMN batched streams (embed substream + router-alignment
+    ring + input delay buffer all per-slot) == independent sessions."""
+    from m3asr_tpu.models import dfsmn
+    from m3asr_tpu.runtime.streaming_batch import (
+        BatchedDfsmnStreamingSession, DfsmnStreamBatcher)
+    from m3asr_tpu.runtime.streaming_session import (
+        DfsmnMoeStreamingSession)
+
+    cfg = dfsmn.DfsmnSanMoEConfig(
+        num_block=2, fsmn_each_block=2, hidden_dim=24, memory_dim=16,
+        num_head=4, num_memory=8, num_experts=2, embed_dim=16,
+        look_ahead=1,
+        embed_conf=dfsmn.DfsmnSanConfig(
+            num_block=1, fsmn_each_block=2, hidden_dim=24,
+            memory_dim=16, num_head=4, num_memory=8, look_ahead=1))
+    params = dfsmn.init_dfsmn_san_moe(jax.random.PRNGKey(22), cfg, 12, 7,
+                                      rand_init_router=True)
+    rng = np.random.RandomState(23)
+    feats = [rng.randn(1, T, 12).astype(np.float32) for T in (24, 18)]
+
+    refs = []
+    for f in feats:
+        outs = []
+        _feed(DfsmnMoeStreamingSession(params, cfg, chunk_size=6,
+                                       cache_T=32), f, [f.shape[1]],
+              outs)
+        refs.append(outs)
+
+    batcher = DfsmnStreamBatcher(params, cfg, chunk_size=6, slots=2,
+                                 cache_T=32, moe=True, window_ms=20.0)
+    try:
+        sessions = [BatchedDfsmnStreamingSession(batcher)
+                    for _ in range(2)]
+        got = [[] for _ in range(2)]
+        threads = [threading.Thread(target=_feed,
+                                    args=(sessions[i], feats[i],
+                                          [feats[i].shape[1]], got[i]))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(2):
+            assert len(got[i]) == len(refs[i])
+            for a, b in zip(got[i], refs[i]):
+                allclose(a, b, rtol=1e-4, atol=1e-4)
     finally:
         batcher.close()
 

@@ -2,6 +2,10 @@
 checkpoints + scalar/TB logs written (the L5 entry point,
 bk/train_*.py:816-839)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # >90s: full training/CLI runs
+
 import glob
 import json
 import os

@@ -7,6 +7,10 @@
   restores the best optimizer state (bk/..._hier.py:764-774)
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # >90s: full training/CLI runs
+
 import numpy as np
 import pytest
 

@@ -1,6 +1,10 @@
 """End-to-end training smoke: tiny MoE conformer learns a toy CTC task;
 checkpoint/resume and divergence recovery behave."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # >90s: full training/CLI runs
+
 import numpy as np
 import pytest
 
