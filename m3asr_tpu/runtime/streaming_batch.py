@@ -68,6 +68,11 @@ class _BatcherCore:
         self._cv = threading.Condition()
         self._running = True
         self._batch_sizes: List[int] = []      # observability
+        # resets requested while a dispatch is in flight are deferred
+        # and applied at state write-back — otherwise a recycled slot
+        # could be overwritten with its stale pre-reset caches
+        self._in_flight = False
+        self._deferred_resets: set = set()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="m3asr-streambatcher")
         self._thread.start()
@@ -92,8 +97,17 @@ class _BatcherCore:
     def reset_slot(self, slot: int) -> None:
         """Zero one slot's caches/offset (fresh stream, slot kept)."""
         with self._cv:
-            if self.state is not None:
+            if self.state is None:
+                return
+            if self._in_flight:
+                self._deferred_resets.add(slot)
+            else:
                 self.state = self._reset_jit(self.state, slot)
+
+    def _apply_deferred_resets_locked(self):
+        while self._deferred_resets and self.state is not None:
+            self.state = self._reset_jit(self.state,
+                                         self._deferred_resets.pop())
 
     def close_slot(self, slot: int) -> None:
         self.reset_slot(slot)
@@ -181,11 +195,15 @@ class _BatcherCore:
             with self._cv:
                 if self.state is None:
                     self.state = self._lazy_init(D)
+                self._apply_deferred_resets_locked()
                 state = self.state
+                self._in_flight = True
             out, new_state = self._step(jnp.asarray(windows),
                                         jnp.asarray(mask), state)
             with self._cv:
                 self.state = new_state
+                self._in_flight = False
+                self._apply_deferred_resets_locked()
             out = np.asarray(out)
             self._batch_sizes.append(len(batch))
             if len(self._batch_sizes) > 1000:
@@ -196,6 +214,9 @@ class _BatcherCore:
             for item in batch.values():
                 item.error = e
         finally:
+            with self._cv:           # a failed step must not wedge
+                self._in_flight = False
+                self._apply_deferred_resets_locked()
             for item in batch.values():
                 item.event.set()
 

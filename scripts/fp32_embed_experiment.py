@@ -48,7 +48,7 @@ def main(args):
         cfg.encoder_conf.embed_conf.scan_unroll = unroll
         dev_ms, call_ms = bench_device(cfg, params, feat, feat_len,
                                        "float32", args.impl, args.iters,
-                                       fp32_precision="high")
+                                       k=args.k, fp32_precision="high")
         print(json.dumps({
             "variant": f"embed_scan_unroll={unroll}",
             "p50_device_ms": round(dev_ms, 3),
@@ -63,4 +63,8 @@ if __name__ == "__main__":
     p.add_argument("--seq", type=int, default=206)
     p.add_argument("--impl", default="dense")
     p.add_argument("--unrolls", type=int, nargs="+", default=[1, 2, 3, 6])
+    p.add_argument("--k", type=int, default=8,
+                   help="scan-chain length of the device-latency "
+                        "measurement (larger k averages out the RPC "
+                        "tunnel jitter)")
     main(p.parse_args())

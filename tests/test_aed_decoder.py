@@ -1,6 +1,7 @@
 """AED decoder parity + attention rescoring behavior."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax.numpy as jnp
@@ -169,6 +170,7 @@ def _numpy_beam_search(p, dcfg, memory, memory_lens, beam, max_len, sos,
     return results
 
 
+@pytest.mark.slow
 def test_attention_beam_search_matches_reference_impl():
     """The jitted cached/batched beam search equals an independent
     teacher-forced numpy beam search (same top-k tie order) on both
@@ -204,6 +206,7 @@ def test_attention_beam_search_matches_reference_impl():
                                    atol=1e-4)
 
 
+@pytest.mark.slow
 def test_attention_search_decode_beam1_is_greedy():
     """beam=1 equals a greedy argmax roll-out of forward_one_step."""
     import jax

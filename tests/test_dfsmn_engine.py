@@ -6,6 +6,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 import torch
 import yaml
 
@@ -97,6 +98,7 @@ def test_dfsmn_engine_infer_matches_torch(tmp_path):
         allclose(out[b, :n], y_t.numpy()[b, :n])
 
 
+@pytest.mark.slow
 def test_dfsmn_build_and_infer_cli(tmp_path):
     m = golden_dfsmn()
     with open(tmp_path / "cfg.yaml", "w") as f:

@@ -36,6 +36,7 @@ def test_cfsmn_moe_layer_parity():
                  valid_region(y_t.numpy(), [19, 11]))
 
 
+@pytest.mark.slow
 def test_dfsmn_san_moe_forward_smoke():
     """Full MoE-DFSMN net: init synthetic params matching the converter
     tree, run, check finiteness + shapes."""

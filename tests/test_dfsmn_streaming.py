@@ -2,6 +2,7 @@
 with a chunk-causal-masked full forward."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -49,6 +50,7 @@ def _causal_cfg():
                 stride_right=1, num_head=4, num_memory=8)
 
 
+@pytest.mark.slow
 def test_dfsmn_streaming_matches_chunk_masked_full_forward():
     torch.manual_seed(93)
     kw = _causal_cfg()
@@ -93,6 +95,7 @@ def test_dfsmn_streaming_one_compilation():
     assert step._cache_size() == 1
 
 
+@pytest.mark.slow
 def test_dfsmn_streaming_session_causal_exact():
     """Session (look_ahead=0) emits exactly the chunk-masked full
     forward over arbitrary push sizes + finish()."""
@@ -208,6 +211,7 @@ def _causal_moe_net():
     return params, cfg
 
 
+@pytest.mark.slow
 def test_dfsmn_moe_streaming_causal_exact():
     """Causal MoE-DFSMN session (embed substream + catEmbed router
     alignment) emits exactly the chunk-masked offline forward."""

@@ -1,6 +1,7 @@
 """Explicit shard_map expert-parallel MoE == single-device MoE."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -10,6 +11,7 @@ from m3asr_tpu.parallel import mesh as pmesh
 from m3asr_tpu.parallel.ep import make_ep_moe_ffn
 
 
+@pytest.mark.slow
 def test_ep_shardmap_matches_dense():
     E = 8
     key = jax.random.PRNGKey(0)

@@ -2,6 +2,7 @@
 experts, 1024 hidden) — catches layout bugs that tiny dims can mask."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax.numpy as jnp
@@ -16,6 +17,7 @@ from m3asr_tpu.models.layers import conformer_block
 from test_op_parity import allclose, valid_region
 
 
+@pytest.mark.slow
 def test_flagship_dim_moe_block_parity():
     torch.manual_seed(120)
     m = G.randomize_(G.ConformerEncoderLayer(

@@ -1,6 +1,7 @@
 """Hier attention rescoring: engine tap emission + 3-decoder scoring."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -27,6 +28,7 @@ def _engine_with_taps():
     return Engine(cfg, params, ecfg), cfg, params
 
 
+@pytest.mark.slow
 def test_engine_emits_hier_taps():
     eng, cfg, params = _engine_with_taps()
     rng = np.random.RandomState(0)
@@ -63,6 +65,7 @@ def _three_decoders(d_model=32, vocab=11):
     return dcfg, decs
 
 
+@pytest.mark.slow
 def test_hier_rescoring_picks_from_nbest():
     dcfg, decs = _three_decoders()
     rng = np.random.RandomState(1)
@@ -75,6 +78,7 @@ def test_hier_rescoring_picks_from_nbest():
     assert np.isfinite(score)
 
 
+@pytest.mark.slow
 def test_hier_rescoring_single_decoder_matches_plain():
     dcfg, decs = _three_decoders()
     rng = np.random.RandomState(2)

@@ -23,6 +23,7 @@ def test_naive_topk_gate_selects_best():
     assert g[0] > g[1]
 
 
+@pytest.mark.slow
 def test_topk2_moe_matches_manual():
     key = jax.random.PRNGKey(0)
     p = _params(key, 8, 4, 16, 12)

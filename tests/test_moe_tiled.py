@@ -2,6 +2,7 @@
 skewed, and degenerate routings; ragged_padded twin; int8 twin."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,7 @@ def test_ragged_padded_matches_dense_all_routings():
                 err_msg=f"routing={name} tile={tile}")
 
 
+@pytest.mark.slow
 def test_moe_ffn_tiled_impl():
     p, x, embed = _setup(4)
     lengths = jnp.array([9, 5])
@@ -65,6 +67,7 @@ def test_moe_ffn_tiled_impl():
                                    rtol=1e-5, atol=1e-6, err_msg=impl)
 
 
+@pytest.mark.slow
 def test_tiled_quant_matches_dense_quant():
     from m3asr_tpu.ops import quant
     p, x, embed = _setup(5)

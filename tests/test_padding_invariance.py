@@ -3,6 +3,7 @@ how much padding the serving system appends (the property TRT gets from
 true dynamic shapes; we get it from complete masking)."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax.numpy as jnp
@@ -17,6 +18,7 @@ from test_op_parity import allclose
 from test_runtime import golden_model, small_yaml
 
 
+@pytest.mark.slow
 def test_valid_region_invariant_to_padding():
     m = golden_model()
     raw = small_yaml()

@@ -22,6 +22,7 @@ def test_dryrun_multichip_trains():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_ep_sharded_forward_matches_single_device():
     """Expert-parallel sharded inference == unsharded inference."""
     from m3asr_tpu.config import (EncoderConfig, MoEConfig,

@@ -2,6 +2,7 @@
 output modes."""
 
 import numpy as np
+import pytest
 import torch
 
 from m3asr_tpu import checkpoint as ckpt
@@ -30,6 +31,7 @@ def test_expert_shard_roundtrip():
         np.testing.assert_array_equal(back[k], full[k])
 
 
+@pytest.mark.slow
 def test_read_prior_and_engine_prior(tmp_path):
     # prior file: first entry dropped, zeros smoothed
     np.savetxt(tmp_path / "prior.txt", np.array([9.0, 2.0, 0.0, 6.0, 2.0]))

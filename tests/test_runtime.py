@@ -60,6 +60,7 @@ def test_bucket_pick():
         b.pick(1, 1000)
 
 
+@pytest.mark.slow
 def test_engine_infer_matches_torch_and_padding_invariance(tmp_path):
     m = golden_model()
     raw = small_yaml()
@@ -93,6 +94,7 @@ def test_engine_infer_matches_torch_and_padding_invariance(tmp_path):
     allclose(out3, out)
 
 
+@pytest.mark.slow
 def test_cli_build_and_infer(tmp_path):
     """Drive the public CLIs end-to-end like the reference shell flow
     (builder.sh -> infer.sh)."""

@@ -16,6 +16,7 @@ import yaml
 from test_runtime import REPO, golden_model, small_yaml
 
 
+@pytest.mark.slow
 def test_serve_roundtrip(tmp_path):
     m = golden_model()
     torch.save({f"encoder.{k}": v for k, v in m.state_dict().items()},
@@ -62,6 +63,7 @@ def test_serve_roundtrip(tmp_path):
         proc.wait(timeout=10)
 
 
+@pytest.mark.slow
 def test_serve_concurrent_requests_micro_batch(tmp_path):
     """Co-arriving clients are served through one batched engine call
     (and max_batch clamps to the engine's batch buckets)."""
@@ -120,6 +122,7 @@ def test_serve_concurrent_requests_micro_batch(tmp_path):
         proc.terminate()
 
 
+@pytest.mark.slow
 def test_serve_streaming_protocol(tmp_path):
     """Per-connection streaming: start/chunk/end yields partials and a
     final hyp; a second connection reuses the pooled (reset) session

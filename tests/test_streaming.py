@@ -4,6 +4,7 @@ reference's dormant cat_split_cache / att_stream_softmax plugins were
 built to deliver."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,7 @@ def test_dense_streaming_matches_chunked_full_forward():
     allclose(got, np.asarray(full), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_moe_streaming_matches_chunked_full_forward():
     cfg = MoEEncoderConfig(
         attention_dim=32, attention_heads=4, num_blocks=2, causal=True,

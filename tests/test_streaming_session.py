@@ -1,6 +1,7 @@
 """Host-side StreamingSession: incremental pushes == one-shot forward."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,7 @@ from m3asr_tpu.runtime.streaming_session import StreamingSession
 from test_op_parity import allclose
 
 
+@pytest.mark.slow
 def test_session_incremental_matches_chunked_forward():
     cfg = EncoderConfig(attention_dim=32, attention_heads=4,
                         linear_units=48, num_blocks=2, causal=True,
