@@ -95,6 +95,7 @@ def test_hier_rescoring_single_decoder_matches_plain():
     np.testing.assert_allclose(s_hier, s_plain, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_hier_rescoring_uses_each_tap():
     # scoring must differ when a tap memory changes (each decoder reads
     # its own memory)

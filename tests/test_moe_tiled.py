@@ -29,6 +29,7 @@ _ROUTINGS = {
 }
 
 
+@pytest.mark.slow
 def test_tiled_matches_dense_all_routings():
     p, x, embed = _setup()
     rng = np.random.RandomState(7)
@@ -43,6 +44,7 @@ def test_tiled_matches_dense_all_routings():
                 err_msg=f"routing={name} tile={tile}")
 
 
+@pytest.mark.slow
 def test_ragged_padded_matches_dense_all_routings():
     p, x, embed = _setup(2)
     rng = np.random.RandomState(8)

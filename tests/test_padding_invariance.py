@@ -41,6 +41,7 @@ def test_valid_region_invariant_to_padding():
     allclose(outs[0], outs[2], rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_batch_invariance():
     """An utterance's output must not depend on its batch neighbors."""
     m = golden_model()

@@ -37,6 +37,7 @@ def _stream_all(params, cfg, feat, n_chunks, moe=False):
     return np.concatenate(outs, axis=1)
 
 
+@pytest.mark.slow
 def test_dense_streaming_matches_chunked_full_forward():
     cfg = EncoderConfig(attention_dim=32, attention_heads=4,
                         linear_units=48, num_blocks=2, causal=True,
