@@ -78,7 +78,8 @@ def main(args):
         dtype = "bfloat16"
     if args.int8:
         dtype = "int8"   # int8 expert weights + bf16 activations
-    ecfg = EngineConfig(dtype=dtype, use_prior=prior is not None)
+    ecfg = EngineConfig(dtype=dtype, use_prior=prior is not None,
+                        ep=args.ep)
     if args.buckets:
         pairs = [tuple(map(int, b.split("x"))) for b in
                  args.buckets.split(",")]
@@ -127,6 +128,11 @@ if __name__ == "__main__":
                         help="comma list of BxL buckets, e.g. 1x256,4x1024")
     parser.add_argument("--skip-warmup", action="store_true",
                         help="skip AOT pre-compilation of buckets")
+    parser.add_argument("--ep", type=int, default=1,
+                        help="expert-parallel serving: shard expert "
+                             "tensors over an ep-device mesh (for "
+                             "models beyond one chip; engine must be "
+                             "loaded with >= ep devices)")
     parser.add_argument("--strict", action="store_true",
                         help="fail if any checkpoint key is not consumed "
                              "by the conversion (name-mapping drift guard)")

@@ -163,6 +163,12 @@ class EngineConfig:
                                       # ~13% faster) | "highest"
                                       # (6-pass strict fp32)
     donate_input: bool = True
+    ep: int = 1                       # expert-parallel serving: shard
+                                      # the expert tensors over an
+                                      # ep-device mesh axis (GSPMD
+                                      # inserts the psum) — for models
+                                      # whose experts outgrow one chip.
+                                      # moe_conformer family, fp32/bf16.
     return_hidden: bool = False       # also emit the normalized hidden
                                       # (AED rescoring memory)
     return_taps: bool = False         # also emit the hier tap hiddens
@@ -235,6 +241,32 @@ class Engine:
 
             self.params = q(self.params)
 
+        # expert-parallel serving: one engine over an ep-device mesh
+        # (the sharded-serving config the reference's single-GPU TRT
+        # engine cannot express; SURVEY §2.9)
+        self.mesh = None
+        self._p_shard = None
+        if self.cfg.ep > 1:
+            if family_name != "moe_conformer":
+                raise NotImplementedError(
+                    "ep-sharded serving supports the moe_conformer "
+                    "family (scan-stacked (L, E, ...) expert tensors)")
+            if self.int8_experts:
+                raise NotImplementedError(
+                    "ep-sharded serving is fp32/bf16 only (int8 expert "
+                    "tensors carry quantized names the sharding rule "
+                    "does not split)")
+            from m3asr_tpu.parallel import mesh as pmesh
+            devs = jax.devices()
+            assert len(devs) >= self.cfg.ep, \
+                f"ep={self.cfg.ep} needs that many devices, " \
+                f"have {len(devs)}"
+            self.mesh = pmesh.make_mesh(dp=1, ep=self.cfg.ep,
+                                        devices=devs[:self.cfg.ep])
+            self._p_shard = pmesh.moe_param_sharding(self.mesh,
+                                                     self.params)
+            self.params = jax.device_put(self.params, self._p_shard)
+
         self.neg_log_prior = None
         if prior is not None and self.cfg.use_prior:
             self.neg_log_prior = jnp.asarray(-np.log(prior), dtype)
@@ -259,6 +291,11 @@ class Engine:
                 input_layer, masking.subsampling4_length)
             tokens = batch * int(np.asarray(sub(np.array([length])))[0])
         dtype = "float32" if self.dtype == jnp.float32 else "bfloat16"
+        if self.mesh is not None:
+            # sharded experts: the dense one-hot einsum partitions
+            # cleanly over the E contraction (one psum); the
+            # sort/gather paths would force expert-axis resharding
+            return "dense"
         return moe_auto_impl(dtype, tokens, int8=self.int8_experts,
                              requested=self.cfg.moe_impl)
 
@@ -297,8 +334,14 @@ class Engine:
         donate = (1,) if self.cfg.donate_input else ()
         prec = (self.cfg.fp32_precision if self.dtype == jnp.float32
                 else "default")
+        jit_kw = {}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            jit_kw = {"in_shardings": (self._p_shard, rep, rep),
+                      "out_shardings": rep}
         with jax.default_matmul_precision(prec):
-            fn = jax.jit(forward, donate_argnums=donate)
+            fn = jax.jit(forward, donate_argnums=donate, **jit_kw)
             lowered = fn.lower(
                 self.params,
                 jax.ShapeDtypeStruct((batch, length,

@@ -173,6 +173,62 @@ def test_train_cli_bmuf(tmp_path):
         np.testing.assert_allclose(a, b[0], rtol=1e-6, atol=1e-7)
 
 
+def test_train_cli_bmuf_hier_domain_acc(tmp_path):
+    """The reference's full deployed trainer in one invocation: hier
+    CTC+AED recipe + domain/accent heads + BMUF periodic sync
+    (bk/train_conformer_aed_fmoe_localComm_bmuf_domain_acc_hier.py)."""
+    rng = np.random.RandomState(5)
+    with ArkWriter(str(tmp_path / "tr.ark")) as w:
+        for i in range(8):
+            w.write(f"utt{i}", rng.randn(20 + i, 12).astype(np.float32))
+    for name in ("tr_labels", "aed_labels"):
+        with open(tmp_path / f"{name}.ark", "w") as f:
+            for i in range(8):
+                toks = " ".join(str(t) for t in rng.randint(1, 6, 3))
+                f.write(f"utt{i} {toks}\n")
+    with open(tmp_path / "domain.ark", "w") as f:
+        for i in range(8):
+            f.write(f"utt{i} {rng.randint(0, 6)}\n")
+    with open(tmp_path / "acc.ark", "w") as f:
+        for i in range(8):
+            f.write(f"utt{i} {rng.randint(0, 8)}\n")
+    cfgd = tiny_train_yaml()
+    cfgd["model_conf"]["decoder_conf"] = {
+        "attention_heads": 4, "linear_units": 16, "num_blocks": 1}
+    cfgd["bmuf_conf"] = {"sync_period": 1, "block_momentum": 0.5}
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(cfgd, f)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", M3ASR_PLATFORM="cpu",
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", "") +
+               " --xla_force_host_platform_device_count=8")
+    out_dir = tmp_path / "exp"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py"),
+         "--config", str(tmp_path / "cfg.yaml"),
+         "--output_dir", str(out_dir),
+         "--tr_rspecifier", str(tmp_path / "tr.ark"),
+         "--tr_labels", str(tmp_path / "tr_labels.ark"),
+         "--tr_aed_labels", str(tmp_path / "aed_labels.ark"),
+         "--tr_domain_labels", str(tmp_path / "domain.ark"),
+         "--tr_acc_labels", str(tmp_path / "acc.ark"),
+         "--bmuf"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr
+    with open(out_dir / "checkpoint_final.pkl", "rb") as f:
+        ckpt = pickle.load(f)
+    assert ckpt["bmuf"] is not None
+    import jax
+    for name in ("encoder", "decoder", "decoder_1", "decoder_2",
+                 "domain_head", "acc_head"):
+        assert name in ckpt["params"], sorted(ckpt["params"])
+    # every replica identical after the final per-batch sync
+    for leaf in jax.tree.leaves(ckpt["params"]):
+        assert leaf.shape[0] == 4, leaf.shape
+        np.testing.assert_array_equal(
+            leaf, np.broadcast_to(leaf[0:1], leaf.shape))
+
+
 def test_train_cli_smbr_fake_runner(tmp_path):
     """--smbr_cmd drives the sMBR epoch loop end to end with a fake
     lattice tool: posterior ark out, transcript file out, gradient ark
