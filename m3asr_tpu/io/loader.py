@@ -84,6 +84,13 @@ class DataLoader:
         self.training = training
         self.batch_size = conf.get("batch_size", 1)
         self.queue_size = conf.get("queue_size", 8)
+        # drop utterances longer than max_len frames (the reference
+        # loaders size fixed ring buffers to max_len and skip overlong
+        # utterances, ctc_aed_loader_domain_acc.py produce()); 0 = off
+        self.max_len = int(conf.get("max_len", 0))
+        # frame decimation AFTER the feature transform
+        # (ctc_aed_lattice_loader.py: feat = feat[::sampling])
+        self.sampling = int(conf.get("sampling", 1))
         # optional bucket ladder: pad each batch's time axis up to the
         # next bucket so the engine compiles few shapes
         self.bucket_lengths = tuple(conf.get("bucket_lengths", ()))
@@ -167,10 +174,16 @@ class DataLoader:
                     f"trans_file out of sync: {trans.split()[0]} != {key}"
             if self.label_rspec and key not in labels:
                 continue
+            feat = self.transform.transform(feat)
+            if self.sampling > 1:
+                feat = feat[::self.sampling]
+            if self.max_len and feat.shape[0] > self.max_len:
+                continue  # overlong utterance (reference ring-buffer cap)
+            # n counts only consumable utterances, so resume_skip (the
+            # Trainer's consumed-row counter) aligns exactly
             n += 1
             if n <= skip_num:
                 continue  # resume skip (ctc_aed_loader:165-185)
-            feat = self.transform.transform(feat)
             feat = self.collate(feat, self.training)
             extra = {name: d.get(key) for name, d in aux.items()}
             if trans is not None:

@@ -136,3 +136,34 @@ def test_native_ark_reader_falls_back_on_text(tmp_path):
         f.write("utt0  [\n  1.0 2.0\n  3.0 4.0 ]\n")
     got = dict(kaldi_io.read_ark(path))
     np.testing.assert_allclose(got["utt0"], [[1.0, 2.0], [3.0, 4.0]])
+
+
+def test_loader_max_len_and_sampling(tmp_path):
+    """loader_conf max_len drops overlong utterances (the reference's
+    ring-buffer cap) and sampling decimates frames
+    (ctc_aed_lattice_loader.py feat = feat[::sampling])."""
+    from m3asr_tpu.io.kaldi_io import ArkWriter
+    from m3asr_tpu.io.loader import DataLoader
+
+    rng = np.random.RandomState(0)
+    lengths = [8, 30, 12, 45, 9]
+    with ArkWriter(str(tmp_path / "f.ark")) as w:
+        for i, T in enumerate(lengths):
+            w.write(f"u{i}", rng.randn(T, 5).astype(np.float32))
+
+    loader = DataLoader(str(tmp_path / "f.ark"),
+                        loader_conf={"feat_dim": 5, "batch_size": 2,
+                                     "max_len": 20})
+    batches = list(loader(output_keys=True))
+    keys = [k for b in batches for k in b["keys"]]
+    assert keys == ["u0", "u2", "u4"]      # 30/45-frame utts dropped
+
+    # resume skip counts only consumable utterances
+    skipped = list(loader(skip_num=2, output_keys=True))
+    assert [k for b in skipped for k in b["keys"]] == ["u4"]
+
+    sampled = DataLoader(str(tmp_path / "f.ark"),
+                         loader_conf={"feat_dim": 5, "batch_size": 1,
+                                      "sampling": 2})
+    first = next(iter(sampled(output_keys=True)))
+    assert first["lens"][0] == (8 + 1) // 2
