@@ -158,37 +158,48 @@ class DataLoader:
                             ("acc", self.acc_rspec)):
             if rspec:
                 aux[name] = dict(kaldi_io.read_int_vector_ark(rspec))
-        trans_iter = None
-        if self.trans_file:
-            trans_iter = (ln.rstrip("\n") for ln in open(self.trans_file))
+        trans_fh = open(self.trans_file) if self.trans_file else None
         n = 0
-        for key, feat in self._read_feats():
-            trans = None
-            if trans_iter is not None:
-                # the transcript stream is strictly parallel to the
-                # feature stream — advance it for every feat, even
-                # skipped ones, and key-assert
-                # (ctc_aed_lattice_loader.py:189-201)
-                trans = next(trans_iter)
-                assert trans.split(maxsplit=1)[0] == key, \
-                    f"trans_file out of sync: {trans.split()[0]} != {key}"
-            if self.label_rspec and key not in labels:
-                continue
-            feat = self.transform.transform(feat)
-            if self.sampling > 1:
-                feat = feat[::self.sampling]
-            if self.max_len and feat.shape[0] > self.max_len:
-                continue  # overlong utterance (reference ring-buffer cap)
-            # n counts only consumable utterances, so resume_skip (the
-            # Trainer's consumed-row counter) aligns exactly
-            n += 1
-            if n <= skip_num:
-                continue  # resume skip (ctc_aed_loader:165-185)
-            feat = self.collate(feat, self.training)
-            extra = {name: d.get(key) for name, d in aux.items()}
-            if trans is not None:
-                extra["trans"] = trans
-            yield key, np.asarray(feat, np.float32), labels.get(key), extra
+        try:
+            for key, feat in self._read_feats():
+                trans = None
+                if trans_fh is not None:
+                    # the transcript stream is strictly parallel to the
+                    # feature stream — advance it for every feat, even
+                    # skipped ones, and key-assert
+                    # (ctc_aed_lattice_loader.py:189-201)
+                    trans = trans_fh.readline()
+                    head = trans.split(maxsplit=1)[:1]
+                    assert head and head[0] == key, \
+                        f"trans_file out of sync at {key!r}: " + \
+                        ("exhausted/blank line" if not head
+                         else repr(head[0]))
+                    trans = trans.rstrip("\n")
+                if self.label_rspec and key not in labels:
+                    continue
+                # effective post-pipeline length without running the
+                # transform (deltas/CMVN/splice are length-preserving):
+                # cheap enough to evaluate for resume-skipped utterances
+                eff_len = -(-feat.shape[0] // self.sampling)
+                if self.max_len and eff_len > self.max_len:
+                    continue  # overlong utterance (ring-buffer cap)
+                # n counts only consumable utterances, so resume_skip
+                # (the Trainer's consumed-row counter) aligns exactly
+                n += 1
+                if n <= skip_num:
+                    continue  # resume skip (ctc_aed_loader:165-185)
+                feat = self.transform.transform(feat)
+                if self.sampling > 1:
+                    feat = feat[::self.sampling]
+                feat = self.collate(feat, self.training)
+                extra = {name: d.get(key) for name, d in aux.items()}
+                if trans is not None:
+                    extra["trans"] = trans
+                yield (key, np.asarray(feat, np.float32), labels.get(key),
+                       extra)
+        finally:
+            if trans_fh is not None:
+                trans_fh.close()
 
     def _batches(self, skip_num: int, output_keys: bool):
         batch: List = []

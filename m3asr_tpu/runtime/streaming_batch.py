@@ -59,10 +59,16 @@ class _BatcherCore:
     `_fn(params, windows (slots, W, D), mask (slots,), state)
     -> (out (slots, C, V), new_state)` and `_fresh_state()`."""
 
-    def __init__(self, params, slots: int, window_ms: float):
+    def __init__(self, params, slots: int, window_ms: float,
+                 window_frames: int = 0):
         self.params = params
         self.slots = slots
         self._window_s = window_ms / 1e3
+        # push-side validation: all windows of a batcher share one
+        # (W, D); a malformed client window must fail ITS push only,
+        # never poison the co-batched streams or the lazily-sized state
+        self.window_frames = window_frames
+        self._input_dim: Optional[int] = None
         self._free: List[int] = list(range(slots))
         self._pending: Dict[int, List[_PendingChunk]] = {}
         self._cv = threading.Condition()
@@ -126,10 +132,23 @@ class _BatcherCore:
     def push(self, slot: int, window: np.ndarray) -> np.ndarray:
         """window: (1, W, input_dim). Blocks until the batched tick
         containing it ran; returns logits (1, C, V)."""
-        item = _PendingChunk(np.asarray(window, np.float32))
+        window = np.asarray(window, np.float32)
+        if window.ndim != 3 or window.shape[0] != 1 or (
+                self.window_frames and
+                window.shape[1] != self.window_frames):
+            raise ValueError(
+                f"window must be (1, {self.window_frames or 'W'}, D), "
+                f"got {window.shape}")
+        item = _PendingChunk(window)
         with self._cv:
             if not self._running:
                 raise RuntimeError("StreamBatcher is closed")
+            if self._input_dim is None:
+                self._input_dim = window.shape[2]
+            elif window.shape[2] != self._input_dim:
+                raise ValueError(
+                    f"feature dim {window.shape[2]} != this engine's "
+                    f"{self._input_dim}")
             self._pending.setdefault(slot, []).append(item)
             self._cv.notify_all()
         item.event.wait()
@@ -256,7 +275,8 @@ class StreamBatcher(_BatcherCore):
                 return out, (streaming.select_state(mask, ns, st), None)
 
         self._jit_step = jax.jit(step)
-        super().__init__(params, slots, window_ms)
+        super().__init__(params, slots, window_ms,
+                         window_frames=4 * chunk_size + 3)
         self.state = self._fresh_state()
 
     def _fresh_state(self):
@@ -291,7 +311,6 @@ class DfsmnStreamBatcher(_BatcherCore):
         self.moe_impl = moe_impl
         self._cache_T = cache_T
         self._S = S
-        self._input_dim: Optional[int] = None     # moe: sized lazily
         if moe:
             def step(p, windows, mask, state):
                 out, ns = S.forward_chunk_moe(p, cfg, windows, state,
@@ -303,7 +322,8 @@ class DfsmnStreamBatcher(_BatcherCore):
                 return out, S.select_state(mask, ns, state)
 
         self._jit_step = jax.jit(step)
-        super().__init__(params, slots, window_ms)
+        super().__init__(params, slots, window_ms,
+                         window_frames=chunk_size)
         self.state = (None if moe else self._fresh_state())
 
     def _fresh_state(self):
@@ -330,45 +350,58 @@ class DfsmnStreamBatcher(_BatcherCore):
 class BatchedStreamingSession(StreamingSession):
     """Drop-in StreamingSession whose chunk step runs on a shared
     StreamBatcher slot — same push/finish/reset surface, so serve.py's
-    SessionPool and stream protocol are unchanged."""
+    SessionPool and stream protocol are unchanged.
+
+    Slots are acquired lazily at the first chunk and RELEASED on
+    reset(): pool templates and idle pooled sessions hold no slot, so
+    they neither cap concurrency nor stall the batcher's co-pending
+    dispatch condition. When every slot is taken, the session falls
+    back to a dedicated single-stream chunk program for its lifetime
+    (overload beyond `slots` still serves, just unbatched)."""
 
     def __init__(self, batcher: StreamBatcher):
         self.batcher = batcher
         self.chunk = batcher.chunk
         self.window = 4 * batcher.chunk + 3
         self.stride = 4 * batcher.chunk
-        self.slot = batcher.open_slot()
+        self.slot = None
+        self._fallback: Optional[StreamingSession] = None
         self._buf = None
         self._consumed = 0
 
     def _step(self, w: np.ndarray) -> np.ndarray:
+        if self._fallback is None and self.slot is None:
+            try:
+                self.slot = self.batcher.open_slot()
+            except SlotsFull:
+                b = self.batcher
+                self._fallback = StreamingSession(
+                    b.params, b.cfg, chunk_size=b.chunk,
+                    num_left_chunks=b.left, moe=b.moe,
+                    moe_impl=b.moe_impl)
+        if self._fallback is not None:
+            return self._fallback._step(w)
         return self.batcher.push(self.slot, w)
 
     def reset(self) -> None:
-        self.batcher.reset_slot(self.slot)
+        if self.slot is not None:
+            self.batcher.close_slot(self.slot)
+            self.slot = None
+        if self._fallback is not None:
+            self._fallback.reset()   # keep its compiled chunk program
         self._buf = None
         self._consumed = 0
 
     def clone(self):
-        """A fresh stream on its own slot of the shared batcher; falls
-        back to a dedicated single-stream session when every slot is
-        taken (overload beyond `slots` still serves, just unbatched)."""
-        try:
-            return BatchedStreamingSession(self.batcher)
-        except SlotsFull:
-            b = self.batcher
-            return StreamingSession(b.params, b.cfg, chunk_size=b.chunk,
-                                    num_left_chunks=b.left, moe=b.moe,
-                                    moe_impl=b.moe_impl)
-
-    def release(self) -> None:
-        self.batcher.close_slot(self.slot)
+        return BatchedStreamingSession(self.batcher)
 
 
 class BatchedDfsmnStreamingSession(DfsmnStreamingSession):
     """DfsmnStreamingSession on a shared DfsmnStreamBatcher slot (works
     for the MoE family too — the batcher owns the whole chunk-program
-    state; this driver keeps only the host maturity bookkeeping)."""
+    state; this driver keeps only the host maturity bookkeeping). Slot
+    lifecycle matches BatchedStreamingSession: lazy acquire, released
+    on reset(), dedicated-session fallback under slot overload."""
 
     def __init__(self, batcher: DfsmnStreamBatcher):
         from m3asr_tpu.models import dfsmn_streaming as S
@@ -376,14 +409,42 @@ class BatchedDfsmnStreamingSession(DfsmnStreamingSession):
         self.chunk = batcher.chunk
         self.delay = (S.moe_stream_delay(batcher.cfg, batcher.chunk)
                       if batcher.moe else S.stream_delay(batcher.cfg))
-        self.slot = batcher.open_slot()
+        self.slot = None
+        self._fallback = None
         self._buf = None
         self._consumed = 0
         self._fed = 0
         self._next_pos = 0
 
+    def _raw_chunk(self, c: np.ndarray) -> np.ndarray:
+        """One chunk step: the shared batched program, or (overload)
+        the dedicated fallback session's own chunk program."""
+        if self._fallback is None and self.slot is None:
+            try:
+                self.slot = self.batcher.open_slot()
+            except SlotsFull:
+                b = self.batcher
+                self._fallback = (
+                    DfsmnMoeStreamingSession(
+                        b.params, b.cfg, chunk_size=b.chunk,
+                        cache_T=b._cache_T, moe_impl=b.moe_impl)
+                    if b.moe else
+                    DfsmnStreamingSession(b.params, b.cfg,
+                                          chunk_size=b.chunk,
+                                          cache_T=b._cache_T))
+        if self._fallback is not None:
+            fb = self._fallback
+            if fb.state is None:     # MoE state sized on first chunk
+                from m3asr_tpu.models import dfsmn_streaming as S
+                fb.state = S.init_moe_state(fb.cfg, fb._batch,
+                                            fb._cache_T, fb.chunk,
+                                            c.shape[-1])
+            out, fb.state = fb._fn(fb.params, jnp.asarray(c), fb.state)
+            return np.asarray(out)
+        return self.batcher.push(self.slot, c)
+
     def _run(self, c: np.ndarray, real_limit):
-        out = self.batcher.push(self.slot, c)
+        out = self._raw_chunk(c)
         self._fed += c.shape[1]
         C = out.shape[1]
         first_pos = self._fed - C - self.delay
@@ -395,24 +456,15 @@ class BatchedDfsmnStreamingSession(DfsmnStreamingSession):
         return out[:, start:end]
 
     def reset(self) -> None:
-        self.batcher.reset_slot(self.slot)
+        if self.slot is not None:
+            self.batcher.close_slot(self.slot)
+            self.slot = None
+        if self._fallback is not None:
+            self._fallback.reset()
         self._buf = None
         self._consumed = 0
         self._fed = 0
         self._next_pos = 0
 
     def clone(self):
-        try:
-            return BatchedDfsmnStreamingSession(self.batcher)
-        except SlotsFull:
-            b = self.batcher
-            if b.moe:
-                return DfsmnMoeStreamingSession(
-                    b.params, b.cfg, chunk_size=b.chunk,
-                    cache_T=b._cache_T, moe_impl=b.moe_impl)
-            return DfsmnStreamingSession(b.params, b.cfg,
-                                         chunk_size=b.chunk,
-                                         cache_T=b._cache_T)
-
-    def release(self) -> None:
-        self.batcher.close_slot(self.slot)
+        return BatchedDfsmnStreamingSession(self.batcher)

@@ -87,21 +87,13 @@ class KaldiLatticeBridge:
 
 def make_external_grad_step(forward: Callable,
                             optimizer: optax.GradientTransformation):
-    """Jitted twin of external_grad_step for the epoch loop (one
+    """Jitted wrapper of external_grad_step for the epoch loop (one
     compile per batch shape; pair with loader bucket_lengths)."""
 
     @jax.jit
     def step(params, opt_state, feat, feat_len, out_grad):
-        def f(p):
-            out, out_len = forward(p, feat, feat_len)
-            return out, out_len
-
-        (out, out_len), pullback = jax.vjp(f, params)
-        grads = pullback((out_grad.astype(out.dtype),
-                          jnp.zeros_like(out_len)))[0]
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, out_len
+        return external_grad_step(forward, params, opt_state, optimizer,
+                                  feat, feat_len, out_grad)
 
     return step
 
@@ -137,12 +129,29 @@ def run_smbr_training(model_cfg, forward: Callable, params, optimizer,
             out_len_np = np.asarray(out_len)
             post = os.path.join(work_dir, "post.ark")
             grad = os.path.join(work_dir, "grad.ark")
+            if os.path.exists(grad):
+                os.remove(grad)   # never read a stale gradient ark
             grads = bridge(keys, logits_np, out_len_np, post, grad,
                            trans=batch.get("trans"))
+            # defend against a misbehaving external tool mid-training:
+            # missing utterances get zero gradient (skip-and-log),
+            # overlong gradients are clamped to the emitted frames
             out_grad = np.zeros_like(logits_np)
             for i, k in enumerate(keys):
-                g = grads[k]
-                out_grad[i, : g.shape[0]] = g
+                g = grads.get(k)
+                if g is None:
+                    if logger is not None:
+                        logger.warning(
+                            f"lattice tool returned no gradient for "
+                            f"{k!r}; skipping the utterance")
+                    continue
+                L = min(g.shape[0], int(out_len_np[i]))
+                if g.shape[0] != out_len_np[i] and logger is not None:
+                    logger.warning(
+                        f"gradient length {g.shape[0]} != posterior "
+                        f"length {int(out_len_np[i])} for {k!r}; "
+                        f"clamping to {L}")
+                out_grad[i, :L] = g[:L]
             params, opt_state, _ = grad_step(params, opt_state, feat,
                                              feat_len,
                                              jnp.asarray(out_grad))

@@ -271,8 +271,9 @@ def test_serve_streaming_concurrent_batched(tmp_path):
 @pytest.mark.slow
 def test_serve_streaming_dfsmn(tmp_path):
     """Streaming over a DFSMN engine (frame-aligned chunks, FIR delay
-    handled by the session); and a DFSMN-MoE engine must refuse
-    streaming with a clear error instead of crashing."""
+    handled by the session), and over a DFSMN-MoE engine (embed
+    substream + router alignment inside the chunk program) — both via
+    the shared DfsmnStreamBatcher."""
     from test_dfsmn_engine import dfsmn_yaml, golden_dfsmn
 
     m = golden_dfsmn()

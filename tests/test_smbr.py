@@ -144,12 +144,12 @@ def test_run_smbr_training_updates_params(tmp_path):
 
     cfg = EncoderConfig(attention_dim=16, attention_heads=4,
                         linear_units=24, num_blocks=1)
-    params = conformer.init(jax.random.PRNGKey(0), cfg, 6, 5)
+    params = conformer.init(jax.random.PRNGKey(0), cfg, 8, 5)
 
     rng = np.random.RandomState(1)
     with ArkWriter(str(tmp_path / "f.ark")) as w:
         for i in range(4):
-            w.write(f"u{i}", rng.randn(11, 6).astype(np.float32))
+            w.write(f"u{i}", rng.randn(11, 8).astype(np.float32))
     with open(tmp_path / "trans.txt", "w") as f:
         for i in range(4):
             f.write(f"u{i} tok\n")
@@ -163,7 +163,7 @@ def test_run_smbr_training_updates_params(tmp_path):
                               - 1.0 / mat.shape[-1]).astype(np.float32))
 
     loader = DataLoader(str(tmp_path / "f.ark"),
-                        loader_conf={"feat_dim": 6, "batch_size": 2},
+                        loader_conf={"feat_dim": 8, "batch_size": 2},
                         trans_file=str(tmp_path / "trans.txt"))
     fwd = lambda p, x, l: conformer.forward(p, cfg, x, l)
     new_params, _, n = run_smbr_training(

@@ -167,7 +167,7 @@ def test_idle_slots_do_not_advance():
         _feed(s_active, feat, [feat.shape[1]], outs)
         # now drive the idle slot: must equal a fresh single stream
         w = rng.randn(1, W, 20).astype(np.float32)
-        got = batcher.push(s_idle.slot, w)
+        got = s_idle._step(w)
         ref = np.asarray(streaming.forward_chunk(
             params, cfg, jnp.asarray(w),
             streaming.init_state(cfg, 1, CACHE_T))[0])
@@ -177,14 +177,55 @@ def test_idle_slots_do_not_advance():
 
 
 def test_slots_full_falls_back_to_dedicated_session():
+    """With 1 slot and 2 live streams, the overflow stream serves
+    through a dedicated fallback session with correct outputs, and a
+    reset() frees the slot for the next stream."""
     cfg, params = dense_setup()
+    rng = np.random.RandomState(12)
+    W = 4 * CHUNK + 3
     batcher = StreamBatcher(params, cfg, chunk_size=CHUNK,
                             num_left_chunks=LEFT, slots=1, window_ms=0.0)
     try:
         first = BatchedStreamingSession(batcher)
-        fallback = first.clone()
-        assert isinstance(fallback, StreamingSession)
-        assert not isinstance(fallback, BatchedStreamingSession)
+        second = first.clone()
+        w1 = rng.randn(1, W, 20).astype(np.float32)
+        w2 = rng.randn(1, W, 20).astype(np.float32)
+        first._step(w1)                       # occupies the only slot
+        got = second._step(w2)                # overload -> fallback
+        assert second._fallback is not None
+        ref = np.asarray(streaming.forward_chunk(
+            params, cfg, jnp.asarray(w2),
+            streaming.init_state(cfg, 1, CACHE_T))[0])
+        allclose(got, ref, rtol=1e-4, atol=1e-4)
+        # releasing the first stream frees the slot for a new stream
+        first.reset()
+        third = first.clone()
+        third._step(w2)
+        assert third.slot is not None and third._fallback is None
+    finally:
+        batcher.close()
+
+
+def test_push_validation_rejects_bad_windows():
+    """A malformed window fails its own push only — co-batched streams
+    and the shared state stay healthy."""
+    import pytest
+    cfg, params = dense_setup()
+    W = 4 * CHUNK + 3
+    batcher = StreamBatcher(params, cfg, chunk_size=CHUNK,
+                            num_left_chunks=LEFT, slots=2, window_ms=0.0)
+    try:
+        s = BatchedStreamingSession(batcher)
+        rng = np.random.RandomState(13)
+        good = rng.randn(1, W, 20).astype(np.float32)
+        s._step(good)
+        with pytest.raises(ValueError):
+            batcher.push(s.slot, rng.randn(1, W - 1, 20))   # wrong W
+        with pytest.raises(ValueError):
+            batcher.push(s.slot, rng.randn(1, W, 19))       # wrong D
+        # the stream still works after the rejected pushes
+        out = s._step(good)
+        assert np.isfinite(out).all()
     finally:
         batcher.close()
 
