@@ -142,6 +142,27 @@ def make_handler(batcher, default_beam, stream_pool=None):
                     continue
                 try:
                     req = json.loads(line)
+                    if req.get("stats"):
+                        # observability: dispatch history + slot usage
+                        resp = {"request_batch_sizes":
+                                batcher.batch_sizes[-50:]}
+                        if stream_pool is not None:
+                            sb = {}
+                            for key, b in list(
+                                    getattr(stream_pool, "_templates",
+                                            {}).items()):
+                                core = getattr(b, "batcher", None)
+                                if core is not None:
+                                    sb[str(key)] = {
+                                        "slots_free": len(core._free),
+                                        "slots": core.slots,
+                                        "tick_batch_sizes":
+                                            core.batch_sizes[-50:]}
+                            resp["stream_batchers"] = sb
+                        self.wfile.write((json.dumps(resp) + "\n")
+                                         .encode())
+                        self.wfile.flush()
+                        continue
                     if "stream" in req:
                         resp = self._stream_request(req)
                         self.wfile.write((json.dumps(resp) + "\n")

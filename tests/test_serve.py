@@ -53,6 +53,12 @@ def test_serve_roundtrip(tmp_path):
                 resp = json.loads(f.readline())
                 assert resp["id"] == f"u{i}", resp
                 assert "hyp" in resp and resp["out_len"] == 9, resp
+            # stats observability endpoint
+            f.write('{"stats": true}\n')
+            f.flush()
+            resp = json.loads(f.readline())
+            assert resp["request_batch_sizes"], resp
+            assert "stream_batchers" in resp
             # malformed request -> error response, server stays up
             f.write('{"id": "bad"}\n')
             f.flush()
