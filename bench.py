@@ -103,7 +103,39 @@ def bench_device(cfg, params, feat, feat_len, dtype, moe_impl, iters,
     return float(per_iter), float(np.percentile(t1, 50))
 
 
+def _init_devices_or_die(timeout_s=300):
+    """Bound TPU backend init. A dead tunnel makes jax.devices() hang
+    forever inside the axon client (observed: relay listen ports refuse
+    connections after killed remote compiles); a hung bench run is worse
+    than a failed one, so probe init on a thread and hard-exit with a
+    diagnostic JSON line if it never returns.
+    """
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+        out["devices"] = [str(d) for d in jax.devices()]
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(json.dumps({
+            "metric": "bench_failed",
+            "value": None,
+            "unit": None,
+            "vs_baseline": None,
+            "error": f"device init did not complete in {timeout_s}s "
+                     "(TPU tunnel down?)",
+        }))
+        sys.stdout.flush()
+        os._exit(3)
+
+
 def main(args):
+    _init_devices_or_die()
     import jax
 
     # persistent XLA cache: repeat benchmark invocations skip the slow
