@@ -38,7 +38,7 @@ def bench_e2e(engine, feat, feat_len, iters):
 
 
 def bench_device(cfg, params, feat, feat_len, dtype, moe_impl, iters,
-                 k=8, fp32_precision="high"):
+                 k=8, fp32_precision="high", attn_impl="xla"):
     """Device-execution latency, excluding host<->device transfer and
     the test harness's RPC round-trip (~27 ms/fetch here). Matches what
     the reference times: execute_v2 between pre-staged device buffers
@@ -73,7 +73,8 @@ def bench_device(cfg, params, feat, feat_len, dtype, moe_impl, iters,
         def run(p, feat, fl):
             def body(carry, _):
                 out, _ = moe_conformer.forward(
-                    p, enc, feat + carry, fl, moe_impl=moe_impl)
+                    p, enc, feat + carry, fl, moe_impl=moe_impl,
+                    attn_impl=attn_impl)
                 # tiny data dependency to serialize iterations
                 return out[0, 0, 0].astype(feat.dtype) * 1e-30, None
             carry, _ = jax.lax.scan(body, jnp.zeros((), feat.dtype), None,
@@ -175,7 +176,8 @@ def main(args):
         impls[dtype] = pick_impl(dtype)
         dev_ms, call_ms = bench_device(cfg, params, pad_feat, feat_len,
                                        dtype, impls[dtype], args.iters,
-                                       fp32_precision=args.fp32_precision)
+                                       fp32_precision=args.fp32_precision,
+                                       attn_impl=args.attn_impl)
         results[dtype] = (dev_ms, call_ms)
 
     headline_dtype = "float32" if "float32" in results else args.dtype
@@ -215,6 +217,10 @@ if __name__ == "__main__":
                         choices=["float32", "bfloat16", "int8", "both"])
     parser.add_argument("--seq", type=int, default=206)
     parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--attn_impl", default="xla",
+                        choices=["xla", "flash"],
+                        help="flash = Pallas online-softmax attention "
+                             "(ops/pallas_attention.py)")
     parser.add_argument("--fp32_precision", default="high",
                         choices=["high", "highest"],
                         help="fp32 matmul precision (engine default "

@@ -61,7 +61,8 @@ def frontend(params, cfg: EncoderConfig, feat: jax.Array,
 
 def run_blocks(stacked_blocks, cfg: EncoderConfig, x: jax.Array,
                lengths: Optional[jax.Array], pos_emb: jax.Array,
-               collect_hidden: bool = False, mask=None):
+               collect_hidden: bool = False, mask=None,
+               attn_impl: str = "xla"):
     """Scan the conformer blocks. stacked_blocks is a pytree whose
     leaves have a leading (num_blocks,) axis. `mask` is an optional
     (B|1, 1, T, T) attend-mask (chunked/causal training masks,
@@ -77,7 +78,7 @@ def run_blocks(stacked_blocks, cfg: EncoderConfig, x: jax.Array,
             conv_layer_norm=(cfg.cnn_module_norm == "layer_norm"),
             conv_lorder=conv_lorder,
             normalize_before=cfg.normalize_before,
-            mask=mask)
+            mask=mask, attn_impl=attn_impl)
         return h, (h if collect_hidden else None)
 
     x, hiddens = jax.lax.scan(body, x, stacked_blocks,
@@ -95,7 +96,7 @@ def chunk_attention_mask(T: int, chunk_size: int,
 
 def forward(params, cfg: EncoderConfig, feat: jax.Array,
             feat_len: Optional[jax.Array], output_embed: bool = False,
-            chunk_mask=None):
+            chunk_mask=None, attn_impl: str = "xla"):
     """Dense conformer encoder forward.
 
     feat: (B, T, input_dim); feat_len: int32 (B,).
@@ -105,7 +106,7 @@ def forward(params, cfg: EncoderConfig, feat: jax.Array,
     """
     x, pos_emb, out_len = frontend(params, cfg, feat, feat_len)
     x, _ = run_blocks(params["blocks"], cfg, x, out_len, pos_emb,
-                      mask=chunk_mask)
+                      mask=chunk_mask, attn_impl=attn_impl)
     if cfg.normalize_before:
         x = layer_norm(params["after_norm"], x)
     out = linear(params["out_linear"], x)

@@ -40,7 +40,8 @@ def conformer_block(p, x: jax.Array, lengths: Optional[jax.Array],
                     moe: bool = False, embed: Optional[jax.Array] = None,
                     moe_impl: str = "dense", moe_macaron: bool = False,
                     mask: Optional[jax.Array] = None,
-                    return_moe_aux: bool = False):
+                    return_moe_aux: bool = False,
+                    attn_impl: str = "xla"):
     """One conformer block; `moe=True` selects the MoE FFN for the final
     feed-forward position (FmoeConformerLayer) with `embed` as the
     shared catEmbed router feature; `moe_macaron=True` additionally
@@ -64,8 +65,15 @@ def conformer_block(p, x: jax.Array, lengths: Optional[jax.Array],
     h = layer_norm(p["norm_mha"], x) if normalize_before else x
     with jax.named_scope("mhsa"):
         if "linear_pos" in p["self_attn"]:
-            h = rel_mha(p["self_attn"], h, pos_emb, lengths, num_heads,
-                        mask=mask)
+            if attn_impl == "flash" and mask is None:
+                # Pallas flash kernel: inference path only (no chunk
+                # mask support); scores never round-trip HBM
+                from m3asr_tpu.ops.pallas_attention import flash_rel_mha
+                h = flash_rel_mha(p["self_attn"], h, pos_emb, lengths,
+                                  num_heads)
+            else:
+                h = rel_mha(p["self_attn"], h, pos_emb, lengths, num_heads,
+                            mask=mask)
         else:
             # no_pos models use plain MHA (conformer_embed_domain_acc.py:
             # 103-106: selfattn_layer = MultiHeadedAttention)

@@ -35,7 +35,7 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
             chunk_mask=None, embed_chunk_mask="same",
             return_router_probs: bool = False,
             return_hidden: bool = False, remat: bool = False,
-            return_embed_hidden: bool = False):
+            return_embed_hidden: bool = False, attn_impl: str = "xla"):
     """feat: (B, T, input_dim) -> logits (B, T', output_dim).
 
     Returns (out, out_len) | + embed_out (output_embed) | + (h6, h12,
@@ -54,7 +54,7 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
         embed_chunk_mask = chunk_mask
     embed_out, _, embed = conformer.forward(
         params["embed"], cfg.embed_conf, feat, feat_len, output_embed=True,
-        chunk_mask=embed_chunk_mask)
+        chunk_mask=embed_chunk_mask, attn_impl=attn_impl)
     embed_hidden = embed
     # "detach embed to maintain an individual embedding"
     # (conformer_fmoe_localComm_catEmbed.py:215-216): the router input
@@ -77,7 +77,7 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
             normalize_before=cfg.normalize_before,
             moe=True, embed=embed, moe_impl=moe_impl,
             moe_macaron=cfg.exmarc, mask=chunk_mask,
-            return_moe_aux=return_router_probs)
+            return_moe_aux=return_router_probs, attn_impl=attn_impl)
         if return_router_probs:
             h, probs = res
         else:

@@ -175,6 +175,12 @@ class EngineConfig:
                                       # (h6, h12, h_final) — the three
                                       # AED decoder memories of the hier
                                       # net (conformer_aed_...hier.py:49-70)
+    attn_impl: str = "xla"            # xla | flash — flash uses the
+                                      # Pallas online-softmax kernel
+                                      # (ops/pallas_attention.py) that
+                                      # never materializes the (B,H,T,S)
+                                      # scores in HBM; conformer
+                                      # families only
 
 
 class Engine:
@@ -311,6 +317,13 @@ class Engine:
         return_hidden = self.cfg.return_hidden
         return_taps = self.cfg.return_taps
 
+        attn_impl = self.cfg.attn_impl
+        if attn_impl != "xla" and self._family not in ("conformer",
+                                                       "moe_conformer"):
+            raise NotImplementedError(
+                "attn_impl='flash' applies to the rel-pos conformer "
+                "families; DFSMN uses memory-slot attention")
+
         def forward(params, feat, feat_len):
             if return_taps:
                 kw = {"moe_impl": moe_impl, "hier_taps": True}
@@ -318,6 +331,8 @@ class Engine:
                 kw = {"moe_impl": moe_impl, "return_hidden": return_hidden}
             else:
                 kw = {"output_embed": return_hidden}
+            if attn_impl != "xla":
+                kw["attn_impl"] = attn_impl
             res = family.forward(params, model_cfg, feat, feat_len, **kw)
             out, out_len = res[0], res[1]
             if neg_log_prior is not None:

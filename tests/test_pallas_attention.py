@@ -1,0 +1,124 @@
+"""Parity: flash rel-pos attention kernel vs the XLA rel_mha path.
+
+Runs the Pallas kernel in interpret mode on CPU (conftest pins the CPU
+platform), covering multi-block online-softmax accumulation, ragged
+lengths, non-divisible T/S padding, and bf16 inputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m3asr_tpu.ops.attention import init_rel_mha, rel_mha
+from m3asr_tpu.ops.pallas_attention import flash_rel_mha
+from m3asr_tpu.ops.positional import sinusoid_table
+
+
+def _setup(B, T, D, H, seed=0):
+    key = jax.random.PRNGKey(seed)
+    kp, kx = jax.random.split(key)
+    p = init_rel_mha(kp, D, H)
+    x = jax.random.normal(kx, (B, T, D), jnp.float32)
+    pos = sinusoid_table(D)[:T]
+    return p, x, pos
+
+
+@pytest.mark.parametrize("B,T,H,lens", [
+    (1, 63, 4, [63]),            # single block, exact
+    (2, 63, 4, [63, 17]),        # ragged
+    (1, 300, 4, [300]),          # T not a multiple of 128 -> padded
+    (2, 300, 4, [211, 300]),     # padding + ragged
+])
+def test_flash_rel_mha_matches_xla(B, T, H, lens):
+    D = 64
+    p, x, pos = _setup(B, T, D, H)
+    lengths = jnp.asarray(lens, jnp.int32)
+    ref = rel_mha(p, x, pos, lengths, H)
+    out = flash_rel_mha(p, x, pos, lengths, H, block_t=128, block_s=128,
+                        interpret=True)
+    # compare only valid rows; padded query rows are garbage by contract
+    for b, L in enumerate(lens):
+        np.testing.assert_allclose(np.asarray(out[b, :L]),
+                                   np.asarray(ref[b, :L]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_flash_multiblock_online_softmax():
+    # S spans 3 key blocks with block_s=128 -> exercises the running
+    # max/denominator recurrence across blocks
+    B, T, D, H = 1, 384, 64, 4
+    p, x, pos = _setup(B, T, D, H, seed=3)
+    lengths = jnp.asarray([301], jnp.int32)
+    ref = rel_mha(p, x, pos, lengths, H)
+    out = flash_rel_mha(p, x, pos, lengths, H, block_t=128, block_s=128,
+                        interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0, :301]),
+                               np.asarray(ref[0, :301]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_no_lengths():
+    B, T, D, H = 2, 256, 64, 8
+    p, x, pos = _setup(B, T, D, H, seed=5)
+    ref = rel_mha(p, x, pos, None, H)
+    out = flash_rel_mha(p, x, pos, None, H, block_t=128, block_s=128,
+                        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_bf16():
+    B, T, D, H = 1, 200, 64, 4
+    p, x, pos = _setup(B, T, D, H, seed=7)
+    p = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
+    x = x.astype(jnp.bfloat16)
+    pos = pos.astype(jnp.bfloat16)
+    lengths = jnp.asarray([157], jnp.int32)
+    ref = rel_mha(p, x, pos, lengths, H)
+    out = flash_rel_mha(p, x, pos, lengths, H, block_t=128, block_s=128,
+                        interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out[0, :157], np.float32),
+        np.asarray(ref[0, :157], np.float32), rtol=0.05, atol=0.05)
+
+
+def test_flash_through_model_and_engine():
+    """attn_impl='flash' end-to-end: moe_conformer.forward and the
+    Engine produce the same logits as the XLA attention path."""
+    from test_runtime import golden_model, small_yaml
+    from m3asr_tpu import checkpoint as ckpt
+    from m3asr_tpu.config import model_config_from_dict
+    from m3asr_tpu.models import moe_conformer
+    from m3asr_tpu.runtime.engine import Engine, EngineConfig
+
+    cfg = model_config_from_dict(small_yaml())
+    sd = {f"encoder.{k}": v for k, v in
+          golden_model().state_dict().items()}
+    params = ckpt.convert_encoder(sd, cfg)
+
+    rng = np.random.RandomState(11)
+    feat = rng.randn(2, 70, 20).astype(np.float32)
+    feat_len = np.array([70, 33], np.int32)
+
+    ref, ref_len = moe_conformer.forward(params, cfg.encoder_conf,
+                                         jnp.asarray(feat),
+                                         jnp.asarray(feat_len))
+    out, out_len = moe_conformer.forward(params, cfg.encoder_conf,
+                                         jnp.asarray(feat),
+                                         jnp.asarray(feat_len),
+                                         attn_impl="flash")
+    assert np.array_equal(np.asarray(out_len), np.asarray(ref_len))
+    for b, L in enumerate(np.asarray(out_len)):
+        np.testing.assert_allclose(np.asarray(out[b, :L]),
+                                   np.asarray(ref[b, :L]),
+                                   rtol=1e-5, atol=1e-5)
+
+    eng = Engine(cfg, params, EngineConfig(
+        attn_impl="flash", bucket_lengths=(128,), bucket_batches=(2,)))
+    e_out, e_len = eng.infer(feat, feat_len)
+    for b, L in enumerate(np.asarray(e_len)):
+        np.testing.assert_allclose(np.asarray(e_out[b, :L]),
+                                   np.asarray(ref[b, :L]),
+                                   rtol=1e-4, atol=1e-4)
