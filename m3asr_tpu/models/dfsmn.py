@@ -85,11 +85,17 @@ def cfsmn_layer(p, x: jax.Array, lengths: Optional[jax.Array],
 
 def attn_mem_layer(p, x: jax.Array, lengths: Optional[jax.Array],
                    num_heads: int, memory_num: int,
-                   attn_mask: Optional[jax.Array] = None) -> jax.Array:
+                   attn_mask: Optional[jax.Array] = None,
+                   attn_impl: str = "xla") -> jax.Array:
     """Multi-head attention with learned memory slots
     (layer/attention.py:11-111). x: (B, T, D). attn_mask: optional
     (T, T) bool, True=attend (chunk-causal streaming training/parity);
-    memory slots are always attendable."""
+    memory slots are always attendable. attn_impl="flash" uses the
+    Pallas online-softmax kernel (no (B,H,T,T+M) HBM scores — DFSMN
+    runs unsubsampled, T reaches 6144); masked paths stay on XLA."""
+    if attn_impl == "flash" and attn_mask is None:
+        from m3asr_tpu.ops.pallas_attention import flash_attn_mem
+        return flash_attn_mem(p, x, lengths, num_heads, memory_num)
     B, T, D = x.shape
     dk = D // num_heads
     q = linear(p["linear_query"], x).reshape(B, T, num_heads, dk)
@@ -128,10 +134,11 @@ def attn_mem_layer(p, x: jax.Array, lengths: Optional[jax.Array],
 
 def self_attn_mem_layer(p, x: jax.Array, lengths, num_heads: int,
                         memory_num: int, norm_type: str = "LN",
-                        attn_mask: Optional[jax.Array] = None) -> jax.Array:
+                        attn_mask: Optional[jax.Array] = None,
+                        attn_impl: str = "xla") -> jax.Array:
     """x = Norm(x + attn(x)) (dfsmn_san_res.py:11-57)."""
     h = attn_mem_layer(p["attn_layer"], x, lengths, num_heads, memory_num,
-                       attn_mask=attn_mask)
+                       attn_mask=attn_mask, attn_impl=attn_impl)
     x = x + h
     if norm_type == "LN":
         return layer_norm(p["ln_layer"], x, eps=1e-5)
@@ -155,7 +162,8 @@ class DfsmnSanConfig:
 
 def dfsmn_san_forward(params, cfg: DfsmnSanConfig, x: jax.Array,
                       lengths: Optional[jax.Array],
-                      output_embed: bool = False, attn_mask=None):
+                      output_embed: bool = False, attn_mask=None,
+                      attn_impl: str = "xla"):
     """model/dfsmn_san_res.py Net.forward: blocks of (N x cFSMN -> [PE
     on block 0] -> self-attn-mem), then out_linear. output_embed=True
     additionally returns the pre-out_linear hidden (the catEmbed
@@ -176,7 +184,8 @@ def dfsmn_san_forward(params, cfg: DfsmnSanConfig, x: jax.Array,
             x = x + pe[None, : x.shape[1]]
         x = self_attn_mem_layer(bp["attn_layer"], x, lengths,
                                 cfg.num_head, cfg.num_memory,
-                                cfg.norm_type, attn_mask=attn_mask)
+                                cfg.norm_type, attn_mask=attn_mask,
+                                attn_impl=attn_impl)
     out = linear(params["out_linear"], x)
     if output_embed:
         return out, x, lengths
@@ -259,7 +268,8 @@ class DfsmnSanMoEConfig(DfsmnSanConfig):
 
 def dfsmn_san_moe_forward(params, cfg: DfsmnSanMoEConfig, x: jax.Array,
                           lengths: Optional[jax.Array],
-                          moe_impl: str = "dense", attn_mask=None):
+                          moe_impl: str = "dense", attn_mask=None,
+                          attn_impl: str = "xla"):
     """model/dfsmn_san_fmoe_localComm_catEmbed.py Net.forward: embed
     sub-net (detached) feeds every MoE cFSMN router; blocks of
     (num_fsmn MoE cFSMN -> [PE block 0] -> attn), out_linear_sw.
@@ -268,7 +278,8 @@ def dfsmn_san_moe_forward(params, cfg: DfsmnSanMoEConfig, x: jax.Array,
     embed_cfg = cfg.embed_conf or DfsmnSanConfig()
     embed_out, embed, _ = dfsmn_san_forward(params["embed"], embed_cfg, x,
                                             lengths, output_embed=True,
-                                            attn_mask=attn_mask)
+                                            attn_mask=attn_mask,
+                                            attn_impl=attn_impl)
     embed = jax.lax.stop_gradient(embed)  # embed.detach()
     h = x
     for i in range(cfg.num_block):
@@ -292,7 +303,8 @@ def dfsmn_san_moe_forward(params, cfg: DfsmnSanMoEConfig, x: jax.Array,
             h = h + pe[None, : h.shape[1]]
         h = self_attn_mem_layer(bp["attn_layer"], h, lengths,
                                 cfg.num_head, cfg.num_memory,
-                                cfg.norm_type, attn_mask=attn_mask)
+                                cfg.norm_type, attn_mask=attn_mask,
+                                attn_impl=attn_impl)
     out = linear(params["out_linear_sw"], h)
     return out, embed_out, lengths
 

@@ -131,14 +131,18 @@ def _dfsmn_family(nnet_proto: str):
 
     def forward(p, mc, feat, feat_len, **kw):
         e = enc_conf(mc)
+        attn_impl = kw.get("attn_impl", "xla")
         if is_moe:
             out, _embed_out, lens = dfsmn.dfsmn_san_moe_forward(
                 p, moe_cfg(e), feat, feat_len,
-                moe_impl=kw.get("moe_impl", "dense"))
+                moe_impl=kw.get("moe_impl", "dense"),
+                attn_impl=attn_impl)
             return out, lens
         if is_base:
+            # pure FSMN stack: no attention layers, nothing to switch
             return dfsmn.dfsmn_base_forward(p, base_cfg(e), feat, feat_len)
-        return dfsmn.dfsmn_san_forward(p, san_cfg(e), feat, feat_len)
+        return dfsmn.dfsmn_san_forward(p, san_cfg(e), feat, feat_len,
+                                       attn_impl=attn_impl)
 
     def convert(sd, mc):
         e = enc_conf(mc)

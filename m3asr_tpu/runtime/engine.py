@@ -179,8 +179,8 @@ class EngineConfig:
                                       # Pallas online-softmax kernel
                                       # (ops/pallas_attention.py) that
                                       # never materializes the (B,H,T,S)
-                                      # scores in HBM; conformer
-                                      # families only
+                                      # scores in HBM (rel-pos conformer
+                                      # + DFSMN memory-slot attention)
 
 
 class Engine:
@@ -317,12 +317,10 @@ class Engine:
         return_hidden = self.cfg.return_hidden
         return_taps = self.cfg.return_taps
 
+        # flash covers rel-pos conformer attention AND the DFSMN
+        # memory-slot attention (dfsmn_base has no attention: the flag
+        # is a no-op there)
         attn_impl = self.cfg.attn_impl
-        if attn_impl != "xla" and self._family not in ("conformer",
-                                                       "moe_conformer"):
-            raise NotImplementedError(
-                "attn_impl='flash' applies to the rel-pos conformer "
-                "families; DFSMN uses memory-slot attention")
 
         def forward(params, feat, feat_len):
             if return_taps:

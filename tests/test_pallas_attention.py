@@ -122,3 +122,64 @@ def test_flash_through_model_and_engine():
         np.testing.assert_allclose(np.asarray(e_out[b, :L]),
                                    np.asarray(ref[b, :L]),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attn_mem_matches_xla():
+    """DFSMN memory-slot attention: flash (memory slots prepended to
+    K/V, prefix mask = lengths + M) vs the XLA attn_mem_layer."""
+    from m3asr_tpu.models.dfsmn import attn_mem_layer
+    from m3asr_tpu.ops.common import init_linear
+
+    B, T, D, H, M = 2, 150, 64, 4, 8
+    key = jax.random.PRNGKey(21)
+    ks = jax.random.split(key, 7)
+    dk = D // H
+    p = {
+        "linear_query": init_linear(ks[0], D, D),
+        "linear_key": init_linear(ks[1], D, D),
+        "linear_value": init_linear(ks[2], D, D),
+        "linear_out": init_linear(ks[3], D, D),
+        "key_memory": jax.random.normal(ks[4], (H, M, dk)),
+        "value_memory": jax.random.normal(ks[5], (H, M, dk)),
+    }
+    x = jax.random.normal(ks[6], (B, T, D))
+    lengths = jnp.asarray([150, 97], jnp.int32)
+    ref = attn_mem_layer(p, x, lengths, H, M)
+    out = attn_mem_layer(p, x, lengths, H, M, attn_impl="flash")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # no memory slots
+    ref0 = attn_mem_layer(p, x, lengths, H, 0)
+    out0 = attn_mem_layer(p, x, lengths, H, 0, attn_impl="flash")
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(ref0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_through_dfsmn_engine():
+    from test_dfsmn_engine import dfsmn_yaml, golden_dfsmn
+    from m3asr_tpu.config import model_config_from_dict
+    from m3asr_tpu.models.registry import get_family
+    from m3asr_tpu.runtime.engine import Engine, EngineConfig
+
+    raw = dfsmn_yaml()
+    cfg = model_config_from_dict(raw)
+    fam = get_family(raw["nnet_proto"])
+    sd = {k: v for k, v in golden_dfsmn().state_dict().items()}
+    params = fam.convert(sd, cfg)
+
+    rng = np.random.RandomState(5)
+    feat = rng.randn(2, 90, 16).astype(np.float32)
+    feat_len = np.array([90, 41], np.int32)
+
+    ref_eng = Engine(cfg, params, EngineConfig(
+        bucket_lengths=(128,), bucket_batches=(2,), donate_input=False))
+    ref, ref_len = ref_eng.infer(feat, feat_len)
+    eng = Engine(cfg, params, EngineConfig(
+        attn_impl="flash", bucket_lengths=(128,), bucket_batches=(2,),
+        donate_input=False))
+    out, out_len = eng.infer(feat, feat_len)
+    assert np.array_equal(np.asarray(out_len), np.asarray(ref_len))
+    for b, L in enumerate(np.asarray(out_len)):
+        np.testing.assert_allclose(np.asarray(out[b, :L]),
+                                   np.asarray(ref[b, :L]),
+                                   rtol=1e-4, atol=1e-4)
