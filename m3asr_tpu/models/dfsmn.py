@@ -269,7 +269,8 @@ class DfsmnSanMoEConfig(DfsmnSanConfig):
 def dfsmn_san_moe_forward(params, cfg: DfsmnSanMoEConfig, x: jax.Array,
                           lengths: Optional[jax.Array],
                           moe_impl: str = "dense", attn_mask=None,
-                          attn_impl: str = "xla"):
+                          attn_impl: str = "xla",
+                          return_hidden: bool = False):
     """model/dfsmn_san_fmoe_localComm_catEmbed.py Net.forward: embed
     sub-net (detached) feeds every MoE cFSMN router; blocks of
     (num_fsmn MoE cFSMN -> [PE block 0] -> attn), out_linear_sw.
@@ -306,6 +307,10 @@ def dfsmn_san_moe_forward(params, cfg: DfsmnSanMoEConfig, x: jax.Array,
                                 cfg.norm_type, attn_mask=attn_mask,
                                 attn_impl=attn_impl)
     out = linear(params["out_linear_sw"], h)
+    if return_hidden:
+        # the final pre-out_linear hidden (same contract as the
+        # conformer-MoE family's return_hidden)
+        return out, embed_out, lengths, h
     return out, embed_out, lengths
 
 

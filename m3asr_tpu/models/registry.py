@@ -36,7 +36,8 @@ def _conformer_family():
             key, mc.encoder_conf, mc.input_dim, mc.output_dim, dtype),
         forward=lambda p, mc, feat, feat_len, **kw: conformer.forward(
             p, mc.encoder_conf, feat, feat_len,
-            **{k: v for k, v in kw.items() if k == "output_embed"}),
+            **{k: v for k, v in kw.items()
+               if k in ("output_embed", "attn_impl")}),
         convert=lambda sd, mc: ckpt.convert_encoder(sd, mc),
     )
 
@@ -132,15 +133,35 @@ def _dfsmn_family(nnet_proto: str):
     def forward(p, mc, feat, feat_len, **kw):
         e = enc_conf(mc)
         attn_impl = kw.get("attn_impl", "xla")
+        # Engine spells the hidden request "return_hidden" on MoE
+        # families and "output_embed" on dense ones; honor both.
+        want_hidden = bool(kw.get("return_hidden")
+                           or kw.get("output_embed"))
         if is_moe:
-            out, _embed_out, lens = dfsmn.dfsmn_san_moe_forward(
+            res = dfsmn.dfsmn_san_moe_forward(
                 p, moe_cfg(e), feat, feat_len,
                 moe_impl=kw.get("moe_impl", "dense"),
-                attn_impl=attn_impl)
+                attn_impl=attn_impl, return_hidden=want_hidden)
+            if want_hidden:
+                out, _embed_out, lens, hid = res
+                # final pre-out_linear hidden (conformer-MoE
+                # return_hidden contract)
+                return out, lens, hid
+            out, _embed_out, lens = res
             return out, lens
         if is_base:
             # pure FSMN stack: no attention layers, nothing to switch
+            if want_hidden:
+                raise ValueError(
+                    "return_hidden is not supported for dfsmn_base_res: "
+                    "the plain cFSMN stack has no hidden tap "
+                    "(dfsmn_base_res.py Net.forward)")
             return dfsmn.dfsmn_base_forward(p, base_cfg(e), feat, feat_len)
+        if want_hidden:
+            out, hid, lens = dfsmn.dfsmn_san_forward(
+                p, san_cfg(e), feat, feat_len, output_embed=True,
+                attn_impl=attn_impl)
+            return out, lens, hid
         return dfsmn.dfsmn_san_forward(p, san_cfg(e), feat, feat_len,
                                        attn_impl=attn_impl)
 

@@ -201,10 +201,10 @@ class Engine:
 
         # int8 mode: bf16 activations/dense weights + int8 expert weights
         self.int8_experts = self.cfg.dtype == "int8"
-        if self.cfg.return_hidden and family_name.startswith("dfsmn"):
+        if self.cfg.return_hidden and model_cfg.nnet_proto == "dfsmn_base_res":
             raise NotImplementedError(
-                "return_hidden (AED rescoring memory) is supported for "
-                "the conformer families only")
+                "return_hidden: the plain cFSMN stack (dfsmn_base_res) "
+                "has no hidden tap")
         if self.cfg.return_taps and family_name != "moe_conformer":
             raise NotImplementedError(
                 "return_taps (hier decoder memories h6/h12) requires the "

@@ -147,17 +147,30 @@ def make_handler(batcher, default_beam, stream_pool=None):
                         resp = {"request_batch_sizes":
                                 batcher.batch_sizes[-50:]}
                         if stream_pool is not None:
+                            # DFSMN batcher cores are shared per chunk
+                            # size (the factory ignores `left`), so
+                            # several pool template keys can point at
+                            # ONE core — dedupe by identity so slot
+                            # counts aren't double-reported
                             sb = {}
+                            by_core = {}
                             for key, b in list(
                                     getattr(stream_pool, "_templates",
                                             {}).items()):
                                 core = getattr(b, "batcher", None)
-                                if core is not None:
-                                    sb[str(key)] = {
-                                        "slots_free": len(core._free),
-                                        "slots": core.slots,
-                                        "tick_batch_sizes":
-                                            core.batch_sizes[-50:]}
+                                if core is None:
+                                    continue
+                                ent = by_core.get(id(core))
+                                if ent is not None:
+                                    ent["pool_keys"].append(str(key))
+                                    continue
+                                ent = {"pool_keys": [str(key)],
+                                       "slots_free": len(core._free),
+                                       "slots": core.slots,
+                                       "tick_batch_sizes":
+                                           core.batch_sizes[-50:]}
+                                by_core[id(core)] = ent
+                                sb[str(key)] = ent
                             resp["stream_batchers"] = sb
                         self.wfile.write((json.dumps(resp) + "\n")
                                          .encode())

@@ -228,3 +228,36 @@ def test_dfsmn_moe_jax_trains_and_engine_decodes_identically():
         out, out_len = eng.infer(f, l)
         e_hyps += _greedy(out, out_len)
     assert e_hyps == ref_hyps
+
+
+def test_dfsmn_registry_return_hidden():
+    """Engine(return_hidden) must get a real hidden from the DFSMN
+    families (regression: the forward dropped output_embed/return_hidden
+    and the engine then served out_len as the hidden)."""
+    key = jax.random.PRNGKey(0)
+    feat = jnp.zeros((1, 20, FEAT_DIM), jnp.float32)
+    fl = jnp.asarray([20], jnp.int32)
+
+    cfg = model_config_from_dict(SAN_YAML)
+    fam = get_family(cfg.nnet_proto)
+    p = fam.init(key, cfg)
+    out, lens, hid = fam.forward(p, cfg, feat, fl, output_embed=True)
+    assert hid.shape == (1, 20, 24)        # pre-out_linear memory_dim
+
+    cfg = model_config_from_dict(MOE_YAML)
+    fam = get_family(cfg.nnet_proto)
+    p = fam.init(key, cfg)
+    out, lens, hid = fam.forward(p, cfg, feat, fl, moe_impl="dense",
+                                 return_hidden=True)
+    assert hid.shape == (1, 20, 24)        # final pre-out_linear hidden
+
+    base_yaml = {"nnet_proto": "dfsmn_base_res", "input_dim": FEAT_DIM,
+                 "output_dim": VOCAB,
+                 "model_conf": {"fsmn_layers": 2,
+                                "fsmn_conf": {"hidden_dim": 32,
+                                              "memory_dim": 24}}}
+    cfg = model_config_from_dict(base_yaml)
+    fam = get_family(cfg.nnet_proto)
+    p = fam.init(key, cfg)
+    with pytest.raises(ValueError, match="return_hidden"):
+        fam.forward(p, cfg, feat, fl, output_embed=True)

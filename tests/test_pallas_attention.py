@@ -183,3 +183,37 @@ def test_flash_through_dfsmn_engine():
         np.testing.assert_allclose(np.asarray(out[b, :L]),
                                    np.asarray(ref[b, :L]),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_attn_impl_threads_to_dense_conformer(monkeypatch):
+    """Regression: the registry's dense-conformer kwarg filter silently
+    dropped attn_impl, so EngineConfig(attn_impl="flash") measured the
+    XLA path while reporting flash. The flag must reach the kernel."""
+    from m3asr_tpu.config import model_config_from_dict
+    from m3asr_tpu.models.registry import get_family
+    import m3asr_tpu.ops.pallas_attention as pa
+
+    cfg = model_config_from_dict({
+        "nnet_proto": "conformer", "input_dim": 8, "output_dim": 5,
+        "model_conf": {"encoder_conf": {
+            "attention_dim": 16, "attention_heads": 4,
+            "linear_units": 24, "num_blocks": 1}}})
+    fam = get_family(cfg.nnet_proto)
+    params = fam.init(jax.random.PRNGKey(0), cfg)
+
+    calls = []
+    real = pa.flash_rel_mha
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pa, "flash_rel_mha", spy)
+    feat = jnp.zeros((1, 32, 8), jnp.float32)
+    fl = jnp.asarray([32], jnp.int32)
+    out_flash = fam.forward(params, cfg, feat, fl, attn_impl="flash")
+    assert calls, "attn_impl='flash' never reached flash_rel_mha"
+    out_xla = fam.forward(params, cfg, feat, fl)
+    np.testing.assert_allclose(np.asarray(out_flash[0]),
+                               np.asarray(out_xla[0]), rtol=1e-5,
+                               atol=1e-5)
