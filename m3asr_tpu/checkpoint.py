@@ -340,6 +340,18 @@ def convert_dfsmn_san(sd: StateDict, num_block: int,
     return _to_jax({"blocks": blocks, "out_linear": _linear(sd, "out_linear")})
 
 
+def convert_dfsmn_san_domain_acc(sd: StateDict, num_block: int,
+                                 fsmn_each_block: int,
+                                 norm_type: str = "LN") -> Dict:
+    """model/dfsmn_san_res_embed_domain_acc.py Net state dict: the san
+    net (:235-248) plus out_linear_{domain,accent}[_embed] (:250-253)."""
+    p = convert_dfsmn_san(sd, num_block, fsmn_each_block, norm_type)
+    for name in ("out_linear_domain", "out_linear_accent",
+                 "out_linear_domain_embed", "out_linear_accent_embed"):
+        p[name] = _to_jax(_linear(sd, name))
+    return p
+
+
 def convert_cfsmn_moe(sd: StateDict) -> Dict:
     """MoE cFSMN layer (dfsmn_base_fmoe_localComm_catEmbed.py:82-160):
     FMoELinear experts {hid_proj (bias), mem_proj (no bias)} + router

@@ -175,6 +175,10 @@ class DfsmnEncoderConfig:
     hidden_dropout: float = 0.0
     attn_dropout: float = 0.0
     dropout: float = 0.0
+    # domain/accent heads (dfsmn_san_res_embed_domain_acc.py register():
+    # defaults 6/8)
+    output_dim_domain: int = 6
+    output_dim_acc: int = 8
     # base family (dfsmn_base_res.py Net kwargs)
     fsmn_layers: int = 30
     # fmoe catEmbed variants

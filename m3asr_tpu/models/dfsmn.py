@@ -192,6 +192,64 @@ def dfsmn_san_forward(params, cfg: DfsmnSanConfig, x: jax.Array,
     return out, lengths
 
 
+def dfsmn_san_domain_acc_forward(params, cfg: DfsmnSanConfig, x: jax.Array,
+                                 lengths: Optional[jax.Array],
+                                 output_embed: bool = False,
+                                 attn_mask=None, attn_impl: str = "xla"):
+    """model/dfsmn_san_res_embed_domain_acc.py Net.forward (:256-279):
+    the san stack plus per-utterance domain/accent classifier heads —
+    x_{domain,acc} = out_linear_{domain,accent}_embed(x), mean-pooled
+    over time (the reference pools with a plain ``torch.mean`` over the
+    padded T axis, NOT a length-masked mean — matched exactly here),
+    then out_linear_{domain,accent} give the pooled class logits.
+
+    Returns (out, out_pool_domain, out_pool_acc, lengths); with
+    output_embed=True additionally returns x_cat_2 = cat[x,
+    pooled_domain_embed, pooled_acc_embed] broadcast over T (:272-276),
+    the conditioning feature downstream catEmbed models consume. The
+    reference's redundant softmax(out) 4th output (:277-279) is left to
+    callers."""
+    out, h, lengths = dfsmn_san_forward(params, cfg, x, lengths,
+                                        output_embed=True,
+                                        attn_mask=attn_mask,
+                                        attn_impl=attn_impl)
+    x_domain = linear(params["out_linear_domain_embed"], h)
+    x_acc = linear(params["out_linear_accent_embed"], h)
+    pool_domain = jnp.mean(x_domain, axis=1, keepdims=True)  # (B,1,D)
+    pool_acc = jnp.mean(x_acc, axis=1, keepdims=True)
+    out_pool = linear(params["out_linear_domain"], pool_domain)
+    out_pool_acc = linear(params["out_linear_accent"], pool_acc)
+    if output_embed:
+        T = h.shape[1]
+        x_cat_2 = jnp.concatenate(
+            [h,
+             jnp.broadcast_to(pool_domain, (h.shape[0], T,
+                                            pool_domain.shape[-1])),
+             jnp.broadcast_to(pool_acc, (h.shape[0], T,
+                                         pool_acc.shape[-1]))],
+            axis=-1)
+        return out, out_pool, out_pool_acc, x_cat_2, lengths
+    return out, out_pool, out_pool_acc, lengths
+
+
+def init_dfsmn_san_domain_acc(key, cfg: DfsmnSanConfig, input_dim: int,
+                              output_dim: int, output_dim_domain: int = 6,
+                              output_dim_acc: int = 8, dtype=jnp.float32):
+    """model/dfsmn_san_res_embed_domain_acc.py Net init (:249-253): the
+    san net plus out_linear_{domain,accent} and the model_dim->model_dim
+    embed projections feeding the pooled heads."""
+    from m3asr_tpu.ops.common import init_linear
+    k_san, k1, k2, k3, k4 = jax.random.split(key, 5)
+    p = init_dfsmn_san(k_san, cfg, input_dim, output_dim, dtype)
+    d = cfg.memory_dim
+    p["out_linear_domain"] = init_linear(k1, d, output_dim_domain,
+                                         dtype=dtype)
+    p["out_linear_accent"] = init_linear(k2, d, output_dim_acc, dtype=dtype)
+    p["out_linear_domain_embed"] = init_linear(k3, d, d, dtype=dtype)
+    p["out_linear_accent_embed"] = init_linear(k4, d, d, dtype=dtype)
+    return p
+
+
 # ---------------------------------------------------------------------------
 # MoE-DFSMN (dfsmn_{base,san}_fmoe_localComm_catEmbed)
 # ---------------------------------------------------------------------------

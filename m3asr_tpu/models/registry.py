@@ -117,6 +117,7 @@ def _dfsmn_family(nnet_proto: str):
 
     is_moe = "fmoe" in nnet_proto
     is_base = nnet_proto == "dfsmn_base_res"
+    is_domain_acc = nnet_proto == "dfsmn_san_res_embed_domain_acc"
 
     enc_conf, san_cfg, embed_cfg = (dfsmn_enc_conf, dfsmn_san_config,
                                     dfsmn_embed_config)
@@ -157,6 +158,21 @@ def _dfsmn_family(nnet_proto: str):
                     "the plain cFSMN stack has no hidden tap "
                     "(dfsmn_base_res.py Net.forward)")
             return dfsmn.dfsmn_base_forward(p, base_cfg(e), feat, feat_len)
+        if is_domain_acc:
+            res = dfsmn.dfsmn_san_domain_acc_forward(
+                p, san_cfg(e), feat, feat_len, output_embed=want_hidden,
+                attn_impl=attn_impl)
+            if want_hidden:
+                out, out_pool, out_pool_acc, x_cat_2, lens = res
+                # hidden = x_cat_2, the domain/acc-conditioned feature
+                # (dfsmn_san_res_embed_domain_acc.py:272-276)
+                if kw.get("domain_acc"):
+                    return out, lens, x_cat_2, out_pool, out_pool_acc
+                return out, lens, x_cat_2
+            out, out_pool, out_pool_acc, lens = res
+            if kw.get("domain_acc"):
+                return out, lens, out_pool, out_pool_acc
+            return out, lens
         if want_hidden:
             out, hid, lens = dfsmn.dfsmn_san_forward(
                 p, san_cfg(e), feat, feat_len, output_embed=True,
@@ -177,6 +193,9 @@ def _dfsmn_family(nnet_proto: str):
                 emb.num_block, emb.fsmn_each_block, e.norm_type)
         if is_base:
             return ckpt.convert_dfsmn_base(s, e.fsmn_layers)
+        if is_domain_acc:
+            return ckpt.convert_dfsmn_san_domain_acc(
+                s, e.num_block, e.fsmn_each_block, e.norm_type)
         return ckpt.convert_dfsmn_san(s, e.num_block, e.fsmn_each_block,
                                       e.norm_type)
 
@@ -190,6 +209,11 @@ def _dfsmn_family(nnet_proto: str):
         if is_base:
             return dfsmn.init_dfsmn_base(key, base_cfg(e), mc.input_dim,
                                          mc.output_dim, dtype=dtype)
+        if is_domain_acc:
+            return dfsmn.init_dfsmn_san_domain_acc(
+                key, san_cfg(e), mc.input_dim, mc.output_dim,
+                output_dim_domain=e.output_dim_domain,
+                output_dim_acc=e.output_dim_acc, dtype=dtype)
         return dfsmn.init_dfsmn_san(key, san_cfg(e), mc.input_dim,
                                     mc.output_dim, dtype=dtype)
 

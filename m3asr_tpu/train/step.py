@@ -40,6 +40,9 @@ class TrainConfig:
     router_importance_weight: float = 0.0
     blank_idx: int = 0
     remat: bool = False            # per-block rematerialization
+    ce_weight: float = 1e-5        # domain/acc head CE weight
+                                   # (reference cfg default,
+                                   # bk/..._hier.py:378)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -72,10 +75,12 @@ def train_chunk_mask(enc_cfg, feat, feat_len, rng):
 
 
 def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
-            feat, feat_len, targets, target_lens, rng=None):
+            feat, feat_len, targets, target_lens, rng=None,
+            domain_targets=None, acc_targets=None):
     is_moe = model_cfg.nnet_proto in MOE_HIER_PROTOS
     is_dfsmn = "dfsmn" in model_cfg.nnet_proto
     metrics = {}
+    out_pool = out_pool_acc = None
     rng_main, rng_embed = (jax.random.split(rng) if rng is not None
                            else (None, None))
     if is_dfsmn:
@@ -93,7 +98,15 @@ def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
                 moe_impl="dense")
         else:
             fwd = reg.get_family(model_cfg.nnet_proto).forward
-            out, out_len = fwd(params, model_cfg, feat, feat_len)
+            if (model_cfg.nnet_proto == "dfsmn_san_res_embed_domain_acc"
+                    and (domain_targets is not None
+                         or acc_targets is not None)):
+                # in-model pooled heads
+                # (dfsmn_san_res_embed_domain_acc.py:256-279)
+                out, out_len, out_pool, out_pool_acc = fwd(
+                    params, model_cfg, feat, feat_len, domain_acc=True)
+            else:
+                out, out_len = fwd(params, model_cfg, feat, feat_len)
             embed_out = None
     elif is_moe:
         chunk_mask = train_chunk_mask(model_cfg.encoder_conf, feat,
@@ -139,6 +152,20 @@ def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
                                  tcfg.blank_idx)
         metrics["embed_ctc_loss"] = e_loss
         loss = loss + tcfg.embed_ctc_weight * e_loss
+    # per-utterance domain/accent CE on the in-model pooled heads
+    # (dfsmn_san_res_embed_domain_acc proto; same loss shape as the
+    # hier recipe's heads: CE sum / batch, ce_weight, hit-rate metric)
+    B = feat.shape[0]
+    for tag, logits, tgt in (("domain", out_pool, domain_targets),
+                             ("acc", out_pool_acc, acc_targets)):
+        if logits is None or tgt is None:
+            continue
+        ce_sum, (_, _, hit), (frames, _, _) = losses.ce_loss(
+            logits, tgt[:, None], -1, mean_in_frames=False)
+        ce = ce_sum / B
+        metrics[f"{tag}_loss"] = ce
+        metrics[f"{tag}_hit"] = hit / jnp.maximum(frames, 1)
+        loss = loss + tcfg.ce_weight * ce
     metrics["loss"] = loss
     return loss, metrics
 
@@ -367,21 +394,37 @@ def make_hier_train_step(model_cfg: ModelConfig, tcfg: HierTrainConfig,
 
 
 def make_train_step(model_cfg: ModelConfig, tcfg: TrainConfig,
-                    optimizer: optax.GradientTransformation):
+                    optimizer: optax.GradientTransformation,
+                    with_domain_acc: bool = False):
     """Returns step(params, opt_state, batch) -> (params, opt_state,
     metrics). jit/shard externally (see parallel.mesh +
     __graft_entry__.dryrun_multichip). With dynamic-chunk training
-    enabled, step takes a trailing PRNG key."""
+    enabled, step takes a trailing PRNG key. With with_domain_acc the
+    step takes per-utterance domain/acc id vectors after the CTC labels
+    and trains the dfsmn_san_res_embed_domain_acc in-model heads."""
 
-    def step(params, opt_state, feat, feat_len, targets, target_lens,
-             rng=None):
+    def _run(params, opt_state, feat, feat_len, targets, target_lens,
+             rng, domain_targets, acc_targets):
         (loss, metrics), grads = jax.value_and_grad(
             lambda p: loss_fn(p, model_cfg, tcfg, feat, feat_len,
-                              targets, target_lens, rng=rng),
+                              targets, target_lens, rng=rng,
+                              domain_targets=domain_targets,
+                              acc_targets=acc_targets),
             has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
         return params, opt_state, metrics
+
+    if with_domain_acc:
+        def step(params, opt_state, feat, feat_len, targets, target_lens,
+                 domain_targets, acc_targets, rng=None):
+            return _run(params, opt_state, feat, feat_len, targets,
+                        target_lens, rng, domain_targets, acc_targets)
+    else:
+        def step(params, opt_state, feat, feat_len, targets, target_lens,
+                 rng=None):
+            return _run(params, opt_state, feat, feat_len, targets,
+                        target_lens, rng, None, None)
 
     return step

@@ -217,7 +217,12 @@ class Trainer:
         return tuple(out)
 
     def train_one_epoch(self) -> Dict[str, float]:
-        stat = MetricStat(["loss", "ctc_loss"])
+        # tags come from the recipe's metrics dict on the first batch so
+        # every recipe metric (aed_loss_*, domain/acc CE + hit, router
+        # aux, grad_norm) reaches the log line and the scalar writers —
+        # the reference's MetricStat logs all its tags the same way
+        # (loss/loss_compute.py:6-54, bk/..._hier.py:617-632)
+        stat = None
         meter = ThroughputMeter()
         for i, batch in enumerate(self.make_loader(self.resume_skip)):
             args = (self.params, self.opt_state) + self._batch_args(batch)
@@ -228,7 +233,8 @@ class Trainer:
                     key = jax.random.split(key, self.bmuf.dp)
                 args += (key,)
             self.params, self.opt_state, metrics = self.train_step(*args)
-            loss = float(np.mean(metrics["loss"]))
+            scalars = {k: float(np.mean(v)) for k, v in metrics.items()}
+            loss = scalars["loss"]
             if not np.isfinite(loss):
                 self._recover_from_divergence()
                 if self.early_stop >= self.early_stop_limit:
@@ -245,16 +251,20 @@ class Trainer:
                             "early stop: too many divergences")
                     continue
             self.resume_skip += int(batch["data"].shape[0])
-            stat.update_stat(
-                [loss, float(np.mean(metrics.get("ctc_loss", loss)))],
-                [1, 1])
+            if stat is None:
+                # 'loss' leads the line; the rest alphabetical
+                stat = MetricStat(["loss"] + sorted(k for k in scalars
+                                                    if k != "loss"))
+            stat.update_stat([scalars.get(t, 0.0) for t in stat.tags],
+                             [1] * len(stat.tags))
             meter.update(int(np.sum(batch["lens"])))
             if (i + 1) % self.log_period == 0:
                 avg = stat.log_stat()
+                line = " ".join(f"{t} {v:.4f}"
+                                for t, v in zip(stat.tags, avg))
                 self.logger.info(
                     f"epoch {self.epoch} step {self.global_step} "
-                    f"loss {avg[0]:.4f} ctc {avg[1]:.4f} "
-                    f"{meter.rate():.0f} frames/s")
+                    f"{line} {meter.rate():.0f} frames/s")
                 for w in self.writers:
                     for tag, v in zip(stat.tags, avg):
                         w.add_scalar(f"train/{tag}", v, self.global_step)
@@ -262,6 +272,8 @@ class Trainer:
                                  self.global_step)
             if (i + 1) % self.save_period == 0:
                 self.save_checkpoint("last")
+        if stat is None:  # empty loader / every batch diverged
+            return {}
         return dict(zip(stat.tags, stat.summary_stat()))
 
     def validate(self, valid_step) -> float:

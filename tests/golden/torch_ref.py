@@ -605,6 +605,43 @@ class DfsmnSanNet(nn.Module):
         return self.out_linear(x), lengths
 
 
+class DfsmnSanDomainAccNet(DfsmnSanNet):
+    """Golden twin of model/dfsmn_san_res_embed_domain_acc.py Net: the
+    san stack plus mean-pooled domain/accent heads (:249-279). Pooling
+    is the reference's plain torch.mean over padded T (no length mask)."""
+
+    def __init__(self, *args, output_dim_domain=6, output_dim_acc=8,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        d = self.memory_dim
+        self.out_linear_domain = nn.Linear(d, output_dim_domain)
+        self.out_linear_accent = nn.Linear(d, output_dim_acc)
+        self.out_linear_domain_embed = nn.Linear(d, d)
+        self.out_linear_accent_embed = nn.Linear(d, d)
+
+    def forward(self, x, lengths, output_embed=False):
+        for i, blk in enumerate(self.blocks):
+            for f in blk.fsmn_layers:
+                x = f(x, lengths)
+            if i == 0:
+                x = x + self.pe[:, : x.size(1)]
+            a = blk.attn_layer
+            x = a.ln_layer(x + a.attn_layer(x, lengths))
+        x_domain = self.out_linear_domain_embed(x)
+        x_acc = self.out_linear_accent_embed(x)
+        x_pool_domain = torch.mean(x_domain, 1, True)
+        x_pool_acc = torch.mean(x_acc, 1, True)
+        out_pool = self.out_linear_domain(x_pool_domain)
+        out_pool_acc = self.out_linear_accent(x_pool_acc)
+        out = self.out_linear(x)
+        if output_embed:
+            x_cat_2 = torch.cat(
+                (x, x_pool_domain.expand(-1, x.shape[1], -1),
+                 x_pool_acc.expand(-1, x.shape[1], -1)), dim=-1)
+            return out, out_pool, out_pool_acc, x_cat_2, lengths
+        return out, out_pool, out_pool_acc, lengths
+
+
 class CFSMNMoELayer(nn.Module):
     """Golden MoE cFSMN layer (dfsmn_base_fmoe_localComm_catEmbed.py):
     top-1 gate on cat[embed, x] -> per-expert {hid_proj -> relu ->

@@ -64,3 +64,62 @@ def test_dfsmn_san_net_parity():
     y_j, _ = dfsmn.dfsmn_san_forward(p, cfg, jnp.asarray(x.numpy()),
                                      jnp.array([23, 14]))
     allclose(valid_region(y_j, [23, 14]), valid_region(y_t.numpy(), [23, 14]))
+
+
+def test_dfsmn_san_domain_acc_parity():
+    """dfsmn_san_res_embed_domain_acc Net: san stack + mean-pooled
+    domain/accent heads + x_cat_2 conditioning feature (:249-279). The
+    pooled heads average over padded T (reference semantics), so they
+    are compared on the full tensor, not just the valid region."""
+    import jax
+    from m3asr_tpu.config import model_config_from_dict
+    from m3asr_tpu.models.registry import get_family
+
+    torch.manual_seed(70)
+    m = G.randomize_(G.DfsmnSanDomainAccNet(
+        12, 7, num_block=2, fsmn_each_block=3, hidden_dim=24,
+        memory_dim=16, num_head=4, num_memory=8, output_dim_domain=5,
+        output_dim_acc=3), seed=71)
+    g = torch.Generator().manual_seed(72)
+    x = torch.randn(2, 23, 12, generator=g)
+    lengths = torch.tensor([23, 14])
+    with torch.no_grad():
+        out_t, dom_t, acc_t, cat_t, _ = m(x, lengths, output_embed=True)
+
+    yaml = {"nnet_proto": "dfsmn_san_res_embed_domain_acc",
+            "input_dim": 12, "output_dim": 7,
+            "model_conf": {"num_block": 2, "fsmn_each_block": 3,
+                           "hidden_dim": 24, "memory_dim": 16,
+                           "num_head": 4, "num_memory": 8,
+                           "output_dim_domain": 5, "output_dim_acc": 3}}
+    mc = model_config_from_dict(yaml)
+    fam = get_family(mc.nnet_proto)
+
+    sd = ckpt.track(dict(m.state_dict()))
+    p = fam.convert(sd, mc)
+    assert not ckpt.unconsumed_keys(sd), ckpt.unconsumed_keys(sd)
+
+    xj, lj = jnp.asarray(x.numpy()), jnp.array([23, 14])
+    out_j, _, dom_j, acc_j = fam.forward(p, mc, xj, lj, domain_acc=True)
+    allclose(valid_region(out_j, [23, 14]),
+             valid_region(out_t.numpy(), [23, 14]))
+    allclose(dom_j, dom_t.numpy())
+    allclose(acc_j, acc_t.numpy())
+
+    out_j2, _, cat_j, dom_j2, acc_j2 = fam.forward(
+        p, mc, xj, lj, output_embed=True, domain_acc=True)
+    allclose(valid_region(cat_j, [23, 14]),
+             valid_region(cat_t.numpy(), [23, 14]))
+    allclose(dom_j2, dom_t.numpy())
+
+    # engine hidden contract: (out, lens, hidden)
+    out_j3, _, hid = fam.forward(p, mc, xj, lj, output_embed=True)
+    np.testing.assert_array_equal(np.asarray(hid), np.asarray(cat_j))
+
+    # init matches the converted tree's structure (trainable from here)
+    pi = fam.init(jax.random.PRNGKey(0), mc)
+    assert (jax.tree_util.tree_structure(pi)
+            == jax.tree_util.tree_structure(p))
+    for a, b in zip(jax.tree_util.tree_leaves(pi),
+                    jax.tree_util.tree_leaves(p)):
+        assert a.shape == b.shape, (a.shape, b.shape)

@@ -230,6 +230,62 @@ def test_dfsmn_moe_jax_trains_and_engine_decodes_identically():
     assert e_hyps == ref_hyps
 
 
+def test_dfsmn_domain_acc_heads_train():
+    """dfsmn_san_res_embed_domain_acc trains its in-model pooled
+    domain/accent heads through make_train_step(with_domain_acc=True):
+    the CE terms appear in metrics, the head params receive gradient,
+    and a few steps drive the domain hit-rate to 1.0 on a separable toy
+    task (class id encoded in the input bias)."""
+    from m3asr_tpu.train.step import TrainConfig, make_train_step
+
+    yaml = {"nnet_proto": "dfsmn_san_res_embed_domain_acc",
+            "input_dim": FEAT_DIM, "output_dim": VOCAB,
+            "model_conf": {"num_block": 1, "fsmn_each_block": 2,
+                           "fsmn_conf": {"hidden_dim": 24,
+                                         "memory_dim": 16},
+                           "san_conf": {"num_head": 4, "num_memory": 4},
+                           "output_dim_domain": 3, "output_dim_acc": 2}}
+    cfg = model_config_from_dict(yaml)
+    fam = get_family(cfg.nnet_proto)
+    params = fam.init(jax.random.PRNGKey(3), cfg)
+    tcfg = TrainConfig(loss_type="ctc", ce_weight=1.0)
+    optimizer = optax.adam(3e-3)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_train_step(cfg, tcfg, optimizer,
+                                   with_domain_acc=True))
+
+    rng = np.random.RandomState(7)
+    head0 = jax.tree_util.tree_map(np.asarray,
+                                   params["out_linear_domain"])
+    B, T, U = 8, 24, 4
+    hits = []
+    for s in range(150):
+        dom = rng.randint(0, 3, size=(B,)).astype(np.int32)
+        acc = rng.randint(0, 2, size=(B,)).astype(np.int32)
+        feats = (rng.randn(B, T, FEAT_DIM).astype(np.float32) * 0.1
+                 + dom[:, None, None].astype(np.float32))
+        lens = np.full((B,), T, np.int32)
+        tgt = rng.randint(1, VOCAB, size=(B, U)).astype(np.int32)
+        tl = np.full((B,), U, np.int32)
+        params, opt_state, metrics = step(
+            params, opt_state, jnp.asarray(feats), jnp.asarray(lens),
+            jnp.asarray(tgt), jnp.asarray(tl), jnp.asarray(dom),
+            jnp.asarray(acc))
+        assert np.isfinite(float(metrics["loss"]))
+        hits.append(float(metrics["domain_hit"]))
+    assert "domain_loss" in metrics and "acc_loss" in metrics
+    # head moved (got gradient)
+    moved = any(
+        not np.allclose(a, b) for a, b in
+        zip(jax.tree_util.tree_leaves(head0),
+            jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+                np.asarray, params["out_linear_domain"]))))
+    assert moved, "domain head received no gradient"
+    # hit is measured pre-update each step; the separable toy task must
+    # be essentially solved by the end
+    assert max(hits[-20:]) >= 0.99, hits[-20:]
+
+
 def test_dfsmn_registry_return_hidden():
     """Engine(return_hidden) must get a real hidden from the DFSMN
     families (regression: the forward dropped output_embed/return_hidden

@@ -332,3 +332,63 @@ def test_train_cli_domain_acc_heads(tmp_path):
     for name in ("encoder", "decoder", "domain_head", "acc_head"):
         assert name in ckpt["params"], sorted(ckpt["params"])
     assert ckpt["global_step"] > 0
+
+
+def test_train_cli_dfsmn_domain_acc(tmp_path):
+    """The DFSMN domain_acc recipe: --tr_domain_labels/--tr_acc_labels
+    with dfsmn_san_res_embed_domain_acc train the proto's IN-MODEL
+    pooled heads (dfsmn_san_res_embed_domain_acc.py:249-279) — no hier
+    recipe, no add-on heads."""
+    rng = np.random.RandomState(3)
+    with ArkWriter(str(tmp_path / "tr.ark")) as w:
+        for i in range(8):
+            w.write(f"utt{i}", rng.randn(20 + i, 12).astype(np.float32))
+    with open(tmp_path / "tr_labels.ark", "w") as f:
+        for i in range(8):
+            toks = " ".join(str(t) for t in rng.randint(1, 6, 3))
+            f.write(f"utt{i} {toks}\n")
+    with open(tmp_path / "domain.ark", "w") as f:
+        for i in range(8):
+            f.write(f"utt{i} {rng.randint(0, 3)}\n")
+    with open(tmp_path / "acc.ark", "w") as f:
+        for i in range(8):
+            f.write(f"utt{i} {rng.randint(0, 2)}\n")
+    cfgd = {
+        "nnet_proto": "dfsmn_san_res_embed_domain_acc",
+        "input_dim": 12, "output_dim": 7,
+        "model_conf": {"num_block": 1, "fsmn_each_block": 2,
+                       "fsmn_conf": {"hidden_dim": 16, "memory_dim": 16},
+                       "san_conf": {"num_head": 4, "num_memory": 4},
+                       "output_dim_domain": 3, "output_dim_acc": 2},
+        "loader_conf": {"feat_dim": 12, "batch_size": 4},
+        "collate_conf": {},
+        "lr": 1e-3, "schedule_type": "warmup_noam",
+        "schedule_conf": {"warmup_steps": 10},
+        "max_epoch": 1, "log_period": 2,
+    }
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(cfgd, f)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", M3ASR_PLATFORM="cpu")
+    out_dir = tmp_path / "exp"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py"),
+         "--config", str(tmp_path / "cfg.yaml"),
+         "--output_dir", str(out_dir),
+         "--tr_rspecifier", str(tmp_path / "tr.ark"),
+         "--tr_labels", str(tmp_path / "tr_labels.ark"),
+         "--tr_domain_labels", str(tmp_path / "domain.ark"),
+         "--tr_acc_labels", str(tmp_path / "acc.ark")],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr
+    with open(out_dir / "checkpoint_final.pkl", "rb") as f:
+        ckpt = pickle.load(f)
+    # heads are part of the model params (not add-on head subtrees)
+    assert "domain_head" not in ckpt["params"]
+    assert "out_linear_domain" in ckpt["params"], sorted(ckpt["params"])
+    assert "out_linear_accent" in ckpt["params"]
+    assert ckpt["global_step"] > 0
+    # the domain/acc CE metrics reached the log
+    with open(out_dir / "train.log") as f:
+        log = f.read()
+    assert "domain_loss" in log and "acc_loss" in log, log[-2000:]

@@ -111,12 +111,18 @@ def main(args):
     if bool(args.tr_domain_labels) != bool(args.tr_acc_labels):
         sys.exit("--tr_domain_labels and --tr_acc_labels go together "
                  "(the domain_acc recipe carries both streams)")
-    if args.tr_domain_labels and not hier:
+    dfsmn_domain_acc = (model_cfg.nnet_proto
+                        == "dfsmn_san_res_embed_domain_acc")
+    if args.tr_domain_labels and not (hier or dfsmn_domain_acc):
         sys.exit("--tr_domain_labels/--tr_acc_labels require the hier "
-                 "recipe (--tr_aed_labels); without it the streams "
-                 "would be silently ignored")
-    domain_acc = hier and bool(args.tr_domain_labels)
-    if domain_acc:
+                 "recipe (--tr_aed_labels) or the "
+                 "dfsmn_san_res_embed_domain_acc proto (in-model "
+                 "heads); without either the streams would be "
+                 "silently ignored")
+    domain_acc = bool(args.tr_domain_labels)
+    if domain_acc and hier:
+        # add-on classifier heads over the embed hidden (the DFSMN
+        # domain_acc proto's heads live in the model itself)
         from m3asr_tpu.train.step import init_domain_acc_heads
         enc_conf = model_cfg.encoder_conf
         params.update(init_domain_acc_heads(
@@ -165,7 +171,8 @@ def main(args):
         return
     step = (make_hier_train_step(model_cfg, tcfg, optimizer,
                                  with_domain_acc=domain_acc) if hier
-            else make_train_step(model_cfg, tcfg, optimizer))
+            else make_train_step(model_cfg, tcfg, optimizer,
+                                 with_domain_acc=domain_acc))
 
     # mesh + shardings: dp x ep (the reference's dp_groups/mp_groups);
     # dp must divide the global batch, so cap it at gcd(batch, devices)
@@ -176,7 +183,8 @@ def main(args):
     mesh = pmesh.make_mesh(dp=dp, ep=ep,
                            devices=jax.devices()[:dp * ep])
     needs_rng = _needs_rng(model_cfg)
-    n_label_args = (8 if domain_acc else 6) if hier else 4
+    n_label_args = ((8 if domain_acc else 6) if hier
+                    else (6 if domain_acc else 4))
     bmuf_recipe = None
     opt_state = None
     if args.bmuf:
