@@ -93,9 +93,17 @@ def attn_mem_layer(p, x: jax.Array, lengths: Optional[jax.Array],
     memory slots are always attendable. attn_impl="flash" uses the
     Pallas online-softmax kernel (no (B,H,T,T+M) HBM scores — DFSMN
     runs unsubsampled, T reaches 6144); masked paths stay on XLA."""
-    if attn_impl == "flash" and attn_mask is None:
-        from m3asr_tpu.ops.pallas_attention import flash_attn_mem
-        return flash_attn_mem(p, x, lengths, num_heads, memory_num)
+    if attn_impl == "flash":
+        if attn_mask is None:
+            from m3asr_tpu.ops.pallas_attention import flash_attn_mem
+            return flash_attn_mem(p, x, lengths, num_heads, memory_num)
+        # masked (chunk/causal) paths have no flash kernel — make the
+        # fallback loud so benchmarks can't report flash while running
+        # XLA (trace-time only; no per-call runtime cost)
+        import warnings
+        warnings.warn("attn_impl='flash' with attn_mask falls back to "
+                      "the XLA attention path (no masked flash kernel)",
+                      stacklevel=2)
     B, T, D = x.shape
     dk = D // num_heads
     q = linear(p["linear_query"], x).reshape(B, T, num_heads, dk)
@@ -199,9 +207,18 @@ def dfsmn_san_domain_acc_forward(params, cfg: DfsmnSanConfig, x: jax.Array,
     """model/dfsmn_san_res_embed_domain_acc.py Net.forward (:256-279):
     the san stack plus per-utterance domain/accent classifier heads —
     x_{domain,acc} = out_linear_{domain,accent}_embed(x), mean-pooled
-    over time (the reference pools with a plain ``torch.mean`` over the
-    padded T axis, NOT a length-masked mean — matched exactly here),
-    then out_linear_{domain,accent} give the pooled class logits.
+    over time, then out_linear_{domain,accent} give the pooled class
+    logits.
+
+    Pooling DEVIATION (deliberate): the reference pools with a plain
+    ``torch.mean`` over the padded T axis (:264-265), so its pooled
+    logits depend on how much padding the batch happens to carry — the
+    same utterance gives different head outputs at different batch/
+    bucket paddings. Here the mean is masked to the valid frames
+    (divide by utterance length), making the heads and x_cat_2
+    padding-invariant, which engine bucket padding requires. At zero
+    padding (lengths == T) the two are identical — that is where the
+    golden-torch parity test pins the math.
 
     Returns (out, out_pool_domain, out_pool_acc, lengths); with
     output_embed=True additionally returns x_cat_2 = cat[x,
@@ -215,8 +232,16 @@ def dfsmn_san_domain_acc_forward(params, cfg: DfsmnSanConfig, x: jax.Array,
                                         attn_impl=attn_impl)
     x_domain = linear(params["out_linear_domain_embed"], h)
     x_acc = linear(params["out_linear_accent_embed"], h)
-    pool_domain = jnp.mean(x_domain, axis=1, keepdims=True)  # (B,1,D)
-    pool_acc = jnp.mean(x_acc, axis=1, keepdims=True)
+    if lengths is not None:
+        valid = make_valid_mask(lengths,
+                                h.shape[1])[..., None].astype(h.dtype)
+        denom = jnp.maximum(lengths, 1).astype(h.dtype)[:, None, None]
+        pool_domain = jnp.sum(x_domain * valid, axis=1,
+                              keepdims=True) / denom       # (B,1,D)
+        pool_acc = jnp.sum(x_acc * valid, axis=1, keepdims=True) / denom
+    else:
+        pool_domain = jnp.mean(x_domain, axis=1, keepdims=True)
+        pool_acc = jnp.mean(x_acc, axis=1, keepdims=True)
     out_pool = linear(params["out_linear_domain"], pool_domain)
     out_pool_acc = linear(params["out_linear_accent"], pool_acc)
     if output_embed:

@@ -72,6 +72,15 @@ def conformer_block(p, x: jax.Array, lengths: Optional[jax.Array],
                 h = flash_rel_mha(p["self_attn"], h, pos_emb, lengths,
                                   num_heads)
             else:
+                if attn_impl == "flash":
+                    # loud fallback: masked (chunk/causal) paths have
+                    # no flash kernel — benchmarks must not report
+                    # flash while running XLA (trace-time only)
+                    import warnings
+                    warnings.warn(
+                        "attn_impl='flash' with a chunk mask falls "
+                        "back to the XLA rel-pos attention path",
+                        stacklevel=2)
                 h = rel_mha(p["self_attn"], h, pos_emb, lengths, num_heads,
                             mask=mask)
         else:

@@ -335,9 +335,7 @@ class HierTrainConfig(TrainConfig):
     embed_ctc_weight: float = 0.3
     router_l1_weight: float = 0.0
     router_importance_weight: float = 0.0
-    ce_weight: float = 1e-5          # domain/acc head CE weight
-                                     # (reference cfg default,
-                                     # bk/..._hier.py:378)
+    # ce_weight (domain/acc head CE) inherited from TrainConfig
 
 
 def _needs_rng(model_cfg: ModelConfig) -> bool:

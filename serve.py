@@ -161,15 +161,18 @@ def make_handler(batcher, default_beam, stream_pool=None):
                                 if core is None:
                                     continue
                                 ent = by_core.get(id(core))
-                                if ent is not None:
-                                    ent["pool_keys"].append(str(key))
-                                    continue
-                                ent = {"pool_keys": [str(key)],
-                                       "slots_free": len(core._free),
-                                       "slots": core.slots,
-                                       "tick_batch_sizes":
-                                           core.batch_sizes[-50:]}
-                                by_core[id(core)] = ent
+                                if ent is None:
+                                    ent = {"pool_keys": [],
+                                           "slots_free": len(core._free),
+                                           "slots": core.slots,
+                                           "tick_batch_sizes":
+                                               core.batch_sizes[-50:]}
+                                    by_core[id(core)] = ent
+                                ent["pool_keys"].append(str(key))
+                                # every pool key stays addressable;
+                                # shared cores alias ONE entry (its
+                                # pool_keys lists the aliases) so slot
+                                # counts aren't double-counted
                                 sb[str(key)] = ent
                             resp["stream_batchers"] = sb
                         self.wfile.write((json.dumps(resp) + "\n")

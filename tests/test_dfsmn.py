@@ -68,9 +68,12 @@ def test_dfsmn_san_net_parity():
 
 def test_dfsmn_san_domain_acc_parity():
     """dfsmn_san_res_embed_domain_acc Net: san stack + mean-pooled
-    domain/accent heads + x_cat_2 conditioning feature (:249-279). The
-    pooled heads average over padded T (reference semantics), so they
-    are compared on the full tensor, not just the valid region."""
+    domain/accent heads + x_cat_2 conditioning feature (:249-279).
+    Parity vs the golden twin is pinned at zero padding (lengths == T),
+    where our masked-mean pooling coincides with the reference's plain
+    torch.mean; a separate check asserts the pooled heads are
+    padding-invariant (the reference's are not — its pooled logits
+    change with batch padding, which engine bucket padding forbids)."""
     import jax
     from m3asr_tpu.config import model_config_from_dict
     from m3asr_tpu.models.registry import get_family
@@ -82,7 +85,7 @@ def test_dfsmn_san_domain_acc_parity():
         output_dim_acc=3), seed=71)
     g = torch.Generator().manual_seed(72)
     x = torch.randn(2, 23, 12, generator=g)
-    lengths = torch.tensor([23, 14])
+    lengths = torch.tensor([23, 23])        # zero padding: exact parity
     with torch.no_grad():
         out_t, dom_t, acc_t, cat_t, _ = m(x, lengths, output_embed=True)
 
@@ -99,22 +102,32 @@ def test_dfsmn_san_domain_acc_parity():
     p = fam.convert(sd, mc)
     assert not ckpt.unconsumed_keys(sd), ckpt.unconsumed_keys(sd)
 
-    xj, lj = jnp.asarray(x.numpy()), jnp.array([23, 14])
+    xj, lj = jnp.asarray(x.numpy()), jnp.array([23, 23])
     out_j, _, dom_j, acc_j = fam.forward(p, mc, xj, lj, domain_acc=True)
-    allclose(valid_region(out_j, [23, 14]),
-             valid_region(out_t.numpy(), [23, 14]))
+    allclose(out_j, out_t.numpy())
     allclose(dom_j, dom_t.numpy())
     allclose(acc_j, acc_t.numpy())
 
     out_j2, _, cat_j, dom_j2, acc_j2 = fam.forward(
         p, mc, xj, lj, output_embed=True, domain_acc=True)
-    allclose(valid_region(cat_j, [23, 14]),
-             valid_region(cat_t.numpy(), [23, 14]))
+    allclose(cat_j, cat_t.numpy())
     allclose(dom_j2, dom_t.numpy())
 
     # engine hidden contract: (out, lens, hidden)
     out_j3, _, hid = fam.forward(p, mc, xj, lj, output_embed=True)
     np.testing.assert_array_equal(np.asarray(hid), np.asarray(cat_j))
+
+    # padding invariance: the same utterance padded to a longer bucket
+    # gives the SAME pooled logits (masked mean; engine buckets rely
+    # on this)
+    xs, ls = jnp.asarray(x.numpy()[:1, :20]), jnp.array([20])
+    _, _, dom_a, acc_a = fam.forward(p, mc, xs, ls, domain_acc=True)
+    xpad = jnp.pad(xs, ((0, 0), (0, 17), (0, 0)))
+    _, _, dom_b, acc_b = fam.forward(p, mc, xpad, ls, domain_acc=True)
+    np.testing.assert_allclose(np.asarray(dom_a), np.asarray(dom_b),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(acc_a), np.asarray(acc_b),
+                               rtol=1e-5, atol=1e-5)
 
     # init matches the converted tree's structure (trainable from here)
     pi = fam.init(jax.random.PRNGKey(0), mc)

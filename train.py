@@ -88,6 +88,9 @@ def main(args):
         grad_clip=raw.get("max_grad_norm", 5.0),
         weight_decay=raw.get("weight_decay", 0.0),
         embed_ctc_weight=raw.get("embed_ctc_weight", 0.0),
+        # domain/acc head CE weight (the reference reads it from the
+        # YAML, bk/..._hier.py:378)
+        ce_weight=raw.get("ce_weight", 1e-5),
         # the cectc trainers pick CE vs CTC from the loader mode
         # (bk/train_cectc_ddp.py: loss_type = loader_conf['mode'])
         loss_type=loader_conf.get("mode", "ctc"))
