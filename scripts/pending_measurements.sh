@@ -1,0 +1,80 @@
+#!/bin/bash
+# One-shot runner for the on-chip measurements that were pending when
+# the TPU tunnel went down (BENCHMARKS.md "Flash attention" +
+# "Streaming serving" sections):
+#
+#   1. headline refresh           bench.py (206 frames, fp32-high + bf16)
+#   2. flash-attention A/B        bench.py --attn_impl {xla,flash} at
+#                                 2048 / 6000 frames (fp32 + bf16)
+#   3. streaming throughput       serve.py int8 engine + cross-stream
+#                                 chunk batcher, load_test_serve --stream
+#
+# One TPU job at a time (the chip lease serializes anyway; a second
+# process just looks hung). Results append to
+# data/bench_runs_pending.jsonl as {"label": ..., "line": {...}}.
+# Run from the repo root:  bash scripts/pending_measurements.sh
+set -u
+cd "$(dirname "$0")/.."
+
+OUT=data/bench_runs_pending.jsonl
+mkdir -p data
+
+if ! timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/8082' 2>/dev/null; then
+    echo "TPU tunnel (relay :8082) refuses connections - aborting" >&2
+    exit 3
+fi
+
+record() {  # record <label> <cmd...>
+    local label=$1; shift
+    echo ">>> $label: $*" >&2
+    local line
+    line=$("$@" 2>/dev/null | grep '^{' | tail -1)
+    if [ -z "$line" ]; then
+        echo "{\"label\": \"$label\", \"error\": \"no JSON output\"}" >> "$OUT"
+        echo "    FAILED" >&2
+        return 1
+    fi
+    printf '{"label": "%s", "line": %s}\n' "$label" "$line" >> "$OUT"
+    echo "    $line" >&2
+}
+
+# --- 1. headline refresh ---------------------------------------------------
+record headline_206 timeout 580 python bench.py --iters 50
+
+# --- 2. flash attention A/B ------------------------------------------------
+for seq in 2048 6000; do
+    for impl in xla flash; do
+        record "conformer_${seq}_fp32_${impl}" \
+            timeout 580 python bench.py --seq "$seq" --dtype float32 \
+            --attn_impl "$impl" --iters 30
+        record "conformer_${seq}_bf16_${impl}" \
+            timeout 580 python bench.py --seq "$seq" --dtype bfloat16 \
+            --attn_impl "$impl" --iters 30
+    done
+done
+
+# --- 3. streaming serving with the cross-stream chunk batcher --------------
+ENG=/tmp/eng_int8_pending
+if [ ! -d "$ENG" ]; then
+    # engine dirs build on CPU (2.3 GB through the tunnel is too slow)
+    timeout 580 python scripts/make_flagship_engine.py -o "$ENG" \
+        --dtype int8 --platform cpu || exit 1
+fi
+python serve.py -p "$ENG" --port 8531 --warmup &
+SERVE_PID=$!
+trap 'kill $SERVE_PID 2>/dev/null' EXIT
+# wait for the listener (engine load + AOT warmup takes minutes uncached)
+for i in $(seq 1 120); do
+    sleep 5
+    timeout 2 bash -c 'echo > /dev/tcp/127.0.0.1/8531' 2>/dev/null && break
+done
+record streaming_8clients \
+    timeout 300 python scripts/load_test_serve.py --port 8531 \
+    --clients 8 --secs 60 --stream
+record nonstream_16clients \
+    timeout 300 python scripts/load_test_serve.py --port 8531 \
+    --clients 16 --secs 60
+kill $SERVE_PID 2>/dev/null
+trap - EXIT
+
+echo "done -> $OUT" >&2
