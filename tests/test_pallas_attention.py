@@ -185,6 +185,31 @@ def test_flash_through_dfsmn_engine():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_flash_zero_length_row_no_nan():
+    """A zero-length batch slot (engine bucket padding pads batches with
+    empty rows) must not poison the kernel with NaN: its fully-masked
+    rows may be garbage (discarded by length) but stay finite, and the
+    valid rows of OTHER batch entries stay exact."""
+    p, x, pos = _setup(2, 64, 32, 4, seed=5)
+    lens = jnp.asarray([50, 0], jnp.int32)
+    out = flash_rel_mha(p, x, pos, lens, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    ref = rel_mha(p, x, pos, lens, 4)
+    np.testing.assert_allclose(np.asarray(out[0, :50]),
+                               np.asarray(ref[0, :50]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_single_frame():
+    """T=1 (the 7-frame minimum utterance after DFSMN chunking can
+    reach tiny T): block padding must not corrupt the single row."""
+    p, x, pos = _setup(1, 1, 32, 4, seed=6)
+    out = flash_rel_mha(p, x, pos, jnp.asarray([1], jnp.int32), 4)
+    ref = rel_mha(p, x, pos, jnp.asarray([1], jnp.int32), 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_attn_impl_threads_to_dense_conformer(monkeypatch):
     """Regression: the registry's dense-conformer kwarg filter silently
     dropped attn_impl, so EngineConfig(attn_impl="flash") measured the
