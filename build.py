@@ -79,7 +79,7 @@ def main(args):
     if args.int8:
         dtype = "int8"   # int8 expert weights + bf16 activations
     ecfg = EngineConfig(dtype=dtype, use_prior=prior is not None,
-                        ep=args.ep)
+                        ep=args.ep, attn_impl=args.attn_impl)
     if args.buckets:
         pairs = [tuple(map(int, b.split("x"))) for b in
                  args.buckets.split(",")]
@@ -128,6 +128,11 @@ if __name__ == "__main__":
                         help="comma list of BxL buckets, e.g. 1x256,4x1024")
     parser.add_argument("--skip-warmup", action="store_true",
                         help="skip AOT pre-compilation of buckets")
+    parser.add_argument("--attn_impl", default="xla",
+                        choices=("xla", "flash"),
+                        help="attention path baked into the engine "
+                             "(flash = Pallas online-softmax kernel; "
+                             "persisted in engine.json)")
     parser.add_argument("--ep", type=int, default=1,
                         help="expert-parallel serving: shard expert "
                              "tensors over an ep-device mesh (for "

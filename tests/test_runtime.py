@@ -130,6 +130,45 @@ def test_cli_build_and_infer(tmp_path):
     assert "hyp:" in r.stdout
 
 
+@pytest.mark.slow
+def test_cli_build_attn_impl_flash(tmp_path):
+    """build.py --attn_impl flash persists in engine.json; the loaded
+    engine serves through the Pallas flash path with outputs matching
+    an xla-path engine within flash-reassociation error."""
+    import json
+
+    m = golden_model()
+    sd = {f"encoder.{k}": v for k, v in m.state_dict().items()}
+    torch.save(sd, tmp_path / "ckpt.pt")
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(small_yaml(), f)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", M3ASR_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "build.py"),
+         "-c", str(tmp_path / "cfg.yaml"), "-m", str(tmp_path / "ckpt.pt"),
+         "-o", str(tmp_path / "eng_flash"), "--buckets", "1x64",
+         "--skip-warmup", "--attn_impl", "flash"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    with open(tmp_path / "eng_flash" / "engine.json") as f:
+        assert json.load(f)["attn_impl"] == "flash"
+
+    eng = Engine.load(str(tmp_path / "eng_flash"))
+    g = torch.Generator().manual_seed(37)
+    feat = torch.randn(1, 40, 20, generator=g).numpy()
+    out_f, len_f = eng.infer(feat, np.array([40]))
+
+    cfg = model_config_from_dict(small_yaml())
+    params = ckpt.convert_encoder(sd, cfg)
+    eng_x = Engine(cfg, params,
+                   EngineConfig(bucket_lengths=(64,), bucket_batches=(1,),
+                                donate_input=False))
+    out_x, len_x = eng_x.infer(feat, np.array([40]))
+    assert (len_f == len_x).all()
+    np.testing.assert_allclose(out_f[0, :len_f[0]], out_x[0, :len_x[0]],
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_moe_impl_auto_policy():
     """Measured dtype-aware dense/ragged crossover (BENCHMARKS.md)."""
     m = golden_model()
