@@ -96,6 +96,10 @@ def make_handler(batcher, default_beam, stream_pool=None):
     from m3asr_tpu.decode import native
 
     class Handler(socketserver.StreamRequestHandler):
+        # live connection count, for the bounded drain at shutdown
+        active = 0
+        _active_lock = threading.Lock()
+
         def _stream_request(self, req):
             if stream_pool is None:
                 return {"error": "streaming unsupported for this model "
@@ -135,6 +139,16 @@ def make_handler(batcher, default_beam, stream_pool=None):
             super().finish()
 
         def handle(self):
+            cls = type(self)
+            with cls._active_lock:
+                cls.active += 1
+            try:
+                self._handle()
+            finally:
+                with cls._active_lock:
+                    cls.active -= 1
+
+        def _handle(self):
             self._stream = None
             for line in self.rfile:
                 line = line.strip()
@@ -282,12 +296,34 @@ def main(args):
 
     class Server(socketserver.ThreadingTCPServer):
         allow_reuse_address = True
+        daemon_threads = True   # in-flight handler threads must not
+        # block process exit after shutdown (they hold batcher slots)
 
     with Server((args.host, args.port),
                 make_handler(batcher, args.beam_size, stream_pool)) as srv:
+        # graceful shutdown: SIGTERM/SIGINT stop accepting connections
+        # and return from serve_forever (in-flight requests finish; the
+        # reference stack has no serving layer at all, so the contract
+        # here is the usual unix service one)
+        import signal
+
+        def _stop(signum, frame):
+            import threading
+            threading.Thread(target=srv.shutdown, daemon=True).start()
+
+        signal.signal(signal.SIGTERM, _stop)
+        signal.signal(signal.SIGINT, _stop)
         print(f"serving on {args.host}:{srv.server_address[1]}",
               flush=True)
         srv.serve_forever()
+        # bounded drain: let in-flight requests finish, but a stuck
+        # long-lived stream must not wedge the shutdown
+        handler = srv.RequestHandlerClass
+        deadline = time.time() + args.drain_secs
+        while handler.active > 0 and time.time() < deadline:
+            time.sleep(0.05)
+        print(f"shutdown: listener closed, {handler.active} "
+              "connection(s) still active", flush=True)
 
 
 if __name__ == "__main__":
@@ -307,4 +343,7 @@ if __name__ == "__main__":
     p.add_argument("--stream_window_ms", type=float, default=2.0,
                    help="co-pending window for cross-stream chunk "
                         "batching")
+    p.add_argument("--drain_secs", type=float, default=10.0,
+                   help="max seconds to let in-flight requests finish "
+                        "after SIGTERM/SIGINT")
     main(p.parse_args())

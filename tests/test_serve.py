@@ -379,3 +379,64 @@ def test_serve_streaming_dfsmn(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+@pytest.mark.slow
+def test_serve_graceful_shutdown(tmp_path):
+    """SIGTERM: the listener stops, the open connection's in-flight
+    request still gets its response (bounded drain), and the process
+    exits 0 with the shutdown line on stdout."""
+    import signal as _signal
+
+    m = golden_model()
+    torch.save({f"encoder.{k}": v for k, v in m.state_dict().items()},
+               tmp_path / "ckpt.pt")
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(small_yaml(), f)
+    env = dict(os.environ, M3ASR_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "build.py"),
+         "-c", str(tmp_path / "cfg.yaml"), "-m", str(tmp_path / "ckpt.pt"),
+         "-o", str(tmp_path / "eng"), "--buckets", "1x64", "--skip-warmup"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve.py"),
+         "-p", str(tmp_path / "eng"), "--port", "0"],
+        stdout=subprocess.PIPE, text=True, env=env)
+    try:
+        line = proc.stdout.readline()
+        mport = re.search(r":(\d+)$", line.strip())
+        assert mport, line
+        port = int(mport.group(1))
+
+        rng = np.random.RandomState(1)
+        with socket.create_connection(("127.0.0.1", port),
+                                      timeout=120) as s:
+            f = s.makefile("rw")
+            # warm the compile path so the post-signal request is fast
+            req = {"id": "warm", "feat": rng.randn(40, 20).tolist(),
+                   "decode": "greedy"}
+            f.write(json.dumps(req) + "\n")
+            f.flush()
+            assert json.loads(f.readline())["id"] == "warm"
+            # signal while the connection is open, then send one more
+            # request down the live connection — drain must serve it
+            proc.send_signal(_signal.SIGTERM)
+            time.sleep(0.3)
+            req["id"] = "inflight"
+            f.write(json.dumps(req) + "\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            assert resp["id"] == "inflight" and "hyp" in resp, resp
+        assert proc.wait(timeout=30) == 0
+        out = proc.stdout.read()
+        assert "shutdown: listener closed" in out, out
+        # new connections are refused after shutdown
+        with pytest.raises(OSError):
+            socket.create_connection(("127.0.0.1", port), timeout=2)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=10)
