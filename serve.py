@@ -96,8 +96,11 @@ def make_handler(batcher, default_beam, stream_pool=None):
     from m3asr_tpu.decode import native
 
     class Handler(socketserver.StreamRequestHandler):
-        # live connection count, for the bounded drain at shutdown
+        # requests currently being processed (NOT open connections —
+        # an idle keep-alive/stream connection must not hold up the
+        # shutdown drain), for the bounded drain at shutdown
         active = 0
+        last_activity = 0.0
         _active_lock = threading.Lock()
 
         def _stream_request(self, req):
@@ -139,21 +142,23 @@ def make_handler(batcher, default_beam, stream_pool=None):
             super().finish()
 
         def handle(self):
-            cls = type(self)
-            with cls._active_lock:
-                cls.active += 1
-            try:
-                self._handle()
-            finally:
-                with cls._active_lock:
-                    cls.active -= 1
-
-        def _handle(self):
             self._stream = None
+            cls = type(self)
             for line in self.rfile:
                 line = line.strip()
                 if not line:
                     continue
+                with cls._active_lock:
+                    cls.active += 1
+                    cls.last_activity = time.time()
+                try:
+                    self._one_request(line)
+                finally:
+                    with cls._active_lock:
+                        cls.active -= 1
+                        cls.last_activity = time.time()
+
+        def _one_request(self, line):
                 try:
                     req = json.loads(line)
                     if req.get("stats"):
@@ -192,13 +197,13 @@ def make_handler(batcher, default_beam, stream_pool=None):
                         self.wfile.write((json.dumps(resp) + "\n")
                                          .encode())
                         self.wfile.flush()
-                        continue
+                        return
                     if "stream" in req:
                         resp = self._stream_request(req)
                         self.wfile.write((json.dumps(resp) + "\n")
                                          .encode())
                         self.wfile.flush()
-                        continue
+                        return
                     feat = np.asarray(req["feat"], np.float32)
                     t0 = time.perf_counter()
                     out1, out_len = batcher.infer(feat)
@@ -316,14 +321,22 @@ def main(args):
         print(f"serving on {args.host}:{srv.server_address[1]}",
               flush=True)
         srv.serve_forever()
-        # bounded drain: let in-flight requests finish, but a stuck
-        # long-lived stream must not wedge the shutdown
+        # bounded drain: finish in-flight requests plus anything that
+        # arrives on open connections within a short quiet period (the
+        # usual LB drain contract), but a stuck long-lived stream must
+        # not wedge the shutdown past --drain_secs
         handler = srv.RequestHandlerClass
+        grace = min(1.0, args.drain_secs)
+        with handler._active_lock:
+            handler.last_activity = time.time()
         deadline = time.time() + args.drain_secs
-        while handler.active > 0 and time.time() < deadline:
+        while time.time() < deadline:
+            if (handler.active == 0
+                    and time.time() - handler.last_activity > grace):
+                break
             time.sleep(0.05)
         print(f"shutdown: listener closed, {handler.active} "
-              "connection(s) still active", flush=True)
+              "request(s) still in flight", flush=True)
 
 
 if __name__ == "__main__":
@@ -344,6 +357,8 @@ if __name__ == "__main__":
                    help="co-pending window for cross-stream chunk "
                         "batching")
     p.add_argument("--drain_secs", type=float, default=10.0,
-                   help="max seconds to let in-flight requests finish "
-                        "after SIGTERM/SIGINT")
+                   help="max seconds to let in-flight requests (and "
+                        "requests arriving within a 1 s quiet window "
+                        "on open connections) finish after "
+                        "SIGTERM/SIGINT")
     main(p.parse_args())
