@@ -60,13 +60,6 @@ def test_hier_loss_components_and_step():
     targets = jnp.asarray(rng.randint(1, 8, (2, 4)), jnp.int32)
     target_lens = jnp.asarray([4, 3])
 
-    loss, metrics = hier_aed_loss_fn(params, mc, tcfg, feat, feat_len,
-                                     targets, target_lens, targets,
-                                     target_lens)
-    for k in ("ctc_loss", "embed_ctc_loss", "aed_loss_0", "aed_loss_1",
-              "aed_loss_2", "router_l1", "router_importance", "loss"):
-        assert k in metrics and np.isfinite(float(metrics[k])), k
-
     opt = make_optimizer(tcfg)
     step = jax.jit(make_hier_train_step(mc, tcfg, opt))
     p, s = params, opt.init(params)
@@ -75,6 +68,13 @@ def test_hier_loss_components_and_step():
         p, s, m = step(p, s, feat, feat_len, targets, target_lens,
                        targets, target_lens)
         if l0 is None:
+            # the step's metrics dict carries every loss component —
+            # no separate eager hier_aed_loss_fn evaluation needed
+            # (eager runs the full hier graph op-by-op, ~30 s)
+            for k in ("ctc_loss", "embed_ctc_loss", "aed_loss_0",
+                      "aed_loss_1", "aed_loss_2", "router_l1",
+                      "router_importance", "loss"):
+                assert k in m and np.isfinite(float(m[k])), k
             l0 = float(m["loss"])
     assert float(m["loss"]) < l0
 
@@ -97,7 +97,8 @@ def test_domain_acc_heads_train():
     tcfg = HierTrainConfig(warmup_steps=5, ce_weight=0.5)
     optimizer = make_optimizer(tcfg)
     opt_state = optimizer.init(params)
-    step = make_hier_train_step(mc, tcfg, optimizer, with_domain_acc=True)
+    step = jax.jit(make_hier_train_step(mc, tcfg, optimizer,
+                                        with_domain_acc=True))
 
     rng = np.random.RandomState(11)
     B = 2
@@ -121,14 +122,19 @@ def test_domain_acc_heads_train():
                          before, jax.tree.map(np.asarray, after))
     assert max(jax.tree.leaves(delta)) > 0.0, "head got no gradient"
 
-    # the CE terms contribute to the total at weight ce_weight
-    loss_with, m_with = (float(metrics["loss"]), metrics)
-    zero = HierTrainConfig(warmup_steps=5, ce_weight=0.0)
+    # the CE terms contribute to the total at weight ce_weight.
+    # ce_weight rides in as a traced scalar so ONE jitted graph serves
+    # both weightings (two eager full-graph evaluations took ~60 s)
     from m3asr_tpu.train.step import hier_aed_loss_fn as lf
-    l0, _ = lf(params, mc, zero, feat, lens, tgt, tgt_lens, aed,
-               tgt_lens, domain_targets=domain, acc_targets=acc)
-    l1, m1 = lf(params, mc, tcfg, feat, lens, tgt, tgt_lens, aed,
-                tgt_lens, domain_targets=domain, acc_targets=acc)
+
+    @jax.jit
+    def loss_at(p, cw):
+        c = HierTrainConfig(warmup_steps=5, ce_weight=cw)
+        return lf(p, mc, c, feat, lens, tgt, tgt_lens, aed, tgt_lens,
+                  domain_targets=domain, acc_targets=acc)
+
+    l0, _ = loss_at(params, 0.0)
+    l1, m1 = loss_at(params, 0.5)
     expected = float(l0) + 0.5 * (float(m1["domain_loss"])
                                   + float(m1["acc_loss"]))
     np.testing.assert_allclose(float(l1), expected, rtol=1e-5)

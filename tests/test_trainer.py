@@ -150,7 +150,7 @@ def test_ce_mode_training_reduces_loss():
                        loss_type="ce")
     optimizer = make_optimizer(tcfg)
     opt_state = optimizer.init(params)
-    step = make_train_step(mc, tcfg, optimizer)
+    step = jax.jit(make_train_step(mc, tcfg, optimizer))
 
     # fixed alignment labels at the subsampled frame rate (31 -> 7)
     rng = np.random.RandomState(7)
