@@ -65,22 +65,15 @@ def conformer_block(p, x: jax.Array, lengths: Optional[jax.Array],
     h = layer_norm(p["norm_mha"], x) if normalize_before else x
     with jax.named_scope("mhsa"):
         if "linear_pos" in p["self_attn"]:
-            if attn_impl == "flash" and mask is None:
-                # Pallas flash kernel: inference path only (no chunk
-                # mask support); scores never round-trip HBM
+            if attn_impl == "flash":
+                # Pallas flash kernel; chunk-causal masks ride the
+                # per-row key-window encoding (contiguous runs), and
+                # the custom VJP makes it trainable — scores never
+                # round-trip HBM in the forward
                 from m3asr_tpu.ops.pallas_attention import flash_rel_mha
                 h = flash_rel_mha(p["self_attn"], h, pos_emb, lengths,
-                                  num_heads)
+                                  num_heads, mask=mask)
             else:
-                if attn_impl == "flash":
-                    # loud fallback: masked (chunk/causal) paths have
-                    # no flash kernel — benchmarks must not report
-                    # flash while running XLA (trace-time only)
-                    import warnings
-                    warnings.warn(
-                        "attn_impl='flash' with a chunk mask falls "
-                        "back to the XLA rel-pos attention path",
-                        stacklevel=2)
                 h = rel_mha(p["self_attn"], h, pos_emb, lengths, num_heads,
                             mask=mask)
         else:

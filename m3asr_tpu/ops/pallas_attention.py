@@ -52,9 +52,14 @@ def _ceil_to(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
-def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
-                  acc_ref, *, scale: float, block_s: int, ns: int,
-                  masked: bool):
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, *rest, scale: float,
+                  block_s: int, block_t: int, ns: int, masked: bool,
+                  windowed: bool):
+    if windowed:
+        lo_ref, hi_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        lo_ref = hi_ref = None
+        o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     i_s = pl.program_id(3)
 
@@ -72,6 +77,13 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
     if masked:
         col = i_s * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < len_ref[b], s, _NEG_INF)
+    if windowed:
+        # per-query-row key window [lo, hi): chunk-causal and streaming
+        # masks are contiguous runs per row, so two bounds encode them
+        col = i_s * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        lo = lo_ref[0]                   # (bt, 1)
+        hi = hi_ref[0]
+        s = jnp.where((col >= lo) & (col < hi), s, _NEG_INF)
 
     m_prev = m_ref[...][:, :1]           # (bt, 1)
     l_prev = l_ref[...][:, :1]
@@ -79,6 +91,10 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)      # (bt, 1)
     p = jnp.exp(s - m_new)               # (bt, bs) f32
+    # a fully-masked BLOCK yields m_new == -inf and p == 1 garbage; the
+    # online rescale erases it (alpha -> 0 once a finite block arrives)
+    # except when every block of a row is masked — consumers discard
+    # those rows by length, matching masked_softmax's garbage contract
     l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
     m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
@@ -98,12 +114,19 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
 def flash_attention_bhtd(q2: jax.Array, k2: jax.Array, v: jax.Array,
                          lengths: Optional[jax.Array], scale: float,
                          block_t: int = 256, block_s: int = 512,
-                         interpret: Optional[bool] = None) -> jax.Array:
+                         interpret: Optional[bool] = None,
+                         window=None) -> jax.Array:
     """Core kernel call. q2: (B,H,T,D2), k2: (B,H,S,D2), v: (B,H,S,Dk),
     lengths: int32 (B,) or None (no key mask). Returns (B,H,T,Dk) in
     v.dtype. Softmax/statistics in f32 regardless of input dtype (same
     as `masked_softmax`). interpret=None auto-selects the Pallas
-    interpreter off-TPU so CPU parity tests run the same code path."""
+    interpreter off-TPU so CPU parity tests run the same code path.
+
+    window: optional (lo, hi) pair of int32 (B, T) arrays giving each
+    query row's valid KEY window [lo, hi) — the contiguous-run encoding
+    of chunk-causal / streaming masks (ops.masking
+    add_optional_chunk_mask rows are single runs). Composes with
+    `lengths` (both masks apply)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, H, T, D2 = q2.shape
@@ -129,16 +152,32 @@ def flash_attention_bhtd(q2: jax.Array, k2: jax.Array, v: jax.Array,
     else:
         lens = lengths.astype(jnp.int32)
 
+    windowed = window is not None
     kernel = functools.partial(_flash_kernel, scale=scale, block_s=bs,
-                               ns=ns, masked=masked)
+                               block_t=bt, ns=ns, masked=masked,
+                               windowed=windowed)
+    in_specs = [
+        pl.BlockSpec((1, 1, bt, D2), lambda b, h, t, s, lens: (b, h, t, 0)),
+        pl.BlockSpec((1, 1, bs, D2), lambda b, h, t, s, lens: (b, h, s, 0)),
+        pl.BlockSpec((1, 1, bs, Dk), lambda b, h, t, s, lens: (b, h, s, 0)),
+    ]
+    operands = [q2, k2, v]
+    if windowed:
+        lo, hi = window
+        lo = lo.astype(jnp.int32)[..., None]     # (B, T, 1)
+        hi = hi.astype(jnp.int32)[..., None]
+        if Tp != T:
+            # padded query rows: empty window (their output is garbage
+            # sliced off below either way)
+            lo = jnp.pad(lo, ((0, 0), (0, Tp - T), (0, 0)))
+            hi = jnp.pad(hi, ((0, 0), (0, Tp - T), (0, 0)))
+        wspec = pl.BlockSpec((1, bt, 1), lambda b, h, t, s, lens: (b, t, 0))
+        in_specs += [wspec, wspec]
+        operands += [lo, hi]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, H, nt, ns),
-        in_specs=[
-            pl.BlockSpec((1, 1, bt, D2), lambda b, h, t, s, lens: (b, h, t, 0)),
-            pl.BlockSpec((1, 1, bs, D2), lambda b, h, t, s, lens: (b, h, s, 0)),
-            pl.BlockSpec((1, 1, bs, Dk), lambda b, h, t, s, lens: (b, h, s, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bt, Dk),
                                lambda b, h, t, s, lens: (b, h, t, 0)),
         scratch_shapes=[
@@ -155,17 +194,131 @@ def flash_attention_bhtd(q2: jax.Array, k2: jax.Array, v: jax.Array,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interpret,
-    )(lens, q2, k2, v)
+    )(lens, q2, k2, v, *operands[3:])
     return out[:, :, :T]
+
+
+def window_from_mask(mask: jax.Array, T: int, S: int):
+    """Encode a contiguous-run attend-mask as per-row key windows.
+
+    mask: bool, True=attend, shaped (T, S), (B, T, S) or (B, 1, T, S)
+    (the `add_optional_chunk_mask` layout). Each row must be a single
+    contiguous run of True (chunk-causal / streaming window masks are;
+    arbitrary masks are NOT representable — callers own that contract).
+    Returns (lo, hi) int32 (B, T) with the valid key range [lo, hi);
+    all-False rows get the empty window [0, 0)."""
+    if mask.ndim == 4:
+        mask = mask[:, 0]
+    if mask.ndim == 2:
+        mask = mask[None]
+    m = mask.astype(jnp.int32)
+    any_row = jnp.any(mask, axis=-1)
+    lo = jnp.argmax(m, axis=-1).astype(jnp.int32)
+    hi = (S - jnp.argmax(m[..., ::-1], axis=-1)).astype(jnp.int32)
+    lo = jnp.where(any_row, lo, 0)
+    hi = jnp.where(any_row, hi, 0)
+    return lo, hi
+
+
+@functools.lru_cache(maxsize=None)
+def _trainable_flash(scale: float, block_t: int, block_s: int,
+                     interpret: bool, has_lengths: bool, windowed: bool):
+    """custom_vjp-wrapped flash forward, cached per static config.
+    lengths/lo/hi enter as ARGUMENTS (not closure) so tracing under an
+    outer jit works — closed-over tracers cannot cross the pallas_call
+    constant boundary. Integer args get float0 cotangents."""
+    import numpy as _np
+
+    def _f0(x):
+        return _np.zeros(x.shape, jax.dtypes.float0)
+
+    @jax.custom_vjp
+    def f(q2, k2, v, lens, lo, hi):
+        return flash_attention_bhtd(
+            q2, k2, v, lens if has_lengths else None, scale,
+            block_t=block_t, block_s=block_s, interpret=interpret,
+            window=(lo, hi) if windowed else None)
+
+    def f_fwd(q2, k2, v, lens, lo, hi):
+        out = f(q2, k2, v, lens, lo, hi)
+        return out, (q2, k2, v, lens, lo, hi, out)
+
+    def f_bwd(res, g):
+        q2, k2, v, lens, lo, hi, out = res
+        S = k2.shape[2]
+        s = jnp.einsum("bhtd,bhsd->bhts", q2, k2,
+                       preferred_element_type=jnp.float32) * scale
+        col = jnp.arange(S)[None, None, None, :]
+        if has_lengths:
+            s = jnp.where(col < lens[:, None, None, None], s, _NEG_INF)
+        if windowed:
+            lo4 = lo[:, None, :, None]
+            hi4 = hi[:, None, :, None]
+            s = jnp.where((col >= lo4) & (col < hi4), s, _NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)                       # f32
+        gf = g.astype(jnp.float32)
+        vf = v.astype(jnp.float32)
+        dv = jnp.einsum("bhts,bhtd->bhsd", p, gf)
+        dp = jnp.einsum("bhtd,bhsd->bhts", gf, vf)
+        delta = jnp.sum(gf * out.astype(jnp.float32), axis=-1,
+                        keepdims=True)                        # (B,H,T,1)
+        ds = p * (dp - delta) * scale                         # d s_raw
+        dq2 = jnp.einsum("bhts,bhsd->bhtd", ds,
+                         k2.astype(jnp.float32)).astype(q2.dtype)
+        dk2 = jnp.einsum("bhts,bhtd->bhsd", ds,
+                         q2.astype(jnp.float32)).astype(k2.dtype)
+        return (dq2, dk2, dv.astype(v.dtype), _f0(lens), _f0(lo),
+                _f0(hi))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def flash_attention_trainable(q2: jax.Array, k2: jax.Array, v: jax.Array,
+                              lengths, scale: float, window=None,
+                              block_t: int = 256, block_s: int = 512,
+                              interpret: Optional[bool] = None):
+    """`flash_attention_bhtd` with a custom VJP so the flash forward
+    serves training too (the dynamic-chunk recipe's masks ride the
+    `window` encoding). The backward recomputes the score matrix
+    densely in XLA — exact (p is reconstructed from the same masked
+    scores), memory-heavy like the XLA forward, and trivially correct;
+    kernelize if on-chip training measurements justify it. Fully-masked
+    rows differ from the kernel only in garbage content (uniform vs
+    running-sum garbage) — their cotangents never reach the loss, which
+    masks by length."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, _, T, _ = q2.shape
+    S = k2.shape[2]
+    has_lengths = lengths is not None
+    windowed = window is not None
+    lens = (lengths.astype(jnp.int32) if has_lengths
+            else jnp.zeros((B,), jnp.int32))
+    if windowed:
+        lo, hi = window
+        lo = lo.astype(jnp.int32)
+        hi = hi.astype(jnp.int32)
+    else:
+        lo = hi = jnp.zeros((B, T), jnp.int32)
+    f = _trainable_flash(float(scale), block_t, block_s, bool(interpret),
+                         has_lengths, windowed)
+    return f(q2, k2, v, lens, lo, hi)
 
 
 def flash_rel_mha(p, x: jax.Array, pos_emb: jax.Array,
                   lengths: Optional[jax.Array], num_heads: int,
                   block_t: int = 256, block_s: int = 512,
-                  interpret: Optional[bool] = None) -> jax.Array:
-    """Drop-in for `ops.attention.rel_mha` with `mask=None` (the
-    non-streaming inference path). Same parameter tree; numerics match
-    within flash-reassociation error (~1e-6 f32)."""
+                  interpret: Optional[bool] = None,
+                  mask: Optional[jax.Array] = None) -> jax.Array:
+    """Drop-in for `ops.attention.rel_mha`. Same parameter tree;
+    numerics match within flash-reassociation error (~1e-6 f32).
+    Differentiable (custom VJP, dense-recompute backward).
+
+    mask: optional attend-mask with contiguous-run rows (chunk-causal —
+    `add_optional_chunk_mask` output), encoded into per-row key windows
+    for the kernel. Fully-masked rows come back as garbage instead of
+    the XLA path's zeros; both are discarded by length downstream."""
     h = num_heads
     B, T, D = x.shape
     d_k = D // h
@@ -185,9 +338,17 @@ def flash_rel_mha(p, x: jax.Array, pos_emb: jax.Array,
                          axis=-1)                         # (B,H,T,2Dk)
     k2 = jnp.concatenate([k, jnp.broadcast_to(pp, k.shape)], axis=-1)
 
-    ctx = flash_attention_bhtd(q2, k2, v, lengths, float(d_k) ** -0.5,
-                               block_t=block_t, block_s=block_s,
-                               interpret=interpret)       # (B,H,T,Dk)
+    window = None
+    if mask is not None:
+        lo, hi = window_from_mask(mask, T, T)
+        if lo.shape[0] == 1 and B > 1:
+            lo = jnp.broadcast_to(lo, (B, T))
+            hi = jnp.broadcast_to(hi, (B, T))
+        window = (lo, hi)
+    ctx = flash_attention_trainable(q2, k2, v, lengths, float(d_k) ** -0.5,
+                                    window=window, block_t=block_t,
+                                    block_s=block_s,
+                                    interpret=interpret)  # (B,H,T,Dk)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
     return linear(p["linear_out"], ctx)
 
