@@ -2,6 +2,7 @@
 the full path (load -> registry -> init shapes)."""
 
 import numpy as np
+import pytest
 
 from m3asr_tpu.config import load_yaml_config
 from m3asr_tpu.models.registry import get_family
@@ -63,6 +64,7 @@ def _tiny_model_conf(proto: str) -> dict:
     return {"encoder_conf": enc}
 
 
+@pytest.mark.slow
 def test_every_reference_proto_inits_and_forwards():
     """Every nnet_proto of the reference model zoo must init from
     scratch and run a forward at tiny dims — the regression that
