@@ -94,16 +94,12 @@ def attn_mem_layer(p, x: jax.Array, lengths: Optional[jax.Array],
     Pallas online-softmax kernel (no (B,H,T,T+M) HBM scores — DFSMN
     runs unsubsampled, T reaches 6144); masked paths stay on XLA."""
     if attn_impl == "flash":
-        if attn_mask is None:
-            from m3asr_tpu.ops.pallas_attention import flash_attn_mem
-            return flash_attn_mem(p, x, lengths, num_heads, memory_num)
-        # masked (chunk/causal) paths have no flash kernel — make the
-        # fallback loud so benchmarks can't report flash while running
-        # XLA (trace-time only; no per-call runtime cost)
-        import warnings
-        warnings.warn("attn_impl='flash' with attn_mask falls back to "
-                      "the XLA attention path (no masked flash kernel)",
-                      stacklevel=2)
+        # chunk/streaming masks ride the per-row key-window encoding
+        # (contiguous runs; memory slots stay attendable via the
+        # kernel's static mem_cols prefix)
+        from m3asr_tpu.ops.pallas_attention import flash_attn_mem
+        return flash_attn_mem(p, x, lengths, num_heads, memory_num,
+                              attn_mask=attn_mask)
     B, T, D = x.shape
     dk = D // num_heads
     q = linear(p["linear_query"], x).reshape(B, T, num_heads, dk)

@@ -54,7 +54,7 @@ def _ceil_to(n: int, m: int) -> int:
 
 def _flash_kernel(len_ref, q_ref, k_ref, v_ref, *rest, scale: float,
                   block_s: int, block_t: int, ns: int, masked: bool,
-                  windowed: bool):
+                  windowed: bool, mem_cols: int = 0):
     if windowed:
         lo_ref, hi_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
@@ -79,11 +79,16 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, *rest, scale: float,
         s = jnp.where(col < len_ref[b], s, _NEG_INF)
     if windowed:
         # per-query-row key window [lo, hi): chunk-causal and streaming
-        # masks are contiguous runs per row, so two bounds encode them
+        # masks are contiguous runs per row, so two bounds encode them.
+        # mem_cols static prefix columns (DFSMN memory slots prepended
+        # to K/V) are always attendable.
         col = i_s * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         lo = lo_ref[0]                   # (bt, 1)
         hi = hi_ref[0]
-        s = jnp.where((col >= lo) & (col < hi), s, _NEG_INF)
+        ok = (col >= lo) & (col < hi)
+        if mem_cols:
+            ok = ok | (col < mem_cols)
+        s = jnp.where(ok, s, _NEG_INF)
 
     m_prev = m_ref[...][:, :1]           # (bt, 1)
     l_prev = l_ref[...][:, :1]
@@ -115,7 +120,7 @@ def flash_attention_bhtd(q2: jax.Array, k2: jax.Array, v: jax.Array,
                          lengths: Optional[jax.Array], scale: float,
                          block_t: int = 256, block_s: int = 512,
                          interpret: Optional[bool] = None,
-                         window=None) -> jax.Array:
+                         window=None, mem_cols: int = 0) -> jax.Array:
     """Core kernel call. q2: (B,H,T,D2), k2: (B,H,S,D2), v: (B,H,S,Dk),
     lengths: int32 (B,) or None (no key mask). Returns (B,H,T,Dk) in
     v.dtype. Softmax/statistics in f32 regardless of input dtype (same
@@ -126,7 +131,9 @@ def flash_attention_bhtd(q2: jax.Array, k2: jax.Array, v: jax.Array,
     query row's valid KEY window [lo, hi) — the contiguous-run encoding
     of chunk-causal / streaming masks (ops.masking
     add_optional_chunk_mask rows are single runs). Composes with
-    `lengths` (both masks apply)."""
+    `lengths` (both masks apply). mem_cols: static count of leading key
+    columns that are ALWAYS attendable regardless of the window (DFSMN
+    memory slots prepended to K/V)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, H, T, D2 = q2.shape
@@ -155,7 +162,7 @@ def flash_attention_bhtd(q2: jax.Array, k2: jax.Array, v: jax.Array,
     windowed = window is not None
     kernel = functools.partial(_flash_kernel, scale=scale, block_s=bs,
                                block_t=bt, ns=ns, masked=masked,
-                               windowed=windowed)
+                               windowed=windowed, mem_cols=mem_cols)
     in_specs = [
         pl.BlockSpec((1, 1, bt, D2), lambda b, h, t, s, lens: (b, h, t, 0)),
         pl.BlockSpec((1, 1, bs, D2), lambda b, h, t, s, lens: (b, h, s, 0)),
@@ -222,7 +229,8 @@ def window_from_mask(mask: jax.Array, T: int, S: int):
 
 @functools.lru_cache(maxsize=None)
 def _trainable_flash(scale: float, block_t: int, block_s: int,
-                     interpret: bool, has_lengths: bool, windowed: bool):
+                     interpret: bool, has_lengths: bool, windowed: bool,
+                     mem_cols: int = 0):
     """custom_vjp-wrapped flash forward, cached per static config.
     lengths/lo/hi enter as ARGUMENTS (not closure) so tracing under an
     outer jit works — closed-over tracers cannot cross the pallas_call
@@ -237,7 +245,7 @@ def _trainable_flash(scale: float, block_t: int, block_s: int,
         return flash_attention_bhtd(
             q2, k2, v, lens if has_lengths else None, scale,
             block_t=block_t, block_s=block_s, interpret=interpret,
-            window=(lo, hi) if windowed else None)
+            window=(lo, hi) if windowed else None, mem_cols=mem_cols)
 
     def f_fwd(q2, k2, v, lens, lo, hi):
         out = f(q2, k2, v, lens, lo, hi)
@@ -254,7 +262,10 @@ def _trainable_flash(scale: float, block_t: int, block_s: int,
         if windowed:
             lo4 = lo[:, None, :, None]
             hi4 = hi[:, None, :, None]
-            s = jnp.where((col >= lo4) & (col < hi4), s, _NEG_INF)
+            ok = (col >= lo4) & (col < hi4)
+            if mem_cols:
+                ok = ok | (col < mem_cols)
+            s = jnp.where(ok, s, _NEG_INF)
         p = jax.nn.softmax(s, axis=-1)                       # f32
         gf = g.astype(jnp.float32)
         vf = v.astype(jnp.float32)
@@ -277,7 +288,8 @@ def _trainable_flash(scale: float, block_t: int, block_s: int,
 def flash_attention_trainable(q2: jax.Array, k2: jax.Array, v: jax.Array,
                               lengths, scale: float, window=None,
                               block_t: int = 256, block_s: int = 512,
-                              interpret: Optional[bool] = None):
+                              interpret: Optional[bool] = None,
+                              mem_cols: int = 0):
     """`flash_attention_bhtd` with a custom VJP so the flash forward
     serves training too (the dynamic-chunk recipe's masks ride the
     `window` encoding). The backward recomputes the score matrix
@@ -302,7 +314,7 @@ def flash_attention_trainable(q2: jax.Array, k2: jax.Array, v: jax.Array,
     else:
         lo = hi = jnp.zeros((B, T), jnp.int32)
     f = _trainable_flash(float(scale), block_t, block_s, bool(interpret),
-                         has_lengths, windowed)
+                         has_lengths, windowed, mem_cols)
     return f(q2, k2, v, lens, lo, hi)
 
 
@@ -355,17 +367,23 @@ def flash_rel_mha(p, x: jax.Array, pos_emb: jax.Array,
 
 def flash_attn_mem(p, x: jax.Array, lengths: Optional[jax.Array],
                    num_heads: int, memory_num: int,
-                   interpret: Optional[bool] = None) -> jax.Array:
+                   interpret: Optional[bool] = None,
+                   attn_mask: Optional[jax.Array] = None) -> jax.Array:
     """Flash path for the DFSMN memory-slot attention
-    (`models.dfsmn.attn_mem_layer` with `attn_mask=None`). DFSMN has no
-    subsampling, so T reaches 6144 at the top bucket and the XLA path's
-    (B,H,T,T+M) f32 scores are ~600 MB/layer of HBM traffic — the
-    biggest flash win in the zoo.
+    (`models.dfsmn.attn_mem_layer`). DFSMN has no subsampling, so T
+    reaches 6144 at the top bucket and the XLA path's (B,H,T,T+M) f32
+    scores are ~600 MB/layer of HBM traffic — the biggest flash win in
+    the zoo. Differentiable (custom VJP, dense-recompute backward).
 
     The learned memory slots are ordinary extra key/value rows. They are
     PREPENDED (the softmax is order-invariant) so the valid region stays
     a prefix — the kernel's `col < length` mask then covers them with
     `length + memory_num`.
+
+    attn_mask: optional (T, T) bool over the x-keys with contiguous-run
+    rows (chunk/streaming windows); memory slots stay attendable via
+    the kernel's static mem_cols prefix, and the window bounds shift by
+    memory_num to land on the prepended layout.
     """
     B, T, D = x.shape
     h = num_heads
@@ -388,7 +406,20 @@ def flash_attn_mem(p, x: jax.Array, lengths: Optional[jax.Array],
         lens = jnp.full((B,), T + memory_num, jnp.int32)
     else:
         lens = lengths.astype(jnp.int32) + memory_num
-    ctx = flash_attention_bhtd(q, k, v, lens, float(dk) ** -0.5,
-                               interpret=interpret)
+    window = None
+    if attn_mask is not None:
+        lo, hi = window_from_mask(attn_mask, T, T)
+        if lo.shape[0] == 1 and B > 1:
+            lo = jnp.broadcast_to(lo, (B, T))
+            hi = jnp.broadcast_to(hi, (B, T))
+        # shift onto the prepended-memory key layout (empty windows
+        # stay empty under the shift); memory slots remain attendable
+        # for EVERY row via mem_cols — the XLA path concatenates
+        # always-True memory columns the same way (dfsmn.attn_mem_layer)
+        window = (lo + memory_num, hi + memory_num)
+    ctx = flash_attention_trainable(
+        q, k, v, lens, float(dk) ** -0.5, window=window,
+        interpret=interpret,
+        mem_cols=memory_num if window is not None else 0)
     return linear(p["linear_out"],
                   ctx.transpose(0, 2, 1, 3).reshape(B, T, D))

@@ -363,3 +363,48 @@ def test_flash_trains_dense_conformer():
         if first is None:
             first = l
     assert l < first, (first, l)
+
+
+def test_flash_attn_mem_masked_window():
+    """DFSMN memory-slot attention under a windowed (streaming-style)
+    mask: flash's shifted key-window + static mem_cols prefix must match
+    the XLA path, which concatenates always-True memory columns."""
+    from m3asr_tpu.models.dfsmn import attn_mem_layer
+    from m3asr_tpu.ops.common import init_linear
+
+    B, T, D, H, M = 2, 100, 64, 4, 8
+    key = jax.random.PRNGKey(31)
+    ks = jax.random.split(key, 7)
+    dk = D // H
+    p = {
+        "linear_query": init_linear(ks[0], D, D),
+        "linear_key": init_linear(ks[1], D, D),
+        "linear_value": init_linear(ks[2], D, D),
+        "linear_out": init_linear(ks[3], D, D),
+        "key_memory": jax.random.normal(ks[4], (H, M, dk)),
+        "value_memory": jax.random.normal(ks[5], (H, M, dk)),
+    }
+    x = jax.random.normal(ks[6], (B, T, D))
+    lengths = jnp.asarray([100, 67], jnp.int32)
+    # windowed mask: row t attends x-keys [max(0, t-20), t+5) — a
+    # left-bounded streaming window (lo > 0 for late rows)
+    t_idx = np.arange(T)
+    mask = np.zeros((T, T), bool)
+    for t in t_idx:
+        mask[t, max(0, t - 20): min(T, t + 5)] = True
+    mask_j = jnp.asarray(mask)
+    ref = attn_mem_layer(p, x, lengths, H, M, attn_mask=mask_j)
+    out = attn_mem_layer(p, x, lengths, H, M, attn_mask=mask_j,
+                         attn_impl="flash")
+    for b, L in enumerate([100, 67]):
+        np.testing.assert_allclose(np.asarray(out[b, :L]),
+                                   np.asarray(ref[b, :L]),
+                                   rtol=2e-5, atol=2e-5)
+    # and without memory slots
+    ref0 = attn_mem_layer(p, x, lengths, H, 0, attn_mask=mask_j)
+    out0 = attn_mem_layer(p, x, lengths, H, 0, attn_mask=mask_j,
+                          attn_impl="flash")
+    for b, L in enumerate([100, 67]):
+        np.testing.assert_allclose(np.asarray(out0[b, :L]),
+                                   np.asarray(ref0[b, :L]),
+                                   rtol=2e-5, atol=2e-5)
