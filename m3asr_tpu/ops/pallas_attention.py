@@ -54,12 +54,19 @@ def _ceil_to(n: int, m: int) -> int:
 
 def _flash_kernel(len_ref, q_ref, k_ref, v_ref, *rest, scale: float,
                   block_s: int, block_t: int, ns: int, masked: bool,
-                  windowed: bool, mem_cols: int = 0):
+                  windowed: bool, mem_cols: int = 0,
+                  with_lse: bool = False):
+    rest = list(rest)
+    lo_ref = hi_ref = lse_ref = None
     if windowed:
-        lo_ref, hi_ref, o_ref, m_ref, l_ref, acc_ref = rest
-    else:
-        lo_ref = hi_ref = None
-        o_ref, m_ref, l_ref, acc_ref = rest
+        lo_ref, hi_ref = rest[:2]
+        rest = rest[2:]
+    o_ref = rest[0]
+    rest = rest[1:]
+    if with_lse:
+        lse_ref = rest[0]
+        rest = rest[1:]
+    m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     i_s = pl.program_id(3)
 
@@ -114,13 +121,17 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, *rest, scale: float,
     def _finish():
         l_fin = l_ref[...][:, :1]
         o_ref[0, 0] = (acc_ref[...] / l_fin).astype(o_ref.dtype)
+        if with_lse:
+            # log-sum-exp row statistic for the kernelized backward
+            lse_ref[0, 0] = m_ref[...] + jnp.log(l_ref[...])
 
 
 def flash_attention_bhtd(q2: jax.Array, k2: jax.Array, v: jax.Array,
                          lengths: Optional[jax.Array], scale: float,
                          block_t: int = 256, block_s: int = 512,
                          interpret: Optional[bool] = None,
-                         window=None, mem_cols: int = 0) -> jax.Array:
+                         window=None, mem_cols: int = 0,
+                         return_lse: bool = False):
     """Core kernel call. q2: (B,H,T,D2), k2: (B,H,S,D2), v: (B,H,S,Dk),
     lengths: int32 (B,) or None (no key mask). Returns (B,H,T,Dk) in
     v.dtype. Softmax/statistics in f32 regardless of input dtype (same
@@ -162,7 +173,8 @@ def flash_attention_bhtd(q2: jax.Array, k2: jax.Array, v: jax.Array,
     windowed = window is not None
     kernel = functools.partial(_flash_kernel, scale=scale, block_s=bs,
                                block_t=bt, ns=ns, masked=masked,
-                               windowed=windowed, mem_cols=mem_cols)
+                               windowed=windowed, mem_cols=mem_cols,
+                               with_lse=return_lse)
     in_specs = [
         pl.BlockSpec((1, 1, bt, D2), lambda b, h, t, s, lens: (b, h, t, 0)),
         pl.BlockSpec((1, 1, bs, D2), lambda b, h, t, s, lens: (b, h, s, 0)),
@@ -181,28 +193,39 @@ def flash_attention_bhtd(q2: jax.Array, k2: jax.Array, v: jax.Array,
         wspec = pl.BlockSpec((1, bt, 1), lambda b, h, t, s, lens: (b, t, 0))
         in_specs += [wspec, wspec]
         operands += [lo, hi]
+    out_specs = pl.BlockSpec((1, 1, bt, Dk),
+                             lambda b, h, t, s, lens: (b, h, t, 0))
+    out_shape = jax.ShapeDtypeStruct((B, H, Tp, Dk), v.dtype)
+    if return_lse:
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, 1, bt, 128),
+                                  lambda b, h, t, s, lens: (b, h, t, 0))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B, H, Tp, 128), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, H, nt, ns),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, bt, Dk),
-                               lambda b, h, t, s, lens: (b, h, t, 0)),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((bt, 128), jnp.float32),   # running max m
             pltpu.VMEM((bt, 128), jnp.float32),   # running denom l
             pltpu.VMEM((bt, Dk), jnp.float32),    # output accumulator
         ],
     )
-    out = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, Tp, Dk), v.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interpret,
     )(lens, q2, k2, v, *operands[3:])
-    return out[:, :, :T]
+    if return_lse:
+        out, lse = res
+        return out[:, :, :T], lse[:, :, :T, :1]
+    return res[:, :, :T]
 
 
 def window_from_mask(mask: jax.Array, T: int, S: int):
@@ -227,14 +250,237 @@ def window_from_mask(mask: jax.Array, T: int, S: int):
     return lo, hi
 
 
+
+
+def _bwd_masks(s, i_blk, block, len_b, lo_ref, hi_ref, masked, windowed,
+               mem_cols):
+    """Apply the fwd kernel's masking to a (rows, block) score tile whose
+    COLUMNS are key positions starting at i_blk*block."""
+    col = i_blk * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    if masked:
+        s = jnp.where(col < len_b, s, _NEG_INF)
+    if windowed:
+        lo = lo_ref[0]                    # (bt, 1)
+        hi = hi_ref[0]
+        ok = (col >= lo) & (col < hi)
+        if mem_cols:
+            ok = ok | (col < mem_cols)
+        s = jnp.where(ok, s, _NEG_INF)
+    return s
+
+
+def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                         dl_ref, *rest, scale: float, block_s: int,
+                         ns: int, masked: bool, windowed: bool,
+                         mem_cols: int):
+    if windowed:
+        lo_ref, hi_ref, dq_ref, acc_ref = rest
+    else:
+        lo_ref = hi_ref = None
+        dq_ref, acc_ref = rest
+    b = pl.program_id(0)
+    i_s = pl.program_id(3)
+
+    @pl.when(i_s == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]                       # (bt, D2)
+    k = k_ref[0, 0]                       # (bs, D2)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = _bwd_masks(s, i_s, block_s, len_ref[b], lo_ref, hi_ref, masked,
+                   windowed, mem_cols)
+    p = jnp.exp(s - lse_ref[0, 0])        # (bt, bs); masked cols -> 0
+    do = do_ref[0, 0].astype(jnp.float32)  # (bt, Dk)
+    v = v_ref[0, 0].astype(jnp.float32)   # (bs, Dk)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - dl_ref[0, 0]) * scale  # (bt, bs), d(s_raw)
+    acc_ref[...] += jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i_s == ns - 1)
+    def _finish():
+        dq_ref[0, 0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                          dl_ref, *rest, scale: float, block_s: int,
+                          nt: int, masked: bool, windowed: bool,
+                          mem_cols: int):
+    if windowed:
+        lo_ref, hi_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
+    else:
+        lo_ref = hi_ref = None
+        dk_ref, dv_ref, dk_acc, dv_acc = rest
+    b = pl.program_id(0)
+    i_s = pl.program_id(2)                # key-block index (grid B,H,ns,nt)
+    i_t = pl.program_id(3)
+
+    @pl.when(i_t == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]                       # (bt, D2)
+    k = k_ref[0, 0]                       # (bs, D2)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = _bwd_masks(s, i_s, block_s, len_ref[b], lo_ref, hi_ref, masked,
+                   windowed, mem_cols)
+    p = jnp.exp(s - lse_ref[0, 0])        # (bt, bs)
+    do = do_ref[0, 0].astype(jnp.float32)  # (bt, Dk)
+    v = v_ref[0, 0].astype(jnp.float32)   # (bs, Dk)
+    # dv += p^T do
+    dv_acc[...] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - dl_ref[0, 0]) * scale
+    # dk += ds^T q
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i_t == nt - 1)
+    def _finish():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def flash_attention_bwd(q2, k2, v, out, lse, g, lengths, scale: float,
+                        block_t: int = 256, block_s: int = 512,
+                        interpret: Optional[bool] = None, window=None,
+                        mem_cols: int = 0):
+    """Kernelized backward of `flash_attention_bhtd`: reconstructs each
+    score tile from q2/k2 + the saved lse row statistic (FlashAttention
+    recompute scheme) — the (B,H,T,S) score/probability tensors never
+    touch HBM, matching the forward's memory profile. Returns
+    (dq2, dk2, dv)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, T, D2 = q2.shape
+    S = k2.shape[2]
+    Dk = v.shape[3]
+
+    bt = min(block_t, _ceil_to(T, 128))
+    Tp = _ceil_to(T, bt)
+    bs = min(block_s, _ceil_to(S, 128))
+    Sp = _ceil_to(S, bs)
+    nt, ns = Tp // bt, Sp // bs
+
+    # delta_t = rowsum(dout * out) (FlashAttention-2 eq. for dsoftmax)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)            # (B,H,T,1)
+    if Tp != T:
+        q2 = jnp.pad(q2, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+        # padded rows: +1e30 lse drives p -> exp(s - 1e30) = 0, so no
+        # overflow garbage reaches ds/dv (their dout is 0 anyway)
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, Tp - T), (0, 0)),
+                      constant_values=1e30)
+    if Sp != S:
+        k2 = jnp.pad(k2, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    masked = lengths is not None or Sp != S
+    if lengths is None:
+        lens = jnp.full((B,), S, jnp.int32)
+    else:
+        lens = lengths.astype(jnp.int32)
+    windowed = window is not None
+    w_operands = []
+    if windowed:
+        lo, hi = window
+        lo = lo.astype(jnp.int32)[..., None]
+        hi = hi.astype(jnp.int32)[..., None]
+        if Tp != T:
+            lo = jnp.pad(lo, ((0, 0), (0, Tp - T), (0, 0)))
+            hi = jnp.pad(hi, ((0, 0), (0, Tp - T), (0, 0)))
+        w_operands = [lo, hi]
+
+    def tq(i):
+        # block over the query axis at grid position t
+        return pl.BlockSpec(i, lambda b, h, t, s, lens: (b, h, t, 0))
+
+    def sq(i):
+        return pl.BlockSpec(i, lambda b, h, t, s, lens: (b, h, s, 0))
+
+    common_in = [tq((1, 1, bt, D2)), sq((1, 1, bs, D2)),
+                 sq((1, 1, bs, Dk)), tq((1, 1, bt, Dk)),
+                 tq((1, 1, bt, 1)), tq((1, 1, bt, 1))]
+    w_spec = [pl.BlockSpec((1, bt, 1), lambda b, h, t, s, lens: (b, t, 0)),
+              pl.BlockSpec((1, bt, 1), lambda b, h, t, s, lens: (b, t, 0))]
+
+    dq2 = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, block_s=bs,
+                          ns=ns, masked=masked, windowed=windowed,
+                          mem_cols=mem_cols),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, nt, ns),
+            in_specs=common_in + (w_spec if windowed else []),
+            out_specs=tq((1, 1, bt, D2)),
+            scratch_shapes=[pltpu.VMEM((bt, D2), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D2), q2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(lens, q2, k2, v, g, lse, delta, *w_operands)
+
+    # dk/dv: key blocks on the grid, query blocks innermost
+    def tq2(i):
+        return pl.BlockSpec(i, lambda b, h, s, t, lens: (b, h, t, 0))
+
+    def sq2(i):
+        return pl.BlockSpec(i, lambda b, h, s, t, lens: (b, h, s, 0))
+
+    common_in2 = [tq2((1, 1, bt, D2)), sq2((1, 1, bs, D2)),
+                  sq2((1, 1, bs, Dk)), tq2((1, 1, bt, Dk)),
+                  tq2((1, 1, bt, 1)), tq2((1, 1, bt, 1))]
+    w_spec2 = [pl.BlockSpec((1, bt, 1), lambda b, h, s, t, lens: (b, t, 0)),
+               pl.BlockSpec((1, bt, 1), lambda b, h, s, t, lens: (b, t, 0))]
+    dk2, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, block_s=bs,
+                          nt=nt, masked=masked, windowed=windowed,
+                          mem_cols=mem_cols),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, ns, nt),
+            in_specs=common_in2 + (w_spec2 if windowed else []),
+            out_specs=[sq2((1, 1, bs, D2)), sq2((1, 1, bs, Dk))],
+            scratch_shapes=[pltpu.VMEM((bs, D2), jnp.float32),
+                            pltpu.VMEM((bs, Dk), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B, H, Sp, D2), k2.dtype),
+                   jax.ShapeDtypeStruct((B, H, Sp, Dk), v.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(lens, q2, k2, v, g, lse, delta, *w_operands)
+    return dq2[:, :, :T], dk2[:, :, :S], dv[:, :, :S]
+
+
 @functools.lru_cache(maxsize=None)
 def _trainable_flash(scale: float, block_t: int, block_s: int,
                      interpret: bool, has_lengths: bool, windowed: bool,
-                     mem_cols: int = 0):
+                     mem_cols: int = 0, bwd_impl: str = "flash"):
     """custom_vjp-wrapped flash forward, cached per static config.
     lengths/lo/hi enter as ARGUMENTS (not closure) so tracing under an
     outer jit works — closed-over tracers cannot cross the pallas_call
-    constant boundary. Integer args get float0 cotangents."""
+    constant boundary. Integer args get float0 cotangents.
+
+    bwd_impl='flash' (default): kernelized backward — score tiles are
+    recomputed from q2/k2 + the forward's saved lse statistic, so the
+    (B,H,T,S) tensors never touch HBM in either direction.
+    bwd_impl='dense': XLA recompute reference (materializes scores),
+    kept for parity testing and as a fallback."""
     import numpy as _np
 
     def _f0(x):
@@ -248,11 +494,23 @@ def _trainable_flash(scale: float, block_t: int, block_s: int,
             window=(lo, hi) if windowed else None, mem_cols=mem_cols)
 
     def f_fwd(q2, k2, v, lens, lo, hi):
-        out = f(q2, k2, v, lens, lo, hi)
-        return out, (q2, k2, v, lens, lo, hi, out)
+        out, lse = flash_attention_bhtd(
+            q2, k2, v, lens if has_lengths else None, scale,
+            block_t=block_t, block_s=block_s, interpret=interpret,
+            window=(lo, hi) if windowed else None, mem_cols=mem_cols,
+            return_lse=True)
+        return out, (q2, k2, v, lens, lo, hi, out, lse)
 
     def f_bwd(res, g):
-        q2, k2, v, lens, lo, hi, out = res
+        q2, k2, v, lens, lo, hi, out, lse = res
+        if bwd_impl == "flash":
+            dq2, dk2, dv = flash_attention_bwd(
+                q2, k2, v, out, lse, g,
+                lens if has_lengths else None, scale,
+                block_t=block_t, block_s=block_s, interpret=interpret,
+                window=(lo, hi) if windowed else None,
+                mem_cols=mem_cols)
+            return (dq2, dk2, dv, _f0(lens), _f0(lo), _f0(hi))
         S = k2.shape[2]
         s = jnp.einsum("bhtd,bhsd->bhts", q2, k2,
                        preferred_element_type=jnp.float32) * scale
@@ -289,13 +547,15 @@ def flash_attention_trainable(q2: jax.Array, k2: jax.Array, v: jax.Array,
                               lengths, scale: float, window=None,
                               block_t: int = 256, block_s: int = 512,
                               interpret: Optional[bool] = None,
-                              mem_cols: int = 0):
+                              mem_cols: int = 0,
+                              bwd_impl: str = "flash"):
     """`flash_attention_bhtd` with a custom VJP so the flash forward
     serves training too (the dynamic-chunk recipe's masks ride the
-    `window` encoding). The backward recomputes the score matrix
-    densely in XLA — exact (p is reconstructed from the same masked
-    scores), memory-heavy like the XLA forward, and trivially correct;
-    kernelize if on-chip training measurements justify it. Fully-masked
+    `window` encoding). The default backward is the kernelized
+    FlashAttention recompute (bwd_impl='flash'): score tiles rebuilt in
+    VMEM from q2/k2 + the forward's lse statistic, so neither direction
+    materializes (B,H,T,S) in HBM; bwd_impl='dense' keeps the XLA
+    recompute reference for parity testing. Fully-masked
     rows differ from the kernel only in garbage content (uniform vs
     running-sum garbage) — their cotangents never reach the loss, which
     masks by length."""
@@ -314,7 +574,7 @@ def flash_attention_trainable(q2: jax.Array, k2: jax.Array, v: jax.Array,
     else:
         lo = hi = jnp.zeros((B, T), jnp.int32)
     f = _trainable_flash(float(scale), block_t, block_s, bool(interpret),
-                         has_lengths, windowed, mem_cols)
+                         has_lengths, windowed, mem_cols, bwd_impl)
     return f(q2, k2, v, lens, lo, hi)
 
 

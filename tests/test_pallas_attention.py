@@ -408,3 +408,42 @@ def test_flash_attn_mem_masked_window():
         np.testing.assert_allclose(np.asarray(out0[b, :L]),
                                    np.asarray(ref0[b, :L]),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_flash_bwd_kernel_matches_dense_recompute():
+    """The kernelized FlashAttention backward (score tiles rebuilt from
+    q2/k2 + lse) must match the dense XLA recompute backward on raw
+    (dq2, dk2, dv) — incl. windows, mem_cols prefix, lengths, and
+    multi-block shapes."""
+    from m3asr_tpu.ops.pallas_attention import flash_attention_trainable
+
+    B, H, T, S, D2, Dk, M = 2, 2, 150, 158, 32, 16, 8
+    key = jax.random.PRNGKey(41)
+    ks = jax.random.split(key, 5)
+    q2 = jax.random.normal(ks[0], (B, H, T, D2))
+    k2 = jax.random.normal(ks[1], (B, H, S, D2))
+    v = jax.random.normal(ks[2], (B, H, S, Dk))
+    g = jax.random.normal(ks[3], (B, H, T, Dk))
+    lens = jnp.asarray([S, 101], jnp.int32)
+    lo = jnp.maximum(jnp.arange(T) - 30, 0)[None].repeat(2, 0) + M
+    hi = jnp.minimum(jnp.arange(T) + 10, S)[None].repeat(2, 0) + M
+
+    def run(bwd_impl, window, mem_cols, lengths):
+        def f(q2, k2, v):
+            out = flash_attention_trainable(
+                q2, k2, v, lengths, 0.25, window=window,
+                block_t=128, block_s=128, mem_cols=mem_cols,
+                bwd_impl=bwd_impl)
+            return jnp.sum(out * g)
+        return jax.grad(f, argnums=(0, 1, 2))(q2, k2, v)
+
+    for window, mem_cols, lengths in (
+            (None, 0, lens), (None, 0, None),
+            ((lo, hi), M, lens), ((lo, hi), M, None)):
+        gk = run("flash", window, mem_cols, lengths)
+        gd = run("dense", window, mem_cols, lengths)
+        for name, a, b in zip(("dq2", "dk2", "dv"), gk, gd):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+                err_msg=f"{name} window={window is not None} "
+                        f"mem={mem_cols} lens={lengths is not None}")
