@@ -43,6 +43,9 @@ class TrainConfig:
     ce_weight: float = 1e-5        # domain/acc head CE weight
                                    # (reference cfg default,
                                    # bk/..._hier.py:378)
+    attn_impl: str = "xla"         # 'flash' = Pallas flash attention
+                                   # fwd+bwd (custom VJP; chunk masks
+                                   # ride the window encoding)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -95,7 +98,7 @@ def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
         if "fmoe" in model_cfg.nnet_proto:
             out, embed_out, out_len = dfsmn_mod.dfsmn_san_moe_forward(
                 params, reg.dfsmn_moe_config(e), feat, feat_len,
-                moe_impl="dense")
+                moe_impl="dense", attn_impl=tcfg.attn_impl)
         else:
             fwd = reg.get_family(model_cfg.nnet_proto).forward
             if (model_cfg.nnet_proto == "dfsmn_san_res_embed_domain_acc"
@@ -104,9 +107,11 @@ def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
                 # in-model pooled heads
                 # (dfsmn_san_res_embed_domain_acc.py:256-279)
                 out, out_len, out_pool, out_pool_acc = fwd(
-                    params, model_cfg, feat, feat_len, domain_acc=True)
+                    params, model_cfg, feat, feat_len, domain_acc=True,
+                    attn_impl=tcfg.attn_impl)
             else:
-                out, out_len = fwd(params, model_cfg, feat, feat_len)
+                out, out_len = fwd(params, model_cfg, feat, feat_len,
+                                   attn_impl=tcfg.attn_impl)
             embed_out = None
     elif is_moe:
         chunk_mask = train_chunk_mask(model_cfg.encoder_conf, feat,
@@ -116,13 +121,15 @@ def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
         out, out_len, embed_out = moe_conformer.forward(
             params, model_cfg.encoder_conf, feat, feat_len,
             output_embed=True, moe_impl="dense", chunk_mask=chunk_mask,
-            embed_chunk_mask=embed_mask, remat=tcfg.remat)
+            embed_chunk_mask=embed_mask, remat=tcfg.remat,
+            attn_impl=tcfg.attn_impl)
     else:
         chunk_mask = train_chunk_mask(model_cfg.encoder_conf, feat,
                                       feat_len, rng_main)
         out, out_len = conformer.forward(params, model_cfg.encoder_conf,
                                          feat, feat_len,
-                                         chunk_mask=chunk_mask)
+                                         chunk_mask=chunk_mask,
+                                         attn_impl=tcfg.attn_impl)
         embed_out = None
     if tcfg.loss_type == "ce":
         # frame-level CE on alignment labels (the cectc recipe,
@@ -232,7 +239,8 @@ def hier_aed_loss_fn(params, model_cfg: ModelConfig, tcfg: "HierTrainConfig",
                                 hier_taps=True, return_router_probs=True,
                                 moe_impl="dense", chunk_mask=chunk_mask,
                                 embed_chunk_mask=embed_mask,
-                                return_embed_hidden=with_heads)
+                                return_embed_hidden=with_heads,
+                                attn_impl=tcfg.attn_impl)
     out, out_len, embed_out, h6, h12, h_final, router_ps = res[:7]
     embed_hidden = res[7] if with_heads else None
     metrics = {}

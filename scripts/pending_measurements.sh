@@ -53,6 +53,16 @@ for seq in 2048 6000; do
     done
 done
 
+# --- 2b. training-step flash A/B (fwd+bwd custom VJP kernels) --------------
+for impl in xla flash; do
+    record "train_step_1024_${impl}" \
+        timeout 580 python scripts/bench_train_step.py --seq 1024 \
+        --batch 4 --iters 10 --impls "$impl"
+    record "train_step_1024_chunked_${impl}" \
+        timeout 580 python scripts/bench_train_step.py --seq 1024 \
+        --batch 4 --iters 10 --dynamic_chunk --impls "$impl"
+done
+
 # --- 3. streaming serving with the cross-stream chunk batcher --------------
 ENG=/tmp/eng_int8_pending
 if [ ! -d "$ENG" ]; then

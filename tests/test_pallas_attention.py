@@ -447,3 +447,47 @@ def test_flash_bwd_kernel_matches_dense_recompute():
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
                 err_msg=f"{name} window={window is not None} "
                         f"mem={mem_cols} lens={lengths is not None}")
+
+
+def test_train_loss_fn_attn_impl_flash():
+    """TrainConfig(attn_impl='flash') threads through loss_fn for the
+    MoE-conformer recipe (incl. dynamic-chunk masks riding the window
+    encoding): loss and grads finite, and close to the XLA path's."""
+    from m3asr_tpu.config import (EncoderConfig, ModelConfig, MoEConfig,
+                                  MoEEncoderConfig)
+    from m3asr_tpu.models import moe_conformer
+    from m3asr_tpu.train.step import TrainConfig, loss_fn
+
+    mc = ModelConfig()
+    mc.input_dim = 12
+    mc.output_dim = 9
+    mc.encoder_conf = MoEEncoderConfig(
+        attention_dim=24, attention_heads=4, num_blocks=1,
+        use_dynamic_chunk=True,
+        embed_conf=EncoderConfig(attention_dim=16, attention_heads=4,
+                                 linear_units=24, num_blocks=1),
+        moe_conf=MoEConfig(num_experts=2, hidden_units=24))
+    params = moe_conformer.init(jax.random.PRNGKey(0), mc.encoder_conf,
+                                mc.input_dim, mc.output_dim)
+    rng = np.random.RandomState(5)
+    feat = jnp.asarray(rng.randn(2, 31, 12), jnp.float32)
+    fl = jnp.asarray([31, 25], jnp.int32)
+    tgt = jnp.asarray(rng.randint(1, 8, (2, 3)), jnp.int32)
+    tl = jnp.asarray([3, 2], jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    def val_and_grad(impl):
+        tcfg = TrainConfig(attn_impl=impl)
+        return jax.value_and_grad(
+            lambda p: loss_fn(p, mc, tcfg, feat, fl, tgt, tl,
+                              rng=key)[0])(params)
+
+    lf, gf = val_and_grad("flash")
+    lx, gx = val_and_grad("xla")
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gf),
+            jax.tree_util.tree_leaves_with_path(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5,
+                                   err_msg=jax.tree_util.keystr(pa))

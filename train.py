@@ -91,6 +91,9 @@ def main(args):
         # domain/acc head CE weight (the reference reads it from the
         # YAML, bk/..._hier.py:378)
         ce_weight=raw.get("ce_weight", 1e-5),
+        # 'flash' = Pallas flash attention fwd+bwd (beyond the
+        # reference; default stays xla until measured on chip)
+        attn_impl=raw.get("attn_impl", "xla"),
         # the cectc trainers pick CE vs CTC from the loader mode
         # (bk/train_cectc_ddp.py: loss_type = loader_conf['mode'])
         loss_type=loader_conf.get("mode", "ctc"))
