@@ -61,6 +61,27 @@ def test_ep_sharded_engine_matches_single_device():
                  atol=1e-4)
 
 
+def test_ep_sharded_engine_with_flash_attention():
+    """EP sharding composes with attn_impl='flash': the Pallas call
+    (replicated operands) partitions cleanly under the ep mesh and
+    matches the single-device xla engine."""
+    cfg, params = _engine_fixtures()
+    ecfg = dict(bucket_lengths=(48,), bucket_batches=(2,),
+                donate_input=False)
+    single = Engine(cfg, params, EngineConfig(**ecfg))
+    sharded = Engine(cfg, params,
+                     EngineConfig(ep=4, attn_impl="flash", **ecfg))
+    rng = np.random.RandomState(58)
+    feat = rng.randn(2, 41, 16).astype(np.float32)
+    lens = np.array([41, 27], np.int32)
+    out_s, len_s = single.infer(feat, lens)
+    out_p, len_p = sharded.infer(feat, lens)
+    assert list(len_s) == list(len_p)
+    for b, L in enumerate(len_s):
+        allclose(out_p[b:b + 1, :L], out_s[b:b + 1, :L], rtol=1e-4,
+                 atol=1e-4)
+
+
 def test_ep_engine_save_load_roundtrip(tmp_path):
     """The ep config rides the engine dir; load re-shards on the
     available mesh."""
