@@ -46,6 +46,12 @@ class TrainConfig:
     attn_impl: str = "xla"         # 'flash' = Pallas flash attention
                                    # fwd+bwd (custom VJP; chunk masks
                                    # ride the window encoding)
+    compute_dtype: str = "float32"  # 'bfloat16' = mixed precision:
+                                    # fwd/bwd matmuls in bf16 on the
+                                    # MXU, f32 master params/optimizer/
+                                    # loss (the reference trains pure
+                                    # fp32 — this is the TPU-standard
+                                    # speedup it never had)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -77,6 +83,24 @@ def train_chunk_mask(enc_cfg, feat, feat_len, rng):
         key=rng)
 
 
+def _cast_compute(params, feat, tcfg):
+    """Mixed-precision entry: bf16 copies of the float params + input
+    for the forward/backward compute; gradients flow back through the
+    casts and accumulate into the f32 master params (the jnp.astype
+    VJP is a cast back to f32)."""
+    if tcfg.compute_dtype != "bfloat16":
+        return params, feat
+    cast = lambda x: (x.astype(jnp.bfloat16)
+                      if x is not None and jnp.issubdtype(
+                          jnp.asarray(x).dtype, jnp.floating) else x)
+    return jax.tree.map(cast, params), feat.astype(jnp.bfloat16)
+
+
+def _loss_dtype(out):
+    """Loss math stays f32 regardless of compute dtype."""
+    return out.astype(jnp.float32)
+
+
 def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
             feat, feat_len, targets, target_lens, rng=None,
             domain_targets=None, acc_targets=None):
@@ -84,6 +108,7 @@ def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
     is_dfsmn = "dfsmn" in model_cfg.nnet_proto
     metrics = {}
     out_pool = out_pool_acc = None
+    params, feat = _cast_compute(params, feat, tcfg)
     rng_main, rng_embed = (jax.random.split(rng) if rng is not None
                            else (None, None))
     if is_dfsmn:
@@ -131,6 +156,12 @@ def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
                                          chunk_mask=chunk_mask,
                                          attn_impl=tcfg.attn_impl)
         embed_out = None
+    out = _loss_dtype(out)
+    if embed_out is not None:
+        embed_out = _loss_dtype(embed_out)
+    if out_pool is not None:
+        out_pool = _loss_dtype(out_pool)
+        out_pool_acc = _loss_dtype(out_pool_acc)
     if tcfg.loss_type == "ce":
         # frame-level CE on alignment labels (the cectc recipe,
         # bk/train_cectc_ddp.py LossCompute loss_type='ce'); labels
@@ -226,6 +257,7 @@ def hier_aed_loss_fn(params, model_cfg: ModelConfig, tcfg: "HierTrainConfig",
     'decoder_1', 'decoder_2' subtrees (AED wrapper layout)."""
     from m3asr_tpu.models import aed
 
+    params, feat = _cast_compute(params, feat, tcfg)
     enc = params["encoder"] if "encoder" in params else params
     rng_main, rng_embed = (jax.random.split(rng) if rng is not None
                            else (None, None))
@@ -243,6 +275,9 @@ def hier_aed_loss_fn(params, model_cfg: ModelConfig, tcfg: "HierTrainConfig",
                                 attn_impl=tcfg.attn_impl)
     out, out_len, embed_out, h6, h12, h_final, router_ps = res[:7]
     embed_hidden = res[7] if with_heads else None
+    out = _loss_dtype(out)
+    embed_out = _loss_dtype(embed_out)
+    router_ps = _loss_dtype(router_ps)
     metrics = {}
     ctc = losses.ctc_loss(out, out_len, targets, target_lens,
                           tcfg.blank_idx)
@@ -266,8 +301,8 @@ def hier_aed_loss_fn(params, model_cfg: ModelConfig, tcfg: "HierTrainConfig",
         dp = dp.get("left_decoder", dp)
         dec_out = aed.forward(dp, model_cfg.decoder_conf, memory, out_len,
                               ys_in, ys_in_lens)
-        a_loss = losses.label_smoothing_loss(dec_out, ys_out, -1,
-                                             tcfg.lsm_weight)
+        a_loss = losses.label_smoothing_loss(_loss_dtype(dec_out), ys_out,
+                                             -1, tcfg.lsm_weight)
         metrics[f"aed_loss_{i}"] = a_loss
         aed_total = aed_total + (a_loss if i == 0
                                  else tcfg.tap_weight * a_loss)
@@ -302,7 +337,8 @@ def hier_aed_loss_fn(params, model_cfg: ModelConfig, tcfg: "HierTrainConfig",
                  out_len[:, None]).astype(embed_hidden.dtype)
         pooled = ((embed_hidden * valid[:, :, None]).sum(1)
                   / jnp.maximum(valid.sum(1), 1.0)[:, None])   # (B, d)
-        logits = _linear(head["out"], _linear(head["embed"], pooled))
+        logits = _loss_dtype(
+            _linear(head["out"], _linear(head["embed"], pooled)))
         ce_sum, (_, _, hit), (frames, _, _) = losses.ce_loss(
             logits[:, None, :], tgt[:, None], -1, mean_in_frames=False)
         ce = ce_sum / B

@@ -44,32 +44,35 @@ def main(args):
 
     params = moe_conformer.init(jax.random.PRNGKey(0), cfg.encoder_conf,
                                 cfg.input_dim, cfg.output_dim)
-    if args.dtype == "bfloat16":
-        params = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x is not None and x.dtype == jnp.float32 else x, params)
 
     rng = np.random.RandomState(0)
     feat = jnp.asarray(rng.randn(args.batch, args.seq, cfg.input_dim),
                        jnp.float32)
     fl = jnp.asarray([args.seq] * args.batch, jnp.int32)
-    tgt = jnp.asarray(rng.randint(1, args.vocab, (args.batch, 30)),
+    # keep the CTC alignment feasible: U well under the subsampled
+    # output length, or the loss saturates and hides dtype differences
+    U = max(2, min(30, args.seq // 16))
+    tgt = jnp.asarray(rng.randint(1, args.vocab, (args.batch, U)),
                       jnp.int32)
-    tl = jnp.asarray([30] * args.batch, jnp.int32)
+    tl = jnp.asarray([U] * args.batch, jnp.int32)
     key = jax.random.PRNGKey(1)
 
     for impl in args.impls.split(","):
-        tcfg = TrainConfig(attn_impl=impl, remat=args.remat)
+        tcfg = TrainConfig(attn_impl=impl, remat=args.remat,
+                           compute_dtype=args.dtype)
 
         @jax.jit
         def vg(p, k):
             def loss(p):
-                chunk = train_chunk_mask(cfg.encoder_conf, feat, fl, k)
+                from m3asr_tpu.train.step import _cast_compute
+                p, f = _cast_compute(p, feat, tcfg)
+                chunk = train_chunk_mask(cfg.encoder_conf, f, fl, k)
                 out, out_len, _ = moe_conformer.forward(
-                    p, cfg.encoder_conf, feat, fl, output_embed=True,
+                    p, cfg.encoder_conf, f, fl, output_embed=True,
                     moe_impl="dense", chunk_mask=chunk,
                     remat=tcfg.remat, attn_impl=tcfg.attn_impl)
-                return losses.ctc_loss(out, out_len, tgt, tl, 0)
+                return losses.ctc_loss(out.astype(jnp.float32), out_len,
+                                       tgt, tl, 0)
             return jax.value_and_grad(loss)(p)
 
         l, g = vg(params, key)                      # compile

@@ -61,6 +61,9 @@ for impl in xla flash; do
     record "train_step_1024_chunked_${impl}" \
         timeout 580 python scripts/bench_train_step.py --seq 1024 \
         --batch 4 --iters 10 --dynamic_chunk --impls "$impl"
+    record "train_step_1024_bf16_${impl}" \
+        timeout 580 python scripts/bench_train_step.py --seq 1024 \
+        --batch 4 --iters 10 --dtype bfloat16 --impls "$impl"
 done
 
 # --- 3. streaming serving with the cross-stream chunk batcher --------------

@@ -170,3 +170,73 @@ def test_ce_mode_training_reduces_loss():
     assert last < first * 0.7, (first, last)
     assert 0.0 <= float(metrics["acc"]) <= 1.0
     assert "ctc_loss" not in metrics
+
+
+def test_mixed_precision_training():
+    """compute_dtype='bfloat16': fwd/bwd run in bf16 while master
+    params, gradients, optimizer state, and the loss stay f32 — the
+    loss decreases on the toy task, and one step's params stay close to
+    the fp32 step's (bf16 rounding, not divergence)."""
+    mc = tiny_cfg()
+    params = moe_conformer.init(jax.random.PRNGKey(4), mc.encoder_conf,
+                                mc.input_dim, mc.output_dim)
+    rng = np.random.RandomState(11)
+    feat = jnp.asarray(rng.randn(2, 31, 12), jnp.float32)
+    lens = jnp.array([31, 25], jnp.int32)
+    tgt = jnp.asarray(rng.randint(1, 7, (2, 3)), jnp.int32)
+    tls = jnp.array([3, 2], jnp.int32)
+
+    def train(dtype, steps):
+        tcfg = TrainConfig(learning_rate=2e-3, warmup_steps=5,
+                           compute_dtype=dtype)
+        opt = make_optimizer(tcfg)
+        step = jax.jit(make_train_step(mc, tcfg, opt))
+        p, s = params, opt.init(params)
+        hist = []
+        for _ in range(steps):
+            p, s, m = step(p, s, feat, lens, tgt, tls)
+            hist.append(float(m["loss"]))
+        return p, hist
+
+    p_bf, hist = train("bfloat16", 15)
+    assert all(np.isfinite(hist)), hist
+    assert hist[-1] < hist[0], hist
+    # master params stayed f32
+    for leaf in jax.tree_util.tree_leaves(p_bf):
+        assert leaf.dtype != jnp.bfloat16, leaf.dtype
+    # single-step agreement with fp32 within bf16 rounding
+    p_f32, _ = train("float32", 1)
+    p_b1, _ = train("bfloat16", 1)
+    rel = [float(np.max(np.abs(np.asarray(a, np.float32)
+                               - np.asarray(b, np.float32)))
+                 / (np.max(np.abs(np.asarray(b, np.float32))) + 1e-9))
+           for a, b in zip(jax.tree_util.tree_leaves(p_b1),
+                           jax.tree_util.tree_leaves(p_f32))]
+    assert max(rel) < 0.15, max(rel)
+
+
+def test_mixed_precision_hier_loss_finite():
+    """hier recipe under bf16 compute: every loss component finite and
+    close to the fp32 value."""
+    from test_hier_training import tiny_model
+    from m3asr_tpu.train.step import HierTrainConfig, hier_aed_loss_fn
+
+    mc, params = tiny_model()
+    rng = np.random.RandomState(2)
+    feat = jnp.asarray(rng.randn(2, 31, 12), jnp.float32)
+    fl = jnp.asarray([31, 25], jnp.int32)
+    tgt = jnp.asarray(rng.randint(1, 8, (2, 4)), jnp.int32)
+    tl = jnp.asarray([4, 3], jnp.int32)
+
+    def run(dtype):
+        tcfg = HierTrainConfig(warmup_steps=5, embed_ctc_weight=0.3,
+                               compute_dtype=dtype)
+        return jax.jit(lambda p: hier_aed_loss_fn(
+            p, mc, tcfg, feat, fl, tgt, tl, tgt, tl))(params)
+
+    l_bf, m_bf = run("bfloat16")
+    l_f, m_f = run("float32")
+    assert np.isfinite(float(l_bf))
+    for k, v in m_bf.items():
+        assert np.isfinite(float(v)), k
+    np.testing.assert_allclose(float(l_bf), float(l_f), rtol=0.1)

@@ -94,6 +94,8 @@ def main(args):
         # 'flash' = Pallas flash attention fwd+bwd (beyond the
         # reference; default stays xla until measured on chip)
         attn_impl=raw.get("attn_impl", "xla"),
+        # 'bfloat16' = mixed-precision compute (f32 master weights)
+        compute_dtype=raw.get("compute_dtype", "float32"),
         # the cectc trainers pick CE vs CTC from the loader mode
         # (bk/train_cectc_ddp.py: loss_type = loader_conf['mode'])
         loss_type=loader_conf.get("mode", "ctc"))
