@@ -491,3 +491,45 @@ def test_train_loss_fn_attn_impl_flash():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5,
                                    err_msg=jax.tree_util.keystr(pa))
+
+
+def test_flash_composes_with_remat_and_bf16():
+    """remat (per-block rematerialization) and compute_dtype='bfloat16'
+    both compose with attn_impl='flash' in one training step: finite
+    decreasing loss, f32 master params."""
+    import optax
+
+    from m3asr_tpu.config import (EncoderConfig, ModelConfig, MoEConfig,
+                                  MoEEncoderConfig)
+    from m3asr_tpu.models import moe_conformer
+    from m3asr_tpu.train.step import (TrainConfig, make_optimizer,
+                                      make_train_step)
+
+    mc = ModelConfig()
+    mc.input_dim = 12
+    mc.output_dim = 7
+    mc.encoder_conf = MoEEncoderConfig(
+        attention_dim=24, attention_heads=4, num_blocks=2,
+        embed_conf=EncoderConfig(attention_dim=16, attention_heads=4,
+                                 linear_units=24, num_blocks=1),
+        moe_conf=MoEConfig(num_experts=2, hidden_units=24))
+    params = moe_conformer.init(jax.random.PRNGKey(6), mc.encoder_conf,
+                                mc.input_dim, mc.output_dim)
+    tcfg = TrainConfig(learning_rate=2e-3, warmup_steps=5, remat=True,
+                       attn_impl="flash", compute_dtype="bfloat16")
+    opt = make_optimizer(tcfg)
+    step = jax.jit(make_train_step(mc, tcfg, opt))
+    s = opt.init(params)
+    rng = np.random.RandomState(13)
+    feat = jnp.asarray(rng.randn(2, 31, 12), jnp.float32)
+    fl = jnp.asarray([31, 25], jnp.int32)
+    tgt = jnp.asarray(rng.randint(1, 7, (2, 3)), jnp.int32)
+    tl = jnp.asarray([3, 2], jnp.int32)
+    hist = []
+    for _ in range(10):
+        params, s, m = step(params, s, feat, fl, tgt, tl)
+        hist.append(float(m["loss"]))
+        assert np.isfinite(hist[-1])
+    assert hist[-1] < hist[0], hist
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert leaf.dtype != jnp.bfloat16
