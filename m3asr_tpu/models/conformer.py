@@ -69,6 +69,8 @@ def run_blocks(stacked_blocks, cfg: EncoderConfig, x: jax.Array,
     utils/mask.py add_optional_chunk_mask)."""
     conv_lorder = cfg.cnn_module_kernel - 1 if cfg.causal else 0
 
+    from m3asr_tpu.parallel.mesh import constrain_act
+
     def body(h, block_p):
         h = conformer_block(
             block_p, h, lengths, pos_emb,
@@ -79,6 +81,8 @@ def run_blocks(stacked_blocks, cfg: EncoderConfig, x: jax.Array,
             conv_lorder=conv_lorder,
             normalize_before=cfg.normalize_before,
             mask=mask, attn_impl=attn_impl)
+        h = constrain_act(h)  # sequence-parallel block boundary (no-op
+        # outside a parallel.mesh.activation_sharding context)
         return h, (h if collect_hidden else None)
 
     x, hiddens = jax.lax.scan(body, x, stacked_blocks,

@@ -63,6 +63,8 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
     embed = jax.lax.stop_gradient(embed)
 
     x, pos_emb, out_len = conformer.frontend(params, cfg, feat, feat_len)
+    from m3asr_tpu.parallel.mesh import constrain_act
+    x = constrain_act(x)
 
     conv_lorder = cfg.cnn_module_kernel - 1 if cfg.causal else 0
 
@@ -82,6 +84,9 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
             h, probs = res
         else:
             h, probs = res, None
+        from m3asr_tpu.parallel.mesh import constrain_act
+        h = constrain_act(h)  # sequence-parallel block boundary (no-op
+        # outside a parallel.mesh.activation_sharding context)
         return h, ((h if hier_taps else None),
                    (probs if return_router_probs else None))
 

@@ -47,12 +47,27 @@ def depthwise_conv1d(p, x: jax.Array, lorder: int = 0) -> jax.Array:
         pad = (0, 0)  # input already left-padded (before pointwise_conv1)
     else:
         pad = ((K - 1) // 2, (K - 1) // 2)
-    # lax depthwise: kernel (K, 1, C) with feature_group_count=C ('WIO')
-    kern = p["kernel"].astype(x.dtype)[:, None, :]
-    y = jax.lax.conv_general_dilated(
-        x, kern, window_strides=(1,), padding=[pad],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=C)
+    from m3asr_tpu.parallel.mesh import act_sharding_active
+    if act_sharding_active():
+        # Sequence-parallel training: jax 0.9.0's SPMD partitioner
+        # miscomputes conv_general_dilated kernel gradients when a
+        # time-sharding reaches the conv (even with both operands
+        # pinned replicated, in full-model programs). A K-term
+        # shift-and-add is the same VPU work and its transpose is all
+        # pads/slices, which partition correctly.
+        kern = p["kernel"].astype(x.dtype)
+        xp = jnp.pad(x, ((0, 0), pad, (0, 0)))
+        T_out = x.shape[1] + pad[0] + pad[1] - K + 1
+        y = xp[:, 0:T_out, :] * kern[0]
+        for k in range(1, K):
+            y = y + xp[:, k:k + T_out, :] * kern[k]
+    else:
+        # lax depthwise: kernel (K, 1, C), feature_group_count=C ('WIO')
+        kern = p["kernel"].astype(x.dtype)[:, None, :]
+        y = jax.lax.conv_general_dilated(
+            x, kern, window_strides=(1,), padding=[pad],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=C)
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(x.dtype)
     return y
@@ -79,7 +94,16 @@ def conv_module(p, x: jax.Array, lengths: Optional[jax.Array],
         # utterance behave like the reference's exact-length case
         # (true zeros beyond the valid region, as SAME-padding gives).
         x = masked_fill(x, lengths, 0.0)
+    # sequence parallelism: the depthwise conv mixes positions, so it
+    # runs on the gathered time axis — pinned on BOTH sides so the
+    # partitioner cannot propagate a time-sharding into the conv's
+    # operands or cotangents (jax 0.9.0 miscomputes conv kernel grads
+    # under time sharding; see parallel.mesh.constrain_act_nosp). The
+    # module exit re-applies the ambient sp sharding.
+    from m3asr_tpu.parallel.mesh import constrain_act, constrain_act_nosp
+    x = constrain_act_nosp(x)
     x = depthwise_conv1d(p["depthwise_conv"], x, lorder=lorder)
+    x = constrain_act_nosp(x)
     if use_layer_norm:
         x = layer_norm(p["norm"], x)
     else:
@@ -88,7 +112,7 @@ def conv_module(p, x: jax.Array, lengths: Optional[jax.Array],
     x = linear(p["pointwise_conv2"], x)
     if lengths is not None:
         x = masked_fill(x, lengths, 0.0)
-    return x
+    return constrain_act(x)
 
 
 def init_conv_module(key, channels: int, kernel_size: int = 15,

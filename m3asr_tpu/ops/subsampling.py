@@ -17,6 +17,7 @@ import numpy as np
 
 from m3asr_tpu.ops.common import init_linear, layer_norm, linear
 from m3asr_tpu.ops import masking
+from m3asr_tpu.parallel.mesh import constrain_act_nosp
 
 
 def _conv2d(p, x: jax.Array, stride: Tuple[int, int]) -> jax.Array:
@@ -42,7 +43,7 @@ def conv2d_subsampling4(p, x: jax.Array, lengths: Optional[jax.Array],
     """Two (k=3, s=2) convs + ReLU, then per-frame flatten + Linear
     (subsampling.py:77-145). Returns (y (B, T//4-ish, odim), out_lengths).
     """
-    x4 = _to_4d(x, in_ch)
+    x4 = _to_4d(constrain_act_nosp(x), in_ch)
     h = jax.nn.relu(_conv2d(p["conv0"], x4, (2, 2)))
     h = jax.nn.relu(_conv2d(p["conv1"], h, (2, 2)))
     # (B, T', F', C) -> (B, T', C*F'): torch flattens (C, F) with C
@@ -50,7 +51,7 @@ def conv2d_subsampling4(p, x: jax.Array, lengths: Optional[jax.Array],
     # transpose the last two axes before flattening.
     B, Tp, Fp, C = h.shape
     h = h.transpose(0, 1, 3, 2).reshape(B, Tp, C * Fp)
-    y = linear(p["out"], h)
+    y = constrain_act_nosp(linear(p["out"], h))
     out_len = None if lengths is None else masking.subsampling4_length(lengths)
     return y, out_len
 
@@ -58,12 +59,12 @@ def conv2d_subsampling4(p, x: jax.Array, lengths: Optional[jax.Array],
 def conv2d_subsampling6(p, x: jax.Array, lengths: Optional[jax.Array],
                         in_ch: int = 1):
     """(k=3,s=2) then (k=5,s=3) (subsampling.py:148-188)."""
-    x4 = _to_4d(x, in_ch)
+    x4 = _to_4d(constrain_act_nosp(x), in_ch)
     h = jax.nn.relu(_conv2d(p["conv0"], x4, (2, 2)))
     h = jax.nn.relu(_conv2d(p["conv1"], h, (3, 3)))
     B, Tp, Fp, C = h.shape
     h = h.transpose(0, 1, 3, 2).reshape(B, Tp, C * Fp)
-    y = linear(p["out"], h)
+    y = constrain_act_nosp(linear(p["out"], h))
     out_len = None if lengths is None else masking.subsampling6_length(lengths)
     return y, out_len
 
@@ -71,13 +72,13 @@ def conv2d_subsampling6(p, x: jax.Array, lengths: Optional[jax.Array],
 def conv2d_subsampling8(p, x: jax.Array, lengths: Optional[jax.Array],
                         in_ch: int = 1):
     """Three (k=3, s=2) convs (subsampling.py:189-232)."""
-    x4 = _to_4d(x, in_ch)
+    x4 = _to_4d(constrain_act_nosp(x), in_ch)
     h = jax.nn.relu(_conv2d(p["conv0"], x4, (2, 2)))
     h = jax.nn.relu(_conv2d(p["conv1"], h, (2, 2)))
     h = jax.nn.relu(_conv2d(p["conv2"], h, (2, 2)))
     B, Tp, Fp, C = h.shape
     h = h.transpose(0, 1, 3, 2).reshape(B, Tp, C * Fp)
-    y = linear(p["out"], h)
+    y = constrain_act_nosp(linear(p["out"], h))
     out_len = None if lengths is None else masking.subsampling8_length(lengths)
     return y, out_len
 

@@ -17,6 +17,7 @@ automatic resharding; BMUF/DDP all-reduce -> psum of grads).
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Tuple
 
 import jax
@@ -25,20 +26,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 EXPERT_AXIS = "ep"
 DATA_AXIS = "dp"
+TENSOR_AXIS = "tp"
+SEQ_AXIS = "sp"
 
 
 def make_mesh(dp: Optional[int] = None, ep: int = 1,
-              devices=None) -> Mesh:
-    """Create a (dp, ep) mesh. ep rides the innermost (fastest ICI)
-    axis, like the reference keeps expert exchange intra-node."""
+              devices=None, tp: int = 1, sp: int = 1) -> Mesh:
+    """Create a (dp, sp, ep, tp) mesh. ep/tp ride the innermost
+    (fastest ICI) axes, like the reference keeps expert exchange
+    intra-node; tp's per-layer all-reduces are the hottest collective
+    so it sits innermost of all. Axes default to size 1, so existing
+    (dp, ep) callers are unchanged — P specs that only name 'dp'/'ep'
+    simply replicate over the unit axes."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        assert n % ep == 0, (n, ep)
-        dp = n // ep
-    assert dp * ep == n, f"mesh {dp}x{ep} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, ep)
-    return Mesh(arr, (DATA_AXIS, EXPERT_AXIS))
+        assert n % (ep * tp * sp) == 0, (n, ep, tp, sp)
+        dp = n // (ep * tp * sp)
+    assert dp * sp * ep * tp == n, \
+        f"mesh dp{dp}xsp{sp}xep{ep}xtp{tp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, sp, ep, tp)
+    return Mesh(arr, (DATA_AXIS, SEQ_AXIS, EXPERT_AXIS, TENSOR_AXIS))
 
 
 def _is_expert_path(path: Tuple) -> bool:
@@ -59,6 +67,77 @@ def moe_param_sharding(mesh: Mesh, params):
                 return NamedSharding(mesh, P(None, EXPERT_AXIS))
             return NamedSharding(mesh, P(EXPERT_AXIS))
         return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def _path_keys(path: Tuple):
+    return [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+
+
+def param_sharding(mesh: Mesh, params, tp: bool = False):
+    """Sharding specs for a conformer-family param tree over the
+    (dp, sp, ep, tp) mesh.
+
+    tp=False reproduces moe_param_sharding (expert tensors over 'ep',
+    rest replicated). tp=True additionally applies Megatron-style
+    tensor parallelism over the 'tp' axis — the TPU-native form of the
+    reference's vestigial AllGather/Slice model parallelism
+    (fmoe/functions.py:219-261), done as GSPMD weight annotations so
+    XLA inserts the per-layer all-reduces:
+
+      expert FFN     w1 (L,E,d,h): h over tp   (column parallel)
+                     b1 (L,E,h):   h over tp
+                     w2 (L,E,h,d): h over tp   (row parallel; partial
+                     b2 (L,E,d):   replicated   outputs all-reduced)
+      dense FFNs     w_1 column-parallel, w_2 row-parallel
+      attention      linear_q/k/v/pos column-parallel (heads split),
+                     pos_bias_u/v head axis over tp,
+                     linear_out row-parallel
+      conv module / norms / router / embeddings: replicated (the conv
+      stage is ~2% of block time — not worth the GLU-halves reshuffle).
+    """
+
+    def spec(path, leaf):
+        keys = _path_keys(path)
+        ndim = np.ndim(leaf)
+        stacked = ndim >= 2  # stacked-block tensors carry a leading L
+
+        def pspec(*axes):
+            return NamedSharding(mesh, P(*axes))
+
+        if _is_expert_path(path):
+            ep_prefix = (None,) if ndim >= 3 else ()
+            if not tp:
+                return pspec(*ep_prefix, EXPERT_AXIS)
+            if "w1" in keys:     # (L, E, d, h)
+                return pspec(None, EXPERT_AXIS, None, TENSOR_AXIS)
+            if "b1" in keys:     # (L, E, h)
+                return pspec(None, EXPERT_AXIS, TENSOR_AXIS)
+            if "w2" in keys:     # (L, E, h, d)
+                return pspec(None, EXPERT_AXIS, TENSOR_AXIS, None)
+            return pspec(*ep_prefix, EXPERT_AXIS)  # b2 (L, E, d)
+        if not tp:
+            return pspec()
+        if "self_attn" in keys and stacked:
+            if "linear_out" in keys:
+                if "kernel" in keys:          # (L, d, d) row parallel
+                    return pspec(None, TENSOR_AXIS, None)
+                return pspec()                # bias added once
+            if keys[-1] in ("pos_bias_u", "pos_bias_v"):  # (L, H, dk)
+                return pspec(None, TENSOR_AXIS)
+            if "kernel" in keys:              # q/k/v/pos (L, d, d)
+                return pspec(None, None, TENSOR_AXIS)
+            if "bias" in keys:                # (L, d) on the head dim
+                return pspec(None, TENSOR_AXIS)
+        if ("w_1" in keys or "w_2" in keys) and stacked:
+            row = "w_2" in keys
+            if "kernel" in keys:              # (L, d, h) / (L, h, d)
+                return pspec(None, TENSOR_AXIS, None) if row \
+                    else pspec(None, None, TENSOR_AXIS)
+            if "bias" in keys:
+                return pspec() if row else pspec(None, TENSOR_AXIS)
+        return pspec()
 
     return jax.tree_util.tree_map_with_path(spec, params)
 
@@ -84,5 +163,77 @@ def batch_sharding(mesh: Mesh):
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def feat_sharding(mesh: Mesh):
+    """(B, T, D) input features: batch over dp, time over sp."""
+    return NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS))
+
+
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
+
+
+# --- sequence-parallel activation constraints -------------------------------
+#
+# The reference has no sequence parallelism (SURVEY.md §2.9); long audio
+# is O(T^2)-small at T<=1535. For models/batches that outgrow one
+# chip's activation memory anyway, the TPU-native mechanism is a GSPMD
+# constraint on the (B, T, D) hidden at block boundaries: elementwise /
+# FFN / MoE work partitions over time, and XLA all-gathers keys/values
+# only where attention needs the full sequence. The context is
+# TRACE-time state: enter it around the jit/trace of a forward (or the
+# first traced call) and the constraints are baked into that program.
+
+_ACT_SHARDING: Optional[NamedSharding] = None
+
+
+@contextlib.contextmanager
+def activation_sharding(sharding: Optional[NamedSharding]):
+    """While active (at trace time), conformer forwards constrain their
+    per-block (B, T, D) hiddens to `sharding` — e.g.
+    NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS)) for dp+sp."""
+    global _ACT_SHARDING
+    prev = _ACT_SHARDING
+    _ACT_SHARDING = sharding
+    try:
+        yield
+    finally:
+        _ACT_SHARDING = prev
+
+
+def constrain_act(x):
+    """Apply the ambient activation sharding to a (B, T, D) hidden;
+    identity when no activation_sharding context is active."""
+    if _ACT_SHARDING is not None and getattr(x, "ndim", 0) == 3:
+        return jax.lax.with_sharding_constraint(x, _ACT_SHARDING)
+    return x
+
+
+def act_sharding_active() -> bool:
+    """True while an activation_sharding context is active (trace
+    time). Ops that are miscompiled by the partitioner under sequence
+    sharding (jax 0.9.0 conv kernel grads) use this to switch to a
+    slice-based equivalent."""
+    return _ACT_SHARDING is not None
+
+
+def constrain_act_nosp(x):
+    """Pin a (B, T, *) activation batch-sharded only — time axis
+    REPLICATED — while an activation_sharding context is active.
+
+    Convolutions must stay out of the sequence-sharded domain: jax
+    0.9.0's SPMD partitioner miscomputes conv_general_dilated kernel
+    gradients when the conv's operands are time-sharded (exactly
+    sp-times too large — the per-shard kernel grads are computed on
+    overlapping windows and then all-reduced; reproduced standalone
+    with a stride-1 VALID conv on an (dp, sp, ep) CPU mesh). Gathering
+    activations around convs is also the standard sequence-parallel
+    recipe (Megatron-SP gathers around anything that mixes positions),
+    so this bracket is what a TPU deployment wants regardless of the
+    bug: convs see the full time axis, FFN/MoE/norm segments stay
+    time-partitioned."""
+    if _ACT_SHARDING is None or getattr(x, "ndim", 0) < 2:
+        return x
+    spec = _ACT_SHARDING.spec
+    nosp = NamedSharding(_ACT_SHARDING.mesh,
+                         P(spec[0] if len(spec) > 0 else None))
+    return jax.lax.with_sharding_constraint(x, nosp)
