@@ -94,11 +94,38 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
         # rematerialize per block: activation memory ~O(1 block)
         # instead of O(18 blocks) in the backward pass
         body = jax.checkpoint(body)
-    # NOTE: scan unrolling was measured and rejected — unroll=3 runs the
-    # fp32 flagship at 14.4 ms vs 5.7 ms for the rolled scan (v5e); the
-    # scan's software-pipelined weight streaming beats unrolled
-    # scheduling, so keep the loop rolled.
-    x, (hiddens, router_ps) = jax.lax.scan(body, x, params["blocks"])
+    from m3asr_tpu.parallel.mesh import pipeline_ctx
+    pp_ctx = pipeline_ctx()
+    if pp_ctx is not None and not (hier_taps or return_router_probs):
+        # GPipe pipeline over the 'pp' mesh axis (parallel/pp.py);
+        # per-block compute identical to the scan body below
+        from m3asr_tpu.parallel.pp import pp_scan_blocks
+        pp_mesh, pp_mb = pp_ctx
+
+        def block_fn(bp, h, l_mb, e_mb, m_mb, pos):
+            return conformer_block(
+                bp, h, l_mb, pos,
+                num_heads=cfg.attention_heads,
+                macaron=cfg.macaron_style,
+                use_cnn=cfg.use_cnn_module,
+                conv_layer_norm=(cfg.cnn_module_norm == "layer_norm"),
+                conv_lorder=conv_lorder,
+                normalize_before=cfg.normalize_before,
+                moe=True, embed=e_mb, moe_impl=moe_impl,
+                moe_macaron=cfg.exmarc, mask=m_mb, attn_impl=attn_impl)
+
+        if remat:
+            block_fn = jax.checkpoint(block_fn)
+        x = pp_scan_blocks(pp_mesh, block_fn, params["blocks"], x,
+                           out_len, pos_emb, embed=embed,
+                           mask=chunk_mask, num_microbatches=pp_mb)
+        hiddens = router_ps = None
+    else:
+        # NOTE: scan unrolling was measured and rejected — unroll=3 runs
+        # the fp32 flagship at 14.4 ms vs 5.7 ms for the rolled scan
+        # (v5e); the scan's software-pipelined weight streaming beats
+        # unrolled scheduling, so keep the loop rolled.
+        x, (hiddens, router_ps) = jax.lax.scan(body, x, params["blocks"])
 
     if cfg.normalize_before:
         x_normed = layer_norm(params["after_norm"], x)

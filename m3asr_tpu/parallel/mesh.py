@@ -28,25 +28,29 @@ EXPERT_AXIS = "ep"
 DATA_AXIS = "dp"
 TENSOR_AXIS = "tp"
 SEQ_AXIS = "sp"
+PIPE_AXIS = "pp"
 
 
 def make_mesh(dp: Optional[int] = None, ep: int = 1,
-              devices=None, tp: int = 1, sp: int = 1) -> Mesh:
-    """Create a (dp, sp, ep, tp) mesh. ep/tp ride the innermost
+              devices=None, tp: int = 1, sp: int = 1,
+              pp: int = 1) -> Mesh:
+    """Create a (pp, dp, sp, ep, tp) mesh. ep/tp ride the innermost
     (fastest ICI) axes, like the reference keeps expert exchange
     intra-node; tp's per-layer all-reduces are the hottest collective
-    so it sits innermost of all. Axes default to size 1, so existing
-    (dp, ep) callers are unchanged — P specs that only name 'dp'/'ep'
-    simply replicate over the unit axes."""
+    so it sits innermost of all; pp (stage->stage activations only) is
+    outermost. Axes default to size 1, so existing (dp, ep) callers are
+    unchanged — P specs that only name 'dp'/'ep' simply replicate over
+    the unit axes."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        assert n % (ep * tp * sp) == 0, (n, ep, tp, sp)
-        dp = n // (ep * tp * sp)
-    assert dp * sp * ep * tp == n, \
-        f"mesh dp{dp}xsp{sp}xep{ep}xtp{tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, sp, ep, tp)
-    return Mesh(arr, (DATA_AXIS, SEQ_AXIS, EXPERT_AXIS, TENSOR_AXIS))
+        assert n % (ep * tp * sp * pp) == 0, (n, ep, tp, sp, pp)
+        dp = n // (ep * tp * sp * pp)
+    assert pp * dp * sp * ep * tp == n, \
+        f"mesh pp{pp}xdp{dp}xsp{sp}xep{ep}xtp{tp} != {n} devices"
+    arr = np.asarray(devices).reshape(pp, dp, sp, ep, tp)
+    return Mesh(arr, (PIPE_AXIS, DATA_AXIS, SEQ_AXIS, EXPERT_AXIS,
+                      TENSOR_AXIS))
 
 
 def _is_expert_path(path: Tuple) -> bool:
@@ -75,7 +79,8 @@ def _path_keys(path: Tuple):
     return [getattr(k, "key", getattr(k, "idx", None)) for k in path]
 
 
-def param_sharding(mesh: Mesh, params, tp: bool = False):
+def param_sharding(mesh: Mesh, params, tp: bool = False,
+                   pp: bool = False):
     """Sharding specs for a conformer-family param tree over the
     (dp, sp, ep, tp) mesh.
 
@@ -96,14 +101,25 @@ def param_sharding(mesh: Mesh, params, tp: bool = False):
                      linear_out row-parallel
       conv module / norms / router / embeddings: replicated (the conv
       stage is ~2% of block time — not worth the GLU-halves reshuffle).
+
+    pp=True additionally shards the MAIN block stack's leading L axis
+    over 'pp' (pipeline stages — parallel.pp.pp_scan_blocks); the embed
+    sub-encoder and frontend stay replicated across stages.
     """
 
     def spec(path, leaf):
         keys = _path_keys(path)
         ndim = np.ndim(leaf)
         stacked = ndim >= 2  # stacked-block tensors carry a leading L
+        # depth-agnostic so optimizer-state trees (optax prefixes the
+        # path) get the same layout as the params they mirror; the
+        # embed sub-encoder's blocks stay replicated across stages
+        pp_lead = pp and "blocks" in keys and "embed" not in keys
 
         def pspec(*axes):
+            if pp_lead:
+                assert not axes or axes[0] is None, axes
+                axes = (PIPE_AXIS,) + tuple(axes[1:])
             return NamedSharding(mesh, P(*axes))
 
         if _is_expert_path(path):
@@ -200,12 +216,53 @@ def activation_sharding(sharding: Optional[NamedSharding]):
         _ACT_SHARDING = prev
 
 
+def set_activation_sharding(sharding: Optional[NamedSharding]) -> None:
+    """Process-wide (non-context) form of activation_sharding, for CLI
+    entry points that jit in one place and trace later (train.py --sp).
+    Pass None to clear."""
+    global _ACT_SHARDING
+    _ACT_SHARDING = sharding
+
+
+def set_pipeline(mesh: Optional[Mesh],
+                 num_microbatches: int = 2) -> None:
+    """Process-wide (non-context) form of pipeline(), for CLI entry
+    points (train.py --pp). Pass mesh=None to clear."""
+    global _PP_CTX
+    _PP_CTX = None if mesh is None else (mesh, num_microbatches)
+
+
 def constrain_act(x):
     """Apply the ambient activation sharding to a (B, T, D) hidden;
     identity when no activation_sharding context is active."""
     if _ACT_SHARDING is not None and getattr(x, "ndim", 0) == 3:
         return jax.lax.with_sharding_constraint(x, _ACT_SHARDING)
     return x
+
+
+# --- pipeline-parallel context ----------------------------------------------
+
+_PP_CTX = None  # (mesh, num_microbatches) while a pipeline context is active
+
+
+@contextlib.contextmanager
+def pipeline(mesh: Mesh, num_microbatches: int = 2):
+    """While active (at trace time), MoE-conformer forwards run their
+    main block stack as a GPipe pipeline over the mesh's 'pp' axis
+    (parallel.pp.pp_scan_blocks) with this many microbatches. Pair with
+    param_sharding(pp=True) so each stage holds only its block slice."""
+    global _PP_CTX
+    prev = _PP_CTX
+    _PP_CTX = (mesh, num_microbatches)
+    try:
+        yield
+    finally:
+        _PP_CTX = prev
+
+
+def pipeline_ctx():
+    """The active (mesh, num_microbatches) pipeline context, or None."""
+    return _PP_CTX
 
 
 def act_sharding_active() -> bool:

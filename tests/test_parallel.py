@@ -12,8 +12,8 @@ from m3asr_tpu.parallel import mesh as pmesh
 
 def test_mesh_shapes():
     mesh = pmesh.make_mesh(ep=4)
-    assert mesh.devices.shape == (2, 1, 4, 1)  # (dp, sp, ep, tp)
-    assert mesh.axis_names == ("dp", "sp", "ep", "tp")
+    assert mesh.devices.shape == (1, 2, 1, 4, 1)  # (pp, dp, sp, ep, tp)
+    assert mesh.axis_names == ("pp", "dp", "sp", "ep", "tp")
     assert mesh.shape["dp"] == 2 and mesh.shape["ep"] == 4
 
 

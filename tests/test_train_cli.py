@@ -392,3 +392,39 @@ def test_train_cli_dfsmn_domain_acc(tmp_path):
     with open(out_dir / "train.log") as f:
         log = f.read()
     assert "domain_loss" in log and "acc_loss" in log, log[-2000:]
+
+
+def test_train_cli_tp_pp_mesh(tmp_path):
+    """Beyond-reference parallelism through the CLI: --tp 2 --pp 2 on a
+    pp2 x dp2 x tp2 virtual mesh (8 CPU devices) trains the 2-block MoE
+    conformer end-to-end — Megatron weight splits + GPipe stages."""
+    rng = np.random.RandomState(0)
+    with ArkWriter(str(tmp_path / "tr.ark")) as w:
+        for i in range(8):
+            w.write(f"utt{i}", rng.randn(20 + i, 12).astype(np.float32))
+    with open(tmp_path / "tr_labels.ark", "w") as f:
+        for i in range(8):
+            toks = " ".join(str(t) for t in rng.randint(1, 7, 3))
+            f.write(f"utt{i} {toks}\n")
+    cfg = tiny_train_yaml()
+    cfg["model_conf"]["encoder_conf"]["num_blocks"] = 2  # 1 block/stage
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", M3ASR_PLATFORM="cpu")
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8").strip()
+    out_dir = tmp_path / "exp"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py"),
+         "--config", str(tmp_path / "cfg.yaml"),
+         "--output_dir", str(out_dir),
+         "--tr_rspecifier", str(tmp_path / "tr.ark"),
+         "--tr_labels", str(tmp_path / "tr_labels.ark"),
+         "--tp", "2", "--pp", "2", "--pp_microbatches", "2"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert "training done" in r.stdout
+    with open(out_dir / "checkpoint_final.pkl", "rb") as f:
+        ckpt = pickle.load(f)
+    assert ckpt["global_step"] > 0

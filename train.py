@@ -182,14 +182,29 @@ def main(args):
             else make_train_step(model_cfg, tcfg, optimizer,
                                  with_domain_acc=domain_acc))
 
-    # mesh + shardings: dp x ep (the reference's dp_groups/mp_groups);
-    # dp must divide the global batch, so cap it at gcd(batch, devices)
+    # mesh + shardings: dp x ep (the reference's dp_groups/mp_groups),
+    # plus the beyond-reference axes --tp/--sp/--pp; dp must divide the
+    # global batch, so cap it at gcd(batch, devices)
     import math
     n_dev = len(jax.devices())
     ep = args.ep if args.ep > 0 else 1
-    dp = math.gcd(loader_conf.get("batch_size", 1), n_dev // ep)
-    mesh = pmesh.make_mesh(dp=dp, ep=ep,
-                           devices=jax.devices()[:dp * ep])
+    tp, sp, pp = max(args.tp, 1), max(args.sp, 1), max(args.pp, 1)
+    if (tp > 1 or sp > 1 or pp > 1) and args.bmuf:
+        raise SystemExit("--bmuf composes with dp/ep only "
+                         "(tp/sp/pp need the fused-step path)")
+    if pp > 1 and hier:
+        raise SystemExit("--pp supports the non-hier recipes (the hier "
+                         "taps need every block's hidden on one stage)")
+    dp = math.gcd(loader_conf.get("batch_size", 1),
+                  n_dev // (ep * tp * sp * pp))
+    mesh = pmesh.make_mesh(dp=dp, ep=ep, tp=tp, sp=sp, pp=pp,
+                           devices=jax.devices()[:dp * ep * tp * sp * pp])
+    if sp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        pmesh.set_activation_sharding(NamedSharding(
+            mesh, _P(pmesh.DATA_AXIS, pmesh.SEQ_AXIS)))
+    if pp > 1:
+        pmesh.set_pipeline(mesh, args.pp_microbatches)
     needs_rng = _needs_rng(model_cfg)
     n_label_args = ((8 if domain_acc else 6) if hier
                     else (6 if domain_acc else 4))
@@ -223,9 +238,10 @@ def main(args):
         params = jax.device_put(params, p_shard)
         opt_state = jax.device_put(opt_state, o_shard)
     else:
-        p_shard = pmesh.moe_param_sharding(mesh, params)
+        p_shard = pmesh.param_sharding(mesh, params, tp=tp > 1, pp=pp > 1)
         opt_probe = optimizer.init(params)
-        o_shard = pmesh.moe_param_sharding(mesh, opt_probe)
+        o_shard = pmesh.param_sharding(mesh, opt_probe, tp=tp > 1,
+                                       pp=pp > 1)
         b_shard = pmesh.batch_sharding(mesh)
         r_shard = pmesh.replicated(mesh)
         in_shardings = (p_shard, o_shard, b_shard) + (r_shard,) * (
@@ -296,6 +312,17 @@ if __name__ == "__main__":
     parser.add_argument("--cv_labels", required=False)
     parser.add_argument("--config", required=True)
     parser.add_argument("--log_file", required=False)
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel mesh axis (Megatron-style "
+                        "column/row weight splits; beyond-reference)")
+    parser.add_argument("--sp", type=int, default=1,
+                        help="sequence-parallel mesh axis (per-block "
+                        "activation time-sharding; beyond-reference)")
+    parser.add_argument("--pp", type=int, default=1,
+                        help="pipeline-parallel mesh axis (GPipe over "
+                        "the block stack; beyond-reference)")
+    parser.add_argument("--pp_microbatches", type=int, default=2,
+                        help="GPipe microbatches per step (with --pp)")
     parser.add_argument("--ep", type=int, default=1,
                         help="expert-parallel mesh size")
     parser.add_argument("--smbr_cmd", required=False,
