@@ -79,7 +79,8 @@ def main(args):
     if args.int8:
         dtype = "int8"   # int8 expert weights + bf16 activations
     ecfg = EngineConfig(dtype=dtype, use_prior=prior is not None,
-                        ep=args.ep, attn_impl=args.attn_impl)
+                        ep=args.ep, tp=args.tp,
+                        attn_impl=args.attn_impl)
     if args.buckets:
         pairs = [tuple(map(int, b.split("x"))) for b in
                  args.buckets.split(",")]
@@ -138,6 +139,12 @@ if __name__ == "__main__":
                              "tensors over an ep-device mesh (for "
                              "models beyond one chip; engine must be "
                              "loaded with >= ep devices)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel serving: Megatron "
+                             "column/row weight splits over a "
+                             "tp-device mesh (composes with --ep; "
+                             "engine must be loaded with >= ep*tp "
+                             "devices)")
     parser.add_argument("--strict", action="store_true",
                         help="fail if any checkpoint key is not consumed "
                              "by the conversion (name-mapping drift guard)")

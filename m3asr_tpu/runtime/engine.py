@@ -169,6 +169,14 @@ class EngineConfig:
                                       # inserts the psum) — for models
                                       # whose experts outgrow one chip.
                                       # moe_conformer family, fp32/bf16.
+    tp: int = 1                       # tensor-parallel serving:
+                                      # Megatron column/row splits on
+                                      # attention/FFN/expert hidden
+                                      # over a tp-device mesh axis
+                                      # (parallel.mesh.param_sharding
+                                      # tp=True) — cuts per-chip weight
+                                      # bandwidth for latency-bound big
+                                      # models; composes with ep.
     return_hidden: bool = False       # also emit the normalized hidden
                                       # (AED rescoring memory)
     return_taps: bool = False         # also emit the hier tap hiddens
@@ -252,25 +260,27 @@ class Engine:
         # engine cannot express; SURVEY §2.9)
         self.mesh = None
         self._p_shard = None
-        if self.cfg.ep > 1:
+        if self.cfg.ep > 1 or self.cfg.tp > 1:
             if family_name != "moe_conformer":
                 raise NotImplementedError(
-                    "ep-sharded serving supports the moe_conformer "
+                    "ep/tp-sharded serving supports the moe_conformer "
                     "family (scan-stacked (L, E, ...) expert tensors)")
             if self.int8_experts:
                 raise NotImplementedError(
-                    "ep-sharded serving is fp32/bf16 only (int8 expert "
-                    "tensors carry quantized names the sharding rule "
-                    "does not split)")
+                    "ep/tp-sharded serving is fp32/bf16 only (int8 "
+                    "expert tensors carry quantized names the sharding "
+                    "rule does not split)")
             from m3asr_tpu.parallel import mesh as pmesh
+            n_need = self.cfg.ep * self.cfg.tp
             devs = jax.devices()
-            assert len(devs) >= self.cfg.ep, \
-                f"ep={self.cfg.ep} needs that many devices, " \
-                f"have {len(devs)}"
+            assert len(devs) >= n_need, \
+                f"ep={self.cfg.ep} x tp={self.cfg.tp} needs {n_need} " \
+                f"devices, have {len(devs)}"
             self.mesh = pmesh.make_mesh(dp=1, ep=self.cfg.ep,
-                                        devices=devs[:self.cfg.ep])
-            self._p_shard = pmesh.moe_param_sharding(self.mesh,
-                                                     self.params)
+                                        tp=self.cfg.tp,
+                                        devices=devs[:n_need])
+            self._p_shard = pmesh.param_sharding(self.mesh, self.params,
+                                                 tp=self.cfg.tp > 1)
             self.params = jax.device_put(self.params, self._p_shard)
 
         self.neg_log_prior = None

@@ -107,3 +107,43 @@ def test_ep_rejects_unsupported_modes():
         Engine(cfg, params, EngineConfig(ep=2, dtype="int8",
                                          bucket_lengths=(48,),
                                          bucket_batches=(2,)))
+
+
+def test_tp_sharded_engine_matches_single_device():
+    """Tensor-parallel serving (EngineConfig.tp — Megatron column/row
+    weight splits, beyond the reference's single-GPU engine): outputs
+    equal the single-device engine, alone and composed with ep."""
+    cfg, params = _engine_fixtures()
+    ecfg = dict(bucket_lengths=(48,), bucket_batches=(2,),
+                donate_input=False)
+    single = Engine(cfg, params, EngineConfig(**ecfg))
+    rng = np.random.RandomState(59)
+    feat = rng.randn(2, 41, 16).astype(np.float32)
+    lens = np.array([41, 27], np.int32)
+    out_s, len_s = single.infer(feat, lens)
+
+    for kw in (dict(tp=4), dict(tp=2, ep=2)):
+        sharded = Engine(cfg, params, EngineConfig(**kw, **ecfg))
+        w1 = sharded.params["blocks"]["feed_forward"]["w1"]
+        assert "tp" in str(w1.sharding.spec), w1.sharding
+        out_p, len_p = sharded.infer(feat, lens)
+        assert list(len_s) == list(len_p)
+        for b, L in enumerate(len_s):
+            allclose(out_p[b:b + 1, :L], out_s[b:b + 1, :L], rtol=1e-4,
+                     atol=1e-4)
+
+
+def test_tp_engine_save_load_roundtrip(tmp_path):
+    cfg, params = _engine_fixtures()
+    eng = Engine(cfg, params,
+                 EngineConfig(tp=2, bucket_lengths=(48,),
+                              bucket_batches=(2,), donate_input=False))
+    eng.save(str(tmp_path / "eng"))
+    loaded = Engine.load(str(tmp_path / "eng"))
+    assert loaded.cfg.tp == 2 and loaded.mesh is not None
+    rng = np.random.RandomState(60)
+    feat = rng.randn(1, 33, 16).astype(np.float32)
+    lens = np.array([33], np.int32)
+    out_a, _ = eng.infer(feat, lens)
+    out_b, _ = loaded.infer(feat, lens)
+    allclose(out_b, out_a, rtol=1e-4, atol=1e-4)
