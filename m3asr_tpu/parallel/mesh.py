@@ -59,24 +59,26 @@ def _is_expert_path(path: Tuple) -> bool:
 
 
 def moe_param_sharding(mesh: Mesh, params):
-    """Shard expert tensors over 'ep' (leading E axis; stacked-block
-    tensors are (L, E, ...) so the expert axis is axis 1), replicate the
-    rest — the layout the reference reaches by slicing the checkpoint
-    per rank (load_state_dict_comm)."""
-
-    def spec(path, leaf):
-        if _is_expert_path(path):
-            ndim = np.ndim(leaf)
-            if ndim >= 3:          # stacked blocks: (L, E, ...)
-                return NamedSharding(mesh, P(None, EXPERT_AXIS))
-            return NamedSharding(mesh, P(EXPERT_AXIS))
-        return NamedSharding(mesh, P())
-
-    return jax.tree_util.tree_map_with_path(spec, params)
+    """Shard expert tensors over 'ep', replicate the rest — the layout
+    the reference reaches by slicing the checkpoint per rank
+    (load_state_dict_comm). Equal to param_sharding(tp=False, pp=False)
+    and kept as the stable name the ep-only callers use."""
+    return param_sharding(mesh, params)
 
 
 def _path_keys(path: Tuple):
     return [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+
+
+def _stacked_blocks_path(keys) -> bool:
+    """True for leaves of the scan-stacked main block tree (leading L
+    axis): under a 'blocks' key with NO list index after it (the DFSMN
+    families keep blocks as a Python list — those leaves have no L
+    axis) and not in the embed sub-encoder."""
+    if "blocks" not in keys or "embed" in keys:
+        return False
+    i = keys.index("blocks")
+    return not any(isinstance(k, int) for k in keys[i + 1:])
 
 
 def param_sharding(mesh: Mesh, params, tp: bool = False,
@@ -110,11 +112,12 @@ def param_sharding(mesh: Mesh, params, tp: bool = False,
     def spec(path, leaf):
         keys = _path_keys(path)
         ndim = np.ndim(leaf)
-        stacked = ndim >= 2  # stacked-block tensors carry a leading L
         # depth-agnostic so optimizer-state trees (optax prefixes the
-        # path) get the same layout as the params they mirror; the
-        # embed sub-encoder's blocks stay replicated across stages
-        pp_lead = pp and "blocks" in keys and "embed" not in keys
+        # path) get the same layout as the params they mirror; DFSMN's
+        # list-of-blocks leaves (no L axis) and the embed sub-encoder
+        # are excluded from the stage split
+        stacked = _stacked_blocks_path(keys)
+        pp_lead = pp and stacked
 
         def pspec(*axes):
             if pp_lead:
@@ -123,16 +126,19 @@ def param_sharding(mesh: Mesh, params, tp: bool = False,
             return NamedSharding(mesh, P(*axes))
 
         if _is_expert_path(path):
-            ep_prefix = (None,) if ndim >= 3 else ()
-            if not tp:
-                return pspec(*ep_prefix, EXPERT_AXIS)
-            if "w1" in keys:     # (L, E, d, h)
-                return pspec(None, EXPERT_AXIS, None, TENSOR_AXIS)
-            if "b1" in keys:     # (L, E, h)
-                return pspec(None, EXPERT_AXIS, TENSOR_AXIS)
-            if "w2" in keys:     # (L, E, h, d)
-                return pspec(None, EXPERT_AXIS, TENSOR_AXIS, None)
-            return pspec(*ep_prefix, EXPERT_AXIS)  # b2 (L, E, d)
+            # expert tensors, stacked (L, E, ...) or flat (E, ...);
+            # rank-driven so the DFSMN list-of-blocks layout works too
+            if "w1" in keys or "w2" in keys:      # (..., E, d, h)
+                lead = (None,) * (ndim - 3)
+                if not tp:
+                    return pspec(*lead, EXPERT_AXIS)
+                tail = ((None, TENSOR_AXIS) if "w1" in keys
+                        else (TENSOR_AXIS, None))
+                return pspec(*lead, EXPERT_AXIS, *tail)
+            lead = (None,) * (ndim - 2)           # b1/b2 (..., E, dim)
+            if tp and "b1" in keys:
+                return pspec(*lead, EXPERT_AXIS, TENSOR_AXIS)
+            return pspec(*lead, EXPERT_AXIS)
         if not tp:
             return pspec()
         if "self_attn" in keys and stacked:

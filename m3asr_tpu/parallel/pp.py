@@ -63,8 +63,6 @@ def pp_scan_blocks(mesh: Mesh, block_fn, stacked_blocks, x: jax.Array,
     B = x.shape[0]
     L = jax.tree_util.tree_leaves(stacked_blocks)[0].shape[0]
     assert L % S == 0, f"{L} blocks over {S} stages"
-    assert B % M == 0, f"batch {B} over {M} microbatches"
-    Bm = B // M
 
     if S == 1:
         # no pipeline: plain scan (keeps the API usable on any mesh)
@@ -72,6 +70,24 @@ def pp_scan_blocks(mesh: Mesh, block_fn, stacked_blocks, x: jax.Array,
             return block_fn(bp, h, lengths, embed, mask, pos_emb), None
         y, _ = jax.lax.scan(body, x, stacked_blocks)
         return y
+
+    # pad partial batches up to a microbatch multiple (a data loader's
+    # final short batch must not kill an epochs-long run); pad rows get
+    # length 0, so masked ops ignore them, and their outputs are sliced
+    # off below — no gradient flows through them
+    B_orig = B
+    if B % M:
+        padB = M - B % M
+        x = jnp.pad(x, ((0, padB),) + ((0, 0),) * (x.ndim - 1))
+        if lengths is not None:
+            lengths = jnp.pad(lengths, (0, padB))
+        if embed is not None:
+            embed = jnp.pad(embed,
+                            ((0, padB),) + ((0, 0),) * (embed.ndim - 1))
+        if mask is not None and mask.shape[0] > 1:
+            mask = jnp.pad(mask, ((0, padB),) + ((0, 0),) * (mask.ndim - 1))
+        B = B + padB
+    Bm = B // M
 
     def pipeline(a):
         blocks_local = a["blocks"]
@@ -119,7 +135,7 @@ def pp_scan_blocks(mesh: Mesh, block_fn, stacked_blocks, x: jax.Array,
         # only the last stage holds real outputs; psum replicates them
         ys = jnp.where(stage == S - 1, ys, 0.0)
         ys = jax.lax.psum(ys, PIPE_AXIS)
-        return ys.reshape((B,) + x_full.shape[1:])
+        return ys.reshape((B,) + x_full.shape[1:])[:B_orig]
 
     blocks_spec = jax.tree_util.tree_map(lambda _: P(PIPE_AXIS),
                                          stacked_blocks)

@@ -270,6 +270,11 @@ class Engine:
                     "ep/tp-sharded serving is fp32/bf16 only (int8 "
                     "expert tensors carry quantized names the sharding "
                     "rule does not split)")
+            if self.cfg.tp > 1 and self.cfg.attn_impl == "flash":
+                raise NotImplementedError(
+                    "tp-sharded serving requires attn_impl='xla': the "
+                    "Pallas flash kernel has no SPMD partitioning rule "
+                    "for head-split weights")
             from m3asr_tpu.parallel import mesh as pmesh
             n_need = self.cfg.ep * self.cfg.tp
             devs = jax.devices()

@@ -147,3 +147,11 @@ def test_tp_engine_save_load_roundtrip(tmp_path):
     out_a, _ = eng.infer(feat, lens)
     out_b, _ = loaded.infer(feat, lens)
     allclose(out_b, out_a, rtol=1e-4, atol=1e-4)
+
+
+def test_tp_rejects_flash_attention():
+    cfg, params = _engine_fixtures()
+    with pytest.raises(NotImplementedError):
+        Engine(cfg, params, EngineConfig(tp=2, attn_impl="flash",
+                                         bucket_lengths=(48,),
+                                         bucket_batches=(2,)))

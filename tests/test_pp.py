@@ -105,3 +105,50 @@ def test_pp_single_stage_falls_back_to_scan():
         out, _ = jax.jit(fwd)(params, feat, feat_len)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pp_partial_batch_pads():
+    """A loader's final short batch (B not divisible by M) must not
+    kill the run: pp pads with length-0 rows and slices them off."""
+    cfg = tiny_cfg()
+    params = moe_conformer.init(jax.random.PRNGKey(3), cfg, 20, 31)
+    feat, feat_len = _batch(B=3)
+
+    def fwd(p, f, l):
+        return moe_conformer.forward(p, cfg, f, l, moe_impl="dense")
+
+    ref, _ = jax.jit(fwd)(params, feat, feat_len)
+    mesh = pmesh.make_mesh(pp=2, dp=2, ep=2)
+    p_shard = pmesh.param_sharding(mesh, params, pp=True)
+    with mesh, pmesh.pipeline(mesh, num_microbatches=2):
+        out, _ = jax.jit(fwd, in_shardings=(p_shard, None, None))(
+            jax.device_put(params, p_shard), feat, feat_len)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_param_sharding_handles_dfsmn_trees():
+    """param_sharding(tp/pp) must not crash on the DFSMN families'
+    list-of-blocks layout (flat (E, d, h) expert tensors, no L axis) —
+    device_put succeeds and expert tensors still shard over ep."""
+    from m3asr_tpu.config import ModelConfig
+    from m3asr_tpu.models.registry import get_family
+
+    raw_cfg = ModelConfig()
+    raw_cfg.nnet_proto = "dfsmn_san_fmoe_localComm_catEmbed"
+    raw_cfg.input_dim = 20
+    raw_cfg.output_dim = 11
+    raw_cfg.model_conf = {
+        "num_experts": 4, "hidden_dim": 32, "mem_dim": 16,
+        "num_blocks": 1, "fsmn_each_block": 1, "attn_num_head": 2,
+        "sw_conf": {"hidden_dim": 16, "mem_dim": 8, "num_blocks": 1,
+                    "fsmn_each_block": 1, "attn_num_head": 2},
+    }
+    fam = get_family(raw_cfg.nnet_proto)
+    params = fam.init(jax.random.PRNGKey(4), raw_cfg)
+    mesh = pmesh.make_mesh(dp=2, ep=2, tp=2)
+    for kw in (dict(tp=True), dict(pp=True), dict(tp=True, pp=True)):
+        shard = pmesh.param_sharding(mesh, params, **kw)
+        placed = jax.device_put(params, shard)  # must not raise
+        del placed

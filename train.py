@@ -195,6 +195,19 @@ def main(args):
     if pp > 1 and hier:
         raise SystemExit("--pp supports the non-hier recipes (the hier "
                          "taps need every block's hidden on one stage)")
+    is_dfsmn = "dfsmn" in model_cfg.nnet_proto
+    if (tp > 1 or sp > 1 or pp > 1) and is_dfsmn:
+        raise SystemExit("--tp/--sp/--pp cover the conformer families; "
+                         "DFSMN protos train with dp/ep")
+    if pp > 1 and "fmoe" not in model_cfg.nnet_proto:
+        # only moe_conformer.forward consults the pipeline context; a
+        # dense-conformer run would stage-shard the weights and then
+        # scan anyway — strictly worse than --pp 1
+        raise SystemExit("--pp supports the MoE conformer protos")
+    if tp > 1 and tcfg.attn_impl == "flash":
+        raise SystemExit("--tp with attn_impl=flash is unsupported: the "
+                         "Pallas kernel has no SPMD rule for head-split "
+                         "weights (use attn_impl=xla)")
     dp = math.gcd(loader_conf.get("batch_size", 1),
                   n_dev // (ep * tp * sp * pp))
     mesh = pmesh.make_mesh(dp=dp, ep=ep, tp=tp, sp=sp, pp=pp,
@@ -242,6 +255,10 @@ def main(args):
         opt_probe = optimizer.init(params)
         o_shard = pmesh.param_sharding(mesh, opt_probe, tp=tp > 1,
                                        pp=pp > 1)
+        # feat stays batch-sharded even under --sp: loader batches pad
+        # to the batch max (arbitrary T), and a (dp, sp) input sharding
+        # requires T % sp == 0 — the first constrain_act time-shards
+        # activations right after the frontend instead
         b_shard = pmesh.batch_sharding(mesh)
         r_shard = pmesh.replicated(mesh)
         in_shardings = (p_shard, o_shard, b_shard) + (r_shard,) * (
