@@ -75,6 +75,17 @@ def pp_scan_blocks(mesh: Mesh, block_fn, stacked_blocks, x: jax.Array,
     # final short batch must not kill an epochs-long run); pad rows get
     # length 0, so masked ops ignore them, and their outputs are sliced
     # off below — no gradient flows through them
+    # XLA CPU's AllReducePromotion pass CHECK-fails cloning a bf16
+    # all-reduce ("Invalid binary instruction opcode copy", jax 0.9.0),
+    # and the pipeline emits them both in the forward (the psum below)
+    # and in the shard_map transpose (cotangent psums for the
+    # replicated x/pos/embed inputs). On the CPU backend keep the
+    # shard_map boundary and its collectives in f32 and cast to the
+    # compute dtype inside; TPU keeps the half-width collectives.
+    cdt = x.dtype
+    f32_boundary = (cdt == jnp.bfloat16
+                    and jax.default_backend() == "cpu")
+
     B_orig = B
     if B % M:
         padB = M - B % M
@@ -90,11 +101,13 @@ def pp_scan_blocks(mesh: Mesh, block_fn, stacked_blocks, x: jax.Array,
     Bm = B // M
 
     def pipeline(a):
+        def _cdt(v):
+            return None if v is None else v.astype(cdt)
         blocks_local = a["blocks"]
-        x_full = a["x"]
-        pos_emb_r = a["pos"]
+        x_full = _cdt(a["x"])
+        pos_emb_r = _cdt(a["pos"])
         lengths_full = a.get("lengths")
-        embed_full = a.get("embed")
+        embed_full = _cdt(a.get("embed"))
         mask_full = a.get("mask")
         stage = jax.lax.axis_index(PIPE_AXIS)
 
@@ -134,11 +147,19 @@ def pp_scan_blocks(mesh: Mesh, block_fn, stacked_blocks, x: jax.Array,
                                   jnp.arange(S + M - 1))
         # only the last stage holds real outputs; psum replicates them
         ys = jnp.where(stage == S - 1, ys, 0.0)
-        ys = jax.lax.psum(ys, PIPE_AXIS)
-        return ys.reshape((B,) + x_full.shape[1:])[:B_orig]
+        if f32_boundary:
+            ys = jax.lax.psum(ys.astype(jnp.float32), PIPE_AXIS)
+        else:
+            ys = jax.lax.psum(ys, PIPE_AXIS)
+        return ys.reshape((B,) + ys.shape[2:])[:B_orig]
 
     blocks_spec = jax.tree_util.tree_map(lambda _: P(PIPE_AXIS),
                                          stacked_blocks)
+    if f32_boundary:
+        x = x.astype(jnp.float32)
+        pos_emb = pos_emb.astype(jnp.float32)
+        if embed is not None:
+            embed = embed.astype(jnp.float32)
     args = {"blocks": stacked_blocks, "x": x, "pos": pos_emb}
     specs = {"blocks": blocks_spec, "x": P(), "pos": P()}
     for name, v in (("lengths", lengths), ("embed", embed),
@@ -149,4 +170,5 @@ def pp_scan_blocks(mesh: Mesh, block_fn, stacked_blocks, x: jax.Array,
     fn = jax.shard_map(pipeline, mesh=mesh, in_specs=(specs,),
                        out_specs=P(), axis_names={PIPE_AXIS},
                        check_vma=False)
-    return fn(args)
+    out = fn(args)
+    return out.astype(cdt) if f32_boundary else out
