@@ -58,11 +58,13 @@ def bench_device(cfg, params, feat, feat_len, dtype, moe_impl, iters,
     p = jax.tree.map(lambda a: jnp.asarray(a, jdtype)
                      if np.issubdtype(np.asarray(a).dtype, np.floating)
                      else jnp.asarray(a), params)
-    if dtype == "int8":
-        # int8 expert weights + bf16 activations (the engine's int8 mode)
+    if dtype in ("int8", "int4"):
+        # quantized expert weights + bf16 activations (the engine's
+        # int8/int4 modes; int4 adds group-wise scales)
         from m3asr_tpu.ops.quant import quantize_moe_params
         blocks = dict(p["blocks"])
-        blocks["feed_forward"] = quantize_moe_params(blocks["feed_forward"])
+        blocks["feed_forward"] = quantize_moe_params(
+            blocks["feed_forward"], bits=4 if dtype == "int4" else 8)
         p["blocks"] = blocks
         from m3asr_tpu.runtime.engine import _INT8_IMPL
         moe_impl = _INT8_IMPL.get(moe_impl, "quant")
@@ -165,9 +167,10 @@ def main(args):
         from m3asr_tpu.ops.masking import subsampling4_length
         tokens = args.batch * int(subsampling4_length(
             np.array([bucket]))[0])
-        return moe_auto_impl("bfloat16" if dtype == "int8" else dtype,
-                             tokens, int8=(dtype == "int8"),
-                             requested=args.impl)
+        return moe_auto_impl(
+            "bfloat16" if dtype in ("int8", "int4") else dtype,
+            tokens, int8=dtype in ("int8", "int4"),
+            requested=args.impl)
 
     results = {}
     impls = {}
@@ -184,7 +187,7 @@ def main(args):
     p50, call_ms = results[headline_dtype]
     audio_s = args.seq * 0.01  # 10 ms frame shift
     tag = {"float32": "fp32", "bfloat16": "bf16",
-           "int8": "int8"}[headline_dtype]
+           "int8": "int8", "int4": "int4"}[headline_dtype]
     # vs_baseline only where the reference published one at this length
     # (README.md:274-284: 206/1024/2048); otherwise null so the raw
     # record can't be misread as a regression against the wrong number
@@ -214,7 +217,7 @@ if __name__ == "__main__":
                         choices=["auto", "dense", "ragged", "tiled",
                                  "capacity", "pallas"])
     parser.add_argument("--dtype", default="both",
-                        choices=["float32", "bfloat16", "int8", "both"])
+                        choices=["float32", "bfloat16", "int8", "int4", "both"])
     parser.add_argument("--seq", type=int, default=206)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--attn_impl", default="xla",

@@ -78,6 +78,8 @@ def main(args):
         dtype = "bfloat16"
     if args.int8:
         dtype = "int8"   # int8 expert weights + bf16 activations
+    if args.int4:
+        dtype = "int4"   # group-scaled int4 experts + bf16 activations
     ecfg = EngineConfig(dtype=dtype, use_prior=prior is not None,
                         ep=args.ep, tp=args.tp,
                         attn_impl=args.attn_impl)
@@ -125,6 +127,9 @@ if __name__ == "__main__":
     parser.add_argument("--int8", action="store_true",
                         help="weight-only int8 experts + bf16 activations "
                              "(beyond the reference: its int8 asserts)")
+    parser.add_argument("--int4", action="store_true",
+                        help="weight-only int4 experts (group-wise "
+                             "scales, ops/quant.py) + bf16 activations")
     parser.add_argument("--buckets", required=False,
                         help="comma list of BxL buckets, e.g. 1x256,4x1024")
     parser.add_argument("--skip-warmup", action="store_true",

@@ -1,11 +1,15 @@
-"""Int8 weight-only quantization for expert tensors.
+"""Int8 / int4 weight-only quantization for expert tensors.
 
 Beyond the reference: its int8 path was never functional (builder.py:43
 `assert 0`; fp16 FMoE enqueue also asserts). On TPU the MoE layer is
 HBM-bandwidth-bound at serving batch sizes (2.3 GB fp32 expert weights
 per utterance pass), so int8 weights cut the floor 4x vs fp32 / 2x vs
-bf16. Symmetric per-(expert, output-column) scales; the dequant
-(convert + scale) fuses into the XLA dot/einsum consumer.
+bf16, and int4 halves it again. Symmetric scales: int8 uses
+per-(expert, output-column) scales; int4 adds group-wise scales along
+the contraction dim (default group 128, the AWQ-style layout) to keep
+the 15-level grid accurate. Weights are stored as XLA-native s8/s4
+(s4 is bit-packed in TPU HBM); the dequant (convert + scale) fuses
+into the XLA dot/einsum consumer.
 """
 
 from __future__ import annotations
@@ -19,31 +23,72 @@ import numpy as np
 from m3asr_tpu.ops.common import swish
 
 
-def quantize_tensor(w, axis: int = -2):
-    """Symmetric int8 quantization of w along all dims except `axis`'s
-    complement: scales keep the last dim (output features) resolution.
-    w: (..., in, out) -> (q int8, scale (..., 1, out))."""
+INT4_GROUP = 128  # contraction-dim scale group for int4 (AWQ layout)
+
+
+def quantize_tensor(w, axis: int = -2, bits: int = 8,
+                    group_size: Optional[int] = None):
+    """Symmetric int quantization of w over the contraction dim `axis`
+    (scales keep the last dim — output features — at full resolution).
+
+    bits=8: w (..., in, out) -> (q int8, scale (..., 1, out)).
+    bits=4 with group_size g: the `in` dim is split into in/g groups,
+    each with its own scale — q int4 (..., in, out),
+    scale (..., in//g, 1, out). If g does not divide `in`, falls back
+    to one whole-axis group (per-column scales)."""
     w = np.asarray(w, np.float32)
-    amax = np.max(np.abs(w), axis=axis, keepdims=True)
-    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
-    return q, scale
+    assert bits in (8, 4), bits
+    qmax = 127.0 if bits == 8 else 7.0
+    if group_size is not None and w.shape[axis] % group_size == 0 \
+            and w.shape[axis] > group_size:
+        assert axis in (-2, w.ndim - 2), "grouping expects (..., in, out)"
+        g = w.shape[-2] // group_size
+        wg = w.reshape(w.shape[:-2] + (g, group_size, w.shape[-1]))
+        amax = np.max(np.abs(wg), axis=-2, keepdims=True)
+        scale = np.where(amax > 0, amax / qmax, 1.0).astype(np.float32)
+        q = np.clip(np.round(wg / scale), -qmax, qmax)
+        q = q.reshape(w.shape)
+    else:
+        amax = np.max(np.abs(w), axis=axis, keepdims=True)
+        scale = np.where(amax > 0, amax / qmax, 1.0).astype(np.float32)
+        q = np.clip(np.round(w / scale), -qmax, qmax)
+    if bits == 8:
+        return q.astype(np.int8), scale
+    # numpy has no int4: quantized values ride int8 through numpy and
+    # become XLA-native s4 at jnp.asarray time (quantize_moe_params)
+    return q.astype(np.int8), scale
 
 
-def quantize_moe_params(p) -> Dict:
+def quantize_moe_params(p, bits: int = 8,
+                        group_size: Optional[int] = None) -> Dict:
     """Quantize the expert tensors of an ops.moe param tree; router and
-    biases stay float."""
+    biases stay float. bits=4 defaults to INT4_GROUP-wise scales."""
+    if bits == 4 and group_size is None:
+        group_size = INT4_GROUP
     q = dict(p)
     for name in ("w1", "w2"):
-        qw, s = quantize_tensor(np.asarray(p[name]))
-        q[name + "_q"] = jnp.asarray(qw)
+        qw, s = quantize_tensor(np.asarray(p[name]), bits=bits,
+                                group_size=group_size)
+        q[name + "_q"] = jnp.asarray(qw, jnp.int4 if bits == 4
+                                     else jnp.int8)
         q[name + "_scale"] = jnp.asarray(s)
         q.pop(name, None)
     return q
 
 
+def _apply_scale(qf: jax.Array, s: jax.Array) -> jax.Array:
+    """qf (..., in, out) * scale, where scale is either (..., 1, out)
+    (per-column, int8) or (..., G, 1, out) (group-wise, int4)."""
+    if s.ndim == qf.ndim + 1:
+        g, gs = s.shape[-3], qf.shape[-2] // s.shape[-3]
+        wg = qf.reshape(qf.shape[:-2] + (g, gs, qf.shape[-1]))
+        return (wg * s.astype(qf.dtype)).reshape(qf.shape)
+    return qf * s.astype(qf.dtype)
+
+
 def _deq(p, name, dtype):
-    return p[name + "_q"].astype(dtype) * p[name + "_scale"].astype(dtype)
+    return _apply_scale(p[name + "_q"].astype(dtype),
+                        p[name + "_scale"])
 
 
 def moe_experts_dense_q(p, x: jax.Array, gate_idx: jax.Array,
@@ -98,16 +143,16 @@ def moe_experts_tiled_q(p, x: jax.Array, gate_idx: jax.Array,
         jnp.take(flat_x, order, axis=0))
     xt = x_pad.reshape(n_tiles, tile, d)
 
-    w1g = (jnp.take(p["w1_q"], tile_e, axis=0).astype(x.dtype)
-           * jnp.take(p["w1_scale"], tile_e, axis=0).astype(x.dtype))
+    w1g = _apply_scale(jnp.take(p["w1_q"], tile_e, axis=0).astype(x.dtype),
+                       jnp.take(p["w1_scale"], tile_e, axis=0))
     h = jnp.einsum("gtd,gdh->gth", xt, w1g, preferred_element_type=x.dtype)
     if p.get("b1") is not None:
         h = h + jnp.take(p["b1"].astype(x.dtype), tile_e, axis=0)[:, None, :]
     h = activation(h)
     if upper_bound is not None:
         h = jnp.minimum(h, jnp.asarray(upper_bound, h.dtype))
-    w2g = (jnp.take(p["w2_q"], tile_e, axis=0).astype(x.dtype)
-           * jnp.take(p["w2_scale"], tile_e, axis=0).astype(x.dtype))
+    w2g = _apply_scale(jnp.take(p["w2_q"], tile_e, axis=0).astype(x.dtype),
+                       jnp.take(p["w2_scale"], tile_e, axis=0))
     y = jnp.einsum("gth,ghd->gtd", h, w2g, preferred_element_type=x.dtype)
     if p.get("b2") is not None:
         y = y + jnp.take(p["b2"].astype(x.dtype), tile_e, axis=0)[:, None, :]

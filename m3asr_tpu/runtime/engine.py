@@ -122,15 +122,21 @@ def _flatten(tree, prefix=""):
             out.update(_flatten(v, f"{prefix}{i}/"))
     elif tree is not None:
         a = np.asarray(tree)
+        key = prefix[:-1]
         if str(a.dtype) == "bfloat16":  # npz can't store ml_dtypes
             a = a.astype(np.float32)
-        out[prefix[:-1]] = a
+        elif str(a.dtype) == "int4":    # ride npz as int8 bytes
+            a, key = a.view(np.int8), key + "__i4"
+        out[key] = a
     return out
 
 
 def _unflatten(flat: Dict[str, np.ndarray]):
+    import ml_dtypes
     tree: Dict = {}
     for path, v in flat.items():
+        if path.endswith("__i4"):
+            path, v = path[:-4], v.view(ml_dtypes.int4)
         parts = path.split("/")
         node = tree
         for p in parts[:-1]:
@@ -150,7 +156,7 @@ def _unflatten(flat: Dict[str, np.ndarray]):
 
 @dataclasses.dataclass
 class EngineConfig:
-    dtype: str = "float32"            # float32 | bfloat16 | int8
+    dtype: str = "float32"            # float32 | bfloat16 | int8 | int4
     decode_output: str = "logits"     # logits | log_softmax
     use_prior: bool = False           # subtract log-prior (builder.py:83-88)
     bucket_lengths: Tuple[int, ...] = DEFAULT_LENGTHS
@@ -207,8 +213,16 @@ class Engine:
         family_name = get_family(model_cfg.nnet_proto).name
         self.is_moe = family_name in ("moe_conformer", "dfsmn_moe")
 
-        # int8 mode: bf16 activations/dense weights + int8 expert weights
-        self.int8_experts = self.cfg.dtype == "int8"
+        # int8/int4 mode: bf16 activations/dense weights + quantized
+        # expert weights (int4 adds group-wise scales, ops/quant.py)
+        self.quant_bits = {"int8": 8, "int4": 4}.get(self.cfg.dtype)
+        self.int8_experts = self.quant_bits is not None
+        if self.quant_bits == 4 and self.cfg.moe_impl in (
+                "pallas", "quant_pallas"):
+            raise NotImplementedError(
+                "moe_impl='pallas' dequantizes int8 in-kernel; int4 "
+                "engines use the XLA quant impls (auto/dense/tiled/"
+                "capacity)")
         if self.cfg.return_hidden and model_cfg.nnet_proto == "dfsmn_base_res":
             raise NotImplementedError(
                 "return_hidden: the plain cFSMN stack (dfsmn_base_res) "
@@ -218,7 +232,8 @@ class Engine:
                 "return_taps (hier decoder memories h6/h12) requires the "
                 "hier MoE conformer family")
         self._family = family_name
-        dtype = (jnp.bfloat16 if self.cfg.dtype in ("bfloat16", "int8")
+        dtype = (jnp.bfloat16
+                 if self.cfg.dtype in ("bfloat16", "int8", "int4")
                  else jnp.float32)
         self.dtype = dtype
 
@@ -237,17 +252,20 @@ class Engine:
             blocks = dict(self.params["blocks"])
             for ff in ("feed_forward", "feed_forward_macaron"):
                 if "w1" in blocks.get(ff, {}):  # not yet quantized
-                    blocks[ff] = quantize_moe_params(blocks[ff])
+                    blocks[ff] = quantize_moe_params(
+                        blocks[ff], bits=self.quant_bits)
             self.params["blocks"] = blocks
         elif self.int8_experts and family_name == "dfsmn_moe":
             # per-layer dicts (not scan-stacked): quantize every node
             # that carries an expert tensor pair + router
             from m3asr_tpu.ops.quant import quantize_moe_params
 
+            bits = self.quant_bits
+
             def q(node):
                 if isinstance(node, dict):
                     if "w1" in node and "w2" in node and "router" in node:
-                        return quantize_moe_params(node)
+                        return quantize_moe_params(node, bits=bits)
                     return {k: q(v) for k, v in node.items()}
                 if isinstance(node, list):
                     return [q(v) for v in node]
@@ -267,7 +285,7 @@ class Engine:
                     "family (scan-stacked (L, E, ...) expert tensors)")
             if self.int8_experts:
                 raise NotImplementedError(
-                    "ep/tp-sharded serving is fp32/bf16 only (int8 "
+                    "ep/tp-sharded serving is fp32/bf16 only (int8/int4 "
                     "expert tensors carry quantized names the sharding "
                     "rule does not split)")
             if self.cfg.tp > 1 and self.cfg.attn_impl == "flash":
