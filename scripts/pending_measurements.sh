@@ -66,6 +66,14 @@ for impl in xla flash; do
         --batch 4 --iters 10 --dtype bfloat16 --impls "$impl"
 done
 
+# --- 2c. int4 expert quantization (group-wise scales) ----------------------
+for seq in 206 2048; do
+    record "conformer_${seq}_int4" \
+        timeout 580 python bench.py --seq "$seq" --dtype int4 --iters 30
+    record "conformer_${seq}_int8" \
+        timeout 580 python bench.py --seq "$seq" --dtype int8 --iters 30
+done
+
 # --- 3. streaming serving with the cross-stream chunk batcher --------------
 ENG=/tmp/eng_int8_pending
 if [ ! -d "$ENG" ]; then
