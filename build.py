@@ -94,7 +94,13 @@ def main(args):
     if not args.skip_warmup:
         print("pre-compiling buckets (AOT)...")
         engine.warmup()
-    engine.save(args.output, raw_yaml=raw)
+    export_platforms = None
+    if args.export:
+        export_platforms = tuple(args.export_platforms.split(","))
+        print(f"exporting buckets (jax.export, platforms="
+              f"{export_platforms})...")
+    engine.save(args.output, raw_yaml=raw,
+                export_platforms=export_platforms)
     if decoders:
         from m3asr_tpu.runtime.engine import _flatten
         import numpy as np
@@ -132,6 +138,13 @@ if __name__ == "__main__":
                              "scales, ops/quant.py) + bf16 activations")
     parser.add_argument("--buckets", required=False,
                         help="comma list of BxL buckets, e.g. 1x256,4x1024")
+    parser.add_argument("--export", action="store_true",
+                        help="serialize per-bucket jax.export artifacts "
+                             "into <engine>/exported/ (the .plan "
+                             "analogue: loads+runs with no retracing)")
+    parser.add_argument("--export_platforms", default="tpu,cpu",
+                        help="comma list of target platforms for "
+                             "--export (default tpu,cpu)")
     parser.add_argument("--skip-warmup", action="store_true",
                         help="skip AOT pre-compilation of buckets")
     parser.add_argument("--attn_impl", default="xla",

@@ -10,6 +10,11 @@ serialized "engine" is a directory:
       params.npz      — converted weights (flat path -> array)
       jax_cache/      — persistent XLA compilation cache (the TRT
                         "timing cache" + serialized plan equivalent)
+      exported/       — optional (build.py --export): per-bucket
+                        jax.export StableHLO artifacts ("BxL.jaxexp"),
+                        the true .plan analogue — Engine.load runs
+                        them with no retracing; multi-platform (an
+                        engine built on a CPU host serves on TPU)
 
 Unlike a TRT plan, the artifact is portable across TPU generations —
 the compilation cache re-warms per platform.
@@ -338,7 +343,9 @@ class Engine:
         return moe_auto_impl(dtype, tokens, int8=self.int8_experts,
                              requested=self.cfg.moe_impl)
 
-    def _make_forward(self, batch: int, length: int):
+    def _forward_fn(self, batch: int, length: int):
+        """The bucket's pure forward (params, feat, feat_len) -> ...,
+        shared by JIT compilation and jax.export serialization."""
         from m3asr_tpu.models.registry import get_family
         family = get_family(self.model_cfg.nnet_proto)
         model_cfg = self.model_cfg
@@ -377,6 +384,10 @@ class Engine:
                 return out, out_len, res[-1]
             return out, out_len
 
+        return forward
+
+    def _make_forward(self, batch: int, length: int):
+        forward = self._forward_fn(batch, length)
         donate = (1,) if self.cfg.donate_input else ()
         prec = (self.cfg.fp32_precision if self.dtype == jnp.float32
                 else "default")
@@ -399,8 +410,73 @@ class Engine:
     def get_fn(self, batch: int, length: int):
         key = (batch, length)
         if key not in self._fns:
-            self._fns[key] = self._make_forward(batch, length)
+            fn = self._exported_fn(batch, length)
+            self._fns[key] = fn if fn is not None \
+                else self._make_forward(batch, length)
         return self._fns[key]
+
+    # ------------------------------------------------------------------
+    # jax.export serialization — the true .plan analogue: a per-bucket
+    # StableHLO artifact that loads and runs with no model code and no
+    # retracing (replaces builder_helper.build_engine's serialized
+    # plan). Params stay a runtime argument, so weights live only in
+    # params.npz and the artifact is a few hundred KB.
+    # ------------------------------------------------------------------
+    def export_bucket(self, batch: int, length: int,
+                      platforms: Tuple[str, ...] = ("tpu", "cpu")
+                      ) -> bytes:
+        """Serialize this bucket's forward as a jax.export blob.
+        Multi-platform by default: an engine dir built on a CPU host
+        serves on TPU. Flash-attention engines pin to the building
+        backend (the Pallas-vs-interpret choice is made at trace
+        time); ep/tp-sharded engines cannot be exported."""
+        from jax import export as jexport
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "export of ep/tp-sharded engines (shardings are "
+                "mesh-specific; rebuild on the serving mesh instead)")
+        if self.cfg.attn_impl == "flash":
+            platforms = (jax.default_backend(),)
+        prec = (self.cfg.fp32_precision if self.dtype == jnp.float32
+                else "default")
+        fwd = self._forward_fn(batch, length)
+        p_spec = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a),
+                                           jnp.asarray(a).dtype),
+            self.params)
+        with jax.default_matmul_precision(prec):
+            exp = jexport.export(jax.jit(fwd), platforms=list(platforms))(
+                p_spec,
+                jax.ShapeDtypeStruct(
+                    (batch, length, self.model_cfg.input_dim), self.dtype),
+                jax.ShapeDtypeStruct((batch,), jnp.int32))
+        return exp.serialize()
+
+    def _exported_fn(self, batch: int, length: int):
+        """Deserialize the bucket's exported artifact if the engine dir
+        carries one usable on this backend; None -> retrace+compile."""
+        d = getattr(self, "_exported_dir", None)
+        if not d:
+            return None
+        path = os.path.join(d, f"{batch}x{length}.jaxexp")
+        if not os.path.exists(path):
+            return None
+        from jax import export as jexport
+        try:
+            with open(path, "rb") as f:
+                exp = jexport.deserialize(f.read())
+            if jax.default_backend() not in exp.platforms:
+                raise ValueError(
+                    f"backend {jax.default_backend()!r} not in exported "
+                    f"platforms {exp.platforms}")
+            donate = (1,) if self.cfg.donate_input else ()
+            return jax.jit(exp.call, donate_argnums=donate)
+        except Exception as e:  # version/platform/structure mismatch:
+            # the engine still works — fall back to retracing
+            import logging
+            logging.getLogger("m3asr").warning(
+                "exported bucket %s unusable (%s); retracing", path, e)
+            return None
 
     def warmup(self, buckets=None):
         """Pre-compile the given (or all) buckets — the 'engine build'
@@ -444,8 +520,17 @@ class Engine:
     # ------------------------------------------------------------------
     # serialization
     # ------------------------------------------------------------------
-    def save(self, engine_dir: str, raw_yaml: Optional[dict] = None):
+    def save(self, engine_dir: str, raw_yaml: Optional[dict] = None,
+             export_platforms: Optional[Tuple[str, ...]] = None):
         os.makedirs(engine_dir, exist_ok=True)
+        if export_platforms:
+            exp_dir = os.path.join(engine_dir, "exported")
+            os.makedirs(exp_dir, exist_ok=True)
+            for b, t in self.buckets.all_buckets():
+                blob = self.export_bucket(b, t, platforms=export_platforms)
+                with open(os.path.join(exp_dir, f"{b}x{t}.jaxexp"),
+                          "wb") as f:
+                    f.write(blob)
         flat = _flatten(jax.tree.map(np.asarray, self.params))
         np.savez(os.path.join(engine_dir, "params.npz"), **flat)
         meta = dataclasses.asdict(self.cfg)
@@ -472,6 +557,9 @@ class Engine:
         params = _unflatten(flat)
         eng = cls(model_cfg, params, ecfg,
                   cache_dir=os.path.join(engine_dir, "jax_cache"))
+        exp_dir = os.path.join(engine_dir, "exported")
+        if os.path.isdir(exp_dir):
+            eng._exported_dir = exp_dir
         if neg_log_prior is not None:
             eng.neg_log_prior = jnp.asarray(np.array(neg_log_prior),
                                             eng.dtype)
