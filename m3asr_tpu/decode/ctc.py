@@ -13,11 +13,87 @@ from __future__ import annotations
 
 import math
 from collections import defaultdict
-from typing import List, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
 NEG_INF = -float("inf")
+
+
+class Hyp(NamedTuple):
+    """One decoded hypothesis: token ids, total log score (incl. any
+    context bonus), and the emission frame of each token (post-subsample
+    frame index — multiply by the subsample factor x 10 ms for wall
+    time)."""
+    tokens: Tuple[int, ...]
+    score: float
+    times: Tuple[int, ...]
+
+
+class ContextTrie:
+    """Prefix trie over token sequences for context biasing (hotwords).
+
+    Each decoding prefix carries a trie state; advancing along a phrase
+    adds `bonus` per matched token, and diverging refunds the bonus of
+    the unfinished suffix (completed phrases along the path keep
+    theirs). The reference stack has no biasing at all — this is the
+    serving-side feature its WeNet lineage grew later (context graph);
+    kept deliberately simple: on mismatch we re-try the token from the
+    root (no Aho-Corasick fail links), which is exact for phrase sets
+    without overlapping suffix/prefix structure.
+    """
+
+    def __init__(self, phrases: Sequence[Sequence[int]],
+                 bonus: float = 3.0):
+        self.bonus = float(bonus)
+        self.children: List[dict] = [{}]
+        self.depth: List[int] = [0]
+        self.is_end: List[bool] = [False]
+        for ph in phrases:
+            node = 0
+            for tok in ph:
+                tok = int(tok)
+                nxt = self.children[node].get(tok)
+                if nxt is None:
+                    nxt = len(self.children)
+                    self.children.append({})
+                    self.depth.append(self.depth[node] + 1)
+                    self.is_end.append(False)
+                    self.children[node][tok] = nxt
+                node = nxt
+            if node != 0:
+                self.is_end[node] = True
+        # refund[n] = tokens matched since the last completed phrase on
+        # the path to n (what a mismatch/finalize at n pays back)
+        self.refund: List[int] = [0] * len(self.children)
+        stack = [0]
+        while stack:
+            node = stack.pop()
+            for child in self.children[node].values():
+                self.refund[child] = (0 if self.is_end[child]
+                                      else self.refund[node] + 1)
+                stack.append(child)
+
+    def advance(self, state: int, token: int) -> Tuple[int, float]:
+        """Consume `token` from `state`; returns (new_state, score_delta)."""
+        child = self.children[state].get(token)
+        delta = 0.0
+        if child is None:
+            # diverged: refund the unfinished partial match, then retry
+            # this token from the root
+            delta -= self.bonus * self.refund[state]
+            child = self.children[0].get(token)
+            if child is None:
+                return 0, delta
+        delta += self.bonus
+        if not self.children[child]:
+            return 0, delta  # leaf: phrase complete, back to root
+        return child, delta
+
+    def finalize(self, state: int) -> float:
+        """Score delta for ending the utterance at `state` (refund any
+        unfinished partial match)."""
+        return -self.bonus * self.refund[state]
 
 
 def log_add(args: Sequence[float]) -> float:
@@ -96,3 +172,130 @@ def ctc_prefix_beam_search(
                         key=lambda x: log_add(list(x[1])), reverse=True)
         cur_hyps = pruned[:beam_size]
     return [(p, log_add(list(v))) for p, v in cur_hyps]
+
+
+def ctc_greedy_search_times(logits: np.ndarray, out_lens: np.ndarray,
+                            blank_idx: int = 0) -> List[Hyp]:
+    """Greedy CTC with per-token emission frames: each token's time is
+    the first frame of its argmax run (encoder.py:156-180 semantics plus
+    the timestamp the reference never surfaces)."""
+    argmax = np.asarray(logits).argmax(axis=-1)
+    scores = np.asarray(logits).max(axis=-1)
+    out_lens = np.asarray(out_lens)
+    hyps = []
+    for b in range(argmax.shape[0]):
+        n = int(out_lens[b])
+        ids = argmax[b, :n]
+        toks, times = [], []
+        prev = -1
+        total = 0.0
+        for t in range(n):
+            s = int(ids[t])
+            total += float(scores[b, t])
+            if s != prev and s != blank_idx:
+                toks.append(s)
+                times.append(t)
+            prev = s
+        hyps.append(Hyp(tuple(toks), total, tuple(times)))
+    return hyps
+
+
+def ctc_prefix_beam_search_ext(
+        log_probs: np.ndarray, out_len: int, beam_size: int,
+        blank_idx: int = 0,
+        context: Optional[ContextTrie] = None) -> List[Hyp]:
+    """Prefix beam search with per-token emission frames and optional
+    context biasing.
+
+    Same lattice recursion as `ctc_prefix_beam_search`
+    (encoder.py:182-260); additionally tracks, per prefix, the frame of
+    each token's probability peak (the strongest nonblank path wins on
+    prefix merges), and — when `context` is given — a trie state whose
+    accumulated bonus is added to the pruning/final scores (unfinished
+    partial matches are refunded at the end).
+    """
+    log_probs = np.asarray(log_probs)
+    # prefix -> [pb, pnb, times, last_prob, best_nb, ctx_state, ctx_score]
+    #   times:     emission frame per token (tuple, len == len(prefix))
+    #   last_prob: frame log-prob that set times[-1] (peak tracking)
+    #   best_nb:   strongest single nonblank contribution seen this
+    #              frame — its path's times win on merges
+    cur = {(): [0.0, NEG_INF, (), NEG_INF, NEG_INF, 0, 0.0]}
+    for t in range(int(out_len)):
+        logp = log_probs[t]
+        k = min(beam_size, logp.shape[-1])
+        top_k_index = np.argpartition(logp, -k)[-k:]
+        next_hyps: dict = {}
+
+        def entry(prefix, parent, s=None):
+            """Get/create the accumulator for `prefix`; context state is
+            a pure function of the tokens, so it is computed once, on
+            creation (from the source entry `parent`, extended by `s`
+            when the source is prefix[:-1])."""
+            e = next_hyps.get(prefix)
+            if e is None:
+                cstate, cscore = parent[5], parent[6]
+                if s is None:  # same-prefix source: inherit ctx/times
+                    times0, lp0 = parent[2], parent[3]
+                else:
+                    times0, lp0 = parent[2] + (t,), NEG_INF
+                    if context is not None:
+                        cstate, d = context.advance(cstate, s)
+                        cscore = parent[6] + d
+                e = [NEG_INF, NEG_INF, times0, lp0, NEG_INF,
+                     cstate, cscore]
+                next_hyps[prefix] = e
+            return e
+
+        def offer_times(e, contrib, times, last_prob):
+            """Keep the times of the strongest contribution."""
+            if contrib > e[4]:
+                e[4] = contrib
+                e[2] = times
+                e[3] = last_prob
+
+        for s in top_k_index:
+            s = int(s)
+            ps = float(logp[s])
+            for prefix, src in cur.items():
+                pb, pnb, times, last_prob = src[0], src[1], src[2], src[3]
+                last = prefix[-1] if prefix else None
+                if s == blank_idx:
+                    e = entry(prefix, src)
+                    e[0] = log_add([e[0], pb + ps, pnb + ps])
+                    offer_times(e, log_add([pb + ps, pnb + ps]), times,
+                                last_prob)
+                elif s == last:
+                    # stay: *ss -> *s; the peak frame of the last token
+                    # may move to t
+                    e = entry(prefix, src)
+                    if ps > last_prob:
+                        st, sl = times[:-1] + (t,), ps
+                    else:
+                        st, sl = times, last_prob
+                    e[1] = log_add([e[1], pnb + ps])
+                    offer_times(e, pnb + ps, st, sl)
+                    # extend via blank: *s-s -> *ss
+                    n_prefix = prefix + (s,)
+                    e = entry(n_prefix, src, s)
+                    e[1] = log_add([e[1], pb + ps])
+                    offer_times(e, pb + ps, times + (t,), ps)
+                else:
+                    n_prefix = prefix + (s,)
+                    e = entry(n_prefix, src, s)
+                    contrib = log_add([pb + ps, pnb + ps])
+                    e[1] = log_add([e[1], contrib])
+                    offer_times(e, contrib, times + (t,), ps)
+        pruned = sorted(
+            next_hyps.items(),
+            key=lambda x: log_add([x[1][0], x[1][1]]) + x[1][6],
+            reverse=True)
+        cur = dict(pruned[:beam_size])
+    out = []
+    for prefix, e in cur.items():
+        score = log_add([e[0], e[1]]) + e[6]
+        if context is not None:
+            score += context.finalize(e[5])
+        out.append(Hyp(prefix, score, e[2]))
+    out.sort(key=lambda h: h.score, reverse=True)
+    return out

@@ -47,6 +47,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ctc_greedy_decode.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+        lib.ctc_prefix_beam_search_ext.restype = ctypes.c_int
+        lib.ctc_prefix_beam_search_ext.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     except Exception as e:
         _load_failed = True
@@ -93,6 +101,60 @@ def ctc_prefix_beam_search(log_probs: np.ndarray, out_len: int,
             for i in range(n)]
 
 
+def ctc_prefix_beam_search_ext(log_probs: np.ndarray, out_len: int,
+                               beam_size: int, blank_idx: int = 0,
+                               context=None):
+    """Native extended prefix beam search (per-token emission frames +
+    optional ContextTrie biasing); same contract as
+    m3asr_tpu.decode.ctc.ctc_prefix_beam_search_ext — returns a list of
+    Hyp(tokens, score, times)."""
+    from m3asr_tpu.decode.ctc import Hyp
+    lib = _load()
+    if lib is None:
+        from m3asr_tpu.decode.ctc import (
+            ctc_prefix_beam_search_ext as py_impl)
+        return py_impl(log_probs, out_len, beam_size, blank_idx, context)
+    lp = np.ascontiguousarray(log_probs[:int(out_len)], np.float32)
+    T, V = lp.shape
+    max_len = max(T, 1)
+    if context is not None and len(context.children) > 1:
+        # re-flatten the trie into phrases via DFS over end nodes so the
+        # C++ side rebuilds an identical trie
+        phrases = []
+        stack = [(0, [])]
+        while stack:
+            node, path = stack.pop()
+            if context.is_end[node]:
+                phrases.append(path)
+            for tok, child in context.children[node].items():
+                stack.append((child, path + [int(tok)]))
+        toks = np.array([t for ph in phrases for t in ph], np.int32)
+        offs = np.cumsum([0] + [len(ph) for ph in phrases]).astype(np.int32)
+        n_ctx, bonus = len(phrases), context.bonus
+    else:
+        toks = np.zeros(1, np.int32)
+        offs = np.zeros(2, np.int32)
+        n_ctx, bonus = 0, 0.0
+    tokens = np.full((beam_size, max_len), -1, np.int32)
+    times = np.full((beam_size, max_len), -1, np.int32)
+    lens = np.zeros((beam_size,), np.int32)
+    scores = np.zeros((beam_size,), np.float32)
+    n = lib.ctc_prefix_beam_search_ext(
+        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), T, V,
+        beam_size, blank_idx, beam_size, max_len,
+        toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_ctx, ctypes.c_float(bonus),
+        tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        times.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return [Hyp(tuple(int(t) for t in tokens[i, :lens[i]]),
+                float(scores[i]),
+                tuple(int(t) for t in times[i, :lens[i]]))
+            for i in range(n)]
+
+
 def ctc_greedy_search(logits: np.ndarray, out_lens: np.ndarray,
                       blank_idx: int = 0) -> List[List[int]]:
     lib = _load()
@@ -132,5 +194,25 @@ def ctc_prefix_beam_search_batch(log_probs: np.ndarray,
     with ThreadPoolExecutor(max_workers=max_workers or min(B, 8)) as ex:
         futs = [ex.submit(ctc_prefix_beam_search, log_probs[b],
                           int(out_lens[b]), beam_size, blank_idx)
+                for b in range(B)]
+        return [f.result() for f in futs]
+
+
+def ctc_prefix_beam_search_ext_batch(log_probs: np.ndarray,
+                                     out_lens: np.ndarray, beam_size: int,
+                                     blank_idx: int = 0, context=None,
+                                     max_workers: Optional[int] = None):
+    """Batched extended prefix beam search (times + context biasing),
+    decoded in parallel threads like ctc_prefix_beam_search_batch.
+    Returns a list of nbest Hyp lists."""
+    from concurrent.futures import ThreadPoolExecutor
+    B = log_probs.shape[0]
+    if B <= 1 or _load() is None:
+        return [ctc_prefix_beam_search_ext(log_probs[b], int(out_lens[b]),
+                                           beam_size, blank_idx, context)
+                for b in range(B)]
+    with ThreadPoolExecutor(max_workers=max_workers or min(B, 8)) as ex:
+        futs = [ex.submit(ctc_prefix_beam_search_ext, log_probs[b],
+                          int(out_lens[b]), beam_size, blank_idx, context)
                 for b in range(B)]
         return [f.result() for f in futs]

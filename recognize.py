@@ -34,6 +34,16 @@ def main(args):
     from m3asr_tpu.runtime.engine import Engine
     from m3asr_tpu.utils.text import cer
 
+    context = None
+    if args.context_file:
+        from m3asr_tpu.decode.ctc import ContextTrie
+        if args.decode != "beam":
+            sys.exit("--context_file biasing needs -d beam")
+        with open(args.context_file) as fh:
+            phrases = [[int(t) for t in line.split()]
+                       for line in fh if line.strip()]
+        context = ContextTrie(phrases, bonus=args.context_bonus)
+
     engine = Engine.load(args.plan_name)
     decoders = None
     hier = False
@@ -81,12 +91,24 @@ def main(args):
                 decoders["decoder"], cfg.decoder_conf, res[2], out_lens,
                 beam_size=args.beam_size, sos=cfg.sos, eos=cfg.eos)
         elif args.decode == "greedy":
-            hyps = native.ctc_greedy_search(out, out_lens)
+            if args.timestamps:
+                from m3asr_tpu.decode.ctc import ctc_greedy_search_times
+                ghyps = ctc_greedy_search_times(out, out_lens)
+                times = [list(h.times) for h in ghyps]
+                hyps = [list(h.tokens) for h in ghyps]
+            else:
+                hyps = native.ctc_greedy_search(out, out_lens)
         else:
             m = out.max(-1, keepdims=True)
             lp = out - m - np.log(np.exp(out - m).sum(-1, keepdims=True))
-            nbests = native.ctc_prefix_beam_search_batch(
-                lp, out_lens, args.beam_size)
+            if ((args.timestamps or context is not None)
+                    and args.decode == "beam"):
+                nbests = native.ctc_prefix_beam_search_ext_batch(
+                    lp, out_lens, args.beam_size, context=context)
+                times = [list(nb[0].times) for nb in nbests]
+            else:
+                nbests = native.ctc_prefix_beam_search_batch(
+                    lp, out_lens, args.beam_size)
             if args.decode == "rescore":
                 from m3asr_tpu.models.aed import (attention_rescoring,
                                                   hier_attention_rescoring)
@@ -112,8 +134,14 @@ def main(args):
                     hyps.append(hyp)
             else:
                 hyps = [list(nb[0][0]) for nb in nbests]
-        for key, h in zip(batch["keys"], hyps):
-            print(f"{key} {' '.join(map(str, h))}")
+        for bi, (key, h) in enumerate(zip(batch["keys"], hyps)):
+            if args.timestamps and args.decode in ("greedy", "beam"):
+                # tok:frame pairs; frames are post-subsample indices
+                # (x subsample_factor x 10 ms for wall-clock time)
+                print(f"{key} " + " ".join(
+                    f"{t}:{f}" for t, f in zip(h, times[bi])))
+            else:
+                print(f"{key} {' '.join(map(str, h))}")
             hyps_all.append(h)
         if "target" in batch:
             for i in range(len(hyps)):
@@ -150,6 +178,15 @@ if __name__ == "__main__":
     p.add_argument("--reverse_weight", type=float, default=-1.0,
                    help="R2L decoder weight in rescoring; <0 = use the "
                         "model config's reverse_weight")
+    p.add_argument("--timestamps", action="store_true",
+                   help="emit per-token emission frames as tok:frame "
+                        "(greedy/beam; frames are post-subsample)")
+    p.add_argument("--context_file", required=False,
+                   help="context-biasing phrases, one per line as "
+                        "space-separated token ids (-d beam only)")
+    p.add_argument("--context_bonus", type=float, default=3.0,
+                   help="per-matched-token log-prob bonus for "
+                        "--context_file phrases")
     p.add_argument("--feat_dim", type=int, default=40)
     p.add_argument("--add_deltas", type=int, default=0)
     p.add_argument("--cmvn", dest="cmvn_file", required=False)

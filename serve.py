@@ -10,9 +10,12 @@ batch of B costs ~one utterance of wall time); CTC decode on host
 
 Protocol (one JSON object per line):
   request:  {"id": "utt1", "feat": [[...frame...], ...],
-             "decode": "greedy"|"beam", "beam_size": 10}
+             "decode": "greedy"|"beam", "beam_size": 10,
+             "timestamps": true,                  # optional
+             "context": [[ids...], ...],          # optional hotword
+             "context_bonus": 3.0}                #   biasing (beam)
   response: {"id": "utt1", "hyp": [ids...], "out_len": N,
-             "latency_ms": x}
+             "latency_ms": x, "times": [frames...]}  # times if requested
 
 Streaming (one stream per connection; chunk-incremental greedy CTC
 partials via StreamingSession / DfsmnStreamingSession — sessions are
@@ -208,20 +211,45 @@ def make_handler(batcher, default_beam, stream_pool=None):
                     t0 = time.perf_counter()
                     out1, out_len = batcher.infer(feat)
                     mode = req.get("decode", "greedy")
+                    want_times = bool(req.get("timestamps"))
+                    ctx = req.get("context")  # [[token ids], ...]
+                    times = None
                     if mode == "beam":
                         m = out1.max(-1, keepdims=True)
                         lp = out1 - m - np.log(
                             np.exp(out1 - m).sum(-1, keepdims=True))
-                        hyp = list(native.ctc_prefix_beam_search(
-                            lp, out_len,
-                            int(req.get("beam_size", default_beam)))[0][0])
+                        beam = int(req.get("beam_size", default_beam))
+                        if want_times or ctx:
+                            from m3asr_tpu.decode.ctc import ContextTrie
+                            trie = (ContextTrie(
+                                ctx, float(req.get("context_bonus", 3.0)))
+                                if ctx else None)
+                            best = native.ctc_prefix_beam_search_ext(
+                                lp, out_len, beam, context=trie)[0]
+                            hyp = list(best.tokens)
+                            times = list(best.times)
+                        else:
+                            hyp = list(native.ctc_prefix_beam_search(
+                                lp, out_len, beam)[0][0])
                     else:
-                        hyp = native.ctc_greedy_search(
-                            out1[None], np.array([out_len]))[0]
+                        if want_times:
+                            from m3asr_tpu.decode.ctc import (
+                                ctc_greedy_search_times)
+                            best = ctc_greedy_search_times(
+                                out1[None], np.array([out_len]))[0]
+                            hyp = list(best.tokens)
+                            times = list(best.times)
+                        else:
+                            hyp = native.ctc_greedy_search(
+                                out1[None], np.array([out_len]))[0]
                     resp = {"id": req.get("id"), "hyp": [int(t) for t in hyp],
                             "out_len": out_len,
                             "latency_ms": round(
                                 (time.perf_counter() - t0) * 1e3, 2)}
+                    if want_times:
+                        # post-subsample frame indices (x subsample x
+                        # 10 ms for wall-clock)
+                        resp["times"] = [int(t) for t in times]
                 except Exception as e:  # noqa: BLE001 — report to client
                     resp = {"id": None, "error": str(e)}
                 self.wfile.write((json.dumps(resp) + "\n").encode())

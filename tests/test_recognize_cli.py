@@ -61,8 +61,15 @@ def test_recognize_pipeline(tmp_path):
             for x in lab:
                 f.write(b"\x04" + struct.pack("<i", x))
 
+    # context-biasing phrase file (token ids within the toy vocab)
+    with open(tmp_path / "ctx.txt", "w") as f:
+        f.write("1 2\n3\n")
     for mode, extra in (("beam", []), ("rescore", []),
-                        ("rescore", ["--hier_rescore"])):
+                        ("rescore", ["--hier_rescore"]),
+                        ("beam", ["--timestamps", "--context_file",
+                                  str(tmp_path / "ctx.txt"),
+                                  "--context_bonus", "0.5"]),
+                        ("greedy", ["--timestamps"])):
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "recognize.py"),
              "-p", str(tmp_path / "eng"), "-i", str(tmp_path / "feats.ark"),

@@ -53,6 +53,23 @@ def test_serve_roundtrip(tmp_path):
                 resp = json.loads(f.readline())
                 assert resp["id"] == f"u{i}", resp
                 assert "hyp" in resp and resp["out_len"] == 9, resp
+            # timestamps + context biasing (per-request fields)
+            req = {"id": "ts", "feat": rng.randn(40, 20).round(4).tolist(),
+                   "decode": "beam", "beam_size": 4, "timestamps": True,
+                   "context": [[1, 2]], "context_bonus": 0.5}
+            f.write(json.dumps(req) + "\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            assert "times" in resp and len(resp["times"]) == len(
+                resp["hyp"]), resp
+            assert resp["times"] == sorted(resp["times"])
+            req = {"id": "tg", "feat": rng.randn(40, 20).round(4).tolist(),
+                   "decode": "greedy", "timestamps": True}
+            f.write(json.dumps(req) + "\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            assert "times" in resp and len(resp["times"]) == len(
+                resp["hyp"]), resp
             # stats observability endpoint
             f.write('{"stats": true}\n')
             f.flush()
