@@ -52,6 +52,15 @@ class TrainConfig:
                                     # loss (the reference trains pure
                                     # fp32 — this is the TPU-standard
                                     # speedup it never had)
+    accum_steps: int = 1           # gradient accumulation: split each
+                                   # batch into accum_steps microbatches
+                                   # scanned sequentially (lax.scan, so
+                                   # activation memory is one microbatch)
+                                   # and average the grads before ONE
+                                   # optimizer update — large effective
+                                   # batches on few chips (the reference
+                                   # has no equivalent; it scales batch
+                                   # by adding GPUs)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -206,6 +215,55 @@ def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
         loss = loss + tcfg.ce_weight * ce
     metrics["loss"] = loss
     return loss, metrics
+
+
+def _accum_value_and_grad(per_mb_loss, params, mb_arrays, rng,
+                          accum_steps: int):
+    """Gradient accumulation over `accum_steps` equal microbatches.
+
+    per_mb_loss(params, mb_tuple, rng) -> (loss, metrics); mb_arrays is
+    a tuple of batch-leading arrays (entries may be None), batch size
+    must divide accum_steps. Microbatches run sequentially under
+    lax.scan — peak activation memory is one microbatch — and the
+    returned ((loss, metrics), grads) are microbatch means, which for
+    batch-mean losses (e.g. ctc_loss) equals the full-batch value.
+    """
+    B = next(a.shape[0] for a in mb_arrays if a is not None)
+    if B % accum_steps != 0:
+        raise ValueError(f"batch {B} not divisible by accum_steps "
+                         f"{accum_steps}")
+    present = [a is not None for a in mb_arrays]
+    xs = tuple(a.reshape((accum_steps, B // accum_steps) + a.shape[1:])
+               for a in mb_arrays if a is not None)
+    rngs = jax.random.split(rng, accum_steps) if rng is not None else None
+    if rngs is not None:
+        xs = xs + (rngs,)
+    gfun = jax.value_and_grad(per_mb_loss, has_aux=True)
+
+    def slot(x):
+        it = iter(x)
+        mb = tuple(next(it) if p else None for p in present)
+        r = next(it) if rngs is not None else None
+        return mb, r
+
+    def body(carry, x):
+        mb, r = slot(x)
+        (loss, metrics), g = gfun(params, mb, r)
+        (l_acc, m_acc, g_acc) = carry
+        return (l_acc + loss,
+                jax.tree.map(lambda a, b: a + b, m_acc, metrics),
+                jax.tree.map(lambda a, b: a + b, g_acc, g)), None
+
+    mb0, r0 = slot(tuple(x[0] for x in xs))
+    shapes = jax.eval_shape(gfun, params, mb0, r0)
+    (l_s, m_s), g_s = shapes
+    zeros = lambda s: jax.tree.map(
+        lambda a: jnp.zeros(a.shape, a.dtype), s)
+    carry0 = (zeros(l_s), zeros(m_s), zeros(g_s))
+    (loss, metrics, grads), _ = jax.lax.scan(body, carry0, xs)
+    inv = 1.0 / accum_steps
+    scale = lambda t: jax.tree.map(lambda a: a * inv, t)
+    return (scale(loss), scale(metrics)), scale(grads)
 
 
 def add_sos_eos_jnp(targets: jax.Array, target_lens: jax.Array, sos: int,
@@ -404,13 +462,26 @@ def make_hier_train_step(model_cfg: ModelConfig, tcfg: HierTrainConfig,
     def _run(params, opt_state, feat, feat_len, targets, target_lens,
              aed_targets, aed_target_lens, rng, domain_targets,
              acc_targets):
-        (loss, metrics), grads = jax.value_and_grad(
-            lambda p: hier_aed_loss_fn(p, model_cfg, tcfg, feat, feat_len,
-                                       targets, target_lens, aed_targets,
-                                       aed_target_lens, rng=rng,
-                                       domain_targets=domain_targets,
-                                       acc_targets=acc_targets),
-            has_aux=True)(params)
+        if tcfg.accum_steps > 1:
+            def per_mb(p, mb, r):
+                (f, fl, tg, tl, at, atl, dt, ac) = mb
+                return hier_aed_loss_fn(p, model_cfg, tcfg, f, fl, tg, tl,
+                                        at, atl, rng=r, domain_targets=dt,
+                                        acc_targets=ac)
+            (loss, metrics), grads = _accum_value_and_grad(
+                per_mb, params,
+                (feat, feat_len, targets, target_lens, aed_targets,
+                 aed_target_lens, domain_targets, acc_targets),
+                rng, tcfg.accum_steps)
+        else:
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: hier_aed_loss_fn(
+                    p, model_cfg, tcfg, feat, feat_len,
+                    targets, target_lens, aed_targets,
+                    aed_target_lens, rng=rng,
+                    domain_targets=domain_targets,
+                    acc_targets=acc_targets),
+                has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
@@ -447,12 +518,22 @@ def make_train_step(model_cfg: ModelConfig, tcfg: TrainConfig,
 
     def _run(params, opt_state, feat, feat_len, targets, target_lens,
              rng, domain_targets, acc_targets):
-        (loss, metrics), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, model_cfg, tcfg, feat, feat_len,
-                              targets, target_lens, rng=rng,
-                              domain_targets=domain_targets,
-                              acc_targets=acc_targets),
-            has_aux=True)(params)
+        if tcfg.accum_steps > 1:
+            def per_mb(p, mb, r):
+                (f, fl, tg, tl, dt, ac) = mb
+                return loss_fn(p, model_cfg, tcfg, f, fl, tg, tl, rng=r,
+                               domain_targets=dt, acc_targets=ac)
+            (loss, metrics), grads = _accum_value_and_grad(
+                per_mb, params,
+                (feat, feat_len, targets, target_lens, domain_targets,
+                 acc_targets), rng, tcfg.accum_steps)
+        else:
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, model_cfg, tcfg, feat, feat_len,
+                                  targets, target_lens, rng=rng,
+                                  domain_targets=domain_targets,
+                                  acc_targets=acc_targets),
+                has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)

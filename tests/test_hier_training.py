@@ -138,3 +138,31 @@ def test_domain_acc_heads_train():
     expected = float(l0) + 0.5 * (float(m1["domain_loss"])
                                   + float(m1["acc_loss"]))
     np.testing.assert_allclose(float(l1), expected, rtol=1e-5)
+
+
+def test_hier_grad_accumulation_matches_full_batch():
+    """accum_steps must reproduce the full-batch hier update (every
+    hier loss term is batch-mean or batch-sum/B, so microbatch means
+    compose exactly)."""
+    mc, params = tiny_model()
+    rng = np.random.RandomState(5)
+    feat = jnp.asarray(rng.randn(4, 31, 12), jnp.float32)
+    feat_len = jnp.asarray([31, 25, 28, 31])
+    targets = jnp.asarray(rng.randint(1, 8, (4, 4)), jnp.int32)
+    target_lens = jnp.asarray([4, 3, 2, 4])
+
+    outs = {}
+    for accum in (1, 2):
+        tcfg = HierTrainConfig(warmup_steps=5, loss_scale=1.0,
+                               embed_ctc_weight=0.3, accum_steps=accum)
+        opt = make_optimizer(tcfg)
+        step = jax.jit(make_hier_train_step(mc, tcfg, opt))
+        p2, _, m = step(params, opt.init(params), feat, feat_len,
+                        targets, target_lens, targets, target_lens)
+        outs[accum] = (p2, m)
+    assert float(outs[2][1]["loss"]) == pytest.approx(
+        float(outs[1][1]["loss"]), rel=2e-5)
+    import optax
+    dp = optax.global_norm(jax.tree.map(lambda a, b: a - b,
+                                        outs[1][0], outs[2][0]))
+    assert float(dp) < 1e-4 * float(optax.global_norm(outs[1][0])) + 1e-6

@@ -237,3 +237,47 @@ def test_remat_training_matches_plain():
     diff = optax.global_norm(jax.tree.map(lambda a, b: a - b, g_plain,
                                           g_remat))
     assert float(diff) < 1e-5 * float(optax.global_norm(g_plain)) + 1e-8
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=2 (lax.scan over microbatches) must reproduce the
+    full-batch update exactly for the batch-mean CTC loss."""
+    mc = tiny_cfg()
+    params = moe_conformer.init(jax.random.PRNGKey(0), mc.encoder_conf,
+                                mc.input_dim, mc.output_dim)
+    rng = np.random.RandomState(2)
+    feat = jnp.asarray(rng.randn(4, 25, 12), jnp.float32)
+    lens = jnp.array([25, 19, 22, 25], jnp.int32)
+    tgt = jnp.asarray(rng.randint(1, 7, (4, 3)), jnp.int32)
+    tlens = jnp.array([3, 2, 1, 3], jnp.int32)
+
+    outs = {}
+    for accum in (1, 2, 4):
+        tcfg = TrainConfig(accum_steps=accum)
+        opt = make_optimizer(tcfg)
+        step = jax.jit(make_train_step(mc, tcfg, opt))
+        p2, _, metrics = step(params, opt.init(params), feat, lens, tgt,
+                              tlens)
+        outs[accum] = (p2, metrics)
+    loss1 = float(outs[1][1]["loss"])
+    for accum in (2, 4):
+        assert float(outs[accum][1]["loss"]) == pytest.approx(
+            loss1, rel=2e-5)
+        dp = optax.global_norm(jax.tree.map(lambda a, b: a - b,
+                                            outs[1][0], outs[accum][0]))
+        ref = optax.global_norm(outs[1][0])
+        assert float(dp) < 1e-4 * float(ref) + 1e-6
+
+
+def test_grad_accumulation_rejects_bad_split():
+    mc = tiny_cfg()
+    params = moe_conformer.init(jax.random.PRNGKey(0), mc.encoder_conf,
+                                mc.input_dim, mc.output_dim)
+    tcfg = TrainConfig(accum_steps=3)
+    opt = make_optimizer(tcfg)
+    step = make_train_step(mc, tcfg, opt)
+    feat = jnp.zeros((4, 25, 12), jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        step(params, opt.init(params), feat,
+             jnp.array([25] * 4, jnp.int32),
+             jnp.ones((4, 3), jnp.int32), jnp.array([3] * 4, jnp.int32))

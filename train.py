@@ -96,6 +96,9 @@ def main(args):
         attn_impl=raw.get("attn_impl", "xla"),
         # 'bfloat16' = mixed-precision compute (f32 master weights)
         compute_dtype=raw.get("compute_dtype", "float32"),
+        # gradient accumulation: batch_size must divide accum_steps;
+        # microbatches scan sequentially before one optimizer update
+        accum_steps=int(raw.get("accum_steps", 1)),
         # the cectc trainers pick CE vs CTC from the loader mode
         # (bk/train_cectc_ddp.py: loss_type = loader_conf['mode'])
         loss_type=loader_conf.get("mode", "ctc"))
