@@ -203,24 +203,29 @@ def ctc_greedy_search_times(logits: np.ndarray, out_lens: np.ndarray,
 def ctc_prefix_beam_search_ext(
         log_probs: np.ndarray, out_len: int, beam_size: int,
         blank_idx: int = 0,
-        context: Optional[ContextTrie] = None) -> List[Hyp]:
-    """Prefix beam search with per-token emission frames and optional
-    context biasing.
+        context: Optional[ContextTrie] = None,
+        lm=None, lm_weight: float = 0.5) -> List[Hyp]:
+    """Prefix beam search with per-token emission frames, optional
+    context biasing, and optional n-gram LM shallow fusion.
 
     Same lattice recursion as `ctc_prefix_beam_search`
     (encoder.py:182-260); additionally tracks, per prefix, the frame of
     each token's probability peak (the strongest nonblank path wins on
-    prefix merges), and — when `context` is given — a trie state whose
+    prefix merges); when `context` is given, a trie state whose
     accumulated bonus is added to the pruning/final scores (unfinished
-    partial matches are refunded at the end).
+    partial matches are refunded at the end); when `lm` (decode.lm
+    NgramLM) is given, each emitted token adds
+    `lm_weight * ln P_lm(tok | state)` to the pruning/final scores.
     """
     log_probs = np.asarray(log_probs)
-    # prefix -> [pb, pnb, times, last_prob, best_nb, ctx_state, ctx_score]
+    # prefix -> [pb, pnb, times, last_prob, best_nb, ctx_state, ctx_score,
+    #            lm_state, lm_score]
     #   times:     emission frame per token (tuple, len == len(prefix))
     #   last_prob: frame log-prob that set times[-1] (peak tracking)
     #   best_nb:   strongest single nonblank contribution seen this
     #              frame — its path's times win on merges
-    cur = {(): [0.0, NEG_INF, (), NEG_INF, NEG_INF, 0, 0.0]}
+    lm0 = lm.start() if lm is not None else None
+    cur = {(): [0.0, NEG_INF, (), NEG_INF, NEG_INF, 0, 0.0, lm0, 0.0]}
     for t in range(int(out_len)):
         logp = log_probs[t]
         k = min(beam_size, logp.shape[-1])
@@ -235,6 +240,7 @@ def ctc_prefix_beam_search_ext(
             e = next_hyps.get(prefix)
             if e is None:
                 cstate, cscore = parent[5], parent[6]
+                lstate, lscore = parent[7], parent[8]
                 if s is None:  # same-prefix source: inherit ctx/times
                     times0, lp0 = parent[2], parent[3]
                 else:
@@ -242,8 +248,11 @@ def ctc_prefix_beam_search_ext(
                     if context is not None:
                         cstate, d = context.advance(cstate, s)
                         cscore = parent[6] + d
+                    if lm is not None:
+                        lstate, lp_lm = lm.score(lstate, s)
+                        lscore = parent[8] + lm_weight * lp_lm
                 e = [NEG_INF, NEG_INF, times0, lp0, NEG_INF,
-                     cstate, cscore]
+                     cstate, cscore, lstate, lscore]
                 next_hyps[prefix] = e
             return e
 
@@ -288,12 +297,12 @@ def ctc_prefix_beam_search_ext(
                     offer_times(e, contrib, times + (t,), ps)
         pruned = sorted(
             next_hyps.items(),
-            key=lambda x: log_add([x[1][0], x[1][1]]) + x[1][6],
+            key=lambda x: log_add([x[1][0], x[1][1]]) + x[1][6] + x[1][8],
             reverse=True)
         cur = dict(pruned[:beam_size])
     out = []
     for prefix, e in cur.items():
-        score = log_add([e[0], e[1]]) + e[6]
+        score = log_add([e[0], e[1]]) + e[6] + e[8]
         if context is not None:
             score += context.finalize(e[5])
         out.append(Hyp(prefix, score, e[2]))

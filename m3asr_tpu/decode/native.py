@@ -103,17 +103,20 @@ def ctc_prefix_beam_search(log_probs: np.ndarray, out_len: int,
 
 def ctc_prefix_beam_search_ext(log_probs: np.ndarray, out_len: int,
                                beam_size: int, blank_idx: int = 0,
-                               context=None):
+                               context=None, lm=None,
+                               lm_weight: float = 0.5):
     """Native extended prefix beam search (per-token emission frames +
     optional ContextTrie biasing); same contract as
     m3asr_tpu.decode.ctc.ctc_prefix_beam_search_ext — returns a list of
-    Hyp(tokens, score, times)."""
+    Hyp(tokens, score, times). LM shallow fusion (`lm`) runs the python
+    implementation — the n-gram tables live on the python side."""
     from m3asr_tpu.decode.ctc import Hyp
     lib = _load()
-    if lib is None:
+    if lib is None or lm is not None:
         from m3asr_tpu.decode.ctc import (
             ctc_prefix_beam_search_ext as py_impl)
-        return py_impl(log_probs, out_len, beam_size, blank_idx, context)
+        return py_impl(log_probs, out_len, beam_size, blank_idx, context,
+                       lm=lm, lm_weight=lm_weight)
     lp = np.ascontiguousarray(log_probs[:int(out_len)], np.float32)
     T, V = lp.shape
     max_len = max(T, 1)
@@ -201,18 +204,21 @@ def ctc_prefix_beam_search_batch(log_probs: np.ndarray,
 def ctc_prefix_beam_search_ext_batch(log_probs: np.ndarray,
                                      out_lens: np.ndarray, beam_size: int,
                                      blank_idx: int = 0, context=None,
+                                     lm=None, lm_weight: float = 0.5,
                                      max_workers: Optional[int] = None):
-    """Batched extended prefix beam search (times + context biasing),
-    decoded in parallel threads like ctc_prefix_beam_search_batch.
-    Returns a list of nbest Hyp lists."""
+    """Batched extended prefix beam search (times + context biasing +
+    LM fusion), decoded in parallel threads like
+    ctc_prefix_beam_search_batch. Returns a list of nbest Hyp lists."""
     from concurrent.futures import ThreadPoolExecutor
     B = log_probs.shape[0]
-    if B <= 1 or _load() is None:
+    if B <= 1 or (_load() is None and lm is None):
         return [ctc_prefix_beam_search_ext(log_probs[b], int(out_lens[b]),
-                                           beam_size, blank_idx, context)
+                                           beam_size, blank_idx, context,
+                                           lm=lm, lm_weight=lm_weight)
                 for b in range(B)]
     with ThreadPoolExecutor(max_workers=max_workers or min(B, 8)) as ex:
         futs = [ex.submit(ctc_prefix_beam_search_ext, log_probs[b],
-                          int(out_lens[b]), beam_size, blank_idx, context)
+                          int(out_lens[b]), beam_size, blank_idx, context,
+                          lm=lm, lm_weight=lm_weight)
                 for b in range(B)]
         return [f.result() for f in futs]

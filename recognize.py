@@ -43,6 +43,13 @@ def main(args):
             phrases = [[int(t) for t in line.split()]
                        for line in fh if line.strip()]
         context = ContextTrie(phrases, bonus=args.context_bonus)
+    lm = None
+    if args.lm:
+        from m3asr_tpu.decode.lm import NgramLM, read_symbol_table
+        if args.decode != "beam":
+            sys.exit("--lm shallow fusion needs -d beam")
+        symtab = read_symbol_table(args.units) if args.units else None
+        lm = NgramLM(args.lm, symtab)
 
     engine = Engine.load(args.plan_name)
     decoders = None
@@ -101,10 +108,11 @@ def main(args):
         else:
             m = out.max(-1, keepdims=True)
             lp = out - m - np.log(np.exp(out - m).sum(-1, keepdims=True))
-            if ((args.timestamps or context is not None)
+            if ((args.timestamps or context is not None or lm is not None)
                     and args.decode == "beam"):
                 nbests = native.ctc_prefix_beam_search_ext_batch(
-                    lp, out_lens, args.beam_size, context=context)
+                    lp, out_lens, args.beam_size, context=context,
+                    lm=lm, lm_weight=args.lm_weight)
                 times = [list(nb[0].times) for nb in nbests]
             else:
                 nbests = native.ctc_prefix_beam_search_batch(
@@ -187,6 +195,14 @@ if __name__ == "__main__":
     p.add_argument("--context_bonus", type=float, default=3.0,
                    help="per-matched-token log-prob bonus for "
                         "--context_file phrases")
+    p.add_argument("--lm", required=False,
+                   help="ARPA n-gram LM for shallow fusion (-d beam): "
+                        "score += lm_weight * ln P_lm(tok | hist)")
+    p.add_argument("--lm_weight", type=float, default=0.5)
+    p.add_argument("--units", required=False,
+                   help="symbol table mapping ARPA words to output-unit "
+                        "ids ('sym id' per line); without it the ARPA "
+                        "words must be integer ids")
     p.add_argument("--feat_dim", type=int, default=40)
     p.add_argument("--add_deltas", type=int, default=0)
     p.add_argument("--cmvn", dest="cmvn_file", required=False)

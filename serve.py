@@ -12,10 +12,12 @@ Protocol (one JSON object per line):
   request:  {"id": "utt1", "feat": [[...frame...], ...],
              "decode": "greedy"|"beam", "beam_size": 10,
              "timestamps": true,                  # optional
+             "nbest": 5,                          # optional (beam)
              "context": [[ids...], ...],          # optional hotword
              "context_bonus": 3.0}                #   biasing (beam)
   response: {"id": "utt1", "hyp": [ids...], "out_len": N,
-             "latency_ms": x, "times": [frames...]}  # times if requested
+             "latency_ms": x, "times": [frames...],   # if requested
+             "nbest": [{"hyp": [...], "score": s}, ...]}  # if requested
 
 Streaming (one stream per connection; chunk-incremental greedy CTC
 partials via StreamingSession / DfsmnStreamingSession — sessions are
@@ -51,17 +53,19 @@ class _StreamDecode:
         self.blank = blank
         self.prev = -1
         self.hyp = []
+        self.times = []  # absolute emission frame per token
         self.frames = 0
 
     def update(self, chunks) -> None:
         for ch in chunks:
             ids = np.asarray(ch).argmax(-1)[0]
-            self.frames += len(ids)
             for t in ids:
                 t = int(t)
                 if t != self.prev and t != self.blank:
                     self.hyp.append(t)
+                    self.times.append(self.frames)
                 self.prev = t
+                self.frames += 1
 
 
 class SessionPool:
@@ -95,7 +99,8 @@ class SessionPool:
             self._free.setdefault(key, []).append(session)
 
 
-def make_handler(batcher, default_beam, stream_pool=None):
+def make_handler(batcher, default_beam, stream_pool=None, lm=None,
+                 default_lm_weight=0.5):
     from m3asr_tpu.decode import native
 
     class Handler(socketserver.StreamRequestHandler):
@@ -118,18 +123,24 @@ def make_handler(batcher, default_beam, stream_pool=None):
                        int(req.get("num_left_chunks", 2)))
                 self._stream_key = key
                 self._stream = _StreamDecode(stream_pool.acquire(key))
+                self._stream_times = bool(req.get("timestamps"))
                 return {"ok": True, "chunk_size": key[0]}
             if self._stream is None:
                 return {"error": "no active stream (send start first)"}
             if op == "chunk":
                 feat = np.asarray(req["feat"], np.float32)[None]
                 self._stream.update(self._stream.session.push(feat))
-                return {"partial": list(self._stream.hyp),
+                resp = {"partial": list(self._stream.hyp),
                         "out_frames": self._stream.frames}
+                if self._stream_times:
+                    resp["times"] = list(self._stream.times)
+                return resp
             if op == "end":
                 self._stream.update(self._stream.session.finish())
                 resp = {"hyp": list(self._stream.hyp),
                         "out_frames": self._stream.frames, "final": True}
+                if self._stream_times:
+                    resp["times"] = list(self._stream.times)
                 stream_pool.release(self._stream_key,
                                     self._stream.session)
                 self._stream = None
@@ -214,20 +225,36 @@ def make_handler(batcher, default_beam, stream_pool=None):
                     want_times = bool(req.get("timestamps"))
                     ctx = req.get("context")  # [[token ids], ...]
                     times = None
+                    nbest_n = int(req.get("nbest", 1))
+                    nbest_out = None
                     if mode == "beam":
                         m = out1.max(-1, keepdims=True)
                         lp = out1 - m - np.log(
                             np.exp(out1 - m).sum(-1, keepdims=True))
                         beam = int(req.get("beam_size", default_beam))
-                        if want_times or ctx:
+                        # server-loaded LM applies to beam decoding
+                        # unless the request opts out ("lm": false)
+                        use_lm = lm if req.get("lm", True) else None
+                        if want_times or ctx or nbest_n > 1 or use_lm:
                             from m3asr_tpu.decode.ctc import ContextTrie
                             trie = (ContextTrie(
                                 ctx, float(req.get("context_bonus", 3.0)))
                                 if ctx else None)
-                            best = native.ctc_prefix_beam_search_ext(
-                                lp, out_len, beam, context=trie)[0]
+                            hyps_nb = native.ctc_prefix_beam_search_ext(
+                                lp, out_len, beam, context=trie,
+                                lm=use_lm,
+                                lm_weight=float(req.get(
+                                    "lm_weight", default_lm_weight)))
+                            best = hyps_nb[0]
                             hyp = list(best.tokens)
                             times = list(best.times)
+                            if nbest_n > 1:
+                                nbest_out = [
+                                    {"hyp": [int(x) for x in h.tokens],
+                                     "score": round(float(h.score), 4),
+                                     **({"times": [int(x) for x in h.times]}
+                                        if want_times else {})}
+                                    for h in hyps_nb[:nbest_n]]
                         else:
                             hyp = list(native.ctc_prefix_beam_search(
                                 lp, out_len, beam)[0][0])
@@ -250,6 +277,8 @@ def make_handler(batcher, default_beam, stream_pool=None):
                         # post-subsample frame indices (x subsample x
                         # 10 ms for wall-clock)
                         resp["times"] = [int(t) for t in times]
+                    if nbest_out is not None:
+                        resp["nbest"] = nbest_out
                 except Exception as e:  # noqa: BLE001 — report to client
                     resp = {"id": None, "error": str(e)}
                 self.wfile.write((json.dumps(resp) + "\n").encode())
@@ -327,13 +356,22 @@ def main(args):
             return BatchedStreamingSession(b)
     stream_pool = SessionPool(factory) if factory is not None else None
 
+    lm = None
+    if args.lm:
+        from m3asr_tpu.decode.lm import NgramLM, read_symbol_table
+        symtab = read_symbol_table(args.units) if args.units else None
+        lm = NgramLM(args.lm, symtab)
+        print(f"loaded {lm.order}-gram LM ({len(lm.logp)} ngrams)",
+              flush=True)
+
     class Server(socketserver.ThreadingTCPServer):
         allow_reuse_address = True
         daemon_threads = True   # in-flight handler threads must not
         # block process exit after shutdown (they hold batcher slots)
 
     with Server((args.host, args.port),
-                make_handler(batcher, args.beam_size, stream_pool)) as srv:
+                make_handler(batcher, args.beam_size, stream_pool,
+                             lm=lm, default_lm_weight=args.lm_weight)) as srv:
         # graceful shutdown: SIGTERM/SIGINT stop accepting connections
         # and return from serve_forever (in-flight requests finish; the
         # reference stack has no serving layer at all, so the contract
@@ -384,6 +422,12 @@ if __name__ == "__main__":
     p.add_argument("--stream_window_ms", type=float, default=2.0,
                    help="co-pending window for cross-stream chunk "
                         "batching")
+    p.add_argument("--lm", required=False,
+                   help="ARPA n-gram LM: shallow fusion on beam "
+                        "requests (per-request opt-out 'lm': false)")
+    p.add_argument("--lm_weight", type=float, default=0.5)
+    p.add_argument("--units", required=False,
+                   help="symbol table mapping ARPA words to unit ids")
     p.add_argument("--drain_secs", type=float, default=10.0,
                    help="max seconds to let in-flight requests (and "
                         "requests arriving within a 1 s quiet window "

@@ -64,11 +64,18 @@ def test_recognize_pipeline(tmp_path):
     # context-biasing phrase file (token ids within the toy vocab)
     with open(tmp_path / "ctx.txt", "w") as f:
         f.write("1 2\n3\n")
+    # tiny integer-id ARPA LM for shallow fusion
+    with open(tmp_path / "lm.arpa", "w") as f:
+        f.write("\\data\\\nngram 1=4\n\n\\1-grams:\n"
+                "-0.5 1 -0.3\n-0.7 2 -0.2\n-1.0 <s> -0.1\n-0.9 </s>\n"
+                "\n\\end\\\n")
     for mode, extra in (("beam", []), ("rescore", []),
                         ("rescore", ["--hier_rescore"]),
                         ("beam", ["--timestamps", "--context_file",
                                   str(tmp_path / "ctx.txt"),
                                   "--context_bonus", "0.5"]),
+                        ("beam", ["--lm", str(tmp_path / "lm.arpa"),
+                                  "--lm_weight", "0.3"]),
                         ("greedy", ["--timestamps"])):
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "recognize.py"),

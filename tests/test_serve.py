@@ -31,11 +31,19 @@ def test_serve_roundtrip(tmp_path):
         capture_output=True, text=True, env=env)
     assert r.returncode == 0, r.stderr
 
+    # tiny integer-id ARPA: the server-level LM fuses into beam requests
+    with open(tmp_path / "lm.arpa", "w") as f:
+        f.write("\\data\\\nngram 1=4\n\n\\1-grams:\n"
+                "-0.5 1 -0.3\n-0.7 2 -0.2\n-1.0 <s> -0.1\n-0.9 </s>\n"
+                "\n\\end\\\n")
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "serve.py"),
-         "-p", str(tmp_path / "eng"), "--port", "0"],
+         "-p", str(tmp_path / "eng"), "--port", "0",
+         "--lm", str(tmp_path / "lm.arpa"), "--lm_weight", "0.3"],
         stdout=subprocess.PIPE, text=True, env=env)
     try:
+        line = proc.stdout.readline()
+        assert "loaded 1-gram LM" in line, line
         line = proc.stdout.readline()
         mport = re.search(r":(\d+)$", line.strip())
         assert mport, line
@@ -44,6 +52,13 @@ def test_serve_roundtrip(tmp_path):
         rng = np.random.RandomState(0)
         with socket.create_connection(("127.0.0.1", port), timeout=120) as s:
             f = s.makefile("rw")
+            # LM opt-out must also serve
+            req = {"id": "nolm", "feat": rng.randn(40, 20).round(4).tolist(),
+                   "decode": "beam", "beam_size": 4, "lm": False}
+            f.write(json.dumps(req) + "\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            assert "hyp" in resp, resp
             for i, mode in enumerate(["greedy", "beam"]):
                 req = {"id": f"u{i}",
                        "feat": rng.randn(40, 20).round(4).tolist(),
@@ -70,6 +85,17 @@ def test_serve_roundtrip(tmp_path):
             resp = json.loads(f.readline())
             assert "times" in resp and len(resp["times"]) == len(
                 resp["hyp"]), resp
+            # n-best list (beam): best-first scores, top-1 == hyp
+            req = {"id": "nb", "feat": rng.randn(40, 20).round(4).tolist(),
+                   "decode": "beam", "beam_size": 4, "nbest": 3}
+            f.write(json.dumps(req) + "\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            nb = resp.get("nbest")
+            assert nb and len(nb) <= 3, resp
+            assert nb[0]["hyp"] == resp["hyp"], resp
+            scores = [h["score"] for h in nb]
+            assert scores == sorted(scores, reverse=True)
             # stats observability endpoint
             f.write('{"stats": true}\n')
             f.flush()
@@ -178,7 +204,8 @@ def test_serve_streaming_protocol(tmp_path):
                                           timeout=300) as s:
                 f = s.makefile("rw")
                 f.write(json.dumps({"stream": "start", "chunk_size": 8,
-                                    "num_left_chunks": 2}) + "\n")
+                                    "num_left_chunks": 2,
+                                    "timestamps": True}) + "\n")
                 f.flush()
                 resp = json.loads(f.readline())
                 assert resp.get("ok"), resp
@@ -190,12 +217,16 @@ def test_serve_streaming_protocol(tmp_path):
                     f.flush()
                     resp = json.loads(f.readline())
                     assert "partial" in resp, resp
+                    # streaming timestamps: one monotone frame per token
+                    assert len(resp["times"]) == len(resp["partial"])
+                    assert resp["times"] == sorted(resp["times"])
                     partials.append(resp["partial"])
                 f.write(json.dumps({"stream": "end"}) + "\n")
                 f.flush()
                 resp = json.loads(f.readline())
                 assert resp.get("final"), resp
                 assert resp["out_frames"] > 0
+                assert len(resp["times"]) == len(resp["hyp"])
                 # partials are prefixes of the growing hypothesis
                 assert partials[-1] == resp["hyp"][:len(partials[-1])]
                 return resp["hyp"]
