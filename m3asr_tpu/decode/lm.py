@@ -125,3 +125,21 @@ class NgramLM:
     def score_eos(self, state: Tuple[int, ...]) -> float:
         """ln P(</s> | state) — optional end-of-utterance term."""
         return self._logp_backoff(state, self.EOS)
+
+    def to_arrays(self):
+        """Flatten the tables for the native (C++) twin: (ids, offsets,
+        logps, backoffs) — concatenated ngram ids, (n+1) prefix offsets,
+        and per-ngram natural-log prob / backoff (0 when unlisted)."""
+        import numpy as np
+        items = list(self.logp.items())
+        if items:
+            ids = np.concatenate([np.asarray(k, np.int32)
+                                  for k, _ in items])
+        else:
+            ids = np.zeros(0, np.int32)
+        offsets = np.cumsum([0] + [len(k) for k, _ in items]).astype(
+            np.int32)
+        logps = np.asarray([v for _, v in items], np.float32)
+        backoffs = np.asarray([self.backoff.get(k, 0.0) for k, _ in items],
+                              np.float32)
+        return ids, offsets, logps, backoffs

@@ -52,9 +52,20 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int, ctypes.c_float,
+            ctypes.c_int, ctypes.c_float, ctypes.c_void_p, ctypes.c_float,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
+        lib.ngram_lm_create.restype = ctypes.c_void_p
+        lib.ngram_lm_create.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.ngram_lm_free.restype = None
+        lib.ngram_lm_free.argtypes = [ctypes.c_void_p]
+        lib.ngram_lm_logp.restype = ctypes.c_float
+        lib.ngram_lm_logp.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.c_int32]
         _lib = lib
     except Exception as e:
         _load_failed = True
@@ -101,18 +112,42 @@ def ctc_prefix_beam_search(log_probs: np.ndarray, out_len: int,
             for i in range(n)]
 
 
+def _lm_handle(lib, lm) -> int:
+    """Build (once) and cache the native n-gram table handle on the
+    NgramLM instance; freed when the LM object is collected. The handle
+    is read-only at decode time, so batch-decode threads share it."""
+    h = getattr(lm, "_native_handle", None)
+    if h is not None:
+        return h
+    import weakref
+    ids, offsets, logps, backoffs = lm.to_arrays()
+    ids = np.ascontiguousarray(ids, np.int32)
+    offsets = np.ascontiguousarray(offsets, np.int32)
+    logps = np.ascontiguousarray(logps, np.float32)
+    backoffs = np.ascontiguousarray(backoffs, np.float32)
+    h = lib.ngram_lm_create(
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(logps),
+        logps.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        backoffs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lm.order)
+    lm._native_handle = h
+    weakref.finalize(lm, lib.ngram_lm_free, h)
+    return h
+
+
 def ctc_prefix_beam_search_ext(log_probs: np.ndarray, out_len: int,
                                beam_size: int, blank_idx: int = 0,
                                context=None, lm=None,
                                lm_weight: float = 0.5):
     """Native extended prefix beam search (per-token emission frames +
-    optional ContextTrie biasing); same contract as
-    m3asr_tpu.decode.ctc.ctc_prefix_beam_search_ext — returns a list of
-    Hyp(tokens, score, times). LM shallow fusion (`lm`) runs the python
-    implementation — the n-gram tables live on the python side."""
+    optional ContextTrie biasing + optional NgramLM shallow fusion);
+    same contract as m3asr_tpu.decode.ctc.ctc_prefix_beam_search_ext —
+    returns a list of Hyp(tokens, score, times)."""
     from m3asr_tpu.decode.ctc import Hyp
     lib = _load()
-    if lib is None or lm is not None:
+    if lib is None:
         from m3asr_tpu.decode.ctc import (
             ctc_prefix_beam_search_ext as py_impl)
         return py_impl(log_probs, out_len, beam_size, blank_idx, context,
@@ -142,12 +177,13 @@ def ctc_prefix_beam_search_ext(log_probs: np.ndarray, out_len: int,
     times = np.full((beam_size, max_len), -1, np.int32)
     lens = np.zeros((beam_size,), np.int32)
     scores = np.zeros((beam_size,), np.float32)
+    lm_h = _lm_handle(lib, lm) if lm is not None else None
     n = lib.ctc_prefix_beam_search_ext(
         lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), T, V,
         beam_size, blank_idx, beam_size, max_len,
         toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        n_ctx, ctypes.c_float(bonus),
+        n_ctx, ctypes.c_float(bonus), lm_h, ctypes.c_float(lm_weight),
         tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -211,7 +247,7 @@ def ctc_prefix_beam_search_ext_batch(log_probs: np.ndarray,
     ctc_prefix_beam_search_batch. Returns a list of nbest Hyp lists."""
     from concurrent.futures import ThreadPoolExecutor
     B = log_probs.shape[0]
-    if B <= 1 or (_load() is None and lm is None):
+    if B <= 1 or _load() is None:
         return [ctc_prefix_beam_search_ext(log_probs[b], int(out_lens[b]),
                                            beam_size, blank_idx, context,
                                            lm=lm, lm_weight=lm_weight)

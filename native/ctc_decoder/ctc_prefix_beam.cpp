@@ -40,9 +40,89 @@ struct PrefixHash {
 using Scores = std::pair<float, float>;  // (pb, pnb)
 using HypMap = std::unordered_map<std::vector<int32_t>, Scores, PrefixHash>;
 
+// ARPA backoff n-gram over token ids (m3asr_tpu/decode/lm.py NgramLM is
+// the behavioral spec; this is its flat-array twin so beam+LM decode
+// keeps the C++ speed). One table keyed by the full ngram: value =
+// (logp, backoff) in natural log, backoff 0 when unlisted — backoff
+// keys are always a subset of logp keys in ARPA.
+struct NgramLM {
+  std::unordered_map<std::vector<int32_t>, std::pair<float, float>,
+                     PrefixHash>
+      table;
+  int order = 0;
+
+  float logp_backoff(std::vector<int32_t> hist, int32_t w) const {
+    float acc = 0.0f;
+    for (;;) {
+      std::vector<int32_t> key = hist;
+      key.push_back(w);
+      auto it = table.find(key);
+      if (it != table.end()) return acc + it->second.first;
+      if (hist.empty()) {
+        // unigram fallback: <unk> (id -3) if listed, else a hard floor
+        auto unk = table.find(std::vector<int32_t>{-3});
+        return acc + (unk != table.end() ? unk->second.first
+                                         : -20.0f * 2.302585092994046f);
+      }
+      auto bo = table.find(hist);
+      if (bo != table.end()) acc += bo->second.second;
+      hist.erase(hist.begin());
+    }
+  }
+
+  std::vector<int32_t> shrink(std::vector<int32_t> hist) const {
+    if (order > 1 &&
+        hist.size() > static_cast<size_t>(order - 1))
+      hist.erase(hist.begin(),
+                 hist.end() - (order - 1));
+    if (order <= 1) hist.clear();
+    while (!hist.empty() && !table.count(hist)) hist.erase(hist.begin());
+    return hist;
+  }
+
+  // returns ln P(w | state) and advances state in place
+  float score(std::vector<int32_t>& state, int32_t w) const {
+    const float lp = logp_backoff(state, w);
+    state.push_back(w);
+    state = shrink(std::move(state));
+    return lp;
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+// Build an n-gram LM from flattened arrays (natural-log values):
+// ids = concatenated ngram token ids, offsets = (n_ngrams + 1) prefix
+// offsets, logps/backoffs per ngram (backoff 0 when unlisted).
+// Returns an opaque handle for ctc_prefix_beam_search_ext; free with
+// ngram_lm_free. The handle is read-only at decode time (thread-safe
+// across the batch decoder's threads).
+void* ngram_lm_create(const int32_t* ids, const int32_t* offsets,
+                      int n_ngrams, const float* logps,
+                      const float* backoffs, int order) {
+  auto* lm = new NgramLM();
+  lm->order = order;
+  lm->table.reserve(static_cast<size_t>(n_ngrams) * 2);
+  for (int i = 0; i < n_ngrams; ++i) {
+    std::vector<int32_t> key(ids + offsets[i], ids + offsets[i + 1]);
+    lm->table.emplace(std::move(key),
+                      std::make_pair(logps[i], backoffs[i]));
+  }
+  return lm;
+}
+
+void ngram_lm_free(void* lm) { delete static_cast<NgramLM*>(lm); }
+
+// Score one token from a history (for binding-level parity tests):
+// hist = (hist_len) ids; returns ln P(w | hist).
+float ngram_lm_logp(const void* lm, const int32_t* hist, int hist_len,
+                    int32_t w) {
+  const auto* m = static_cast<const NgramLM*>(lm);
+  std::vector<int32_t> h(hist, hist + hist_len);
+  return m->logp_backoff(m->shrink(std::move(h)), w);
+}
 
 // log_probs: (T, V) row-major log-softmax scores.
 // out_tokens: (nbest_cap * max_len) int32, row i = i-th best prefix,
@@ -148,9 +228,11 @@ int ctc_prefix_beam_search_ext(const float* log_probs, int T, int V,
                                int beam_size, int blank_idx, int nbest_cap,
                                int max_len, const int32_t* ctx_tokens,
                                const int32_t* ctx_offsets, int n_ctx,
-                               float ctx_bonus, int32_t* out_tokens,
+                               float ctx_bonus, const void* lm_handle,
+                               float lm_weight, int32_t* out_tokens,
                                int32_t* out_lens, float* out_scores,
                                int32_t* out_times) {
+  const auto* lm = static_cast<const NgramLM*>(lm_handle);
   // --- context trie -------------------------------------------------
   std::vector<std::unordered_map<int32_t, int>> children(1);
   std::vector<int> refund(1, 0);
@@ -206,12 +288,16 @@ int ctc_prefix_beam_search_ext(const float* log_probs, int T, int V,
     float best_nb;    // strongest single contribution (its times win)
     int ctx_state;
     float ctx_score;
+    std::vector<int32_t> lm_state;
+    float lm_score;
   };
   using ExtMap = std::unordered_map<std::vector<int32_t>, Ext, PrefixHash>;
   std::vector<std::pair<std::vector<int32_t>, Ext>> cur_vec;
+  std::vector<int32_t> lm0;
+  if (lm) lm0 = lm->shrink({-1});  // <s> context (BOS id -1)
   cur_vec.emplace_back(
       std::vector<int32_t>{},
-      Ext{0.0f, kNegInf, {}, kNegInf, kNegInf, 0, 0.0f});
+      Ext{0.0f, kNegInf, {}, kNegInf, kNegInf, 0, 0.0f, lm0, 0.0f});
 
   std::vector<int> top_idx(V);
   const int k = std::min(beam_size, V);
@@ -231,7 +317,8 @@ int ctc_prefix_beam_search_ext(const float* log_probs, int T, int V,
       auto it = next.find(prefix);
       if (it != next.end()) return it->second;
       Ext e{kNegInf, kNegInf, parent.times, parent.last_prob, kNegInf,
-            parent.ctx_state, parent.ctx_score};
+            parent.ctx_state, parent.ctx_score, parent.lm_state,
+            parent.lm_score};
       if (s >= 0) {
         e.times.push_back(t);
         e.last_prob = kNegInf;
@@ -240,6 +327,7 @@ int ctc_prefix_beam_search_ext(const float* log_probs, int T, int V,
           e.ctx_state = adv.first;
           e.ctx_score = parent.ctx_score + adv.second;
         }
+        if (lm) e.lm_score += lm_weight * lm->score(e.lm_state, s);
       }
       return next.emplace(std::move(prefix), std::move(e)).first->second;
     };
@@ -305,8 +393,10 @@ int ctc_prefix_beam_search_ext(const float* log_probs, int T, int V,
     std::partial_sort(
         cur_vec.begin(), cur_vec.begin() + keep, cur_vec.end(),
         [](const auto& a, const auto& b) {
-          return log_add2(a.second.pb, a.second.pnb) + a.second.ctx_score >
-                 log_add2(b.second.pb, b.second.pnb) + b.second.ctx_score;
+          return log_add2(a.second.pb, a.second.pnb) + a.second.ctx_score +
+                     a.second.lm_score >
+                 log_add2(b.second.pb, b.second.pnb) + b.second.ctx_score +
+                     b.second.lm_score;
         });
     cur_vec.resize(keep);
   }
@@ -316,7 +406,8 @@ int ctc_prefix_beam_search_ext(const float* log_probs, int T, int V,
       ranked;
   ranked.reserve(cur_vec.size());
   for (const auto& kv : cur_vec) {
-    float score = log_add2(kv.second.pb, kv.second.pnb) + kv.second.ctx_score;
+    float score = log_add2(kv.second.pb, kv.second.pnb) +
+                  kv.second.ctx_score + kv.second.lm_score;
     if (n_ctx > 0) score -= ctx_bonus * refund[kv.second.ctx_state];
     ranked.emplace_back(score, &kv);
   }

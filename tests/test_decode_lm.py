@@ -94,15 +94,36 @@ def test_lm_fusion_flips_near_tie(lm):
 
 
 def test_lm_fusion_through_native_wrapper(lm):
-    # lm forces the python implementation regardless of the C++ lib
+    # the C++ n-gram twin (ngram_lm_create + fused beam) must match the
+    # python implementation token/time-exact, scores to fp32 tolerance
     rng = np.random.default_rng(11)
-    logits = rng.normal(size=(10, 5)).astype(np.float32)
-    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
-    py = ctc_prefix_beam_search_ext(lp, 10, 6, lm=lm, lm_weight=0.7)
-    wrapped = native.ctc_prefix_beam_search_ext(lp, 10, 6, lm=lm,
+    for trial in range(10):
+        T, V = int(rng.integers(4, 20)), int(rng.integers(4, 8))
+        logits = rng.normal(size=(T, V)).astype(np.float32)
+        lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        py = ctc_prefix_beam_search_ext(lp, T, 6, lm=lm, lm_weight=0.7)
+        nat = native.ctc_prefix_beam_search_ext(lp, T, 6, lm=lm,
                                                 lm_weight=0.7)
-    assert [h.tokens for h in py] == [h.tokens for h in wrapped]
-    assert [h.score for h in py] == [h.score for h in wrapped]
+        assert [h.tokens for h in py] == [h.tokens for h in nat]
+        assert [h.times for h in py] == [h.times for h in nat]
+        np.testing.assert_allclose([h.score for h in py],
+                                   [h.score for h in nat], atol=1e-4)
     batch = native.ctc_prefix_beam_search_ext_batch(
-        lp[None], np.array([10]), 6, lm=lm, lm_weight=0.7)
+        lp[None], np.array([T]), 6, lm=lm, lm_weight=0.7)
     assert [h.tokens for h in batch[0]] == [h.tokens for h in py]
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib required")
+def test_native_lm_logp_parity(lm):
+    # binding-level check of the backoff recursion on the C++ side
+    import ctypes
+    lib = native._load()
+    h = native._lm_handle(lib, lm)
+    for hist in [(), (1,), (2,), (1, 2), (-1,)]:
+        for w in [1, 2, 3, -2]:
+            hist_arr = np.asarray(hist, np.int32)
+            got = lib.ngram_lm_logp(
+                h, hist_arr.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int32)), len(hist), w)
+            want = lm._logp_backoff(lm._shrink(hist), w)
+            assert got == pytest.approx(want, abs=1e-5), (hist, w)
