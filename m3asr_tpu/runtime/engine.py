@@ -517,6 +517,66 @@ class Engine:
                     hidden[:B, :max_out])
         return out[:B, :max_out], out_len[:B]
 
+    def subsample_factor(self) -> int:
+        """Frame-rate reduction of the encoder front (1 for DFSMN and
+        linear input layers)."""
+        return {"linear": 1, "conv2d": 4, "conv2d6": 6,
+                "conv2d8": 8}.get(
+            getattr(self.model_cfg.encoder_conf, "input_layer", "linear"),
+            1)
+
+    def infer_long(self, feat: np.ndarray,
+                   feat_len: Optional[int] = None,
+                   overlap: Optional[int] = None
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Long-form decode for ONE utterance longer than the largest
+        bucket (the reference engine hard-caps at its max optimization
+        profile, builder.py:62-68 — inputs beyond 6100 frames simply
+        cannot run there): windowed forwards over the largest bucket
+        with `overlap` input frames of acoustic context on each side,
+        stitched by center-cut — each window contributes the logit rows
+        whose receptive-field centers fall in its exclusive region, so
+        every output row has >= overlap frames of real left/right
+        context (except at the utterance edges, same as offline).
+        Returns (logits (1, T', V), out_len (1,)) like infer().
+        """
+        feat = np.asarray(feat)
+        if feat.ndim == 3:
+            if feat.shape[0] != 1:
+                raise ValueError("infer_long takes a single utterance")
+            feat = feat[0]
+        T = int(feat_len) if feat_len is not None else feat.shape[0]
+        W = self.buckets.lengths[-1]
+        if T <= W:
+            return self.infer(feat[None, :T], np.array([T]))
+        if self.cfg.return_taps or self.cfg.return_hidden:
+            raise NotImplementedError(
+                "long-form decode emits stitched logits only — taps/"
+                "hidden rescoring across windows is not defined")
+        f = self.subsample_factor()
+        # default: 64 input frames of context per side per subsample
+        # step, capped so at least half the window advances per hop
+        O = overlap if overlap is not None else min(64 * f, W // 4)
+        O = max(f, (O // f) * f)  # align the cut to the subsample grid
+        hop = W - 2 * O
+        if hop <= 0:
+            raise ValueError(f"overlap {O} too large for window {W}")
+        pieces = []
+        s = 0
+        while True:
+            e = min(s + W, T)
+            win = e - s
+            out, out_len = self.infer(feat[None, s:e], np.array([win]))
+            n = int(out_len[0])
+            lo = 0 if s == 0 else O // f
+            hi = n if e == T else min(n, (win - O) // f)
+            pieces.append(out[0, lo:hi])
+            if e == T:
+                break
+            s += hop
+        logits = np.concatenate(pieces, axis=0)[None]
+        return logits, np.array([logits.shape[1]], np.int32)
+
     # ------------------------------------------------------------------
     # serialization
     # ------------------------------------------------------------------

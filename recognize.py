@@ -84,8 +84,31 @@ def main(args):
     hyps_all, refs_all = [], []
     t0 = time.perf_counter()
     frames = 0
+    max_bucket = engine.buckets.lengths[-1]
     for batch in loader(output_keys=True):
-        res = engine.infer(batch["data"], batch["lens"])
+        if int(np.max(batch["lens"])) > max_bucket:
+            # long-form: utterances beyond the largest bucket decode
+            # through windowed center-cut stitching (the reference
+            # engine cannot run these at all — its max optimization
+            # profile is 6100 frames, builder.py:62-68)
+            if args.decode in ("rescore", "attention"):
+                sys.exit(f"utterance longer than the max bucket "
+                         f"({max_bucket}) — rescoring/attention decode "
+                         "is not defined over stitched windows; use "
+                         "-d greedy/beam")
+            outs, olens = [], []
+            for i in range(len(batch["lens"])):
+                li = int(batch["lens"][i])
+                o, ol = engine.infer_long(batch["data"][i][:li], li,
+                                          overlap=args.long_overlap)
+                outs.append(o[0])
+                olens.append(int(ol[0]))
+            mx = max(o.shape[0] for o in outs)
+            res = (np.stack([np.pad(o, ((0, mx - o.shape[0]), (0, 0)))
+                             for o in outs]),
+                   np.asarray(olens, np.int32))
+        else:
+            res = engine.infer(batch["data"], batch["lens"])
         out, out_lens = res[0], res[1]
         frames += int(np.sum(batch["lens"]))
         if args.decode == "attention":
@@ -207,4 +230,7 @@ if __name__ == "__main__":
     p.add_argument("--add_deltas", type=int, default=0)
     p.add_argument("--cmvn", dest="cmvn_file", required=False)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--long_overlap", type=int, default=None,
+                   help="input-frame overlap for long-form windowed "
+                        "decode (default 64 x subsample factor)")
     main(p.parse_args())

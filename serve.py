@@ -100,7 +100,7 @@ class SessionPool:
 
 
 def make_handler(batcher, default_beam, stream_pool=None, lm=None,
-                 default_lm_weight=0.5):
+                 default_lm_weight=0.5, engine=None):
     from m3asr_tpu.decode import native
 
     class Handler(socketserver.StreamRequestHandler):
@@ -220,7 +220,15 @@ def make_handler(batcher, default_beam, stream_pool=None, lm=None,
                         return
                     feat = np.asarray(req["feat"], np.float32)
                     t0 = time.perf_counter()
-                    out1, out_len = batcher.infer(feat)
+                    if (engine is not None
+                            and feat.shape[0] > engine.buckets.lengths[-1]):
+                        # long-form: beyond the largest bucket, decode
+                        # through windowed center-cut stitching (bypasses
+                        # the micro-batcher — these are rare, slow calls)
+                        out_l, ol = engine.infer_long(feat)
+                        out1, out_len = out_l[0], int(ol[0])
+                    else:
+                        out1, out_len = batcher.infer(feat)
                     mode = req.get("decode", "greedy")
                     want_times = bool(req.get("timestamps"))
                     ctx = req.get("context")  # [[token ids], ...]
@@ -371,7 +379,8 @@ def main(args):
 
     with Server((args.host, args.port),
                 make_handler(batcher, args.beam_size, stream_pool,
-                             lm=lm, default_lm_weight=args.lm_weight)) as srv:
+                             lm=lm, default_lm_weight=args.lm_weight,
+                             engine=engine)) as srv:
         # graceful shutdown: SIGTERM/SIGINT stop accepting connections
         # and return from serve_forever (in-flight requests finish; the
         # reference stack has no serving layer at all, so the contract

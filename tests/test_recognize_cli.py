@@ -87,3 +87,16 @@ def test_recognize_pipeline(tmp_path):
         lines = [l for l in r.stdout.splitlines() if l.startswith("utt")]
         assert len(lines) == 3, (mode, r.stdout)
         assert '"cer"' in r.stderr and '"rtf"' in r.stderr
+
+    # long-form: an utterance beyond the 64-frame max bucket decodes
+    # through windowed stitching (engine.infer_long)
+    with ArkWriter(str(tmp_path / "long.ark")) as w:
+        w.write("uttL", rng.randn(150, 20).astype(np.float32))
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recognize.py"),
+         "-p", str(tmp_path / "eng"), "-i", str(tmp_path / "long.ark"),
+         "--feat_dim", "20", "--batch_size", "1", "-d", "beam", "-b", "4",
+         "--long_overlap", "16"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    assert any(l.startswith("uttL") for l in r.stdout.splitlines())

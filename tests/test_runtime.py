@@ -195,3 +195,57 @@ def test_moe_impl_auto_policy():
     cap = Engine(cfg, params, dataclasses.replace(ecfg, dtype="int8",
                                                   moe_impl="capacity"))
     assert cap._moe_impl_for(1, 256) == "quant_capacity"
+
+
+@pytest.mark.slow
+def test_infer_long_windowed_stitching():
+    """Long-form decode: utterances beyond the largest bucket run as
+    overlapped windows whose center-cut rows stitch into one
+    consistent logits stream (the reference engine cannot run these at
+    all — max profile 6100 frames, builder.py:62-68)."""
+    m = golden_model()
+    raw = small_yaml()
+    cfg = model_config_from_dict(raw)
+    params = ckpt.convert_encoder(
+        {f"encoder.{k}": v for k, v in m.state_dict().items()}, cfg)
+    eng = Engine(cfg, params,
+                 EngineConfig(bucket_lengths=(64,), bucket_batches=(1,),
+                              dtype="float32"))
+    rng = np.random.RandomState(7)
+    T = 150  # > the 64-frame max bucket
+    feat = rng.randn(T, 20).astype(np.float32)
+
+    out, out_len = eng.infer_long(feat, T, overlap=16)
+    f = eng.subsample_factor()
+    assert f == 4
+    n = int(out_len[0])
+    assert out.shape == (1, n, 11)
+    # row budget: close to the unwindowed subsampled length
+    sub = ((T - 1) // 2 - 1) // 2
+    assert abs(n - sub) <= 4
+
+    # consistency: every stitched row equals the row of the window
+    # forward it was cut from (replicate the documented lo/hi cuts)
+    W, O = 64, 16
+    hop = W - 2 * O
+    rows = []
+    s = 0
+    while True:
+        e = min(s + W, T)
+        win = e - s
+        o, ol = eng.infer(feat[None, s:e], np.array([win]))
+        k = int(ol[0])
+        lo = 0 if s == 0 else O // f
+        hi = k if e == T else min(k, (win - O) // f)
+        rows.append(o[0, lo:hi])
+        if e == T:
+            break
+        s += hop
+    manual = np.concatenate(rows, axis=0)
+    np.testing.assert_array_equal(out[0], manual)
+
+    # short inputs pass straight through to infer()
+    short, sl = eng.infer_long(feat[:50], 50)
+    direct, dl = eng.infer(feat[None, :50], np.array([50]))
+    np.testing.assert_array_equal(short, direct)
+    assert int(sl[0]) == int(dl[0])

@@ -96,6 +96,14 @@ def test_serve_roundtrip(tmp_path):
             assert nb[0]["hyp"] == resp["hyp"], resp
             scores = [h["score"] for h in nb]
             assert scores == sorted(scores, reverse=True)
+            # long-form: input beyond the 64-frame max bucket routes
+            # through engine.infer_long (windowed stitching)
+            req = {"id": "long", "feat": rng.randn(150, 20).round(4).tolist(),
+                   "decode": "greedy"}
+            f.write(json.dumps(req) + "\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            assert "hyp" in resp and resp["out_len"] > 20, resp
             # stats observability endpoint
             f.write('{"stats": true}\n')
             f.flush()
