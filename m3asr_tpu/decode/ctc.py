@@ -174,6 +174,16 @@ def ctc_prefix_beam_search(
     return [(p, log_add(list(v))) for p, v in cur_hyps]
 
 
+def token_confidence(log_probs: np.ndarray, tokens: Sequence[int],
+                     times: Sequence[int]) -> List[float]:
+    """Per-token confidence: the token's posterior at its emission
+    frame (times from ctc_greedy_search_times /
+    ctc_prefix_beam_search_ext). log_probs: (T, V) log-softmax."""
+    log_probs = np.asarray(log_probs)
+    return [float(np.exp(log_probs[t, tok]))
+            for tok, t in zip(tokens, times)]
+
+
 def ctc_greedy_search_times(logits: np.ndarray, out_lens: np.ndarray,
                             blank_idx: int = 0) -> List[Hyp]:
     """Greedy CTC with per-token emission frames: each token's time is

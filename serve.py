@@ -12,6 +12,7 @@ Protocol (one JSON object per line):
   request:  {"id": "utt1", "feat": [[...frame...], ...],
              "decode": "greedy"|"beam", "beam_size": 10,
              "timestamps": true,                  # optional
+             "confidence": true,                  # optional
              "nbest": 5,                          # optional (beam)
              "context": [[ids...], ...],          # optional hotword
              "context_bonus": 3.0}                #   biasing (beam)
@@ -230,7 +231,8 @@ def make_handler(batcher, default_beam, stream_pool=None, lm=None,
                     else:
                         out1, out_len = batcher.infer(feat)
                     mode = req.get("decode", "greedy")
-                    want_times = bool(req.get("timestamps"))
+                    want_conf = bool(req.get("confidence"))
+                    want_times = bool(req.get("timestamps")) or want_conf
                     ctx = req.get("context")  # [[token ids], ...]
                     times = None
                     nbest_n = int(req.get("nbest", 1))
@@ -281,10 +283,20 @@ def make_handler(batcher, default_beam, stream_pool=None, lm=None,
                             "out_len": out_len,
                             "latency_ms": round(
                                 (time.perf_counter() - t0) * 1e3, 2)}
-                    if want_times:
+                    if req.get("timestamps"):
                         # post-subsample frame indices (x subsample x
                         # 10 ms for wall-clock)
                         resp["times"] = [int(t) for t in times]
+                    if want_conf:
+                        # per-token posterior at the emission frame
+                        from m3asr_tpu.decode.ctc import token_confidence
+                        if mode != "beam":  # beam path already has lp
+                            m = out1.max(-1, keepdims=True)
+                            lp = out1 - m - np.log(
+                                np.exp(out1 - m).sum(-1, keepdims=True))
+                        resp["confidence"] = [
+                            round(c, 4)
+                            for c in token_confidence(lp, hyp, times)]
                     if nbest_out is not None:
                         resp["nbest"] = nbest_out
                 except Exception as e:  # noqa: BLE001 — report to client

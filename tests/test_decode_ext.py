@@ -160,3 +160,17 @@ def test_native_ext_batch():
         ref = ctc_prefix_beam_search_ext(lp[b], int(lens[b]), 5)
         assert [h.tokens for h in nb] == [h.tokens for h in ref]
         assert [h.times for h in nb] == [h.times for h in ref]
+
+
+def test_token_confidence():
+    from m3asr_tpu.decode.ctc import token_confidence
+    V, T = 4, 6
+    probs = np.full((T, V), 0.02)
+    path = [0, 1, 1, 0, 2, 0]
+    for t, s in enumerate(path):
+        probs[t, s] = 0.94
+    lp = np.log(probs / probs.sum(-1, keepdims=True)).astype(np.float32)
+    hyps = ctc_greedy_search_times(lp[None], np.array([T]))
+    conf = token_confidence(lp, hyps[0].tokens, hyps[0].times)
+    assert list(hyps[0].tokens) == [1, 2]
+    assert all(c == pytest.approx(0.94, abs=0.01) for c in conf)

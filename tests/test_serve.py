@@ -96,6 +96,15 @@ def test_serve_roundtrip(tmp_path):
             assert nb[0]["hyp"] == resp["hyp"], resp
             scores = [h["score"] for h in nb]
             assert scores == sorted(scores, reverse=True)
+            # per-token confidence (posterior at the emission frame)
+            req = {"id": "cf", "feat": rng.randn(40, 20).round(4).tolist(),
+                   "decode": "greedy", "confidence": True}
+            f.write(json.dumps(req) + "\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            assert len(resp["confidence"]) == len(resp["hyp"]), resp
+            assert all(0.0 <= c <= 1.0 for c in resp["confidence"])
+            assert "times" not in resp  # only sent when requested
             # long-form: input beyond the 64-frame max bucket routes
             # through engine.infer_long (windowed stitching)
             req = {"id": "long", "feat": rng.randn(150, 20).round(4).tolist(),
