@@ -170,7 +170,7 @@ def main(args):
         return moe_auto_impl(
             "bfloat16" if dtype in ("int8", "int4") else dtype,
             tokens, int8=dtype in ("int8", "int4"),
-            requested=args.impl)
+            requested=args.impl, act_quant=args.act_quant)
 
     results = {}
     impls = {}
@@ -224,6 +224,9 @@ if __name__ == "__main__":
                         choices=["xla", "flash"],
                         help="flash = Pallas online-softmax attention "
                              "(ops/pallas_attention.py)")
+    parser.add_argument("--act_quant", action="store_true",
+                        help="int8 only: w8a8 (per-token activation "
+                             "quant, s8 x s8 MXU einsums)")
     parser.add_argument("--fp32_precision", default="high",
                         choices=["high", "highest"],
                         help="fp32 matmul precision (engine default "

@@ -80,8 +80,11 @@ def main(args):
         dtype = "int8"   # int8 expert weights + bf16 activations
     if args.int4:
         dtype = "int4"   # group-scaled int4 experts + bf16 activations
+    if args.act_quant and not args.int8:
+        sys.exit("--act_quant (w8a8) requires --int8")
     ecfg = EngineConfig(dtype=dtype, use_prior=prior is not None,
                         ep=args.ep, tp=args.tp,
+                        act_quant=args.act_quant,
                         attn_impl=args.attn_impl)
     if args.buckets:
         pairs = [tuple(map(int, b.split("x"))) for b in
@@ -133,6 +136,10 @@ if __name__ == "__main__":
     parser.add_argument("--int8", action="store_true",
                         help="weight-only int8 experts + bf16 activations "
                              "(beyond the reference: its int8 asserts)")
+    parser.add_argument("--act_quant", action="store_true",
+                        help="with --int8: also quantize activations "
+                             "per token (s8 x s8 MXU einsums — the "
+                             "compute-bound large-batch mode)")
     parser.add_argument("--int4", action="store_true",
                         help="weight-only int4 experts (group-wise "
                              "scales, ops/quant.py) + bf16 activations")

@@ -428,6 +428,12 @@ def _dispatch(p, x, gate_idx, impl: str):
     if impl == "quant_capacity":
         from m3asr_tpu.ops.quant import moe_experts_capacity_q
         return moe_experts_capacity_q(p, x, gate_idx)
+    if impl == "quant_a8":
+        from m3asr_tpu.ops.quant import moe_experts_dense_w8a8
+        return moe_experts_dense_w8a8(p, x, gate_idx)
+    if impl == "quant_a8_tiled":
+        from m3asr_tpu.ops.quant import moe_experts_tiled_w8a8
+        return moe_experts_tiled_w8a8(p, x, gate_idx)
     if impl == "quant_pallas":
         from m3asr_tpu.ops.pallas_moe import moe_experts_pallas_q
         return moe_experts_pallas_q(p, x, gate_idx)

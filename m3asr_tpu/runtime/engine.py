@@ -97,10 +97,24 @@ _INT8_IMPL = {"dense": "quant", "capacity": "quant_capacity",
 
 
 def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
-                  requested: str = "auto") -> str:
+                  requested: str = "auto", act_quant: bool = False) -> str:
     """The measured MoE dispatch policy (BENCHMARKS.md), shared by the
-    Engine and bench.py. dtype: 'float32'|'bfloat16'."""
+    Engine and bench.py. dtype: 'float32'|'bfloat16'. act_quant swaps
+    the int8 impls for their w8a8 twins (s8 x s8 MXU einsums)."""
     if int8:
+        if act_quant:
+            a8 = {"auto": None, "dense": "quant_a8", "quant": "quant_a8",
+                  "quant_a8": "quant_a8", "tiled": "quant_a8_tiled",
+                  "quant_tiled": "quant_a8_tiled",
+                  "quant_a8_tiled": "quant_a8_tiled"}
+            if requested not in a8:
+                raise ValueError(
+                    f"moe_impl={requested!r} has no w8a8 twin; choose "
+                    f"one of {sorted(k for k in a8 if k != 'auto')}")
+            if requested != "auto":
+                return a8[requested]
+            return ("quant_a8" if tokens <= MOE_DENSE_TOKEN_THRESHOLD
+                    else "quant_a8_tiled")
         if requested != "auto":
             impl = _INT8_IMPL.get(requested)
             if impl is None:
@@ -168,6 +182,12 @@ class EngineConfig:
     bucket_batches: Tuple[int, ...] = DEFAULT_BATCHES
     moe_impl: str = "auto"  # auto|dense|ragged|capacity|pallas (quant is
                              # implied by dtype="int8")
+    act_quant: bool = False  # int8 engines only: also quantize
+                             # activations per token so the expert
+                             # einsums run s8 x s8 -> s32 on the MXU
+                             # (2x the bf16 rate on v5e) — the
+                             # compute-bound large-batch mode; weight-
+                             # only already wins the HBM-bound regime
     fp32_precision: str = "high"      # matmul precision for fp32
                                       # engines: "high" (bf16_3x; meets
                                       # the reference parity tolerance,
@@ -228,6 +248,9 @@ class Engine:
                 "moe_impl='pallas' dequantizes int8 in-kernel; int4 "
                 "engines use the XLA quant impls (auto/dense/tiled/"
                 "capacity)")
+        if self.cfg.act_quant and self.quant_bits != 8:
+            raise ValueError(
+                "act_quant (w8a8) requires dtype='int8' expert weights")
         if self.cfg.return_hidden and model_cfg.nnet_proto == "dfsmn_base_res":
             raise NotImplementedError(
                 "return_hidden: the plain cFSMN stack (dfsmn_base_res) "
@@ -341,7 +364,8 @@ class Engine:
             # sort/gather paths would force expert-axis resharding
             return "dense"
         return moe_auto_impl(dtype, tokens, int8=self.int8_experts,
-                             requested=self.cfg.moe_impl)
+                             requested=self.cfg.moe_impl,
+                             act_quant=self.cfg.act_quant)
 
     def _forward_fn(self, batch: int, length: int):
         """The bucket's pure forward (params, feat, feat_len) -> ...,

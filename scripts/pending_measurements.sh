@@ -74,6 +74,20 @@ for seq in 206 2048; do
         timeout 580 python bench.py --seq "$seq" --dtype int8 --iters 30
 done
 
+# --- 2c. int8 w8a8 (act_quant) A/B — compute-bound large-token regime ------
+for seq in 2048 6000; do
+    record "conformer_${seq}_int8_wonly" \
+        timeout 580 python bench.py --seq "$seq" --dtype int8 --iters 30
+    record "conformer_${seq}_int8_w8a8" \
+        timeout 580 python bench.py --seq "$seq" --dtype int8 \
+        --act_quant --iters 30
+done
+record "conformer_2048_b8_int8_wonly" \
+    timeout 580 python bench.py --seq 2048 --batch 8 --dtype int8 --iters 20
+record "conformer_2048_b8_int8_w8a8" \
+    timeout 580 python bench.py --seq 2048 --batch 8 --dtype int8 \
+    --act_quant --iters 20
+
 # --- 3. streaming serving with the cross-stream chunk batcher --------------
 ENG=/tmp/eng_int8_pending
 if [ ! -d "$ENG" ]; then
