@@ -44,6 +44,10 @@ def main(args):
                        for line in fh if line.strip()]
         context = ContextTrie(phrases, bonus=args.context_bonus)
     lm = None
+    id2sym = None
+    if args.units:
+        from m3asr_tpu.decode.lm import read_symbol_table
+        id2sym = {v: k for k, v in read_symbol_table(args.units).items()}
     if args.lm:
         from m3asr_tpu.decode.lm import NgramLM, read_symbol_table
         if args.decode != "beam":
@@ -165,14 +169,17 @@ def main(args):
                     hyps.append(hyp)
             else:
                 hyps = [list(nb[0][0]) for nb in nbests]
+        def sym(t):
+            return id2sym.get(t, str(t)) if id2sym else str(t)
+
         for bi, (key, h) in enumerate(zip(batch["keys"], hyps)):
             if args.timestamps and args.decode in ("greedy", "beam"):
                 # tok:frame pairs; frames are post-subsample indices
                 # (x subsample_factor x 10 ms for wall-clock time)
                 print(f"{key} " + " ".join(
-                    f"{t}:{f}" for t, f in zip(h, times[bi])))
+                    f"{sym(t)}:{f}" for t, f in zip(h, times[bi])))
             else:
-                print(f"{key} {' '.join(map(str, h))}")
+                print(f"{key} {' '.join(sym(t) for t in h)}")
             hyps_all.append(h)
         if "target" in batch:
             for i in range(len(hyps)):
@@ -223,9 +230,9 @@ if __name__ == "__main__":
                         "score += lm_weight * ln P_lm(tok | hist)")
     p.add_argument("--lm_weight", type=float, default=0.5)
     p.add_argument("--units", required=False,
-                   help="symbol table mapping ARPA words to output-unit "
-                        "ids ('sym id' per line); without it the ARPA "
-                        "words must be integer ids")
+                   help="symbol table ('sym id' per line): maps ARPA "
+                        "words to unit ids AND renders transcripts as "
+                        "symbols instead of raw ids")
     p.add_argument("--feat_dim", type=int, default=40)
     p.add_argument("--add_deltas", type=int, default=0)
     p.add_argument("--cmvn", dest="cmvn_file", required=False)

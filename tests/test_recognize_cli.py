@@ -64,6 +64,10 @@ def test_recognize_pipeline(tmp_path):
     # context-biasing phrase file (token ids within the toy vocab)
     with open(tmp_path / "ctx.txt", "w") as f:
         f.write("1 2\n3\n")
+    # symbol table: transcripts render as symbols instead of ids
+    with open(tmp_path / "units", "w") as f:
+        for i in range(11):
+            f.write(f"u{i} {i}\n")
     # tiny integer-id ARPA LM for shallow fusion
     with open(tmp_path / "lm.arpa", "w") as f:
         f.write("\\data\\\nngram 1=4\n\n\\1-grams:\n"
@@ -76,7 +80,8 @@ def test_recognize_pipeline(tmp_path):
                                   "--context_bonus", "0.5"]),
                         ("beam", ["--lm", str(tmp_path / "lm.arpa"),
                                   "--lm_weight", "0.3"]),
-                        ("greedy", ["--timestamps"])):
+                        ("greedy", ["--timestamps"]),
+                        ("greedy", ["--units", str(tmp_path / "units")])):
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "recognize.py"),
              "-p", str(tmp_path / "eng"), "-i", str(tmp_path / "feats.ark"),
