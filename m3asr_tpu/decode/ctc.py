@@ -210,43 +210,52 @@ def ctc_greedy_search_times(logits: np.ndarray, out_lens: np.ndarray,
     return hyps
 
 
-def ctc_prefix_beam_search_ext(
-        log_probs: np.ndarray, out_len: int, beam_size: int,
-        blank_idx: int = 0,
-        context: Optional[ContextTrie] = None,
-        lm=None, lm_weight: float = 0.5) -> List[Hyp]:
-    """Prefix beam search with per-token emission frames, optional
-    context biasing, and optional n-gram LM shallow fusion.
-
-    Same lattice recursion as `ctc_prefix_beam_search`
-    (encoder.py:182-260); additionally tracks, per prefix, the frame of
-    each token's probability peak (the strongest nonblank path wins on
-    prefix merges); when `context` is given, a trie state whose
-    accumulated bonus is added to the pruning/final scores (unfinished
-    partial matches are refunded at the end); when `lm` (decode.lm
-    NgramLM) is given, each emitted token adds
-    `lm_weight * ln P_lm(tok | state)` to the pruning/final scores.
+class PrefixBeamState:
+    """Incremental extended prefix beam: the frame recursion of
+    `ctc_prefix_beam_search_ext` as a stateful object, so streaming
+    decoders can `advance()` chunk by chunk and read `nbest()` at any
+    point (the reference's beam search is offline-only,
+    encoder.py:182-260). Carries per-prefix emission frames (absolute,
+    across chunks), context-biasing trie states, and LM fusion states.
     """
-    log_probs = np.asarray(log_probs)
-    # prefix -> [pb, pnb, times, last_prob, best_nb, ctx_state, ctx_score,
-    #            lm_state, lm_score]
-    #   times:     emission frame per token (tuple, len == len(prefix))
-    #   last_prob: frame log-prob that set times[-1] (peak tracking)
-    #   best_nb:   strongest single nonblank contribution seen this
-    #              frame — its path's times win on merges
-    lm0 = lm.start() if lm is not None else None
-    cur = {(): [0.0, NEG_INF, (), NEG_INF, NEG_INF, 0, 0.0, lm0, 0.0]}
-    for t in range(int(out_len)):
-        logp = log_probs[t]
-        k = min(beam_size, logp.shape[-1])
+
+    def __init__(self, beam_size: int, blank_idx: int = 0,
+                 context: Optional[ContextTrie] = None,
+                 lm=None, lm_weight: float = 0.5):
+        self.beam_size = beam_size
+        self.blank_idx = blank_idx
+        self.context = context
+        self.lm = lm
+        self.lm_weight = lm_weight
+        self.t = 0  # absolute frame counter
+        lm0 = lm.start() if lm is not None else None
+        # prefix -> [pb, pnb, times, last_prob, best_nb, ctx_state,
+        #            ctx_score, lm_state, lm_score]
+        #   times:     emission frame per token (tuple)
+        #   last_prob: frame log-prob that set times[-1] (peak tracking)
+        #   best_nb:   strongest single contribution seen this frame —
+        #              its path's times win on prefix merges
+        self.cur = {(): [0.0, NEG_INF, (), NEG_INF, NEG_INF, 0, 0.0,
+                         lm0, 0.0]}
+
+    def advance(self, log_probs: np.ndarray) -> None:
+        """Consume (T, V) log-softmax frames."""
+        log_probs = np.asarray(log_probs)
+        for row in log_probs:
+            self._advance_frame(row)
+
+    def _advance_frame(self, logp) -> None:
+        context, lm, lm_weight = self.context, self.lm, self.lm_weight
+        t = self.t
+        k = min(self.beam_size, logp.shape[-1])
         top_k_index = np.argpartition(logp, -k)[-k:]
         next_hyps: dict = {}
 
         def entry(prefix, parent, s=None):
-            """Get/create the accumulator for `prefix`; context state is
-            a pure function of the tokens, so it is computed once, on
-            creation (from the source entry `parent`, extended by `s`
-            when the source is prefix[:-1])."""
+            """Get/create the accumulator for `prefix`; context/LM
+            states are pure functions of the tokens, so they are
+            computed once, on creation (from the source entry `parent`,
+            extended by `s` when the source is prefix[:-1])."""
             e = next_hyps.get(prefix)
             if e is None:
                 cstate, cscore = parent[5], parent[6]
@@ -276,10 +285,10 @@ def ctc_prefix_beam_search_ext(
         for s in top_k_index:
             s = int(s)
             ps = float(logp[s])
-            for prefix, src in cur.items():
+            for prefix, src in self.cur.items():
                 pb, pnb, times, last_prob = src[0], src[1], src[2], src[3]
                 last = prefix[-1] if prefix else None
-                if s == blank_idx:
+                if s == self.blank_idx:
                     e = entry(prefix, src)
                     e[0] = log_add([e[0], pb + ps, pnb + ps])
                     offer_times(e, log_add([pb + ps, pnb + ps]), times,
@@ -309,12 +318,39 @@ def ctc_prefix_beam_search_ext(
             next_hyps.items(),
             key=lambda x: log_add([x[1][0], x[1][1]]) + x[1][6] + x[1][8],
             reverse=True)
-        cur = dict(pruned[:beam_size])
-    out = []
-    for prefix, e in cur.items():
-        score = log_add([e[0], e[1]]) + e[6] + e[8]
-        if context is not None:
-            score += context.finalize(e[5])
-        out.append(Hyp(prefix, score, e[2]))
-    out.sort(key=lambda h: h.score, reverse=True)
-    return out
+        self.cur = dict(pruned[:self.beam_size])
+        self.t = t + 1
+
+    def nbest(self) -> List[Hyp]:
+        """Current hypotheses, best-first (final scores: context
+        refunds applied as if the utterance ended here)."""
+        out = []
+        for prefix, e in self.cur.items():
+            score = log_add([e[0], e[1]]) + e[6] + e[8]
+            if self.context is not None:
+                score += self.context.finalize(e[5])
+            out.append(Hyp(prefix, score, e[2]))
+        out.sort(key=lambda h: h.score, reverse=True)
+        return out
+
+
+def ctc_prefix_beam_search_ext(
+        log_probs: np.ndarray, out_len: int, beam_size: int,
+        blank_idx: int = 0,
+        context: Optional[ContextTrie] = None,
+        lm=None, lm_weight: float = 0.5) -> List[Hyp]:
+    """Prefix beam search with per-token emission frames, optional
+    context biasing, and optional n-gram LM shallow fusion.
+
+    Same lattice recursion as `ctc_prefix_beam_search`
+    (encoder.py:182-260); additionally tracks, per prefix, the frame of
+    each token's probability peak (the strongest nonblank path wins on
+    prefix merges); when `context` is given, a trie state whose
+    accumulated bonus is added to the pruning/final scores (unfinished
+    partial matches are refunded at the end); when `lm` (decode.lm
+    NgramLM) is given, each emitted token adds
+    `lm_weight * ln P_lm(tok | state)` to the pruning/final scores.
+    """
+    state = PrefixBeamState(beam_size, blank_idx, context, lm, lm_weight)
+    state.advance(np.asarray(log_probs)[:int(out_len)])
+    return state.nbest()

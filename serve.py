@@ -23,8 +23,10 @@ Protocol (one JSON object per line):
 Streaming (one stream per connection; chunk-incremental greedy CTC
 partials via StreamingSession / DfsmnStreamingSession — sessions are
 pooled and their jitted chunk forwards reused across connections):
-  {"stream": "start", "chunk_size": 16, "num_left_chunks": 2}
-      -> {"ok": true, "chunk_size": 16}
+  {"stream": "start", "chunk_size": 16, "num_left_chunks": 2,
+   "decode": "beam", "beam_size": 10,        # optional: incremental
+   "context": [[ids...]], "timestamps": true}  # prefix beam (+hotwords
+      -> {"ok": true, "chunk_size": 16}         # +server LM fusion)
   {"stream": "chunk", "feat": [[...frame...], ...]}
       -> {"partial": [ids...], "out_frames": N}
   {"stream": "end"}
@@ -45,13 +47,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 class _StreamDecode:
-    """Incremental greedy CTC over emitted logits chunks: collapse
-    consecutive repeats, drop blanks (model/encoder.py:156-180
-    semantics, frame-local so it streams)."""
+    """Incremental CTC over emitted logits chunks. Default: greedy —
+    collapse consecutive repeats, drop blanks (model/encoder.py:156-180
+    semantics, frame-local so it streams). With `beam_state`
+    (decode.ctc.PrefixBeamState): chunk-incremental prefix beam search,
+    including optional hotword biasing and LM fusion — beam partials
+    may revise earlier tokens as more audio arrives (the usual
+    streaming-beam contract)."""
 
-    def __init__(self, session, blank: int = 0):
+    def __init__(self, session, blank: int = 0, beam_state=None):
         self.session = session
         self.blank = blank
+        self.beam = beam_state
         self.prev = -1
         self.hyp = []
         self.times = []  # absolute emission frame per token
@@ -59,14 +66,28 @@ class _StreamDecode:
 
     def update(self, chunks) -> None:
         for ch in chunks:
-            ids = np.asarray(ch).argmax(-1)[0]
-            for t in ids:
+            arr = np.asarray(ch)[0]          # (T, V) logits
+            if self.beam is not None:
+                m = arr.max(-1, keepdims=True)
+                lp = arr - m - np.log(
+                    np.exp(arr - m).sum(-1, keepdims=True))
+                self.beam.advance(lp)
+                self.frames += arr.shape[0]
+                continue
+            for t in arr.argmax(-1):
                 t = int(t)
                 if t != self.prev and t != self.blank:
                     self.hyp.append(t)
                     self.times.append(self.frames)
                 self.prev = t
                 self.frames += 1
+
+    def result(self):
+        """(tokens, times) of the current best hypothesis."""
+        if self.beam is not None:
+            best = self.beam.nbest()[0]
+            return list(best.tokens), list(best.times)
+        return list(self.hyp), list(self.times)
 
 
 class SessionPool:
@@ -123,7 +144,22 @@ def make_handler(batcher, default_beam, stream_pool=None, lm=None,
                 key = (int(req.get("chunk_size", 16)),
                        int(req.get("num_left_chunks", 2)))
                 self._stream_key = key
-                self._stream = _StreamDecode(stream_pool.acquire(key))
+                beam_state = None
+                if req.get("decode") == "beam":
+                    from m3asr_tpu.decode.ctc import (ContextTrie,
+                                                      PrefixBeamState)
+                    ctx = req.get("context")
+                    trie = (ContextTrie(
+                        ctx, float(req.get("context_bonus", 3.0)))
+                        if ctx else None)
+                    use_lm = lm if req.get("lm", True) else None
+                    beam_state = PrefixBeamState(
+                        int(req.get("beam_size", default_beam)),
+                        context=trie, lm=use_lm,
+                        lm_weight=float(req.get("lm_weight",
+                                                default_lm_weight)))
+                self._stream = _StreamDecode(stream_pool.acquire(key),
+                                             beam_state=beam_state)
                 self._stream_times = bool(req.get("timestamps"))
                 return {"ok": True, "chunk_size": key[0]}
             if self._stream is None:
@@ -131,17 +167,19 @@ def make_handler(batcher, default_beam, stream_pool=None, lm=None,
             if op == "chunk":
                 feat = np.asarray(req["feat"], np.float32)[None]
                 self._stream.update(self._stream.session.push(feat))
-                resp = {"partial": list(self._stream.hyp),
+                toks, times = self._stream.result()
+                resp = {"partial": toks,
                         "out_frames": self._stream.frames}
                 if self._stream_times:
-                    resp["times"] = list(self._stream.times)
+                    resp["times"] = times
                 return resp
             if op == "end":
                 self._stream.update(self._stream.session.finish())
-                resp = {"hyp": list(self._stream.hyp),
+                toks, times = self._stream.result()
+                resp = {"hyp": toks,
                         "out_frames": self._stream.frames, "final": True}
                 if self._stream_times:
-                    resp["times"] = list(self._stream.times)
+                    resp["times"] = times
                 stream_pool.release(self._stream_key,
                                     self._stream.session)
                 self._stream = None

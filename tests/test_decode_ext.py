@@ -174,3 +174,23 @@ def test_token_confidence():
     conf = token_confidence(lp, hyps[0].tokens, hyps[0].times)
     assert list(hyps[0].tokens) == [1, 2]
     assert all(c == pytest.approx(0.94, abs=0.01) for c in conf)
+
+
+def test_prefix_beam_state_incremental_matches_offline():
+    """Chunk-incremental advance() must equal the one-shot search
+    exactly (same recursion, absolute frame counter)."""
+    from m3asr_tpu.decode.ctc import PrefixBeamState
+    rng = np.random.default_rng(21)
+    T, V = 30, 6
+    logits = rng.normal(size=(T, V)).astype(np.float32)
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    trie = ContextTrie([[1, 2], [3]], bonus=1.0)
+    offline = ctc_prefix_beam_search_ext(lp, T, 8, context=trie)
+    st = PrefixBeamState(8, context=trie)
+    for lo in range(0, T, 7):          # uneven chunks
+        st.advance(lp[lo:lo + 7])
+    inc = st.nbest()
+    assert [h.tokens for h in inc] == [h.tokens for h in offline]
+    assert [h.times for h in inc] == [h.times for h in offline]
+    np.testing.assert_allclose([h.score for h in inc],
+                               [h.score for h in offline], rtol=1e-6)

@@ -252,6 +252,35 @@ def test_serve_streaming_protocol(tmp_path):
         h2 = run_stream()  # pooled session, reset -> same transcript
         assert h1 == h2
 
+        # incremental prefix-beam stream (same chunk program, beam
+        # decode on the emitted logits; deterministic across runs)
+        def run_beam_stream():
+            with socket.create_connection(("127.0.0.1", port),
+                                          timeout=300) as s:
+                f = s.makefile("rw")
+                f.write(json.dumps({"stream": "start", "chunk_size": 8,
+                                    "num_left_chunks": 2,
+                                    "decode": "beam", "beam_size": 4,
+                                    "timestamps": True}) + "\n")
+                f.flush()
+                assert json.loads(f.readline()).get("ok")
+                for i in range(0, feat.shape[0], 25):
+                    f.write(json.dumps(
+                        {"stream": "chunk",
+                         "feat": feat[i:i + 25].tolist()}) + "\n")
+                    f.flush()
+                    resp = json.loads(f.readline())
+                    assert len(resp["times"]) == len(resp["partial"])
+                f.write(json.dumps({"stream": "end"}) + "\n")
+                f.flush()
+                resp = json.loads(f.readline())
+                assert resp.get("final")
+                return resp["hyp"]
+
+        b1 = run_beam_stream()
+        b2 = run_beam_stream()
+        assert b1 == b2
+
         # chunk without start on a fresh connection -> error, server up
         with socket.create_connection(("127.0.0.1", port),
                                       timeout=300) as s:
