@@ -29,6 +29,8 @@ pooled and their jitted chunk forwards reused across connections):
       -> {"ok": true, "chunk_size": 16}         # +server LM fusion)
   {"stream": "chunk", "feat": [[...frame...], ...]}
       -> {"partial": [ids...], "out_frames": N}
+         (+"endpoint": true once >= endpoint_blank_frames trailing
+          blank frames follow speech — pass the threshold at start)
   {"stream": "end"}
       -> {"hyp": [ids...], "out_frames": N, "final": true}
 """
@@ -55,7 +57,8 @@ class _StreamDecode:
     may revise earlier tokens as more audio arrives (the usual
     streaming-beam contract)."""
 
-    def __init__(self, session, blank: int = 0, beam_state=None):
+    def __init__(self, session, blank: int = 0, beam_state=None,
+                 endpoint_blank_frames: int = 0):
         self.session = session
         self.blank = blank
         self.beam = beam_state
@@ -63,10 +66,23 @@ class _StreamDecode:
         self.hyp = []
         self.times = []  # absolute emission frame per token
         self.frames = 0
+        # rule-based endpointing (the WeNet-style trailing-silence
+        # rule): once speech was seen, >= N consecutive trailing blank
+        # frames (post-subsample argmax) flag end-of-speech
+        self.ep_blanks = int(endpoint_blank_frames)
+        self._trailing_blanks = 0
+        self._spoke = False
 
     def update(self, chunks) -> None:
         for ch in chunks:
             arr = np.asarray(ch)[0]          # (T, V) logits
+            if self.ep_blanks:
+                for t in arr.argmax(-1):
+                    if int(t) == self.blank:
+                        self._trailing_blanks += 1
+                    else:
+                        self._trailing_blanks = 0
+                        self._spoke = True
             if self.beam is not None:
                 m = arr.max(-1, keepdims=True)
                 lp = arr - m - np.log(
@@ -81,6 +97,12 @@ class _StreamDecode:
                     self.times.append(self.frames)
                 self.prev = t
                 self.frames += 1
+
+    def endpoint(self) -> bool:
+        """End-of-speech per the trailing-blank rule (False when
+        endpointing is disabled or no speech has been seen yet)."""
+        return bool(self.ep_blanks and self._spoke
+                    and self._trailing_blanks >= self.ep_blanks)
 
     def result(self):
         """(tokens, times) of the current best hypothesis."""
@@ -158,8 +180,10 @@ def make_handler(batcher, default_beam, stream_pool=None, lm=None,
                         context=trie, lm=use_lm,
                         lm_weight=float(req.get("lm_weight",
                                                 default_lm_weight)))
-                self._stream = _StreamDecode(stream_pool.acquire(key),
-                                             beam_state=beam_state)
+                self._stream = _StreamDecode(
+                    stream_pool.acquire(key), beam_state=beam_state,
+                    endpoint_blank_frames=int(
+                        req.get("endpoint_blank_frames", 0)))
                 self._stream_times = bool(req.get("timestamps"))
                 return {"ok": True, "chunk_size": key[0]}
             if self._stream is None:
@@ -170,6 +194,9 @@ def make_handler(batcher, default_beam, stream_pool=None, lm=None,
                 toks, times = self._stream.result()
                 resp = {"partial": toks,
                         "out_frames": self._stream.frames}
+                if self._stream.endpoint():
+                    resp["endpoint"] = True  # end-of-speech detected —
+                    # the client should send {"stream": "end"}
                 if self._stream_times:
                     resp["times"] = times
                 return resp

@@ -534,3 +534,30 @@ def test_serve_graceful_shutdown(tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=10)
+
+
+def test_stream_decode_endpoint_rule():
+    """Unit-level: the trailing-blank endpoint rule over logits chunks
+    (no server needed — _StreamDecode consumes raw chunk arrays)."""
+    import serve as serve_mod
+
+    def chunk(path, V=4):
+        a = np.full((1, len(path), V), -5.0, np.float32)
+        for t, s in enumerate(path):
+            a[0, t, s] = 5.0
+        return a
+
+    d = serve_mod._StreamDecode(None, endpoint_blank_frames=3)
+    d.update([chunk([0, 0, 0, 0])])     # leading silence: no endpoint
+    assert not d.endpoint()
+    d.update([chunk([1, 1, 0])])        # speech, then 1 blank
+    assert not d.endpoint()
+    d.update([chunk([0, 0])])           # 3 trailing blanks total
+    assert d.endpoint()
+    assert d.result()[0] == [1]
+    d.update([chunk([2])])              # speech resumes: rearm
+    assert not d.endpoint()
+    # disabled by default
+    d0 = serve_mod._StreamDecode(None)
+    d0.update([chunk([1, 0, 0, 0, 0, 0, 0, 0])])
+    assert not d0.endpoint()
