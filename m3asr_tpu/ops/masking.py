@@ -198,3 +198,40 @@ def mask_finished_preds(pred: jax.Array, flag: jax.Array,
 
     pred: (N, beam) int candidates; flag: (N, 1) bool finished."""
     return jnp.where(flag, jnp.asarray(eos, pred.dtype), pred)
+
+
+def spec_augment(key: jax.Array, feat: jax.Array, feat_len: jax.Array,
+                 num_t_mask: int = 2, num_f_mask: int = 2,
+                 max_t: int = 50, max_f: int = 10) -> jax.Array:
+    """On-device batched SpecAugment: `num_t_mask` time masks (width
+    in [1, max_t), start within each utterance's valid length) and
+    `num_f_mask` frequency masks (width in [1, max_f)), zero-filled —
+    the mask semantics of the reference's loader-side numpy
+    _spec_augmentation (loader/augment.py:32-77; time warp stays in
+    the CPU loader — PIL bicubic has no cheap XLA analogue) as one
+    fused elementwise op inside the jitted train step. TPU-first:
+    augmentation rides the MXU-bound step instead of stealing loader
+    CPU, and composes with jit/shard_map (per-batch key = determinism).
+
+    feat: (B, T, D); feat_len: (B,). Returns the masked copy.
+    """
+    B, T, D = feat.shape
+    kt_s, kt_l, kf_s, kf_l = jax.random.split(key, 4)
+    # time masks: start in [0, len-1) like randint(0, max_frames - 1)
+    u = jax.random.uniform(kt_s, (B, num_t_mask))
+    hi = jnp.maximum(feat_len[:, None] - 1, 1)
+    t_start = (u * hi).astype(jnp.int32)
+    t_len = jax.random.randint(kt_l, (B, num_t_mask), 1, max(max_t, 2))
+    t_end = jnp.minimum(t_start + t_len, feat_len[:, None])
+    t_idx = jnp.arange(T)[None, :, None]
+    t_hit = jnp.any((t_idx >= t_start[:, None, :]) &
+                    (t_idx < t_end[:, None, :]), axis=-1)      # (B, T)
+    # frequency masks
+    f_start = jax.random.randint(kf_s, (B, num_f_mask), 0, max(D - 1, 1))
+    f_len = jax.random.randint(kf_l, (B, num_f_mask), 1, max(max_f, 2))
+    f_end = jnp.minimum(f_start + f_len, D)
+    f_idx = jnp.arange(D)[None, :, None]
+    f_hit = jnp.any((f_idx >= f_start[:, None, :]) &
+                    (f_idx < f_end[:, None, :]), axis=-1)      # (B, D)
+    keep = ~(t_hit[:, :, None] | f_hit[:, None, :])
+    return feat * keep.astype(feat.dtype)

@@ -11,6 +11,7 @@ annotations.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,13 @@ class TrainConfig:
                                     # loss (the reference trains pure
                                     # fp32 — this is the TPU-standard
                                     # speedup it never had)
+    spec_aug: bool = False         # on-device SpecAugment inside the
+                                   # jitted step (ops/masking.
+                                   # spec_augment) — replaces the
+                                   # loader-side numpy masks; time warp
+                                   # (if wanted) stays in the loader
+    spec_aug_conf: Optional[dict] = None  # num_t_mask/num_f_mask/
+                                          # max_t/max_f overrides
     accum_steps: int = 1           # gradient accumulation: split each
                                    # batch into accum_steps microbatches
                                    # scanned sequentially (lax.scan, so
@@ -110,6 +118,18 @@ def _loss_dtype(out):
     return out.astype(jnp.float32)
 
 
+def _apply_spec_aug(tcfg, rng, feat, feat_len):
+    """On-device SpecAugment (consumes one rng split when enabled)."""
+    if not tcfg.spec_aug:
+        return rng, feat
+    if rng is None:
+        raise ValueError("spec_aug=True needs the per-batch step rng")
+    from m3asr_tpu.ops import masking
+    rng, rng_aug = jax.random.split(rng)
+    return rng, masking.spec_augment(rng_aug, feat, feat_len,
+                                     **(tcfg.spec_aug_conf or {}))
+
+
 def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
             feat, feat_len, targets, target_lens, rng=None,
             domain_targets=None, acc_targets=None):
@@ -118,6 +138,7 @@ def loss_fn(params, model_cfg: ModelConfig, tcfg: TrainConfig,
     metrics = {}
     out_pool = out_pool_acc = None
     params, feat = _cast_compute(params, feat, tcfg)
+    rng, feat = _apply_spec_aug(tcfg, rng, feat, feat_len)
     rng_main, rng_embed = (jax.random.split(rng) if rng is not None
                            else (None, None))
     if is_dfsmn:
@@ -316,6 +337,7 @@ def hier_aed_loss_fn(params, model_cfg: ModelConfig, tcfg: "HierTrainConfig",
     from m3asr_tpu.models import aed
 
     params, feat = _cast_compute(params, feat, tcfg)
+    rng, feat = _apply_spec_aug(tcfg, rng, feat, feat_len)
     enc = params["encoder"] if "encoder" in params else params
     rng_main, rng_embed = (jax.random.split(rng) if rng is not None
                            else (None, None))
@@ -440,7 +462,10 @@ class HierTrainConfig(TrainConfig):
     # ce_weight (domain/acc head CE) inherited from TrainConfig
 
 
-def _needs_rng(model_cfg: ModelConfig) -> bool:
+def _needs_rng(model_cfg: ModelConfig,
+               tcfg: Optional[TrainConfig] = None) -> bool:
+    if tcfg is not None and tcfg.spec_aug:
+        return True
     enc = model_cfg.encoder_conf
     embed = getattr(enc, "embed_conf", None)
     # DFSMN configs carry embed_conf as a raw dict — treat any

@@ -99,6 +99,10 @@ def main(args):
         # gradient accumulation: batch_size must divide accum_steps;
         # microbatches scan sequentially before one optimizer update
         accum_steps=int(raw.get("accum_steps", 1)),
+        # on-device SpecAugment inside the jitted step (collate_conf
+        # spec_aug stays available for the loader-side numpy path)
+        spec_aug=bool(raw.get("spec_aug_device", False)),
+        spec_aug_conf=raw.get("spec_aug_device_conf"),
         # the cectc trainers pick CE vs CTC from the loader mode
         # (bk/train_cectc_ddp.py: loss_type = loader_conf['mode'])
         loss_type=loader_conf.get("mode", "ctc"))
@@ -221,7 +225,7 @@ def main(args):
             mesh, _P(pmesh.DATA_AXIS, pmesh.SEQ_AXIS)))
     if pp > 1:
         pmesh.set_pipeline(mesh, args.pp_microbatches)
-    needs_rng = _needs_rng(model_cfg)
+    needs_rng = _needs_rng(model_cfg, tcfg)
     n_label_args = ((8 if domain_acc else 6) if hier
                     else (6 if domain_acc else 4))
     bmuf_recipe = None
@@ -273,16 +277,20 @@ def main(args):
         params = jax.device_put(params, p_shard)
 
     valid_step = None
+    # validation never augments (spec_aug is a training-only transform)
+    import dataclasses as _dc
+    vcfg = _dc.replace(tcfg, spec_aug=False)
     if cv_loader is not None and not hier:
         def valid_step(p, feat, feat_len, targets, target_lens):
-            return loss_fn(p, model_cfg, tcfg, feat, feat_len, targets,
+            return loss_fn(p, model_cfg, vcfg, feat, feat_len, targets,
                            target_lens)[0]
         valid_step = jax.jit(valid_step)
     elif cv_loader is not None:
         # hier validation scores CTC only (cv arks carry CTC labels)
+        vkw = dict(tkw, spec_aug=False)
         def valid_step(p, feat, feat_len, targets, target_lens):
             return loss_fn(p["encoder"], model_cfg,
-                           TrainConfig(**tkw), feat, feat_len, targets,
+                           TrainConfig(**vkw), feat, feat_len, targets,
                            target_lens)[0]
         valid_step = jax.jit(valid_step)
 
