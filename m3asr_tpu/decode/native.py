@@ -66,6 +66,24 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ngram_lm_logp.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.c_int32]
+        lib.beam_state_create.restype = ctypes.c_void_p
+        lib.beam_state_create.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_float, ctypes.c_void_p, ctypes.c_float]
+        lib.beam_state_free.restype = None
+        lib.beam_state_free.argtypes = [ctypes.c_void_p]
+        lib.beam_state_reset.restype = None
+        lib.beam_state_reset.argtypes = [ctypes.c_void_p]
+        lib.beam_state_advance.restype = None
+        lib.beam_state_advance.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_int]
+        lib.beam_state_nbest.restype = ctypes.c_int
+        lib.beam_state_nbest.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     except Exception as e:
         _load_failed = True
@@ -137,6 +155,94 @@ def _lm_handle(lib, lm) -> int:
     return h
 
 
+def _trie_arrays(context):
+    """Re-flatten a ContextTrie into phrase arrays (DFS over end nodes)
+    so the C++ side rebuilds an identical trie."""
+    if context is None or len(context.children) <= 1:
+        return np.zeros(1, np.int32), np.zeros(2, np.int32), 0, 0.0
+    phrases = []
+    stack = [(0, [])]
+    while stack:
+        node, path = stack.pop()
+        if context.is_end[node]:
+            phrases.append(path)
+        for tok, child in context.children[node].items():
+            stack.append((child, path + [int(tok)]))
+    toks = np.array([t for ph in phrases for t in ph], np.int32)
+    offs = np.cumsum([0] + [len(ph) for ph in phrases]).astype(np.int32)
+    return toks, offs, len(phrases), context.bonus
+
+
+class NativeBeamState:
+    """C++ chunk-incremental extended prefix beam — duck-type twin of
+    m3asr_tpu.decode.ctc.PrefixBeamState (advance(log_probs) /
+    nbest() / reset()) for streaming serving at native speed. Keeps the
+    LM object referenced so its native handle outlives the state."""
+
+    def __init__(self, beam_size: int, blank_idx: int = 0, context=None,
+                 lm=None, lm_weight: float = 0.5):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native lib unavailable: {load_error()}")
+        self._lib = lib
+        self._lm = lm  # keep alive (borrowed by the C++ state)
+        toks, offs, n_ctx, bonus = _trie_arrays(context)
+        lm_h = _lm_handle(lib, lm) if lm is not None else None
+        self._h = lib.beam_state_create(
+            beam_size, blank_idx,
+            toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_ctx, ctypes.c_float(bonus), lm_h, ctypes.c_float(lm_weight))
+        self.beam_size = beam_size
+        self.t = 0
+        import weakref
+        self._finalizer = weakref.finalize(self, lib.beam_state_free,
+                                           self._h)
+
+    def reset(self) -> None:
+        self._lib.beam_state_reset(self._h)
+        self.t = 0
+
+    def advance(self, log_probs: np.ndarray) -> None:
+        lp = np.ascontiguousarray(log_probs, np.float32)
+        if lp.ndim != 2:
+            raise ValueError("advance takes (T, V) log-probs")
+        T, V = lp.shape
+        self._lib.beam_state_advance(
+            self._h, lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            T, V)
+        self.t += T
+
+    def nbest(self):
+        from m3asr_tpu.decode.ctc import Hyp
+        max_len = max(self.t, 1)
+        tokens = np.full((self.beam_size, max_len), -1, np.int32)
+        times = np.full((self.beam_size, max_len), -1, np.int32)
+        lens = np.zeros((self.beam_size,), np.int32)
+        scores = np.zeros((self.beam_size,), np.float32)
+        n = self._lib.beam_state_nbest(
+            self._h, self.beam_size, max_len,
+            tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            times.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return [Hyp(tuple(int(x) for x in tokens[i, :lens[i]]),
+                    float(scores[i]),
+                    tuple(int(x) for x in times[i, :lens[i]]))
+                for i in range(n)]
+
+
+def make_beam_state(beam_size: int, blank_idx: int = 0, context=None,
+                    lm=None, lm_weight: float = 0.5):
+    """Streaming beam state: the C++ core when available, else the
+    python PrefixBeamState (identical contract)."""
+    if available():
+        return NativeBeamState(beam_size, blank_idx, context, lm,
+                               lm_weight)
+    from m3asr_tpu.decode.ctc import PrefixBeamState
+    return PrefixBeamState(beam_size, blank_idx, context, lm, lm_weight)
+
+
 def ctc_prefix_beam_search_ext(log_probs: np.ndarray, out_len: int,
                                beam_size: int, blank_idx: int = 0,
                                context=None, lm=None,
@@ -155,24 +261,7 @@ def ctc_prefix_beam_search_ext(log_probs: np.ndarray, out_len: int,
     lp = np.ascontiguousarray(log_probs[:int(out_len)], np.float32)
     T, V = lp.shape
     max_len = max(T, 1)
-    if context is not None and len(context.children) > 1:
-        # re-flatten the trie into phrases via DFS over end nodes so the
-        # C++ side rebuilds an identical trie
-        phrases = []
-        stack = [(0, [])]
-        while stack:
-            node, path = stack.pop()
-            if context.is_end[node]:
-                phrases.append(path)
-            for tok, child in context.children[node].items():
-                stack.append((child, path + [int(tok)]))
-        toks = np.array([t for ph in phrases for t in ph], np.int32)
-        offs = np.cumsum([0] + [len(ph) for ph in phrases]).astype(np.int32)
-        n_ctx, bonus = len(phrases), context.bonus
-    else:
-        toks = np.zeros(1, np.int32)
-        offs = np.zeros(2, np.int32)
-        n_ctx, bonus = 0, 0.0
+    toks, offs, n_ctx, bonus = _trie_arrays(context)
     tokens = np.full((beam_size, max_len), -1, np.int32)
     times = np.full((beam_size, max_len), -1, np.int32)
     lens = np.zeros((beam_size,), np.int32)

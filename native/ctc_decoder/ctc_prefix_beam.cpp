@@ -89,6 +89,244 @@ struct NgramLM {
   }
 };
 
+// Context-biasing prefix trie (m3asr_tpu/decode/ctc.py ContextTrie is
+// the behavioral spec): `bonus` per matched token, refund of the
+// unfinished suffix on divergence (completed phrases keep theirs).
+struct ContextTrie {
+  std::vector<std::unordered_map<int32_t, int>> children{1};
+  std::vector<int> refund{0};
+  std::vector<bool> is_end{false};
+  float bonus = 0.0f;
+  bool active = false;
+
+  void build(const int32_t* ctx_tokens, const int32_t* ctx_offsets,
+             int n_ctx, float ctx_bonus) {
+    bonus = ctx_bonus;
+    active = n_ctx > 0;
+    for (int p = 0; p < n_ctx; ++p) {
+      int node = 0;
+      for (int32_t i = ctx_offsets[p]; i < ctx_offsets[p + 1]; ++i) {
+        const int32_t tok = ctx_tokens[i];
+        auto it = children[node].find(tok);
+        if (it == children[node].end()) {
+          const int nxt = static_cast<int>(children.size());
+          children[node][tok] = nxt;
+          children.emplace_back();
+          refund.push_back(0);
+          is_end.push_back(false);
+          node = nxt;
+        } else {
+          node = it->second;
+        }
+      }
+      if (node != 0) is_end[node] = true;
+    }
+    // refund[n] = tokens matched since the last completed phrase
+    std::vector<int> stack{0};
+    while (!stack.empty()) {
+      const int node = stack.back();
+      stack.pop_back();
+      for (const auto& kv : children[node]) {
+        refund[kv.second] = is_end[kv.second] ? 0 : refund[node] + 1;
+        stack.push_back(kv.second);
+      }
+    }
+  }
+
+  std::pair<int, float> advance(int state, int32_t token) const {
+    float delta = 0.0f;
+    auto it = children[state].find(token);
+    if (it == children[state].end()) {
+      delta -= bonus * refund[state];
+      it = children[0].find(token);
+      if (it == children[0].end()) return {0, delta};
+    }
+    delta += bonus;
+    if (children[it->second].empty()) return {0, delta};  // leaf
+    return {it->second, delta};
+  }
+};
+
+// Incremental extended prefix beam (the stateful core shared by the
+// one-shot ctc_prefix_beam_search_ext and the streaming beam_state_*
+// C ABI; m3asr_tpu/decode/ctc.py PrefixBeamState is the spec).
+struct BeamState {
+  int beam_size, blank_idx;
+  ContextTrie trie;
+  const NgramLM* lm = nullptr;  // not owned
+  float lm_weight = 0.0f;
+  int t = 0;  // absolute frame counter
+
+  struct Ext {
+    float pb, pnb;
+    std::vector<int32_t> times;
+    float last_prob;  // frame log-prob that set times.back()
+    float best_nb;    // strongest single contribution (its times win)
+    int ctx_state;
+    float ctx_score;
+    std::vector<int32_t> lm_state;
+    float lm_score;
+  };
+  std::vector<std::pair<std::vector<int32_t>, Ext>> cur_vec;
+  std::vector<int> top_idx;
+
+  BeamState(int beam, int blank) : beam_size(beam), blank_idx(blank) {}
+
+  void reset() {
+    t = 0;
+    std::vector<int32_t> lm0;
+    if (lm) lm0 = lm->shrink({-1});  // <s> context (BOS id -1)
+    cur_vec.clear();
+    cur_vec.emplace_back(
+        std::vector<int32_t>{},
+        Ext{0.0f, kNegInf, {}, kNegInf, kNegInf, 0, 0.0f, lm0, 0.0f});
+  }
+
+  void advance(const float* log_probs, int T, int V) {
+    using ExtMap =
+        std::unordered_map<std::vector<int32_t>, Ext, PrefixHash>;
+    if (static_cast<int>(top_idx.size()) < V) top_idx.resize(V);
+    const int k = std::min(beam_size, V);
+    for (int f = 0; f < T; ++f, ++t) {
+      const float* logp = log_probs + static_cast<size_t>(f) * V;
+      for (int i = 0; i < V; ++i) top_idx[i] = i;
+      std::partial_sort(top_idx.begin(), top_idx.begin() + k,
+                        top_idx.begin() + V,
+                        [&](int a, int b) { return logp[a] > logp[b]; });
+
+      ExtMap next;
+      next.reserve(cur_vec.size() * (k + 1));
+      // get/create the accumulator for a next-prefix; context/LM states
+      // are pure functions of the tokens: computed once, on creation
+      auto entry = [&](std::vector<int32_t>&& prefix, const Ext& parent,
+                       int32_t s /* -1 = same-prefix source */) -> Ext& {
+        auto it = next.find(prefix);
+        if (it != next.end()) return it->second;
+        Ext e{kNegInf, kNegInf, parent.times, parent.last_prob, kNegInf,
+              parent.ctx_state, parent.ctx_score, parent.lm_state,
+              parent.lm_score};
+        if (s >= 0) {
+          e.times.push_back(t);
+          e.last_prob = kNegInf;
+          if (trie.active) {
+            auto adv = trie.advance(parent.ctx_state, s);
+            e.ctx_state = adv.first;
+            e.ctx_score = parent.ctx_score + adv.second;
+          }
+          if (lm) e.lm_score += lm_weight * lm->score(e.lm_state, s);
+        }
+        return next.emplace(std::move(prefix), std::move(e))
+            .first->second;
+      };
+      auto offer_times = [](Ext& e, float contrib,
+                            const std::vector<int32_t>& times,
+                            float last_prob) {
+        if (contrib > e.best_nb) {
+          e.best_nb = contrib;
+          e.times = times;
+          e.last_prob = last_prob;
+        }
+      };
+
+      for (int i = 0; i < k; ++i) {
+        const int32_t s = top_idx[i];
+        const float ps = logp[s];
+        for (const auto& kv : cur_vec) {
+          const auto& prefix = kv.first;
+          const Ext& src = kv.second;
+          const int32_t last = prefix.empty() ? -1 : prefix.back();
+          if (s == blank_idx) {
+            Ext& e = entry(std::vector<int32_t>(prefix), src, -1);
+            const float contrib = log_add2(src.pb + ps, src.pnb + ps);
+            e.pb = log_add2(e.pb, contrib);
+            offer_times(e, contrib, src.times, src.last_prob);
+          } else if (s == last) {
+            {  // stay: *ss -> *s; peak frame of the last token may move
+              Ext& e = entry(std::vector<int32_t>(prefix), src, -1);
+              std::vector<int32_t> st = src.times;
+              float sl = src.last_prob;
+              if (ps > src.last_prob) {
+                st.back() = t;
+                sl = ps;
+              }
+              e.pnb = log_add2(e.pnb, src.pnb + ps);
+              offer_times(e, src.pnb + ps, st, sl);
+            }
+            {  // extend via blank: *s-s -> *ss
+              std::vector<int32_t> np = prefix;
+              np.push_back(s);
+              Ext& e = entry(std::move(np), src, s);
+              std::vector<int32_t> nt = src.times;
+              nt.push_back(t);
+              e.pnb = log_add2(e.pnb, src.pb + ps);
+              offer_times(e, src.pb + ps, nt, ps);
+            }
+          } else {
+            std::vector<int32_t> np = prefix;
+            np.push_back(s);
+            Ext& e = entry(std::move(np), src, s);
+            std::vector<int32_t> nt = src.times;
+            nt.push_back(t);
+            const float contrib = log_add2(src.pb + ps, src.pnb + ps);
+            e.pnb = log_add2(e.pnb, contrib);
+            offer_times(e, contrib, nt, ps);
+          }
+        }
+      }
+      cur_vec.assign(std::make_move_iterator(next.begin()),
+                     std::make_move_iterator(next.end()));
+      const size_t keep =
+          std::min(static_cast<size_t>(beam_size), cur_vec.size());
+      std::partial_sort(
+          cur_vec.begin(), cur_vec.begin() + keep, cur_vec.end(),
+          [](const auto& a, const auto& b) {
+            return log_add2(a.second.pb, a.second.pnb) +
+                       a.second.ctx_score + a.second.lm_score >
+                   log_add2(b.second.pb, b.second.pnb) +
+                       b.second.ctx_score + b.second.lm_score;
+          });
+      cur_vec.resize(keep);
+    }
+  }
+
+  // final scores (+ refund of unfinished context matches), best-first
+  int write_nbest(int nbest_cap, int max_len, int32_t* out_tokens,
+                  int32_t* out_lens, float* out_scores,
+                  int32_t* out_times) const {
+    std::vector<
+        std::pair<float, const std::pair<std::vector<int32_t>, Ext>*>>
+        ranked;
+    ranked.reserve(cur_vec.size());
+    for (const auto& kv : cur_vec) {
+      float score = log_add2(kv.second.pb, kv.second.pnb) +
+                    kv.second.ctx_score + kv.second.lm_score;
+      if (trie.active) score -= trie.bonus * trie.refund[kv.second.ctx_state];
+      ranked.emplace_back(score, &kv);
+    }
+    std::sort(
+        ranked.begin(), ranked.end(),
+        [](const auto& a, const auto& b) { return a.first > b.first; });
+
+    const int n = std::min(static_cast<int>(ranked.size()), nbest_cap);
+    for (int i = 0; i < n; ++i) {
+      const auto& prefix = ranked[i].second->first;
+      const auto& ext = ranked[i].second->second;
+      const int len = std::min(static_cast<int>(prefix.size()), max_len);
+      out_lens[i] = len;
+      out_scores[i] = ranked[i].first;
+      int32_t* row = out_tokens + static_cast<size_t>(i) * max_len;
+      int32_t* trow = out_times + static_cast<size_t>(i) * max_len;
+      std::memcpy(row, prefix.data(), sizeof(int32_t) * len);
+      std::memcpy(trow, ext.times.data(), sizeof(int32_t) * len);
+      for (int j = len; j < max_len; ++j) {
+        row[j] = -1;
+        trow[j] = -1;
+      }
+    }
+    return n;
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -232,205 +470,51 @@ int ctc_prefix_beam_search_ext(const float* log_probs, int T, int V,
                                float lm_weight, int32_t* out_tokens,
                                int32_t* out_lens, float* out_scores,
                                int32_t* out_times) {
-  const auto* lm = static_cast<const NgramLM*>(lm_handle);
-  // --- context trie -------------------------------------------------
-  std::vector<std::unordered_map<int32_t, int>> children(1);
-  std::vector<int> refund(1, 0);
-  std::vector<bool> is_end(1, false);
-  for (int p = 0; p < n_ctx; ++p) {
-    int node = 0;
-    for (int32_t i = ctx_offsets[p]; i < ctx_offsets[p + 1]; ++i) {
-      const int32_t tok = ctx_tokens[i];
-      auto it = children[node].find(tok);
-      if (it == children[node].end()) {
-        const int nxt = static_cast<int>(children.size());
-        children[node][tok] = nxt;
-        children.emplace_back();
-        refund.push_back(0);
-        is_end.push_back(false);
-        node = nxt;
-      } else {
-        node = it->second;
-      }
-    }
-    if (node != 0) is_end[node] = true;
-  }
-  {  // refund[n] = tokens matched since the last completed phrase
-    std::vector<int> stack{0};
-    while (!stack.empty()) {
-      const int node = stack.back();
-      stack.pop_back();
-      for (const auto& kv : children[node]) {
-        refund[kv.second] = is_end[kv.second] ? 0 : refund[node] + 1;
-        stack.push_back(kv.second);
-      }
-    }
-  }
-  // advance(state, token) -> (new_state, delta)
-  auto ctx_advance = [&](int state, int32_t token) -> std::pair<int, float> {
-    float delta = 0.0f;
-    auto it = children[state].find(token);
-    if (it == children[state].end()) {
-      delta -= ctx_bonus * refund[state];
-      it = children[0].find(token);
-      if (it == children[0].end()) return {0, delta};
-    }
-    delta += ctx_bonus;
-    if (children[it->second].empty()) return {0, delta};  // leaf
-    return {it->second, delta};
-  };
+  BeamState st(beam_size, blank_idx);
+  st.trie.build(ctx_tokens, ctx_offsets, n_ctx, ctx_bonus);
+  st.lm = static_cast<const NgramLM*>(lm_handle);
+  st.lm_weight = lm_weight;
+  st.reset();
+  st.advance(log_probs, T, V);
+  return st.write_nbest(nbest_cap, max_len, out_tokens, out_lens,
+                        out_scores, out_times);
+}
 
-  // --- beam state ----------------------------------------------------
-  struct Ext {
-    float pb, pnb;
-    std::vector<int32_t> times;
-    float last_prob;  // frame log-prob that set times.back()
-    float best_nb;    // strongest single contribution (its times win)
-    int ctx_state;
-    float ctx_score;
-    std::vector<int32_t> lm_state;
-    float lm_score;
-  };
-  using ExtMap = std::unordered_map<std::vector<int32_t>, Ext, PrefixHash>;
-  std::vector<std::pair<std::vector<int32_t>, Ext>> cur_vec;
-  std::vector<int32_t> lm0;
-  if (lm) lm0 = lm->shrink({-1});  // <s> context (BOS id -1)
-  cur_vec.emplace_back(
-      std::vector<int32_t>{},
-      Ext{0.0f, kNegInf, {}, kNegInf, kNegInf, 0, 0.0f, lm0, 0.0f});
+// ---- Stateful streaming beam (chunk-incremental) --------------------
+// beam_state_create builds a decoder that advance()s over logit chunks
+// and reports nbest at any point — the C++ twin of
+// m3asr_tpu/decode/ctc.py PrefixBeamState for streaming serving. The
+// optional lm handle (ngram_lm_create) is borrowed, NOT owned: keep it
+// alive for the state's lifetime. One state = one stream (not
+// thread-safe across concurrent advance() calls).
+void* beam_state_create(int beam_size, int blank_idx,
+                        const int32_t* ctx_tokens,
+                        const int32_t* ctx_offsets, int n_ctx,
+                        float ctx_bonus, const void* lm_handle,
+                        float lm_weight) {
+  auto* st = new BeamState(beam_size, blank_idx);
+  st->trie.build(ctx_tokens, ctx_offsets, n_ctx, ctx_bonus);
+  st->lm = static_cast<const NgramLM*>(lm_handle);
+  st->lm_weight = lm_weight;
+  st->reset();
+  return st;
+}
 
-  std::vector<int> top_idx(V);
-  const int k = std::min(beam_size, V);
+void beam_state_free(void* st) { delete static_cast<BeamState*>(st); }
 
-  for (int t = 0; t < T; ++t) {
-    const float* logp = log_probs + static_cast<size_t>(t) * V;
-    for (int i = 0; i < V; ++i) top_idx[i] = i;
-    std::partial_sort(top_idx.begin(), top_idx.begin() + k, top_idx.end(),
-                      [&](int a, int b) { return logp[a] > logp[b]; });
+void beam_state_reset(void* st) { static_cast<BeamState*>(st)->reset(); }
 
-    ExtMap next;
-    next.reserve(cur_vec.size() * (k + 1));
-    // get/create the accumulator for a next-prefix; context state is a
-    // pure function of the tokens so it is computed once, on creation
-    auto entry = [&](std::vector<int32_t>&& prefix, const Ext& parent,
-                     int32_t s /* -1 = same-prefix source */) -> Ext& {
-      auto it = next.find(prefix);
-      if (it != next.end()) return it->second;
-      Ext e{kNegInf, kNegInf, parent.times, parent.last_prob, kNegInf,
-            parent.ctx_state, parent.ctx_score, parent.lm_state,
-            parent.lm_score};
-      if (s >= 0) {
-        e.times.push_back(t);
-        e.last_prob = kNegInf;
-        if (n_ctx > 0) {
-          auto adv = ctx_advance(parent.ctx_state, s);
-          e.ctx_state = adv.first;
-          e.ctx_score = parent.ctx_score + adv.second;
-        }
-        if (lm) e.lm_score += lm_weight * lm->score(e.lm_state, s);
-      }
-      return next.emplace(std::move(prefix), std::move(e)).first->second;
-    };
-    auto offer_times = [](Ext& e, float contrib,
-                          const std::vector<int32_t>& times,
-                          float last_prob) {
-      if (contrib > e.best_nb) {
-        e.best_nb = contrib;
-        e.times = times;
-        e.last_prob = last_prob;
-      }
-    };
+// log_probs: (T, V) log-softmax chunk; frames accumulate across calls
+// (timestamps are absolute).
+void beam_state_advance(void* st, const float* log_probs, int T, int V) {
+  static_cast<BeamState*>(st)->advance(log_probs, T, V);
+}
 
-    for (int i = 0; i < k; ++i) {
-      const int32_t s = top_idx[i];
-      const float ps = logp[s];
-      for (const auto& kv : cur_vec) {
-        const auto& prefix = kv.first;
-        const Ext& src = kv.second;
-        const int32_t last = prefix.empty() ? -1 : prefix.back();
-        if (s == blank_idx) {
-          Ext& e = entry(std::vector<int32_t>(prefix), src, -1);
-          const float contrib = log_add2(src.pb + ps, src.pnb + ps);
-          e.pb = log_add2(e.pb, contrib);
-          offer_times(e, contrib, src.times, src.last_prob);
-        } else if (s == last) {
-          {  // stay: *ss -> *s; peak frame of the last token may move
-            Ext& e = entry(std::vector<int32_t>(prefix), src, -1);
-            std::vector<int32_t> st = src.times;
-            float sl = src.last_prob;
-            if (ps > src.last_prob) {
-              st.back() = t;
-              sl = ps;
-            }
-            e.pnb = log_add2(e.pnb, src.pnb + ps);
-            offer_times(e, src.pnb + ps, st, sl);
-          }
-          {  // extend via blank: *s-s -> *ss
-            std::vector<int32_t> np = prefix;
-            np.push_back(s);
-            Ext& e = entry(std::move(np), src, s);
-            std::vector<int32_t> nt = src.times;
-            nt.push_back(t);
-            e.pnb = log_add2(e.pnb, src.pb + ps);
-            offer_times(e, src.pb + ps, nt, ps);
-          }
-        } else {
-          std::vector<int32_t> np = prefix;
-          np.push_back(s);
-          Ext& e = entry(std::move(np), src, s);
-          std::vector<int32_t> nt = src.times;
-          nt.push_back(t);
-          const float contrib = log_add2(src.pb + ps, src.pnb + ps);
-          e.pnb = log_add2(e.pnb, contrib);
-          offer_times(e, contrib, nt, ps);
-        }
-      }
-    }
-    cur_vec.assign(std::make_move_iterator(next.begin()),
-                   std::make_move_iterator(next.end()));
-    const size_t keep =
-        std::min(static_cast<size_t>(beam_size), cur_vec.size());
-    std::partial_sort(
-        cur_vec.begin(), cur_vec.begin() + keep, cur_vec.end(),
-        [](const auto& a, const auto& b) {
-          return log_add2(a.second.pb, a.second.pnb) + a.second.ctx_score +
-                     a.second.lm_score >
-                 log_add2(b.second.pb, b.second.pnb) + b.second.ctx_score +
-                     b.second.lm_score;
-        });
-    cur_vec.resize(keep);
-  }
-
-  // final scores (+ refund of unfinished context matches), best-first
-  std::vector<std::pair<float, const std::pair<std::vector<int32_t>, Ext>*>>
-      ranked;
-  ranked.reserve(cur_vec.size());
-  for (const auto& kv : cur_vec) {
-    float score = log_add2(kv.second.pb, kv.second.pnb) +
-                  kv.second.ctx_score + kv.second.lm_score;
-    if (n_ctx > 0) score -= ctx_bonus * refund[kv.second.ctx_state];
-    ranked.emplace_back(score, &kv);
-  }
-  std::sort(ranked.begin(), ranked.end(),
-            [](const auto& a, const auto& b) { return a.first > b.first; });
-
-  const int n = std::min(static_cast<int>(ranked.size()), nbest_cap);
-  for (int i = 0; i < n; ++i) {
-    const auto& prefix = ranked[i].second->first;
-    const auto& ext = ranked[i].second->second;
-    const int len = std::min(static_cast<int>(prefix.size()), max_len);
-    out_lens[i] = len;
-    out_scores[i] = ranked[i].first;
-    int32_t* row = out_tokens + static_cast<size_t>(i) * max_len;
-    int32_t* trow = out_times + static_cast<size_t>(i) * max_len;
-    std::memcpy(row, prefix.data(), sizeof(int32_t) * len);
-    std::memcpy(trow, ext.times.data(), sizeof(int32_t) * len);
-    for (int j = len; j < max_len; ++j) {
-      row[j] = -1;
-      trow[j] = -1;
-    }
-  }
-  return n;
+int beam_state_nbest(const void* st, int nbest_cap, int max_len,
+                     int32_t* out_tokens, int32_t* out_lens,
+                     float* out_scores, int32_t* out_times) {
+  return static_cast<const BeamState*>(st)->write_nbest(
+      nbest_cap, max_len, out_tokens, out_lens, out_scores, out_times);
 }
 
 // Greedy CTC: argmax -> collapse repeats -> drop blank.

@@ -168,14 +168,15 @@ def make_handler(batcher, default_beam, stream_pool=None, lm=None,
                 self._stream_key = key
                 beam_state = None
                 if req.get("decode") == "beam":
-                    from m3asr_tpu.decode.ctc import (ContextTrie,
-                                                      PrefixBeamState)
+                    from m3asr_tpu.decode.ctc import ContextTrie
                     ctx = req.get("context")
                     trie = (ContextTrie(
                         ctx, float(req.get("context_bonus", 3.0)))
                         if ctx else None)
                     use_lm = lm if req.get("lm", True) else None
-                    beam_state = PrefixBeamState(
+                    # C++ incremental beam when the native lib loads,
+                    # python PrefixBeamState otherwise (same contract)
+                    beam_state = native.make_beam_state(
                         int(req.get("beam_size", default_beam)),
                         context=trie, lm=use_lm,
                         lm_weight=float(req.get("lm_weight",

@@ -194,3 +194,55 @@ def test_prefix_beam_state_incremental_matches_offline():
     assert [h.times for h in inc] == [h.times for h in offline]
     np.testing.assert_allclose([h.score for h in inc],
                                [h.score for h in offline], rtol=1e-6)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib required")
+def test_native_beam_state_incremental_parity():
+    """C++ beam_state_* chunked advance == python PrefixBeamState ==
+    one-shot search (tokens/times exact, scores fp32-tight), incl.
+    context biasing and reset()."""
+    from m3asr_tpu.decode.ctc import PrefixBeamState
+    rng = np.random.default_rng(33)
+    T, V = 26, 6
+    logits = rng.normal(size=(T, V)).astype(np.float32)
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    trie = ContextTrie([[1, 2], [3]], bonus=1.0)
+    py = PrefixBeamState(8, context=trie)
+    nat = native.NativeBeamState(8, context=trie)
+    for lo in range(0, T, 5):
+        py.advance(lp[lo:lo + 5])
+        nat.advance(lp[lo:lo + 5])
+        ph = py.nbest()
+        nh = nat.nbest()
+        assert [h.tokens for h in ph] == [h.tokens for h in nh]
+        assert [h.times for h in ph] == [h.times for h in nh]
+        np.testing.assert_allclose([h.score for h in ph],
+                                   [h.score for h in nh], atol=1e-4)
+    offline = ctc_prefix_beam_search_ext(lp, T, 8, context=trie)
+    assert [h.tokens for h in nat.nbest()] == [h.tokens for h in offline]
+    # reset reuses the state for a new stream
+    nat.reset()
+    nat.advance(lp)
+    assert [h.tokens for h in nat.nbest()] == [h.tokens for h in offline]
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib required")
+def test_native_beam_state_with_lm(tmp_path):
+    from m3asr_tpu.decode.ctc import PrefixBeamState
+    from m3asr_tpu.decode.lm import NgramLM
+    (tmp_path / "lm.arpa").write_text(
+        "\\data\\\nngram 1=4\n\n\\1-grams:\n"
+        "-0.5 1 -0.3\n-0.7 2 -0.2\n-1.0 <s> -0.1\n-0.9 </s>\n\n\\end\\\n")
+    lm = NgramLM(str(tmp_path / "lm.arpa"))
+    rng = np.random.default_rng(44)
+    T, V = 20, 5
+    logits = rng.normal(size=(T, V)).astype(np.float32)
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    py = PrefixBeamState(6, lm=lm, lm_weight=0.7)
+    nat = native.NativeBeamState(6, lm=lm, lm_weight=0.7)
+    py.advance(lp)
+    nat.advance(lp)
+    ph, nh = py.nbest(), nat.nbest()
+    assert [h.tokens for h in ph] == [h.tokens for h in nh]
+    np.testing.assert_allclose([h.score for h in ph],
+                               [h.score for h in nh], atol=1e-4)
