@@ -44,7 +44,8 @@ def client_loop(host, port, feat, stop_at, latencies, errors):
 
 
 def stream_client_loop(host, port, feat_np, chunk_frames, stop_at,
-                       chunk_lat, streams_done, errors):
+                       chunk_lat, streams_done, errors,
+                       decode="greedy"):
     """One client running back-to-back streaming sessions: start,
     push the utterance in chunk_frames pieces (each a round-trip with
     a partial), end. Measures per-chunk round-trip latency."""
@@ -52,8 +53,10 @@ def stream_client_loop(host, port, feat_np, chunk_frames, stop_at,
         with socket.create_connection((host, port), timeout=600) as s:
             f = s.makefile("rw")
             while time.monotonic() < stop_at:
-                f.write(json.dumps({"stream": "start",
-                                    "chunk_size": 16}) + "\n")
+                start = {"stream": "start", "chunk_size": 16}
+                if decode != "greedy":
+                    start["decode"] = decode
+                f.write(json.dumps(start) + "\n")
                 f.flush()
                 if "error" in json.loads(f.readline()):
                     errors.append("start rejected")
@@ -93,7 +96,8 @@ def main(args):
         threads = [threading.Thread(
             target=stream_client_loop,
             args=(args.host, args.port, feat_np, args.chunk_frames,
-                  stop_at, latencies, streams_done, errors))
+                  stop_at, latencies, streams_done, errors,
+                  args.stream_decode))
             for _ in range(args.clients)]
         t0 = time.monotonic()
         for t in threads:
@@ -151,6 +155,10 @@ if __name__ == "__main__":
     p.add_argument("--secs", type=float, default=30.0)
     p.add_argument("--frames", type=int, default=206)
     p.add_argument("--feat_dim", type=int, default=40)
+    p.add_argument("--stream_decode", default="greedy",
+                   choices=["greedy", "beam"],
+                   help="streaming partial decode mode (beam = the "
+                        "C++ incremental prefix beam)")
     p.add_argument("--stream", action="store_true",
                    help="drive the streaming protocol instead of "
                         "single-shot requests")

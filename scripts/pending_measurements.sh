@@ -106,6 +106,9 @@ done
 record streaming_8clients \
     timeout 300 python scripts/load_test_serve.py --port 8531 \
     --clients 8 --secs 60 --stream
+record streaming_8clients_beam \
+    timeout 300 python scripts/load_test_serve.py --port 8531 \
+    --clients 8 --secs 60 --stream --stream_decode beam
 record nonstream_16clients \
     timeout 300 python scripts/load_test_serve.py --port 8531 \
     --clients 16 --secs 60
