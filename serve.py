@@ -143,8 +143,11 @@ class SessionPool:
             self._free.setdefault(key, []).append(session)
 
 
-def make_handler(batcher, default_beam, stream_pool=None, lm=None,
-                 default_lm_weight=0.5, engine=None):
+def make_handler(state, default_beam, lm=None, default_lm_weight=0.5):
+    """state: mutable dict {"engine", "batcher", "stream_pool"} — read
+    per request so a SIGHUP hot-reload (main._reload) swaps the whole
+    runtime atomically; in-flight requests and open streams finish on
+    the objects they started with."""
     from m3asr_tpu.decode import native
 
     class Handler(socketserver.StreamRequestHandler):
@@ -156,6 +159,7 @@ def make_handler(batcher, default_beam, stream_pool=None, lm=None,
         _active_lock = threading.Lock()
 
         def _stream_request(self, req):
+            stream_pool = state["stream_pool"]
             if stream_pool is None:
                 return {"error": "streaming unsupported for this model "
                                  "family"}
@@ -166,6 +170,9 @@ def make_handler(batcher, default_beam, stream_pool=None, lm=None,
                 key = (int(req.get("chunk_size", 16)),
                        int(req.get("num_left_chunks", 2)))
                 self._stream_key = key
+                # sessions must release into the pool they came from
+                # (a hot reload may swap state["stream_pool"] mid-stream)
+                self._stream_pool = stream_pool
                 beam_state = None
                 if req.get("decode") == "beam":
                     from m3asr_tpu.decode.ctc import ContextTrie
@@ -208,8 +215,8 @@ def make_handler(batcher, default_beam, stream_pool=None, lm=None,
                         "out_frames": self._stream.frames, "final": True}
                 if self._stream_times:
                     resp["times"] = times
-                stream_pool.release(self._stream_key,
-                                    self._stream.session)
+                self._stream_pool.release(self._stream_key,
+                                          self._stream.session)
                 self._stream = None
                 return resp
             return {"error": f"unknown stream op {op!r}"}
@@ -217,8 +224,8 @@ def make_handler(batcher, default_beam, stream_pool=None, lm=None,
         def finish(self):
             # connection dropped mid-stream: recycle the session
             if getattr(self, "_stream", None) is not None:
-                stream_pool.release(self._stream_key,
-                                    self._stream.session)
+                self._stream_pool.release(self._stream_key,
+                                          self._stream.session)
                 self._stream = None
             super().finish()
 
@@ -244,8 +251,9 @@ def make_handler(batcher, default_beam, stream_pool=None, lm=None,
                     req = json.loads(line)
                     if req.get("stats"):
                         # observability: dispatch history + slot usage
+                        stream_pool = state["stream_pool"]
                         resp = {"request_batch_sizes":
-                                batcher.batch_sizes[-50:]}
+                                state["batcher"].batch_sizes[-50:]}
                         if stream_pool is not None:
                             # DFSMN batcher cores are shared per chunk
                             # size (the factory ignores `left`), so
@@ -287,6 +295,8 @@ def make_handler(batcher, default_beam, stream_pool=None, lm=None,
                         return
                     feat = np.asarray(req["feat"], np.float32)
                     t0 = time.perf_counter()
+                    engine = state["engine"]
+                    batcher = state["batcher"]
                     if (engine is not None
                             and feat.shape[0] > engine.buckets.lengths[-1]):
                         # long-form: beyond the largest bucket, decode
@@ -373,11 +383,10 @@ def make_handler(batcher, default_beam, stream_pool=None, lm=None,
     return Handler
 
 
-def main(args):
-    plat = os.environ.get("M3ASR_PLATFORM")
-    if plat:
-        import jax
-        jax.config.update("jax_platforms", plat)
+def _build_runtime(args):
+    """Engine + micro-batcher + streaming pool, bundled so SIGHUP can
+    rebuild the whole runtime from the (possibly updated) engine dir
+    and swap it in without dropping the listener."""
     from m3asr_tpu.runtime.engine import Engine
 
     from m3asr_tpu.runtime.batching import MicroBatcher
@@ -441,6 +450,17 @@ def main(args):
                 b = batchers[key]
             return BatchedStreamingSession(b)
     stream_pool = SessionPool(factory) if factory is not None else None
+    return {"engine": engine, "batcher": batcher,
+            "stream_pool": stream_pool}
+
+
+def main(args):
+    plat = os.environ.get("M3ASR_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+    state = _build_runtime(args)
 
     lm = None
     if args.lm:
@@ -456,9 +476,9 @@ def main(args):
         # block process exit after shutdown (they hold batcher slots)
 
     with Server((args.host, args.port),
-                make_handler(batcher, args.beam_size, stream_pool,
-                             lm=lm, default_lm_weight=args.lm_weight,
-                             engine=engine)) as srv:
+                make_handler(state, args.beam_size,
+                             lm=lm,
+                             default_lm_weight=args.lm_weight)) as srv:
         # graceful shutdown: SIGTERM/SIGINT stop accepting connections
         # and return from serve_forever (in-flight requests finish; the
         # reference stack has no serving layer at all, so the contract
@@ -469,6 +489,29 @@ def main(args):
             import threading
             threading.Thread(target=srv.shutdown, daemon=True).start()
 
+        # hot reload: SIGHUP rebuilds the runtime from the engine dir
+        # (updated weights / quant mode / buckets) in a background
+        # thread, then swaps it in; in-flight requests and open streams
+        # finish on the old objects (the usual zero-downtime contract)
+        reloading = threading.Lock()
+
+        def _reload(signum, frame):
+            def run():
+                if not reloading.acquire(blocking=False):
+                    print("reload already in progress", flush=True)
+                    return
+                try:
+                    new = _build_runtime(args)
+                    state.update(new)
+                    print("engine reloaded", flush=True)
+                except Exception as e:  # noqa: BLE001 — keep serving
+                    print(f"engine reload FAILED (still serving the old "
+                          f"weights): {e}", flush=True)
+                finally:
+                    reloading.release()
+            threading.Thread(target=run, daemon=True).start()
+
+        signal.signal(signal.SIGHUP, _reload)
         signal.signal(signal.SIGTERM, _stop)
         signal.signal(signal.SIGINT, _stop)
         print(f"serving on {args.host}:{srv.server_address[1]}",

@@ -561,3 +561,80 @@ def test_stream_decode_endpoint_rule():
     d0 = serve_mod._StreamDecode(None)
     d0.update([chunk([1, 0, 0, 0, 0, 0, 0, 0])])
     assert not d0.endpoint()
+
+
+@pytest.mark.slow
+def test_serve_hot_reload(tmp_path):
+    """SIGHUP swaps in updated weights from the engine dir without
+    dropping the listener; post-reload responses match a fresh engine
+    built from the new checkpoint."""
+    import shutil
+    import signal as _signal
+
+    from golden import torch_ref as G
+
+    raw = small_yaml()
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(raw, f)
+    m1 = golden_model()
+    torch.save({f"encoder.{k}": v for k, v in m1.state_dict().items()},
+               tmp_path / "ckpt1.pt")
+    torch.manual_seed(77)
+    m2 = G.randomize_(G.HierMoEConformer(
+        20, 11, attention_dim=32, attention_heads=4, num_blocks=2,
+        num_experts=4, moe_hidden=48,
+        embed_conf=dict(attention_dim=24, attention_heads=4,
+                        linear_units=32, num_blocks=1)), seed=78)
+    torch.save({f"encoder.{k}": v for k, v in m2.state_dict().items()},
+               tmp_path / "ckpt2.pt")
+    env = dict(os.environ, M3ASR_PLATFORM="cpu")
+    for i in (1, 2):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "build.py"),
+             "-c", str(tmp_path / "cfg.yaml"),
+             "-m", str(tmp_path / f"ckpt{i}.pt"),
+             "-o", str(tmp_path / f"eng{i}"), "--buckets", "1x64",
+             "--skip-warmup"],
+            capture_output=True, text=True, env=env)
+        assert r.returncode == 0, r.stderr
+
+    rng = np.random.RandomState(5)
+    feat = rng.randn(40, 20).round(4).astype(np.float32)
+
+    # expected post-reload transcript: decode with engine 2 in-process
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from m3asr_tpu.decode import native
+    from m3asr_tpu.runtime.engine import Engine
+    e2 = Engine.load(str(tmp_path / "eng2"))
+    out, ol = e2.infer(feat[None], np.array([40]))
+    expected = native.ctc_greedy_search(out, ol)[0]
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve.py"),
+         "-p", str(tmp_path / "eng1"), "--port", "0"],
+        stdout=subprocess.PIPE, text=True, env=env)
+    try:
+        line = proc.stdout.readline()
+        port = int(re.search(r":(\d+)$", line.strip()).group(1))
+        with socket.create_connection(("127.0.0.1", port),
+                                      timeout=120) as s:
+            f = s.makefile("rw")
+            f.write(json.dumps({"id": "a", "feat": feat.tolist()}) + "\n")
+            f.flush()
+            r1 = json.loads(f.readline())
+            assert "hyp" in r1
+
+            # swap the weights under the engine dir, then SIGHUP
+            shutil.copy(tmp_path / "eng2" / "params.npz",
+                        tmp_path / "eng1" / "params.npz")
+            proc.send_signal(_signal.SIGHUP)
+            assert "engine reloaded" in proc.stdout.readline()
+
+            f.write(json.dumps({"id": "b", "feat": feat.tolist()}) + "\n")
+            f.flush()
+            r2 = json.loads(f.readline())
+            assert r2["hyp"] == [int(t) for t in expected], (r2, expected)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
