@@ -36,6 +36,7 @@ pooled and their jitted chunk forwards reused across connections):
 """
 
 import argparse
+import collections
 import json
 import os
 import socketserver
@@ -157,6 +158,10 @@ def make_handler(state, default_beam, lm=None, default_lm_weight=0.5):
         active = 0
         last_activity = 0.0
         _active_lock = threading.Lock()
+        # rolling request latencies for the stats endpoint
+        _lat_ms = collections.deque(maxlen=2048)
+        _started = time.time()
+        _served = 0
 
         def _stream_request(self, req):
             stream_pool = state["stream_pool"]
@@ -251,9 +256,22 @@ def make_handler(state, default_beam, lm=None, default_lm_weight=0.5):
                     req = json.loads(line)
                     if req.get("stats"):
                         # observability: dispatch history + slot usage
+                        # + rolling latency percentiles + uptime
+                        cls = type(self)
+                        lat = sorted(cls._lat_ms)
+                        pct = (lambda q: round(
+                            lat[min(len(lat) - 1,
+                                    int(q * len(lat)))], 2)) \
+                            if lat else (lambda q: None)
                         stream_pool = state["stream_pool"]
                         resp = {"request_batch_sizes":
-                                state["batcher"].batch_sizes[-50:]}
+                                state["batcher"].batch_sizes[-50:],
+                                "served": cls._served,
+                                "uptime_s": round(
+                                    time.time() - cls._started, 1),
+                                "latency_ms": {"p50": pct(0.50),
+                                               "p95": pct(0.95),
+                                               "p99": pct(0.99)}}
                         if stream_pool is not None:
                             # DFSMN batcher cores are shared per chunk
                             # size (the factory ignores `left`), so
@@ -355,10 +373,14 @@ def make_handler(state, default_beam, lm=None, default_lm_weight=0.5):
                         else:
                             hyp = native.ctc_greedy_search(
                                 out1[None], np.array([out_len]))[0]
+                    lat_ms = round((time.perf_counter() - t0) * 1e3, 2)
+                    cls = type(self)
+                    with cls._active_lock:
+                        cls._lat_ms.append(lat_ms)
+                        cls._served += 1
                     resp = {"id": req.get("id"), "hyp": [int(t) for t in hyp],
                             "out_len": out_len,
-                            "latency_ms": round(
-                                (time.perf_counter() - t0) * 1e3, 2)}
+                            "latency_ms": lat_ms}
                     if req.get("timestamps"):
                         # post-subsample frame indices (x subsample x
                         # 10 ms for wall-clock)

@@ -119,6 +119,8 @@ def test_serve_roundtrip(tmp_path):
             resp = json.loads(f.readline())
             assert resp["request_batch_sizes"], resp
             assert "stream_batchers" in resp
+            assert resp["served"] >= 6 and resp["uptime_s"] > 0
+            assert resp["latency_ms"]["p50"] <= resp["latency_ms"]["p99"]
             # malformed request -> error response, server stays up
             f.write('{"id": "bad"}\n')
             f.flush()
