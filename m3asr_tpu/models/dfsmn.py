@@ -292,10 +292,13 @@ def cfsmn_moe_layer(p, x: jax.Array, embed: jax.Array,
         router_in = _ln(p["ln_for_router"], router_in, eps=1e-5)
     gate_value, gate_idx = moe_ops.softmax_top1_gate(p["router"], router_in,
                                                      lengths)
-    if moe_impl in ("quant", "quant_tiled"):
+    if moe_impl in ("quant", "quant_tiled", "quant_a8", "quant_a8_tiled"):
         from m3asr_tpu.ops import quant as quant_ops
-        dispatch = (quant_ops.moe_experts_dense_q if moe_impl == "quant"
-                    else quant_ops.moe_experts_tiled_q)
+        dispatch = {"quant": quant_ops.moe_experts_dense_q,
+                    "quant_tiled": quant_ops.moe_experts_tiled_q,
+                    "quant_a8": quant_ops.moe_experts_dense_w8a8,
+                    "quant_a8_tiled": quant_ops.moe_experts_tiled_w8a8,
+                    }[moe_impl]
     else:
         table = {"dense": moe_ops.moe_experts_dense,
                  "ragged": moe_ops.moe_experts_ragged,
@@ -304,7 +307,7 @@ def cfsmn_moe_layer(p, x: jax.Array, embed: jax.Array,
             raise ValueError(
                 f"moe_impl={moe_impl!r} is not supported for the "
                 f"DFSMN-MoE layer; choose one of "
-                f"{sorted(table) + ['quant', 'quant_tiled']}")
+                f"{sorted(table) + ['quant', 'quant_tiled', 'quant_a8', 'quant_a8_tiled']}")
         dispatch = table[moe_impl]
     y = dispatch(p, x, gate_idx, activation=jax.nn.relu,
                  upper_bound=cfg.upper_bound)

@@ -164,3 +164,43 @@ def test_dfsmn_moe_int8_engine():
         ref, got = o32[b, :n], o8[b, :n]
         rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
         assert rel < 0.08, rel
+
+
+def test_dfsmn_moe_w8a8_engine():
+    """act_quant composes with the DFSMN-MoE family: the auto policy's
+    quant_a8 impl flows through the per-layer moe_ffn dispatch."""
+    from m3asr_tpu.config import model_config_from_dict
+    from m3asr_tpu.runtime.engine import Engine, EngineConfig
+
+    raw = {
+        "nnet_proto": "dfsmn_san_fmoe_localComm_catEmbed",
+        "input_dim": 12, "output_dim": 7,
+        "model_conf": {
+            "num_block": 2, "fsmn_each_block": 2,
+            "fsmn_conf": {"hidden_dim": 24, "memory_dim": 16},
+            "san_conf": {"num_head": 4, "num_memory": 8},
+            "moe_conf": {"num_experts": 4},
+            "embed_conf": {"num_block": 1, "fsmn_each_block": 2,
+                           "hidden_dim": 24, "memory_dim": 16,
+                           "num_head": 4, "num_memory": 8},
+        },
+    }
+    cfg = model_config_from_dict(raw)
+    params = _moe_net_params()
+    i8 = Engine(cfg, params,
+                EngineConfig(dtype="int8", bucket_lengths=(32,),
+                             bucket_batches=(2,), donate_input=False))
+    a8 = Engine(cfg, params,
+                EngineConfig(dtype="int8", act_quant=True,
+                             bucket_lengths=(32,), bucket_batches=(2,),
+                             donate_input=False))
+    assert a8._moe_impl_for(2, 32) == "quant_a8"
+    feat = np.random.RandomState(9).randn(2, 23, 12).astype(np.float32)
+    lens = np.array([23, 14], np.int32)
+    o8, l8 = i8.infer(feat, lens)
+    oa, la = a8.infer(feat, lens)
+    assert list(l8) == list(la)
+    for b, n in enumerate([23, 14]):
+        rel = np.abs(oa[b, :n] - o8[b, :n]).max() / (
+            np.abs(o8[b, :n]).max() + 1e-6)
+        assert rel < 0.08, rel
