@@ -37,8 +37,8 @@ def main(args):
     context = None
     if args.context_file:
         from m3asr_tpu.decode.ctc import ContextTrie
-        if args.decode != "beam":
-            sys.exit("--context_file biasing needs -d beam")
+        if args.decode not in ("beam", "rescore"):
+            sys.exit("--context_file biasing needs -d beam/rescore")
         with open(args.context_file) as fh:
             phrases = [[int(t) for t in line.split()]
                        for line in fh if line.strip()]
@@ -50,8 +50,8 @@ def main(args):
         id2sym = {v: k for k, v in read_symbol_table(args.units).items()}
     if args.lm:
         from m3asr_tpu.decode.lm import NgramLM, read_symbol_table
-        if args.decode != "beam":
-            sys.exit("--lm shallow fusion needs -d beam")
+        if args.decode not in ("beam", "rescore"):
+            sys.exit("--lm shallow fusion needs -d beam/rescore")
         symtab = read_symbol_table(args.units) if args.units else None
         lm = NgramLM(args.lm, symtab)
 
@@ -135,12 +135,20 @@ def main(args):
         else:
             m = out.max(-1, keepdims=True)
             lp = out - m - np.log(np.exp(out - m).sum(-1, keepdims=True))
-            if ((args.timestamps or context is not None or lm is not None)
-                    and args.decode == "beam"):
+            if (args.timestamps and args.decode == "beam") \
+                    or context is not None or lm is not None:
+                # extended beam: timestamps and/or LM-fused +
+                # context-biased nbest scores; for -d rescore the AED
+                # decoder then re-ranks this LM/context-aware nbest
+                # (CTC+LM+AED — a combined pipeline the reference's
+                # commented rescorer never had)
                 nbests = native.ctc_prefix_beam_search_ext_batch(
                     lp, out_lens, args.beam_size, context=context,
                     lm=lm, lm_weight=args.lm_weight)
                 times = [list(nb[0].times) for nb in nbests]
+                if args.decode == "rescore":
+                    nbests = [[(h.tokens, h.score) for h in nb]
+                              for nb in nbests]
             else:
                 nbests = native.ctc_prefix_beam_search_batch(
                     lp, out_lens, args.beam_size)

@@ -80,6 +80,9 @@ def test_recognize_pipeline(tmp_path):
                                   "--context_bonus", "0.5"]),
                         ("beam", ["--lm", str(tmp_path / "lm.arpa"),
                                   "--lm_weight", "0.3"]),
+                        ("rescore", ["--lm", str(tmp_path / "lm.arpa"),
+                                     "--context_file",
+                                     str(tmp_path / "ctx.txt")]),
                         ("greedy", ["--timestamps"]),
                         ("greedy", ["--units", str(tmp_path / "units")])):
         r = subprocess.run(
