@@ -502,11 +502,21 @@ class Engine:
                 "exported bucket %s unusable (%s); retracing", path, e)
             return None
 
-    def warmup(self, buckets=None):
+    def warmup(self, buckets=None, parallel: bool = True):
         """Pre-compile the given (or all) buckets — the 'engine build'
-        phase (replaces TRT tactic search)."""
-        for b, t in (buckets or self.buckets.all_buckets()):
-            self.get_fn(b, t)
+        phase (replaces TRT tactic search). Buckets compile in parallel
+        threads by default: tracing is python-bound but XLA's compile
+        releases the GIL, so the ladder builds in ~max(bucket) instead
+        of sum(bucket) time (distinct keys — no duplicated work)."""
+        items = list(buckets or self.buckets.all_buckets())
+        if not parallel or len(items) <= 1:
+            for b, t in items:
+                self.get_fn(b, t)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        workers = min(len(items), os.cpu_count() or 4)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(lambda bt: self.get_fn(*bt), items))
 
     # ------------------------------------------------------------------
     # inference
