@@ -115,20 +115,12 @@ record nonstream_16clients \
 kill $SERVE_PID 2>/dev/null
 trap - EXIT
 
-echo "done -> $OUT" >&2
-
-# --- 4. parallel bucket warmup A/B (flagship build time) --------------------
+# --- 4. parallel bucket warmup A/B (flagship build time) -------------------
 # CPU-small measurement was a wash (tracing dominates); on the chip the
-# XLA compiles dominate, where threads should overlap them.
+# XLA compiles dominate, where threads should overlap them. Parallel
+# runs FIRST (cold compile cache); serial then gets warm-cache hits, so
+# any parallel win measured here is conservative.
 record warmup_parallel \
-    timeout 580 python - <<'PYEOF'
-import json, time
-from m3asr_tpu.runtime.engine import Engine
-import sys
-eng = Engine.load(sys.argv[1] if len(sys.argv) > 1 else "/tmp/eng_int8_pending")
-t0 = time.perf_counter(); eng.warmup(parallel=False); ts = time.perf_counter() - t0
-eng._fns.clear()
-t0 = time.perf_counter(); eng.warmup(parallel=True); tp = time.perf_counter() - t0
-print(json.dumps({"metric": "warmup_s", "serial": round(ts, 1),
-                  "parallel": round(tp, 1)}))
-PYEOF
+    timeout 580 python scripts/bench_warmup.py -p /tmp/eng_int8_pending
+
+echo "done -> $OUT" >&2
