@@ -194,6 +194,38 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def zero_sharding(mesh: Mesh, tree, base=None, tp: bool = False,
+                  pp: bool = False, min_size: int = 2048):
+    """ZeRO-1 layout for an optimizer-state tree: each big leaf gains a
+    'dp' partition on its first still-unsharded divisible axis, on top
+    of the base ep/tp/pp layout (param_sharding). Per-device optimizer
+    memory then scales 1/dp — the TPU-native form of optimizer-state
+    sharding (the reference replicates optimizer state per DDP rank).
+    XLA inserts the reshards: grads scatter to the shards, the
+    elementwise update runs sharded, and updated params gather back to
+    their own (replicated or tp/ep) layout.
+
+    Leaves smaller than `min_size` elements (step counts, lr_scale,
+    scalar hyper-state) stay on the base layout.
+    """
+    dp = mesh.shape[DATA_AXIS]
+    if base is None:
+        base = param_sharding(mesh, tree, tp=tp, pp=pp)
+
+    def spec(path, leaf, b):
+        shape = np.shape(leaf)
+        if dp <= 1 or int(np.size(leaf)) < min_size:
+            return b
+        parts = list(b.spec) + [None] * (len(shape) - len(b.spec))
+        for i, dim in enumerate(shape):
+            if parts[i] is None and dim % dp == 0:
+                parts[i] = DATA_AXIS
+                return NamedSharding(mesh, P(*parts))
+        return b
+
+    return jax.tree_util.tree_map_with_path(spec, tree, base)
+
+
 # --- sequence-parallel activation constraints -------------------------------
 #
 # The reference has no sequence parallelism (SURVEY.md §2.9); long audio

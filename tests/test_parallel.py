@@ -55,3 +55,72 @@ def test_ep_sharded_forward_matches_single_device():
                           jax.device_put(fl, NamedSharding(mesh, P())))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_zero1_optimizer_sharding_matches_replicated():
+    """ZeRO-1 (optimizer moments sharded over dp) must be a pure memory
+    layout change: params after N steps equal the replicated-state run,
+    and the returned moments actually carry the dp partition."""
+    from m3asr_tpu.config import (EncoderConfig, ModelConfig, MoEConfig,
+                                  MoEEncoderConfig)
+    from m3asr_tpu.models import moe_conformer
+    from m3asr_tpu.train.step import (TrainConfig, make_optimizer,
+                                      make_train_step)
+
+    mc = ModelConfig()
+    mc.input_dim = 12
+    mc.output_dim = 7
+    mc.encoder_conf = MoEEncoderConfig(
+        attention_dim=16, attention_heads=4, num_blocks=2,
+        embed_conf=EncoderConfig(attention_dim=16, attention_heads=4,
+                                 linear_units=24, num_blocks=1),
+        moe_conf=MoEConfig(num_experts=2, hidden_units=32))
+    params = moe_conformer.init(jax.random.PRNGKey(0), mc.encoder_conf,
+                                mc.input_dim, mc.output_dim)
+    tcfg = TrainConfig(warmup_steps=5)
+    opt = make_optimizer(tcfg)
+    step = make_train_step(mc, tcfg, opt)
+
+    mesh = pmesh.make_mesh(dp=4, ep=2)
+    p_shard = pmesh.param_sharding(mesh, params)
+    probe = opt.init(params)
+    o_rep = pmesh.param_sharding(mesh, probe)
+    o_zero = pmesh.zero_sharding(mesh, probe, o_rep)
+    # the big moment leaves actually got a dp axis
+    assert any("dp" in str(s.spec) for s in jax.tree.leaves(
+        o_zero, is_leaf=lambda x: isinstance(x, NamedSharding)))
+
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(4, 25, 12), jnp.float32)
+    lens = jnp.asarray([25, 21, 19, 25])
+    tgt = jnp.asarray(rng.randint(1, 7, (4, 3)), jnp.int32)
+    tlens = jnp.asarray([3, 2, 3, 1])
+    b_shard = pmesh.batch_sharding(mesh)
+    r_shard = pmesh.replicated(mesh)
+
+    results = {}
+    for tag, o_shard in (("rep", o_rep), ("zero", o_zero)):
+        jstep = jax.jit(step,
+                        in_shardings=(p_shard, o_shard, b_shard,
+                                      r_shard, r_shard, r_shard),
+                        out_shardings=(p_shard, o_shard, r_shard))
+        p = jax.device_put(params, p_shard)
+        s = jax.device_put(opt.init(params), o_shard)
+        with mesh:
+            for _ in range(3):
+                p, s, m = jstep(p, s, feat, lens, tgt, tlens)
+        results[tag] = (jax.device_get(p), jax.device_get(s),
+                        float(m["loss"]), s)
+    assert results["rep"][2] == pytest.approx(results["zero"][2],
+                                              rel=1e-6)
+    import optax
+    dp_ = optax.global_norm(jax.tree.map(
+        lambda a, b: a - b, results["rep"][0], results["zero"][0]))
+    ref = optax.global_norm(results["rep"][0])
+    assert float(dp_) < 1e-5 * float(ref) + 1e-7
+    # returned opt state keeps the zero layout (memory claim holds)
+    out_state = results["zero"][3]
+    shardings = [x.sharding.spec for x in jax.tree.leaves(out_state)
+                 if hasattr(x, "sharding")]
+    assert any("dp" in str(s) for s in shardings)

@@ -230,6 +230,9 @@ def main(args):
                     else (6 if domain_acc else 4))
     bmuf_recipe = None
     opt_state = None
+    if args.zero1 and args.bmuf:
+        sys.exit("--zero1 shards the global optimizer state over dp; "
+                 "BMUF keeps per-replica local optimizers — pick one")
     if args.bmuf:
         # BMUF mode (the reference's deployed trainer,
         # bk/..._hier.py:599-614): dp replicas step locally — the step
@@ -262,6 +265,14 @@ def main(args):
         opt_probe = optimizer.init(params)
         o_shard = pmesh.param_sharding(mesh, opt_probe, tp=tp > 1,
                                        pp=pp > 1)
+        if args.zero1:
+            # ZeRO-1: optimizer moments shard over dp (1/dp per-device
+            # optimizer memory; grads scatter, update runs sharded,
+            # params gather back — all inserted by GSPMD). The initial
+            # state must be PLACED in that layout (jit in_shardings
+            # rejects a mismatching committed sharding).
+            o_shard = pmesh.zero_sharding(mesh, opt_probe, o_shard)
+            opt_state = jax.device_put(opt_probe, o_shard)
         # feat stays batch-sharded even under --sp: loader batches pad
         # to the batch max (arbitrary T), and a (dp, sp) input sharding
         # requires T % sp == 0 — the first constrain_act time-shards
@@ -353,6 +364,10 @@ if __name__ == "__main__":
                         help="GPipe microbatches per step (with --pp)")
     parser.add_argument("--ep", type=int, default=1,
                         help="expert-parallel mesh size")
+    parser.add_argument("--zero1", action="store_true",
+                        help="ZeRO-1: shard optimizer moments over dp "
+                             "(1/dp per-device optimizer memory; "
+                             "beyond-reference)")
     parser.add_argument("--smbr_cmd", required=False,
                         help="external lattice command for sMBR-style "
                              "sequence training; {post}/{grad}/{trans} "
