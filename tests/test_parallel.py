@@ -124,3 +124,68 @@ def test_zero1_optimizer_sharding_matches_replicated():
     shardings = [x.sharding.spec for x in jax.tree.leaves(out_state)
                  if hasattr(x, "sharding")]
     assert any("dp" in str(s) for s in shardings)
+
+
+@pytest.mark.slow
+def test_fsdp_param_sharding_one_step_parity():
+    """FSDP/ZeRO-3 (master params + moments dp-sharded) is a layout
+    change: one step matches the replicated run to fp reduction-order
+    tolerance, and params/moments verifiably carry the dp partition."""
+    from m3asr_tpu.config import (EncoderConfig, ModelConfig, MoEConfig,
+                                  MoEEncoderConfig)
+    from m3asr_tpu.models import moe_conformer
+    from m3asr_tpu.train.step import (TrainConfig, make_optimizer,
+                                      make_train_step)
+
+    mc = ModelConfig()
+    mc.input_dim = 12
+    mc.output_dim = 7
+    mc.encoder_conf = MoEEncoderConfig(
+        attention_dim=16, attention_heads=4, num_blocks=2,
+        embed_conf=EncoderConfig(attention_dim=16, attention_heads=4,
+                                 linear_units=24, num_blocks=1),
+        moe_conf=MoEConfig(num_experts=2, hidden_units=32))
+    params = moe_conformer.init(jax.random.PRNGKey(0), mc.encoder_conf,
+                                mc.input_dim, mc.output_dim)
+    tcfg = TrainConfig(warmup_steps=5)
+    opt = make_optimizer(tcfg)
+    step = make_train_step(mc, tcfg, opt)
+    probe = opt.init(params)
+
+    mesh = pmesh.make_mesh(dp=4, ep=2)
+    p_rep = pmesh.param_sharding(mesh, params)
+    o_rep = pmesh.param_sharding(mesh, probe)
+    p_fsdp = pmesh.zero_sharding(mesh, params, p_rep, min_size=64)
+    o_fsdp = pmesh.zero_sharding(mesh, probe, o_rep, min_size=64)
+    assert any("dp" in str(s.spec) for s in jax.tree.leaves(
+        p_fsdp, is_leaf=lambda x: isinstance(x, NamedSharding)))
+
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(4, 25, 12), jnp.float32)
+    lens = jnp.asarray([25, 21, 19, 25])
+    tgt = jnp.asarray(rng.randint(1, 7, (4, 3)), jnp.int32)
+    tlens = jnp.asarray([3, 2, 3, 1])
+    b = pmesh.batch_sharding(mesh)
+    r = pmesh.replicated(mesh)
+    outs = {}
+    for tag, (ps, osd) in {"rep": (p_rep, o_rep),
+                           "fsdp": (p_fsdp, o_fsdp)}.items():
+        jstep = jax.jit(step, in_shardings=(ps, osd, b, r, r, r),
+                        out_shardings=(ps, osd, r))
+        with mesh:
+            p2, s2, m = jstep(jax.device_put(params, ps),
+                              jax.device_put(probe, osd),
+                              feat, lens, tgt, tlens)
+        outs[tag] = (jax.device_get(p2), float(m["loss"]), p2)
+    assert outs["rep"][1] == pytest.approx(outs["fsdp"][1], rel=1e-6)
+    import optax
+    d = optax.global_norm(jax.tree.map(lambda a, b: a - b,
+                                       outs["rep"][0], outs["fsdp"][0]))
+    # different partitionings reduce in different orders; Adam's
+    # normalization amplifies that fp noise into O(1e-6)-relative
+    # parameter deltas — that is the expected (and only) difference
+    assert float(d) < 1e-5 * float(optax.global_norm(outs["rep"][0]))
+    # updated params come back in the fsdp layout (memory claim holds)
+    assert any("dp" in str(x.sharding.spec)
+               for x in jax.tree.leaves(outs["fsdp"][2])
+               if hasattr(x, "sharding"))

@@ -230,8 +230,8 @@ def main(args):
                     else (6 if domain_acc else 4))
     bmuf_recipe = None
     opt_state = None
-    if args.zero1 and args.bmuf:
-        sys.exit("--zero1 shards the global optimizer state over dp; "
+    if (args.zero1 or args.fsdp) and args.bmuf:
+        sys.exit("--zero1/--fsdp shard the global state over dp; "
                  "BMUF keeps per-replica local optimizers — pick one")
     if args.bmuf:
         # BMUF mode (the reference's deployed trainer,
@@ -265,7 +265,7 @@ def main(args):
         opt_probe = optimizer.init(params)
         o_shard = pmesh.param_sharding(mesh, opt_probe, tp=tp > 1,
                                        pp=pp > 1)
-        if args.zero1:
+        if args.zero1 or args.fsdp:
             # ZeRO-1: optimizer moments shard over dp (1/dp per-device
             # optimizer memory; grads scatter, update runs sharded,
             # params gather back — all inserted by GSPMD). The initial
@@ -273,6 +273,11 @@ def main(args):
             # rejects a mismatching committed sharding).
             o_shard = pmesh.zero_sharding(mesh, opt_probe, o_shard)
             opt_state = jax.device_put(opt_probe, o_shard)
+        if args.fsdp:
+            # FSDP / ZeRO-3: master params ALSO shard over dp — XLA
+            # all-gathers each weight at its use site and keeps the
+            # resident copy 1/dp-sized (composes with ep/tp splits)
+            p_shard = pmesh.zero_sharding(mesh, params, p_shard)
         # feat stays batch-sharded even under --sp: loader batches pad
         # to the batch max (arbitrary T), and a (dp, sp) input sharding
         # requires T % sp == 0 — the first constrain_act time-shards
@@ -368,6 +373,10 @@ if __name__ == "__main__":
                         help="ZeRO-1: shard optimizer moments over dp "
                              "(1/dp per-device optimizer memory; "
                              "beyond-reference)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="FSDP/ZeRO-3: additionally shard master "
+                             "params over dp (implies --zero1; XLA "
+                             "all-gathers weights at use sites)")
     parser.add_argument("--smbr_cmd", required=False,
                         help="external lattice command for sMBR-style "
                              "sequence training; {post}/{grad}/{trans} "
