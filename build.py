@@ -85,7 +85,9 @@ def main(args):
     ecfg = EngineConfig(dtype=dtype, use_prior=prior is not None,
                         ep=args.ep, tp=args.tp,
                         act_quant=args.act_quant,
-                        attn_impl=args.attn_impl)
+                        attn_impl=args.attn_impl,
+                        decode_output=args.decode_output,
+                        decode_topk=args.decode_topk)
     if args.buckets:
         pairs = [tuple(map(int, b.split("x"))) for b in
                  args.buckets.split(",")]
@@ -170,6 +172,21 @@ if __name__ == "__main__":
                              "tp-device mesh (composes with --ep; "
                              "engine must be loaded with >= ep*tp "
                              "devices)")
+    parser.add_argument("--decode_output", default="logits",
+                        choices=["logits", "log_softmax", "argmax",
+                                 "topk", "beam"],
+                        help="engine output: raw logits (default), "
+                        "log-softmax, on-device greedy front (argmax "
+                        "ids + log-probs; D2H shrinks from (B,T,V) "
+                        "floats to (B,T) ints), on-device per-frame "
+                        "top-K candidates for sparse beam search, or "
+                        "'beam' — the full CTC prefix beam search runs "
+                        "inside the jitted forward and only n-best ids "
+                        "+ scores leave the device")
+    parser.add_argument("--decode_topk", type=int, default=8,
+                        help="K for --decode_output topk (beam decode "
+                        "exact vs dense logits when K >= beam_size) "
+                        "and the beam width for --decode_output beam")
     parser.add_argument("--strict", action="store_true",
                         help="fail if any checkpoint key is not consumed "
                              "by the conversion (name-mapping drift guard)")

@@ -34,10 +34,13 @@ def main(args):
 
     # warm-up (compiles the bucket if not cached), then timed run —
     # mirrors infer.py:77-87
-    out, out_lens = engine.infer(feat, feat_len)
+    res = engine.infer(feat, feat_len)
     t1 = time.perf_counter()
-    out, out_lens = engine.infer(feat, feat_len)
+    res = engine.infer(feat, feat_len)
     t2 = time.perf_counter()
+    out, out_lens = res[0], res[1]
+    dmode = engine.cfg.decode_output  # argmax/topk = sparse on-device
+    aux = res[2] if dmode in ("argmax", "topk") else None
     print("time=" + str((t2 - t1) * 1000) + "ms")
 
     print("outputs.shape:" + str(out.shape))
@@ -45,9 +48,31 @@ def main(args):
     print(out)
 
     if args.decode != "none":
-        from m3asr_tpu.decode import ctc_greedy_search, ctc_prefix_beam_search
-        if args.decode == "greedy":
-            hyps = ctc_greedy_search(out, out_lens)
+        from m3asr_tpu.decode import (ctc_greedy_from_ids,
+                                      ctc_greedy_search,
+                                      ctc_prefix_beam_search,
+                                      ctc_prefix_beam_search_sparse)
+        if dmode == "beam":
+            # the search already ran inside the engine: res is
+            # (n-best ids, out_len, hyp lens, scores)
+            hyp_lens = np.asarray(res[2])
+            hyps = [[int(t) for t in out[b, 0, :hyp_lens[b, 0]]]
+                    for b in range(out.shape[0])]
+        elif args.decode == "greedy":
+            if dmode == "argmax":
+                hyps = ctc_greedy_from_ids(out, out_lens)
+            elif dmode == "topk":
+                hyps = ctc_greedy_from_ids(aux[..., 0], out_lens)
+            else:
+                hyps = ctc_greedy_search(out, out_lens)
+        elif dmode == "argmax":
+            sys.exit("beam decode needs an engine built with "
+                     "--decode_output topk/logits, not argmax")
+        elif dmode == "topk":
+            hyps = [ctc_prefix_beam_search_sparse(
+                        out[b], aux[b], int(out_lens[b]),
+                        args.beam_size)[0][0]
+                    for b in range(out.shape[0])]
         else:
             m = out.max(-1, keepdims=True)
             lp = out - m - np.log(np.exp(out - m).sum(-1, keepdims=True))

@@ -134,18 +134,50 @@ def ctc_prefix_beam_search(
     log(p_blank_ending + p_nonblank_ending) like the reference.
     """
     log_probs = np.asarray(log_probs)
+
+    def frames():
+        for t in range(int(out_len)):
+            logp = log_probs[t]
+            k = min(beam_size, logp.shape[-1])
+            top_k_index = np.argpartition(logp, -k)[-k:]
+            yield [(int(s), float(logp[s])) for s in top_k_index]
+
+    return _prefix_beam_over_frames(frames(), beam_size, blank_idx)
+
+
+def ctc_prefix_beam_search_sparse(
+        values: np.ndarray, indices: np.ndarray, out_len: int,
+        beam_size: int, blank_idx: int = 0
+        ) -> List[Tuple[Tuple[int, ...], float]]:
+    """Prefix beam search over per-frame top-K candidates already
+    selected on device (engine decode_output "topk": values/indices
+    are (T, K) log-softmax scores + token ids, sorted best-first per
+    frame). Identical hypotheses to `ctc_prefix_beam_search` on the
+    dense rows when K >= beam_size — the dense search's first prune is
+    the same per-frame top-k."""
+    values = np.asarray(values)
+    indices = np.asarray(indices)
+    k = min(beam_size, values.shape[-1])
+
+    def frames():
+        for t in range(int(out_len)):
+            yield [(int(indices[t, i]), float(values[t, i]))
+                   for i in range(k)]
+
+    return _prefix_beam_over_frames(frames(), beam_size, blank_idx)
+
+
+def _prefix_beam_over_frames(frames, beam_size: int, blank_idx: int
+                             ) -> List[Tuple[Tuple[int, ...], float]]:
+    """The (pb, pnb) prefix recursion over per-frame [(token, logp)]
+    candidate lists (encoder.py:182-260), shared by the dense and
+    sparse drivers."""
     # cur_hyps: prefix -> (pb, pnb)
     cur_hyps: List[Tuple[Tuple[int, ...], Tuple[float, float]]] = [
         (tuple(), (0.0, NEG_INF))]
-    for t in range(int(out_len)):
-        logp = log_probs[t]
+    for cands in frames:
         next_hyps = defaultdict(lambda: (NEG_INF, NEG_INF))
-        # first prune: per-frame top-k tokens
-        k = min(beam_size, logp.shape[-1])
-        top_k_index = np.argpartition(logp, -k)[-k:]
-        for s in top_k_index:
-            s = int(s)
-            ps = float(logp[s])
+        for s, ps in cands:
             for prefix, (pb, pnb) in cur_hyps:
                 last = prefix[-1] if prefix else None
                 if s == blank_idx:
@@ -210,6 +242,69 @@ def ctc_greedy_search_times(logits: np.ndarray, out_lens: np.ndarray,
     return hyps
 
 
+def ctc_greedy_from_ids(ids: np.ndarray, out_lens: np.ndarray,
+                        blank_idx: int = 0) -> List[List[int]]:
+    """Greedy CTC over per-frame argmax ids computed ON DEVICE (engine
+    decode_output "argmax": only (B, T) int32 crosses D2H instead of
+    (B, T, V) floats). Same hypotheses as `ctc_greedy_search` on the
+    logits the argmax came from."""
+    ids = np.asarray(ids)
+    out_lens = np.asarray(out_lens)
+    hyps = []
+    for b in range(ids.shape[0]):
+        row = ids[b, : int(out_lens[b])]
+        keep = np.ones(len(row), dtype=bool)
+        keep[1:] = row[1:] != row[:-1]
+        collapsed = row[keep]
+        hyps.append([int(t) for t in collapsed if t != blank_idx])
+    return hyps
+
+
+def ctc_greedy_times_from_ids(ids: np.ndarray, best_logp: np.ndarray,
+                              out_lens: np.ndarray,
+                              blank_idx: int = 0) -> List[Hyp]:
+    """Greedy CTC with emission frames over on-device argmax ids +
+    their log-softmax scores (engine decode_output "argmax"). Matches
+    `ctc_greedy_search_times` run on log-softmax rows: each token's
+    time is the first frame of its argmax run; Hyp.score is the summed
+    per-frame best log-prob. exp(best_logp[t]) at an emission frame is
+    the token's posterior (`token_confidence` equivalent)."""
+    ids = np.asarray(ids)
+    best_logp = np.asarray(best_logp)
+    out_lens = np.asarray(out_lens)
+    hyps = []
+    for b in range(ids.shape[0]):
+        n = int(out_lens[b])
+        toks, times = [], []
+        prev = -1
+        total = 0.0
+        for t in range(n):
+            s = int(ids[b, t])
+            total += float(best_logp[b, t])
+            if s != prev and s != blank_idx:
+                toks.append(s)
+                times.append(t)
+            prev = s
+        hyps.append(Hyp(tuple(toks), total, tuple(times)))
+    return hyps
+
+
+def token_confidence_sparse(values: np.ndarray, indices: np.ndarray,
+                            tokens: Sequence[int],
+                            times: Sequence[int]) -> List[float]:
+    """`token_confidence` over the engine's (T, K) top-K decode output:
+    a beam-emitted token was by construction inside its emission
+    frame's top-K (the beam's first prune is the same top-k), so its
+    log-prob is recoverable from the sparse rows."""
+    values = np.asarray(values)
+    indices = np.asarray(indices)
+    out = []
+    for tok, t in zip(tokens, times):
+        hit = np.nonzero(indices[t] == tok)[0]
+        out.append(float(np.exp(values[t, hit[0]])) if hit.size else 0.0)
+    return out
+
+
 class PrefixBeamState:
     """Incremental extended prefix beam: the frame recursion of
     `ctc_prefix_beam_search_ext` as a stateful object, so streaming
@@ -244,11 +339,32 @@ class PrefixBeamState:
         for row in log_probs:
             self._advance_frame(row)
 
+    def advance_sparse(self, values: np.ndarray,
+                       indices: np.ndarray) -> None:
+        """Consume (T, K) per-frame top-K log-softmax values + token
+        ids already selected on device (engine decode_output "topk",
+        sorted best-first per frame). Identical hypotheses to
+        `advance` on the dense rows when K >= beam_size — the dense
+        frame step's first prune is the same top-k."""
+        values = np.asarray(values)
+        indices = np.asarray(indices)
+        k = min(self.beam_size, values.shape[-1])
+        for vrow, irow in zip(values, indices):
+            self._advance_frame_cands(
+                [(int(irow[i]), float(vrow[i])) for i in range(k)])
+
     def _advance_frame(self, logp) -> None:
-        context, lm, lm_weight = self.context, self.lm, self.lm_weight
-        t = self.t
         k = min(self.beam_size, logp.shape[-1])
         top_k_index = np.argpartition(logp, -k)[-k:]
+        self._advance_frame_cands(
+            [(int(s), float(logp[s])) for s in top_k_index])
+
+    def _advance_frame_cands(self, cands) -> None:
+        """One frame of the prefix recursion over an explicit
+        [(token, log_prob)] candidate list (shared by the dense and
+        sparse drivers)."""
+        context, lm, lm_weight = self.context, self.lm, self.lm_weight
+        t = self.t
         next_hyps: dict = {}
 
         def entry(prefix, parent, s=None):
@@ -282,9 +398,7 @@ class PrefixBeamState:
                 e[2] = times
                 e[3] = last_prob
 
-        for s in top_k_index:
-            s = int(s)
-            ps = float(logp[s])
+        for s, ps in cands:
             for prefix, src in self.cur.items():
                 pb, pnb, times, last_prob = src[0], src[1], src[2], src[3]
                 last = prefix[-1] if prefix else None
@@ -353,4 +467,18 @@ def ctc_prefix_beam_search_ext(
     """
     state = PrefixBeamState(beam_size, blank_idx, context, lm, lm_weight)
     state.advance(np.asarray(log_probs)[:int(out_len)])
+    return state.nbest()
+
+
+def ctc_prefix_beam_search_sparse_ext(
+        values: np.ndarray, indices: np.ndarray, out_len: int,
+        beam_size: int, blank_idx: int = 0,
+        context: Optional[ContextTrie] = None,
+        lm=None, lm_weight: float = 0.5) -> List[Hyp]:
+    """`ctc_prefix_beam_search_ext` over the engine's (T, K) on-device
+    top-K decode output (decode_output "topk"); identical hypotheses
+    when K >= beam_size."""
+    state = PrefixBeamState(beam_size, blank_idx, context, lm, lm_weight)
+    state.advance_sparse(np.asarray(values)[:int(out_len)],
+                         np.asarray(indices)[:int(out_len)])
     return state.nbest()

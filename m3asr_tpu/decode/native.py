@@ -55,6 +55,19 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_float, ctypes.c_void_p, ctypes.c_float,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
+        lib.ctc_prefix_beam_search_sparse_ext.restype = ctypes.c_int
+        lib.ctc_prefix_beam_search_sparse_ext.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_float, ctypes.c_void_p, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
+        lib.beam_state_advance_sparse.restype = None
+        lib.beam_state_advance_sparse.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int]
         lib.ngram_lm_create.restype = ctypes.c_void_p
         lib.ngram_lm_create.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -213,6 +226,21 @@ class NativeBeamState:
             T, V)
         self.t += T
 
+    def advance_sparse(self, values: np.ndarray,
+                       indices: np.ndarray) -> None:
+        """(T, K) on-device top-K values + token ids per frame (engine
+        decode_output "topk") — twin of PrefixBeamState.advance_sparse."""
+        vals = np.ascontiguousarray(values, np.float32)
+        idx = np.ascontiguousarray(indices, np.int32)
+        if vals.ndim != 2 or vals.shape != idx.shape:
+            raise ValueError("advance_sparse takes matching (T, K) "
+                             "values/indices")
+        T, K = vals.shape
+        self._lib.beam_state_advance_sparse(
+            self._h, vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), T, K)
+        self.t += T
+
     def nbest(self):
         from m3asr_tpu.decode.ctc import Hyp
         max_len = max(self.t, 1)
@@ -281,6 +309,76 @@ def ctc_prefix_beam_search_ext(log_probs: np.ndarray, out_len: int,
                 float(scores[i]),
                 tuple(int(t) for t in times[i, :lens[i]]))
             for i in range(n)]
+
+
+def ctc_prefix_beam_search_sparse_ext(values: np.ndarray,
+                                      indices: np.ndarray, out_len: int,
+                                      beam_size: int, blank_idx: int = 0,
+                                      context=None, lm=None,
+                                      lm_weight: float = 0.5):
+    """Native extended prefix beam over the engine's (T, K) on-device
+    top-K decode output (decode_output "topk"); same contract as
+    m3asr_tpu.decode.ctc.ctc_prefix_beam_search_sparse_ext."""
+    from m3asr_tpu.decode.ctc import Hyp
+    lib = _load()
+    if lib is None:
+        from m3asr_tpu.decode.ctc import (
+            ctc_prefix_beam_search_sparse_ext as py_impl)
+        return py_impl(values, indices, out_len, beam_size, blank_idx,
+                       context, lm=lm, lm_weight=lm_weight)
+    T = int(out_len)
+    vals = np.ascontiguousarray(values[:T], np.float32)
+    idx = np.ascontiguousarray(indices[:T], np.int32)
+    K = vals.shape[1]
+    max_len = max(T, 1)
+    toks, offs, n_ctx, bonus = _trie_arrays(context)
+    tokens = np.full((beam_size, max_len), -1, np.int32)
+    times = np.full((beam_size, max_len), -1, np.int32)
+    lens = np.zeros((beam_size,), np.int32)
+    scores = np.zeros((beam_size,), np.float32)
+    lm_h = _lm_handle(lib, lm) if lm is not None else None
+    n = lib.ctc_prefix_beam_search_sparse_ext(
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), T, K,
+        beam_size, blank_idx, beam_size, max_len,
+        toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_ctx, ctypes.c_float(bonus), lm_h, ctypes.c_float(lm_weight),
+        tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        times.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return [Hyp(tuple(int(t) for t in tokens[i, :lens[i]]),
+                float(scores[i]),
+                tuple(int(t) for t in times[i, :lens[i]]))
+            for i in range(n)]
+
+
+def ctc_prefix_beam_search_sparse_batch(values: np.ndarray,
+                                        indices: np.ndarray,
+                                        out_lens: np.ndarray,
+                                        beam_size: int,
+                                        blank_idx: int = 0,
+                                        context=None, lm=None,
+                                        lm_weight: float = 0.5,
+                                        max_workers: Optional[int] = None):
+    """Batched sparse extended beam (values/indices: (B, T, K) from the
+    engine's "topk" decode output), decoded in parallel threads like
+    ctc_prefix_beam_search_ext_batch. Returns a list of nbest Hyp
+    lists."""
+    from concurrent.futures import ThreadPoolExecutor
+    B = values.shape[0]
+    if B <= 1 or _load() is None:
+        return [ctc_prefix_beam_search_sparse_ext(
+                    values[b], indices[b], int(out_lens[b]), beam_size,
+                    blank_idx, context, lm=lm, lm_weight=lm_weight)
+                for b in range(B)]
+    with ThreadPoolExecutor(max_workers=max_workers or min(B, 8)) as ex:
+        futs = [ex.submit(ctc_prefix_beam_search_sparse_ext, values[b],
+                          indices[b], int(out_lens[b]), beam_size,
+                          blank_idx, context, lm, lm_weight)
+                for b in range(B)]
+        return [f.result() for f in futs]
 
 
 def ctc_greedy_search(logits: np.ndarray, out_lens: np.ndarray,

@@ -48,8 +48,12 @@ class MicroBatcher:
     """
 
     def __init__(self, infer_fn: Callable, window_ms: float = 5.0,
-                 max_batch: int = 8):
+                 max_batch: int = 8, beam_output: bool = False):
         self._infer = infer_fn
+        # engine decode_output="beam": out is (B, beam, T') hypothesis
+        # ids and the extras are per-hypothesis (B, beam) lens/scores —
+        # the time axis moves to axis 2 and extras are not time-sliced
+        self._beam_output = beam_output
         self._window_s = window_ms / 1e3
         self._max_batch = max_batch
         self._queue: List[_Pending] = []
@@ -123,13 +127,21 @@ class MicroBatcher:
             for i, it in enumerate(batch):
                 feats[i, :it.feat.shape[0]] = it.feat
                 lens[i] = it.length
-            out, out_lens = self._infer(feats, lens)
+            res = self._infer(feats, lens)
+            out, out_lens, extras = res[0], res[1], res[2:]
             self._batch_sizes.append(len(batch))
             if len(self._batch_sizes) > 1000:   # bounded history
                 del self._batch_sizes[:-1000]
             for i, it in enumerate(batch):
                 n = int(out_lens[i])
-                it.result = (out[i, :n], n)
+                if self._beam_output:
+                    it.result = (out[i, :, :n], n) + tuple(
+                        np.asarray(e)[i] for e in extras)
+                else:
+                    # extras: sparse decode outputs / hidden / taps —
+                    # all (B, T', ...) arrays sliced the same way
+                    it.result = (out[i, :n], n) + tuple(
+                        np.asarray(e)[i, :n] for e in extras)
         except BaseException as e:  # propagate to every waiter
             for it in batch:
                 it.error = e

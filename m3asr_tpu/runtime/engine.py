@@ -176,7 +176,28 @@ def _unflatten(flat: Dict[str, np.ndarray]):
 @dataclasses.dataclass
 class EngineConfig:
     dtype: str = "float32"            # float32 | bfloat16 | int8 | int4
-    decode_output: str = "logits"     # logits | log_softmax
+    decode_output: str = "logits"     # logits | log_softmax | argmax |
+                                      # topk | beam — argmax/topk run
+                                      # the decode reductions ON DEVICE
+                                      # so only (B,T) int32 ids (+ their
+                                      # log-probs) or (B,T,K) top-K
+                                      # candidates cross D2H instead of
+                                      # (B,T,V) floats (the reference
+                                      # always ships full logits,
+                                      # infer.py:89-103); greedy decode
+                                      # consumes argmax, prefix beam
+                                      # consumes topk (sparse search,
+                                      # decode/ctc.py + native). "beam"
+                                      # goes furthest: the full CTC
+                                      # prefix beam search runs inside
+                                      # the jitted forward
+                                      # (decode/device.py) and only the
+                                      # final n-best token ids + scores
+                                      # cross D2H
+    decode_topk: int = 8              # K for decode_output="topk"
+                                      # (beam search exact when
+                                      # K >= beam_size) and the beam
+                                      # width for decode_output="beam"
     use_prior: bool = False           # subtract log-prior (builder.py:83-88)
     bucket_lengths: Tuple[int, ...] = DEFAULT_LENGTHS
     bucket_batches: Tuple[int, ...] = DEFAULT_BATCHES
@@ -380,6 +401,10 @@ class Engine:
 
         return_hidden = self.cfg.return_hidden
         return_taps = self.cfg.return_taps
+        decode_topk = int(self.cfg.decode_topk)
+        if out_mode in ("topk", "beam") and decode_topk < 1:
+            raise ValueError(f"decode_output={out_mode!r} needs "
+                             "decode_topk >= 1")
 
         # flash covers rel-pos conformer attention AND the DFSMN
         # memory-slot attention (dfsmn_base has no attention: the flag
@@ -401,12 +426,37 @@ class Engine:
                 out = out + neg_log_prior[None, None, :]
             if out_mode == "log_softmax":
                 out = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+            extra = ()
+            if out_mode == "argmax":
+                # on-device greedy front: ship only ids + their
+                # log-probs (timestamps/confidence) to the host
+                lp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+                out = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+                extra = (jnp.max(lp, axis=-1),)
+            elif out_mode == "topk":
+                # on-device beam front: per-frame top-K candidates,
+                # sorted best-first (lax.top_k) — the prefix beam's
+                # first prune, done before D2H
+                lp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+                out, idx = jax.lax.top_k(lp, decode_topk)
+                extra = (idx.astype(jnp.int32),)
+            elif out_mode == "beam":
+                # the FULL prefix beam search runs on device
+                # (decode/device.py, beam width = decode_topk): only
+                # (B, beam, T') hypothesis ids + (B, beam) lens/scores
+                # cross D2H — the encoder and the search are ONE XLA
+                # program
+                from m3asr_tpu.decode.device import ctc_beam_search_device
+                lp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+                out, hyp_lens, scores = ctc_beam_search_device(
+                    lp, out_len, decode_topk)
+                extra = (hyp_lens, scores)
             if return_taps:
                 # (h6, h12, h_final) — decoder_1/decoder_2/decoder memories
-                return out, out_len, res[2], res[3], res[4]
+                return (out, out_len) + extra + (res[2], res[3], res[4])
             if return_hidden:
-                return out, out_len, res[-1]
-            return out, out_len
+                return (out, out_len) + extra + (res[-1],)
+            return (out, out_len) + extra
 
         return forward
 
@@ -538,18 +588,32 @@ class Engine:
         res = fn(self.params, jnp.asarray(pad_feat, self.dtype),
                  jnp.asarray(pad_len))
         res = jax.device_get(res)
-        out = np.asarray(res[0], np.float32)
+        mode = self.cfg.decode_output
+        sparse = mode in ("argmax", "topk", "beam")
+        out = np.asarray(res[0])
+        if not sparse:  # logits/log_softmax may be bf16; decode wants f32
+            out = out.astype(np.float32, copy=False)
         out_len = np.asarray(res[1])
         max_out = int(out_len[:B].max()) if B else 0
+        if mode == "beam":
+            # (B, beam, T') hypothesis ids + (B, beam) lens/scores —
+            # the time axis is axis 2; hyp lens never exceed out_len
+            head = (out[:B, :, :max_out], out_len[:B],
+                    np.asarray(res[2])[:B], np.asarray(res[3])[:B])
+            i = 4
+        else:
+            head = (out[:B, :max_out], out_len[:B])
+            i = 2
+            if sparse:  # best-logp (argmax) or top-K indices (topk)
+                head += (np.asarray(res[2])[:B, :max_out],)
+                i = 3
         if self.cfg.return_taps:
-            taps = tuple(np.asarray(h, np.float32)[:B, :max_out]
-                         for h in res[2:5])
-            return (out[:B, :max_out], out_len[:B]) + taps
+            return head + tuple(np.asarray(h, np.float32)[:B, :max_out]
+                                for h in res[i:i + 3])
         if self.cfg.return_hidden:
-            hidden = np.asarray(res[2], np.float32)
-            return (out[:B, :max_out], out_len[:B],
-                    hidden[:B, :max_out])
-        return out[:B, :max_out], out_len[:B]
+            hidden = np.asarray(res[i], np.float32)
+            return head + (hidden[:B, :max_out],)
+        return head
 
     def subsample_factor(self) -> int:
         """Frame-rate reduction of the encoder front (1 for DFSMN and
@@ -587,6 +651,11 @@ class Engine:
             raise NotImplementedError(
                 "long-form decode emits stitched logits only — taps/"
                 "hidden rescoring across windows is not defined")
+        if self.cfg.decode_output == "beam":
+            raise NotImplementedError(
+                "long-form decode stitches frame-aligned outputs; "
+                "decode_output='beam' emits finished hypotheses — "
+                "build with --decode_output topk for long-form beam")
         f = self.subsample_factor()
         # default: 64 input frames of context per side per subsample
         # step, capped so at least half the window advances per hop
@@ -595,21 +664,28 @@ class Engine:
         hop = W - 2 * O
         if hop <= 0:
             raise ValueError(f"overlap {O} too large for window {W}")
-        pieces = []
+        sparse = self.cfg.decode_output in ("argmax", "topk")
+        pieces, extras = [], []
         s = 0
         while True:
             e = min(s + W, T)
             win = e - s
-            out, out_len = self.infer(feat[None, s:e], np.array([win]))
+            r = self.infer(feat[None, s:e], np.array([win]))
+            out, out_len = r[0], r[1]
             n = int(out_len[0])
             lo = 0 if s == 0 else O // f
             hi = n if e == T else min(n, (win - O) // f)
             pieces.append(out[0, lo:hi])
+            if sparse:  # best-logp / top-K indices stitch identically
+                extras.append(np.asarray(r[2])[0, lo:hi])
             if e == T:
                 break
             s += hop
         logits = np.concatenate(pieces, axis=0)[None]
-        return logits, np.array([logits.shape[1]], np.int32)
+        out_len = np.array([logits.shape[1]], np.int32)
+        if sparse:
+            return logits, out_len, np.concatenate(extras, axis=0)[None]
+        return logits, out_len
 
     # ------------------------------------------------------------------
     # serialization

@@ -16,15 +16,32 @@ import os
 import subprocess
 
 
+def _stale(native_dir: str, lib_path: str) -> bool:
+    """True when the lib is missing or any native source (*.cpp/*.h/
+    Makefile) is newer — a prebuilt .so from before a source change
+    would silently lack new symbols."""
+    if not os.path.exists(lib_path):
+        return True
+    lib_m = os.path.getmtime(lib_path)
+    for root, dirs, files in os.walk(native_dir):
+        dirs[:] = [d for d in dirs if d != "build"]
+        for f in files:
+            if f.endswith((".cpp", ".cc", ".h")) or f == "Makefile":
+                if os.path.getmtime(os.path.join(root, f)) > lib_m:
+                    return True
+    return False
+
+
 def ensure_built(native_dir: str, lib_path: str) -> None:
-    """Build `native_dir` (make) unless `lib_path` already exists.
-    Raises RuntimeError with the captured make output on failure."""
-    if os.path.exists(lib_path):
+    """Build `native_dir` (make) unless `lib_path` exists and is newer
+    than every native source. Raises RuntimeError with the captured
+    make output on failure."""
+    if not _stale(native_dir, lib_path):
         return
     os.makedirs(os.path.join(native_dir, "build"), exist_ok=True)
     with open(os.path.join(native_dir, "build", ".lock"), "w") as lockf:
         fcntl.flock(lockf, fcntl.LOCK_EX)
-        if os.path.exists(lib_path):
+        if not _stale(native_dir, lib_path):
             return
         r = subprocess.run(["make", "-C", native_dir],
                            capture_output=True, text=True)

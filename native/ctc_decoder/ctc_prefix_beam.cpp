@@ -183,17 +183,45 @@ struct BeamState {
   }
 
   void advance(const float* log_probs, int T, int V) {
-    using ExtMap =
-        std::unordered_map<std::vector<int32_t>, Ext, PrefixHash>;
     if (static_cast<int>(top_idx.size()) < V) top_idx.resize(V);
     const int k = std::min(beam_size, V);
+    std::vector<int32_t> cand(k);
+    std::vector<float> cvals(k);
     for (int f = 0; f < T; ++f, ++t) {
       const float* logp = log_probs + static_cast<size_t>(f) * V;
       for (int i = 0; i < V; ++i) top_idx[i] = i;
       std::partial_sort(top_idx.begin(), top_idx.begin() + k,
                         top_idx.begin() + V,
                         [&](int a, int b) { return logp[a] > logp[b]; });
+      for (int i = 0; i < k; ++i) {
+        cand[i] = top_idx[i];
+        cvals[i] = logp[cand[i]];
+      }
+      step_frame(cand.data(), cvals.data(), k);
+    }
+  }
 
+  // Sparse-candidate advance: per frame, `idx`/`vals` carry the K
+  // best tokens already selected ON DEVICE (engine decode_output
+  // "topk" — jax.lax.top_k returns them sorted best-first), so only
+  // (T, K) crosses D2H instead of (T, V). Uses the best
+  // min(K, beam_size) per frame — identical hypotheses to the dense
+  // path when K >= beam_size (the dense path's first prune is the
+  // same top-k).
+  void advance_sparse(const float* vals, const int32_t* idx, int T,
+                      int K) {
+    const int k = std::min(beam_size, K);
+    for (int f = 0; f < T; ++f, ++t)
+      step_frame(idx + static_cast<size_t>(f) * K,
+                 vals + static_cast<size_t>(f) * K, k);
+  }
+
+  // One frame of the prefix recursion over an explicit candidate list
+  // (cand[i] scored cvals[i]); shared by the dense and sparse drivers.
+  void step_frame(const int32_t* cand, const float* cvals, int k) {
+    using ExtMap =
+        std::unordered_map<std::vector<int32_t>, Ext, PrefixHash>;
+    {
       ExtMap next;
       next.reserve(cur_vec.size() * (k + 1));
       // get/create the accumulator for a next-prefix; context/LM states
@@ -229,8 +257,8 @@ struct BeamState {
       };
 
       for (int i = 0; i < k; ++i) {
-        const int32_t s = top_idx[i];
-        const float ps = logp[s];
+        const int32_t s = cand[i];
+        const float ps = cvals[i];
         for (const auto& kv : cur_vec) {
           const auto& prefix = kv.first;
           const Ext& src = kv.second;
@@ -480,6 +508,28 @@ int ctc_prefix_beam_search_ext(const float* log_probs, int T, int V,
                         out_scores, out_times);
 }
 
+// Sparse-candidate extended prefix beam search: `vals`/`idx` are the
+// (T, K) per-frame top-K log-softmax values and token ids, already
+// selected on device (engine decode_output "topk"), sorted best-first
+// per frame. Identical hypotheses to ctc_prefix_beam_search_ext when
+// K >= beam_size; only (T, K) floats+ints cross the host boundary
+// instead of (T, V).
+int ctc_prefix_beam_search_sparse_ext(
+    const float* vals, const int32_t* idx, int T, int K, int beam_size,
+    int blank_idx, int nbest_cap, int max_len, const int32_t* ctx_tokens,
+    const int32_t* ctx_offsets, int n_ctx, float ctx_bonus,
+    const void* lm_handle, float lm_weight, int32_t* out_tokens,
+    int32_t* out_lens, float* out_scores, int32_t* out_times) {
+  BeamState st(beam_size, blank_idx);
+  st.trie.build(ctx_tokens, ctx_offsets, n_ctx, ctx_bonus);
+  st.lm = static_cast<const NgramLM*>(lm_handle);
+  st.lm_weight = lm_weight;
+  st.reset();
+  st.advance_sparse(vals, idx, T, K);
+  return st.write_nbest(nbest_cap, max_len, out_tokens, out_lens,
+                        out_scores, out_times);
+}
+
 // ---- Stateful streaming beam (chunk-incremental) --------------------
 // beam_state_create builds a decoder that advance()s over logit chunks
 // and reports nbest at any point — the C++ twin of
@@ -508,6 +558,13 @@ void beam_state_reset(void* st) { static_cast<BeamState*>(st)->reset(); }
 // (timestamps are absolute).
 void beam_state_advance(void* st, const float* log_probs, int T, int V) {
   static_cast<BeamState*>(st)->advance(log_probs, T, V);
+}
+
+// Sparse twin: (T, K) on-device-selected top-K values + token ids per
+// frame (sorted best-first), as emitted by engine decode_output "topk".
+void beam_state_advance_sparse(void* st, const float* vals,
+                               const int32_t* idx, int T, int K) {
+  static_cast<BeamState*>(st)->advance_sparse(vals, idx, T, K);
 }
 
 int beam_state_nbest(const void* st, int nbest_cap, int max_len,

@@ -23,6 +23,35 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _rescore(nbests, res, out_lens, engine, decoders, args, hier, deep):
+    """AED (hier-)attention rescoring of the CTC nbests; `deep` is the
+    index of the hidden/taps in the engine result tuple (3 when a
+    sparse decode output precedes them, else 2)."""
+    from m3asr_tpu.models.aed import (attention_rescoring,
+                                      hier_attention_rescoring)
+    cfg = engine.model_cfg
+    rw = (args.reverse_weight if args.reverse_weight >= 0
+          else cfg.reverse_weight)
+    hyps = []
+    for b, nb in enumerate(nbests):
+        if hier:
+            taps = tuple(h[b:b + 1] for h in res[deep:deep + 3])
+            hyp, _ = hier_attention_rescoring(
+                decoders, cfg.decoder_conf, nb, taps,
+                int(out_lens[b]), sos=cfg.sos, eos=cfg.eos,
+                ignore_id=0, ctc_weight=args.ctc_weight,
+                reverse_weight=rw)
+        else:
+            hyp, _ = attention_rescoring(
+                decoders["decoder"], cfg.decoder_conf,
+                nb, res[deep][b:b + 1], int(out_lens[b]),
+                sos=cfg.sos, eos=cfg.eos,
+                ignore_id=0, ctc_weight=args.ctc_weight,
+                reverse_weight=rw)
+        hyps.append(hyp)
+    return hyps
+
+
 def main(args):
     plat = os.environ.get("M3ASR_PLATFORM")
     if plat:
@@ -100,20 +129,35 @@ def main(args):
                          f"({max_bucket}) — rescoring/attention decode "
                          "is not defined over stitched windows; use "
                          "-d greedy/beam")
-            outs, olens = [], []
+            outs, olens, auxs = [], [], []
             for i in range(len(batch["lens"])):
                 li = int(batch["lens"][i])
-                o, ol = engine.infer_long(batch["data"][i][:li], li,
-                                          overlap=args.long_overlap)
-                outs.append(o[0])
-                olens.append(int(ol[0]))
-            mx = max(o.shape[0] for o in outs)
-            res = (np.stack([np.pad(o, ((0, mx - o.shape[0]), (0, 0)))
-                             for o in outs]),
-                   np.asarray(olens, np.int32))
+                r = engine.infer_long(batch["data"][i][:li], li,
+                                      overlap=args.long_overlap)
+                outs.append(r[0][0])
+                olens.append(int(r[1][0]))
+                if len(r) > 2:  # sparse decode output extra
+                    auxs.append(r[2][0])
+
+            def pad_stack(rows):
+                mx = max(r.shape[0] for r in rows)
+                return np.stack([np.pad(
+                    r, ((0, mx - r.shape[0]),) + ((0, 0),) * (r.ndim - 1))
+                    for r in rows])
+
+            res = (pad_stack(outs), np.asarray(olens, np.int32))
+            if auxs:
+                res += (pad_stack(auxs),)
         else:
             res = engine.infer(batch["data"], batch["lens"])
         out, out_lens = res[0], res[1]
+        # on-device decode outputs (build.py --decode_output): argmax
+        # ships (ids, best log-prob), topk ships (values, indices) —
+        # hidden/taps (rescoring memories) follow the sparse extra
+        mode = engine.cfg.decode_output
+        sparse = mode in ("argmax", "topk")
+        aux = res[2] if sparse else None
+        deep = 4 if mode == "beam" else 3 if sparse else 2
         frames += int(np.sum(batch["lens"]))
         if args.decode == "attention":
             # standalone AED beam search over the encoder hidden (the
@@ -122,16 +166,77 @@ def main(args):
             from m3asr_tpu.models.aed import attention_search_decode
             cfg = engine.model_cfg
             hyps = attention_search_decode(
-                decoders["decoder"], cfg.decoder_conf, res[2], out_lens,
+                decoders["decoder"], cfg.decoder_conf, res[deep], out_lens,
                 beam_size=args.beam_size, sos=cfg.sos, eos=cfg.eos)
-        elif args.decode == "greedy":
+        elif mode == "beam" and args.decode in ("greedy", "beam",
+                                                "rescore"):
+            # the prefix beam search already ran INSIDE the engine
+            # (decode/device.py): res carries (B, beam, T') n-best ids
+            # + (B, beam) lens/scores — nothing to search on the host
             if args.timestamps:
+                sys.exit("the on-device beam emits token ids only; "
+                         "build with --decode_output topk for "
+                         "timestamped beam decoding")
+            if context is not None or lm is not None:
+                sys.exit("hotword/LM fusion is a host-side search "
+                         "feature; build with --decode_output topk to "
+                         "combine it with sparse on-device candidates")
+            hyp_lens, scores = np.asarray(res[2]), np.asarray(res[3])
+            if args.decode == "rescore":
+                nbests = [[(tuple(int(t) for t in out[b, j, :hyp_lens[b, j]]),
+                            float(scores[b, j]))
+                           for j in range(out.shape[1])
+                           if np.isfinite(scores[b, j])]
+                          for b in range(out.shape[0])]
+                hyps = _rescore(nbests, res, out_lens, engine, decoders,
+                                args, hier, deep)
+            else:
+                # greedy on a beam engine serves the best hypothesis
+                hyps = [[int(t) for t in out[b, 0, :hyp_lens[b, 0]]]
+                        for b in range(out.shape[0])]
+        elif args.decode == "greedy":
+            if sparse:
+                # ids/log-probs were reduced on device; top-1 of the
+                # top-K rows IS the argmax
+                ids = out if mode == "argmax" else aux[..., 0]
+                best = aux if mode == "argmax" else out[..., 0]
+                from m3asr_tpu.decode.ctc import (ctc_greedy_from_ids,
+                                                  ctc_greedy_times_from_ids)
+                if args.timestamps:
+                    ghyps = ctc_greedy_times_from_ids(ids, best, out_lens)
+                    times = [list(h.times) for h in ghyps]
+                    hyps = [list(h.tokens) for h in ghyps]
+                else:
+                    hyps = ctc_greedy_from_ids(ids, out_lens)
+            elif args.timestamps:
                 from m3asr_tpu.decode.ctc import ctc_greedy_search_times
                 ghyps = ctc_greedy_search_times(out, out_lens)
                 times = [list(h.times) for h in ghyps]
                 hyps = [list(h.tokens) for h in ghyps]
             else:
                 hyps = native.ctc_greedy_search(out, out_lens)
+        elif mode == "argmax":
+            sys.exit("-d beam/rescore needs per-frame candidates: build "
+                     "the engine with --decode_output topk (or "
+                     "logits/log_softmax), not argmax")
+        elif mode == "topk":
+            if args.beam_size > out.shape[-1]:
+                sys.exit(f"beam_size {args.beam_size} > engine "
+                         f"decode_topk {out.shape[-1]} — rebuild with a "
+                         "larger --decode_topk for exact beam search")
+            # sparse beam straight over the device-selected candidates
+            nbests = native.ctc_prefix_beam_search_sparse_batch(
+                out, aux, out_lens, args.beam_size, context=context,
+                lm=lm, lm_weight=args.lm_weight)
+            if args.timestamps and args.decode == "beam":
+                times = [list(nb[0].times) for nb in nbests]
+            if args.decode == "rescore":
+                nbests = [[(h.tokens, h.score) for h in nb]
+                          for nb in nbests]
+                hyps = _rescore(nbests, res, out_lens, engine, decoders,
+                                args, hier, deep)
+            else:
+                hyps = [list(nb[0][0]) for nb in nbests]
         else:
             m = out.max(-1, keepdims=True)
             lp = out - m - np.log(np.exp(out - m).sum(-1, keepdims=True))
@@ -153,28 +258,8 @@ def main(args):
                 nbests = native.ctc_prefix_beam_search_batch(
                     lp, out_lens, args.beam_size)
             if args.decode == "rescore":
-                from m3asr_tpu.models.aed import (attention_rescoring,
-                                                  hier_attention_rescoring)
-                cfg = engine.model_cfg
-                rw = (args.reverse_weight if args.reverse_weight >= 0
-                      else cfg.reverse_weight)
-                hyps = []
-                for b, nb in enumerate(nbests):
-                    if hier:
-                        taps = tuple(h[b:b + 1] for h in res[2:5])
-                        hyp, _ = hier_attention_rescoring(
-                            decoders, cfg.decoder_conf, nb, taps,
-                            int(out_lens[b]), sos=cfg.sos, eos=cfg.eos,
-                            ignore_id=0, ctc_weight=args.ctc_weight,
-                            reverse_weight=rw)
-                    else:
-                        hyp, _ = attention_rescoring(
-                            decoders["decoder"], cfg.decoder_conf,
-                            nb, res[2][b:b + 1], int(out_lens[b]),
-                            sos=cfg.sos, eos=cfg.eos,
-                            ignore_id=0, ctc_weight=args.ctc_weight,
-                            reverse_weight=rw)
-                    hyps.append(hyp)
+                hyps = _rescore(nbests, res, out_lens, engine, decoders,
+                                args, hier, deep)
             else:
                 hyps = [list(nb[0][0]) for nb in nbests]
         def sym(t):

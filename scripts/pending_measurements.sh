@@ -115,6 +115,17 @@ record nonstream_16clients \
 kill $SERVE_PID 2>/dev/null
 trap - EXIT
 
+# --- 3b. on-device decode outputs (D2H shrink) A/B -------------------------
+# logits vs argmax (greedy) vs topk (sparse beam) end-to-end utterance ->
+# transcript latency; the dense arm ships (T',5000) floats over the
+# tunnel per call, the sparse arms (T') ids / (T',8) candidates.
+record decode_output_ab_bf16 \
+    timeout 580 python scripts/bench_decode_output.py --iters 20 \
+    --dtype bfloat16
+record decode_output_ab_fp32_206 \
+    timeout 580 python scripts/bench_decode_output.py --iters 20 \
+    --seq 206 --dtype float32
+
 # --- 4. parallel bucket warmup A/B (flagship build time) -------------------
 # CPU-small measurement was a wash (tracing dominates); on the chip the
 # XLA compiles dominate, where threads should overlap them. Parallel

@@ -315,15 +315,30 @@ def make_handler(state, default_beam, lm=None, default_lm_weight=0.5):
                     t0 = time.perf_counter()
                     engine = state["engine"]
                     batcher = state["batcher"]
+                    # sparse on-device decode outputs (engine built with
+                    # --decode_output argmax/topk): out1 is ids / top-K
+                    # values and aux1 the best log-probs / top-K ids
+                    dmode = (engine.cfg.decode_output
+                             if engine is not None else "logits")
+                    aux1 = None
                     if (engine is not None
                             and feat.shape[0] > engine.buckets.lengths[-1]):
                         # long-form: beyond the largest bucket, decode
                         # through windowed center-cut stitching (bypasses
                         # the micro-batcher — these are rare, slow calls)
-                        out_l, ol = engine.infer_long(feat)
-                        out1, out_len = out_l[0], int(ol[0])
+                        r = engine.infer_long(feat)
+                        out1, out_len = r[0][0], int(r[1][0])
+                        if len(r) > 2:
+                            aux1 = np.asarray(r[2])[0]
                     else:
-                        out1, out_len = batcher.infer(feat)
+                        r = batcher.infer(feat)
+                        out1, out_len = r[0], r[1]
+                        if dmode == "beam":
+                            # (beam, T') n-best ids + (beam,) lens/scores
+                            beam_lens = np.asarray(r[2])
+                            beam_scores = np.asarray(r[3])
+                        elif len(r) > 2:
+                            aux1 = np.asarray(r[2])
                     mode = req.get("decode", "greedy")
                     want_conf = bool(req.get("confidence"))
                     want_times = bool(req.get("timestamps")) or want_conf
@@ -331,15 +346,59 @@ def make_handler(state, default_beam, lm=None, default_lm_weight=0.5):
                     times = None
                     nbest_n = int(req.get("nbest", 1))
                     nbest_out = None
-                    if mode == "beam":
-                        m = out1.max(-1, keepdims=True)
-                        lp = out1 - m - np.log(
-                            np.exp(out1 - m).sum(-1, keepdims=True))
+                    if dmode == "beam":
+                        # the prefix beam search ran inside the engine
+                        # (decode/device.py): serve its n-best directly
+                        # — greedy requests get the best hypothesis
+                        if want_times or want_conf:
+                            raise ValueError(
+                                "on-device beam engines emit token ids "
+                                "only; rebuild with --decode_output topk "
+                                "for timestamps/confidence")
+                        if ctx or (mode == "beam" and lm is not None
+                                   and req.get("lm", True)):
+                            raise ValueError(
+                                "hotword/LM fusion is a host-side search "
+                                "feature; rebuild with --decode_output "
+                                "topk to combine it with on-device "
+                                "candidates")
+                        hyp = [int(t) for t in out1[0, :beam_lens[0]]]
+                        if mode == "beam" and nbest_n > 1:
+                            nbest_out = [
+                                {"hyp": [int(t) for t in
+                                         out1[j, :beam_lens[j]]],
+                                 "score": round(float(beam_scores[j]), 4)}
+                                for j in range(min(nbest_n, out1.shape[0]))
+                                if np.isfinite(beam_scores[j])]
+                    elif mode == "beam":
+                        if dmode == "argmax":
+                            raise ValueError(
+                                "engine decode_output='argmax' supports "
+                                "greedy only; rebuild with --decode_output"
+                                " topk (or logits) for beam decoding")
                         beam = int(req.get("beam_size", default_beam))
                         # server-loaded LM applies to beam decoding
                         # unless the request opts out ("lm": false)
                         use_lm = lm if req.get("lm", True) else None
-                        if want_times or ctx or nbest_n > 1 or use_lm:
+                        if dmode == "topk":
+                            if beam > out1.shape[-1]:
+                                raise ValueError(
+                                    f"beam_size {beam} > engine "
+                                    f"decode_topk {out1.shape[-1]}")
+                            from m3asr_tpu.decode.ctc import ContextTrie
+                            trie = (ContextTrie(
+                                ctx, float(req.get("context_bonus", 3.0)))
+                                if ctx else None)
+                            hyps_nb = \
+                                native.ctc_prefix_beam_search_sparse_ext(
+                                    out1, aux1, out_len, beam,
+                                    context=trie, lm=use_lm,
+                                    lm_weight=float(req.get(
+                                        "lm_weight", default_lm_weight)))
+                        elif want_times or ctx or nbest_n > 1 or use_lm:
+                            m = out1.max(-1, keepdims=True)
+                            lp = out1 - m - np.log(
+                                np.exp(out1 - m).sum(-1, keepdims=True))
                             from m3asr_tpu.decode.ctc import ContextTrie
                             trie = (ContextTrie(
                                 ctx, float(req.get("context_bonus", 3.0)))
@@ -349,6 +408,14 @@ def make_handler(state, default_beam, lm=None, default_lm_weight=0.5):
                                 lm=use_lm,
                                 lm_weight=float(req.get(
                                     "lm_weight", default_lm_weight)))
+                        else:
+                            m = out1.max(-1, keepdims=True)
+                            lp = out1 - m - np.log(
+                                np.exp(out1 - m).sum(-1, keepdims=True))
+                            hyps_nb = None
+                            hyp = list(native.ctc_prefix_beam_search(
+                                lp, out_len, beam)[0][0])
+                        if hyps_nb is not None:
                             best = hyps_nb[0]
                             hyp = list(best.tokens)
                             times = list(best.times)
@@ -359,11 +426,25 @@ def make_handler(state, default_beam, lm=None, default_lm_weight=0.5):
                                      **({"times": [int(x) for x in h.times]}
                                         if want_times else {})}
                                     for h in hyps_nb[:nbest_n]]
-                        else:
-                            hyp = list(native.ctc_prefix_beam_search(
-                                lp, out_len, beam)[0][0])
                     else:
-                        if want_times:
+                        if dmode in ("argmax", "topk"):
+                            ids = (out1 if dmode == "argmax"
+                                   else aux1[..., 0])
+                            blp = (aux1 if dmode == "argmax"
+                                   else out1[..., 0])
+                            from m3asr_tpu.decode.ctc import (
+                                ctc_greedy_from_ids,
+                                ctc_greedy_times_from_ids)
+                            if want_times:
+                                best = ctc_greedy_times_from_ids(
+                                    ids[None], blp[None],
+                                    np.array([out_len]))[0]
+                                hyp = list(best.tokens)
+                                times = list(best.times)
+                            else:
+                                hyp = ctc_greedy_from_ids(
+                                    ids[None], np.array([out_len]))[0]
+                        elif want_times:
                             from m3asr_tpu.decode.ctc import (
                                 ctc_greedy_search_times)
                             best = ctc_greedy_search_times(
@@ -387,14 +468,30 @@ def make_handler(state, default_beam, lm=None, default_lm_weight=0.5):
                         resp["times"] = [int(t) for t in times]
                     if want_conf:
                         # per-token posterior at the emission frame
-                        from m3asr_tpu.decode.ctc import token_confidence
-                        if mode != "beam":  # beam path already has lp
-                            m = out1.max(-1, keepdims=True)
-                            lp = out1 - m - np.log(
-                                np.exp(out1 - m).sum(-1, keepdims=True))
-                        resp["confidence"] = [
-                            round(c, 4)
-                            for c in token_confidence(lp, hyp, times)]
+                        if dmode == "argmax":
+                            # emission frames are argmax frames: the
+                            # best log-prob IS the token's posterior
+                            resp["confidence"] = [
+                                round(float(np.exp(aux1[t])), 4)
+                                for t in times]
+                        elif dmode == "topk":
+                            from m3asr_tpu.decode.ctc import (
+                                token_confidence_sparse)
+                            resp["confidence"] = [
+                                round(c, 4) for c in
+                                token_confidence_sparse(out1, aux1, hyp,
+                                                        times)]
+                        else:
+                            from m3asr_tpu.decode.ctc import (
+                                token_confidence)
+                            if mode != "beam":  # beam path already has lp
+                                m = out1.max(-1, keepdims=True)
+                                lp = out1 - m - np.log(
+                                    np.exp(out1 - m).sum(-1,
+                                                         keepdims=True))
+                            resp["confidence"] = [
+                                round(c, 4)
+                                for c in token_confidence(lp, hyp, times)]
                     if nbest_out is not None:
                         resp["nbest"] = nbest_out
                 except Exception as e:  # noqa: BLE001 — report to client
@@ -420,7 +517,9 @@ def _build_runtime(args):
     # bucket can run in one call
     max_batch = min(args.max_batch, max(engine.buckets.batches))
     batcher = MicroBatcher(engine.infer, window_ms=args.batch_window_ms,
-                           max_batch=max_batch)
+                           max_batch=max_batch,
+                           beam_output=(engine.cfg.decode_output
+                                        == "beam"))
 
     from m3asr_tpu.models.registry import dfsmn_stream_config, get_family
     family = get_family(engine.model_cfg.nnet_proto).name

@@ -96,6 +96,39 @@ def test_recognize_pipeline(tmp_path):
         assert len(lines) == 3, (mode, r.stdout)
         assert '"cer"' in r.stderr and '"rtf"' in r.stderr
 
+    # on-device decode outputs: engines built with --decode_output
+    # argmax/topk ship (B,T) ids / (B,T,K) candidates instead of
+    # (B,T,V) logits; transcripts must match the dense engine exactly
+    # (greedy == argmax ids; beam over top-K == dense beam for
+    # K >= beam_size)
+    base = {}
+    for mode, dflag in (("greedy", "logits"), ("beam", "logits"),
+                        ("greedy", "argmax"), ("beam", "topk"),
+                        ("greedy", "topk"), ("beam", "beam")):
+        eng = tmp_path / f"eng_{dflag}"
+        if not eng.exists():
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "build.py"),
+                 "-c", str(tmp_path / "cfg.yaml"),
+                 "-m", str(tmp_path / "ckpt.pt"),
+                 "-o", str(eng), "--buckets", "2x64", "--skip-warmup",
+                 "--decode_output", dflag, "--decode_topk", "4"],
+                capture_output=True, text=True, env=env)
+            assert r.returncode == 0, (dflag, r.stderr)
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "recognize.py"),
+             "-p", str(eng), "-i", str(tmp_path / "feats.ark"),
+             "--feat_dim", "20", "--batch_size", "2", "-d", mode,
+             "-b", "4"],
+            capture_output=True, text=True, env=env)
+        assert r.returncode == 0, (mode, dflag, r.stderr)
+        lines = sorted(l for l in r.stdout.splitlines()
+                       if l.startswith("utt"))
+        if dflag == "logits":
+            base[mode] = lines
+        else:
+            assert lines == base[mode], (mode, dflag, lines, base[mode])
+
     # long-form: an utterance beyond the 64-frame max bucket decodes
     # through windowed stitching (engine.infer_long)
     with ArkWriter(str(tmp_path / "long.ark")) as w:

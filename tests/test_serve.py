@@ -640,3 +640,150 @@ def test_serve_hot_reload(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+@pytest.mark.slow
+def test_serve_sparse_decode_engines(tmp_path):
+    """Engines built with on-device decode outputs serve every request
+    family: topk engines decode beam (sparse search) + greedy +
+    timestamps + confidence + nbest; argmax engines decode greedy and
+    reject beam with a clear error."""
+    m = golden_model()
+    torch.save({f"encoder.{k}": v for k, v in m.state_dict().items()},
+               tmp_path / "ckpt.pt")
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(small_yaml(), f)
+    env = dict(os.environ, M3ASR_PLATFORM="cpu")
+    for dflag in ("topk", "argmax"):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "build.py"),
+             "-c", str(tmp_path / "cfg.yaml"),
+             "-m", str(tmp_path / "ckpt.pt"),
+             "-o", str(tmp_path / f"eng_{dflag}"), "--buckets", "1x64",
+             "--skip-warmup", "--decode_output", dflag,
+             "--decode_topk", "4"],
+            capture_output=True, text=True, env=env)
+        assert r.returncode == 0, (dflag, r.stderr)
+
+    rng = np.random.RandomState(7)
+    feat = rng.randn(40, 20).round(4)
+
+    def serve_requests(eng, reqs):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "serve.py"),
+             "-p", str(eng), "--port", "0"],
+            stdout=subprocess.PIPE, text=True, env=env)
+        try:
+            line = proc.stdout.readline()
+            mport = re.search(r":(\d+)$", line.strip())
+            assert mport, line
+            out = []
+            with socket.create_connection(
+                    ("127.0.0.1", int(mport.group(1))),
+                    timeout=120) as s:
+                f = s.makefile("rw")
+                for req in reqs:
+                    f.write(json.dumps(req) + "\n")
+                    f.flush()
+                    out.append(json.loads(f.readline()))
+            return out
+        finally:
+            proc.terminate()
+            proc.wait(timeout=10)
+
+    fl = feat.tolist()
+    topk = serve_requests(tmp_path / "eng_topk", [
+        {"id": "g", "feat": fl, "decode": "greedy"},
+        {"id": "b", "feat": fl, "decode": "beam", "beam_size": 4,
+         "timestamps": True, "confidence": True, "nbest": 2},
+        {"id": "big", "feat": fl, "decode": "beam", "beam_size": 9},
+    ])
+    am = serve_requests(tmp_path / "eng_argmax", [
+        {"id": "g", "feat": fl, "decode": "greedy", "timestamps": True,
+         "confidence": True},
+        {"id": "b", "feat": fl, "decode": "beam"},
+    ])
+    assert "hyp" in topk[0] and topk[0]["out_len"] == 9, topk[0]
+    assert "hyp" in topk[1] and len(topk[1]["times"]) == len(
+        topk[1]["hyp"]), topk[1]
+    assert len(topk[1]["confidence"]) == len(topk[1]["hyp"])
+    assert all(0.0 <= c <= 1.0 for c in topk[1]["confidence"])
+    nb = topk[1]["nbest"]
+    assert nb and nb[0]["hyp"] == topk[1]["hyp"]
+    # beam_size beyond the engine's K -> clear error, server stays up
+    assert "decode_topk" in topk[2].get("error", ""), topk[2]
+    # the argmax engine greedy-decodes the same transcript
+    assert am[0]["hyp"] == topk[0]["hyp"], (am[0], topk[0])
+    assert len(am[0]["confidence"]) == len(am[0]["hyp"])
+    assert "argmax" in am[1].get("error", ""), am[1]
+
+
+@pytest.mark.slow
+def test_serve_device_beam_engine(tmp_path):
+    """An engine built with --decode_output beam serves greedy (best
+    hypothesis) and beam (+nbest) straight from the on-device search,
+    and rejects host-search-only features with clear errors."""
+    m = golden_model()
+    torch.save({f"encoder.{k}": v for k, v in m.state_dict().items()},
+               tmp_path / "ckpt.pt")
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(small_yaml(), f)
+    env = dict(os.environ, M3ASR_PLATFORM="cpu")
+    for dflag, eng in (("beam", "eng_beam"), ("logits", "eng_ref")):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "build.py"),
+             "-c", str(tmp_path / "cfg.yaml"),
+             "-m", str(tmp_path / "ckpt.pt"),
+             "-o", str(tmp_path / eng), "--buckets", "1x64",
+             "--skip-warmup", "--decode_output", dflag,
+             "--decode_topk", "4"],
+            capture_output=True, text=True, env=env)
+        assert r.returncode == 0, (dflag, r.stderr)
+
+    rng = np.random.RandomState(21)
+    feat = rng.randn(44, 20).round(4)
+
+    def serve_requests(eng, reqs):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "serve.py"),
+             "-p", str(eng), "--port", "0"],
+            stdout=subprocess.PIPE, text=True, env=env)
+        try:
+            line = proc.stdout.readline()
+            mport = re.search(r":(\d+)$", line.strip())
+            assert mport, line
+            out = []
+            with socket.create_connection(
+                    ("127.0.0.1", int(mport.group(1))),
+                    timeout=120) as s:
+                f = s.makefile("rw")
+                for req in reqs:
+                    f.write(json.dumps(req) + "\n")
+                    f.flush()
+                    out.append(json.loads(f.readline()))
+            return out
+        finally:
+            proc.terminate()
+            proc.wait(timeout=10)
+
+    fl = feat.tolist()
+    dev = serve_requests(tmp_path / "eng_beam", [
+        {"id": "b", "feat": fl, "decode": "beam", "nbest": 3},
+        {"id": "g", "feat": fl, "decode": "greedy"},
+        {"id": "t", "feat": fl, "decode": "beam", "timestamps": True},
+        {"id": "c", "feat": fl, "decode": "beam",
+         "context": [[1, 2]]},
+    ])
+    ref = serve_requests(tmp_path / "eng_ref", [
+        {"id": "b", "feat": fl, "decode": "beam", "beam_size": 4},
+    ])
+    # on-device beam == host beam over the reference engine's logits
+    assert dev[0]["hyp"] == ref[0]["hyp"], (dev[0], ref[0])
+    nb = dev[0].get("nbest")
+    assert nb and nb[0]["hyp"] == dev[0]["hyp"], dev[0]
+    assert all("score" in h for h in nb)
+    # greedy requests get the best on-device hypothesis
+    assert dev[1]["hyp"] == dev[0]["hyp"], (dev[1], dev[0])
+    # host-search-only features are clearly rejected
+    assert "topk" in dev[2].get("error", ""), dev[2]
+    assert "topk" in dev[3].get("error", ""), dev[3]
