@@ -52,6 +52,20 @@ def _ceil_to(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
+def _dot_prec(*xs):
+    """Explicit dot precision for kernel-body matmuls.
+
+    Mosaic lowers only DEFAULT and HIGHEST dot precisions; the engine's
+    fp32 mode traces under jax.default_matmul_precision("high"), which
+    would otherwise leak into the kernel jaxpr and fail to lower
+    (`Unsupported dot precision: HIGH`). f32 operands get HIGHEST
+    (exact fp32 contraction — at or above the ambient request), bf16
+    operands the Mosaic default."""
+    if any(x.dtype == jnp.float32 for x in xs):
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
 def _flash_kernel(len_ref, q_ref, k_ref, v_ref, *rest, scale: float,
                   block_s: int, block_t: int, ns: int, masked: bool,
                   windowed: bool, mem_cols: int = 0,
@@ -79,7 +93,8 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, *rest, scale: float,
     q = q_ref[0, 0]                      # (bt, 2Dk)
     k = k_ref[0, 0]                      # (bs, 2Dk)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=_dot_prec(q, k))
     s = s * scale                        # (bt, bs) f32
     if masked:
         col = i_s * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -114,7 +129,8 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, *rest, scale: float,
     v = v_ref[0, 0]                      # (bs, Dk)
     pv = jax.lax.dot_general(p.astype(v.dtype), v,
                              (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=_dot_prec(v))
     acc_ref[...] = acc_ref[...] * alpha + pv
 
     @pl.when(i_s == ns - 1)
@@ -288,18 +304,21 @@ def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     q = q_ref[0, 0]                       # (bt, D2)
     k = k_ref[0, 0]                       # (bs, D2)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32,
+                            precision=_dot_prec(q, k)) * scale
     s = _bwd_masks(s, i_s, block_s, len_ref[b], lo_ref, hi_ref, masked,
                    windowed, mem_cols)
     p = jnp.exp(s - lse_ref[0, 0])        # (bt, bs); masked cols -> 0
     do = do_ref[0, 0].astype(jnp.float32)  # (bt, Dk)
     v = v_ref[0, 0].astype(jnp.float32)   # (bs, Dk)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=_dot_prec(do, v))
     ds = p * (dp - dl_ref[0, 0]) * scale  # (bt, bs), d(s_raw)
     acc_ref[...] += jax.lax.dot_general(
         ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(i_s == ns - 1)
     def _finish():
@@ -327,7 +346,8 @@ def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     q = q_ref[0, 0]                       # (bt, D2)
     k = k_ref[0, 0]                       # (bs, D2)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32,
+                            precision=_dot_prec(q, k)) * scale
     s = _bwd_masks(s, i_s, block_s, len_ref[b], lo_ref, hi_ref, masked,
                    windowed, mem_cols)
     p = jnp.exp(s - lse_ref[0, 0])        # (bt, bs)
@@ -336,14 +356,17 @@ def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     # dv += p^T do
     dv_acc[...] += jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=_dot_prec(do, v))
     ds = p * (dp - dl_ref[0, 0]) * scale
     # dk += ds^T q
     dk_acc[...] += jax.lax.dot_general(
         ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(i_t == nt - 1)
     def _finish():

@@ -82,10 +82,18 @@ def _stream_kernel(*refs, use_b2: bool, n_experts: int, quant: bool):
             else:
                 w1 = w1_buf[slot]
                 w2 = w2_buf[slot]
-            h = jnp.dot(x, w1, preferred_element_type=jnp.float32)
+            # explicit precision: Mosaic lowers only DEFAULT/HIGHEST,
+            # and an ambient default_matmul_precision("high") (engine
+            # fp32 mode) would otherwise leak into the kernel trace
+            prec = (jax.lax.Precision.HIGHEST
+                    if w1.dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
+            h = jnp.dot(x, w1, preferred_element_type=jnp.float32,
+                        precision=prec)
             h = h + b1_ref[e][None, :].astype(jnp.float32)
             h = swish(h).astype(compute_dtype)
-            y = jnp.dot(h, w2, preferred_element_type=jnp.float32)
+            y = jnp.dot(h, w2, preferred_element_type=jnp.float32,
+                        precision=prec)
             if use_b2:
                 y = y + b2_ref[e][None, :].astype(jnp.float32)
             sel = gate_ref[...] == e                     # (N, 1) 2-D

@@ -24,8 +24,12 @@ if ! timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/8082' 2>/dev/null; then
     exit 3
 fi
 
-record() {  # record <label> <cmd...>
+record() {  # record <label> <cmd...>  (resumable: skips recorded successes)
     local label=$1; shift
+    if grep -q "\"label\": \"$label\", \"line\"" "$OUT" 2>/dev/null; then
+        echo ">>> $label: already recorded, skipping" >&2
+        return 0
+    fi
     echo ">>> $label: $*" >&2
     local line
     line=$("$@" 2>/dev/null | grep '^{' | tail -1)
@@ -54,13 +58,16 @@ for seq in 2048 6000; do
 done
 
 # --- 2b. training-step flash A/B (fwd+bwd custom VJP kernels) --------------
+# fp32 b4x1024 x 18 blocks OOMs one 16 GB chip without remat (measured
+# RESOURCE_EXHAUSTED); bf16 fits without. fp32 rows therefore run
+# --remat (recorded in the JSON's "remat" field).
 for impl in xla flash; do
     record "train_step_1024_${impl}" \
         timeout 580 python scripts/bench_train_step.py --seq 1024 \
-        --batch 4 --iters 10 --impls "$impl"
+        --batch 4 --iters 10 --remat --impls "$impl"
     record "train_step_1024_chunked_${impl}" \
         timeout 580 python scripts/bench_train_step.py --seq 1024 \
-        --batch 4 --iters 10 --dynamic_chunk --impls "$impl"
+        --batch 4 --iters 10 --remat --dynamic_chunk --impls "$impl"
     record "train_step_1024_bf16_${impl}" \
         timeout 580 python scripts/bench_train_step.py --seq 1024 \
         --batch 4 --iters 10 --dtype bfloat16 --impls "$impl"

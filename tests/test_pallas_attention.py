@@ -493,6 +493,60 @@ def test_train_loss_fn_attn_impl_flash():
                                    err_msg=jax.tree_util.keystr(pa))
 
 
+def test_no_ambient_high_precision_leak():
+    """Regression: the engine's fp32 mode traces under
+    jax.default_matmul_precision("high"); Mosaic lowers only
+    DEFAULT/HIGHEST dot precisions, so a leaked HIGH crashed every
+    fp32 flash/pallas-MoE compile on chip ("Unsupported dot precision:
+    HIGH"). Kernel-body dots must pin their precision explicitly —
+    assert no Precision.HIGH dot survives in the traced jaxpr."""
+    import re
+
+    from m3asr_tpu.ops.pallas_moe import moe_experts_dense_pallas
+
+    p, x, pos = _setup(1, 64, 32, 4, seed=9)
+    lens = jnp.asarray([64], jnp.int32)
+    with jax.default_matmul_precision("high"):
+        jaxpr = jax.make_jaxpr(
+            lambda pp, xx: flash_rel_mha(pp, xx, pos, lens, 4))(p, x)
+        # grads trace the bwd kernels too
+        jaxpr_g = jax.make_jaxpr(jax.grad(
+            lambda pp: jnp.sum(flash_rel_mha(pp, x, pos, lens, 4))))(p)
+
+        km = jax.random.split(jax.random.PRNGKey(0), 5)
+        E, Dm, Hm = 2, 32, 48
+        mp = {"w1": jax.random.normal(km[0], (E, Dm, Hm)),
+              "b1": jnp.zeros((E, Hm)),
+              "w2": jax.random.normal(km[1], (E, Hm, Dm)),
+              "b2": jnp.zeros((E, Dm))}
+        xm = jax.random.normal(km[2], (1, 16, Dm))
+        gi = jnp.zeros((1, 16), jnp.int32)
+        jaxpr_m = jax.make_jaxpr(
+            lambda mpp, xx: moe_experts_dense_pallas(mpp, xx, gi))(mp, xm)
+
+    def kernel_jaxprs(jx):
+        """Yield the inner jaxpr of every pallas_call, recursively."""
+        stack = [jx.jaxpr]
+        while stack:
+            j = stack.pop()
+            for eqn in j.eqns:
+                if eqn.primitive.name == "pallas_call":
+                    yield eqn.params["jaxpr"]
+                for v in eqn.params.values():
+                    if hasattr(v, "eqns"):
+                        stack.append(v)
+                    elif hasattr(v, "jaxpr"):
+                        stack.append(v.jaxpr)
+
+    bad = re.compile(r"Precision\.HIGH\b")  # excludes HIGHEST
+    for name, jx in (("flash fwd", jaxpr), ("flash bwd", jaxpr_g),
+                     ("pallas moe", jaxpr_m)):
+        kernels = list(kernel_jaxprs(jx))
+        assert kernels, f"{name}: no pallas_call found in the trace"
+        for kj in kernels:
+            assert not bad.search(str(kj)), f"{name}: HIGH dot in kernel"
+
+
 def test_flash_composes_with_remat_and_bf16():
     """remat (per-block rematerialization) and compute_dtype='bfloat16'
     both compose with attn_impl='flash' in one training step: finite
