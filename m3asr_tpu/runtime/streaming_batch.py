@@ -36,7 +36,9 @@ from m3asr_tpu.config import EncoderConfig, MoEEncoderConfig
 from m3asr_tpu.models import streaming
 from m3asr_tpu.runtime.streaming_session import (DfsmnMoeStreamingSession,
                                                  DfsmnStreamingSession,
-                                                 StreamingSession)
+                                                 StreamingSession,
+                                                 chunk_frames, chunk_np,
+                                                 chunk_slice, sparse_topk)
 
 
 class SlotsFull(Exception):
@@ -223,12 +225,14 @@ class _BatcherCore:
                 self.state = new_state
                 self._in_flight = False
                 self._apply_deferred_resets_locked()
-            out = np.asarray(out)
+            out = chunk_np(out)
             self._batch_sizes.append(len(batch))
             if len(self._batch_sizes) > 1000:
                 del self._batch_sizes[:-1000]
             for slot, item in batch.items():
-                item.result = out[slot:slot + 1]
+                item.result = (tuple(o[slot:slot + 1] for o in out)
+                               if isinstance(out, tuple)
+                               else out[slot:slot + 1])
         except BaseException as e:   # propagate to every waiter
             for item in batch.values():
                 item.error = e
@@ -252,13 +256,15 @@ class StreamBatcher(_BatcherCore):
     def __init__(self, params, cfg: EncoderConfig, chunk_size: int = 16,
                  num_left_chunks: int = 2, slots: int = 8,
                  moe: bool = False, moe_impl: str = "dense",
-                 window_ms: float = 2.0):
+                 window_ms: float = 2.0, topk: int = 0):
         self.cfg = cfg
         self.chunk = chunk_size
         self.left = num_left_chunks
         self.moe = moe
         self.moe_impl = moe_impl
+        self.topk = topk
         self._cache_T = chunk_size * num_left_chunks
+        out_t = (lambda o: sparse_topk(o, topk)) if topk else (lambda o: o)
         if moe:
             assert isinstance(cfg, MoEEncoderConfig)
 
@@ -266,13 +272,14 @@ class StreamBatcher(_BatcherCore):
                 st, est = state
                 out, ns, nes = streaming.forward_chunk_moe(
                     p, cfg, windows, st, est, moe_impl=moe_impl)
-                return out, (streaming.select_state(mask, ns, st),
-                             streaming.select_state(mask, nes, est))
+                return out_t(out), (streaming.select_state(mask, ns, st),
+                                    streaming.select_state(mask, nes, est))
         else:
             def step(p, windows, mask, state):
                 st, _ = state
                 out, ns = streaming.forward_chunk(p, cfg, windows, st)
-                return out, (streaming.select_state(mask, ns, st), None)
+                return out_t(out), (streaming.select_state(mask, ns, st),
+                                    None)
 
         self._jit_step = jax.jit(step)
         super().__init__(params, slots, window_ms,
@@ -303,23 +310,26 @@ class DfsmnStreamBatcher(_BatcherCore):
 
     def __init__(self, params, cfg, chunk_size: int = 16, slots: int = 8,
                  cache_T: int = 256, moe: bool = False,
-                 moe_impl: str = "dense", window_ms: float = 2.0):
+                 moe_impl: str = "dense", window_ms: float = 2.0,
+                 topk: int = 0):
         from m3asr_tpu.models import dfsmn_streaming as S
         self.cfg = cfg
         self.chunk = chunk_size
         self.moe = moe
         self.moe_impl = moe_impl
+        self.topk = topk
         self._cache_T = cache_T
         self._S = S
+        out_t = (lambda o: sparse_topk(o, topk)) if topk else (lambda o: o)
         if moe:
             def step(p, windows, mask, state):
                 out, ns = S.forward_chunk_moe(p, cfg, windows, state,
                                               moe_impl=moe_impl)
-                return out, S.select_moe_state(mask, ns, state)
+                return out_t(out), S.select_moe_state(mask, ns, state)
         else:
             def step(p, windows, mask, state):
                 out, ns = S.forward_chunk(p, cfg, windows, state)
-                return out, S.select_state(mask, ns, state)
+                return out_t(out), S.select_state(mask, ns, state)
 
         self._jit_step = jax.jit(step)
         super().__init__(params, slots, window_ms,
@@ -378,7 +388,7 @@ class BatchedStreamingSession(StreamingSession):
                 self._fallback = StreamingSession(
                     b.params, b.cfg, chunk_size=b.chunk,
                     num_left_chunks=b.left, moe=b.moe,
-                    moe_impl=b.moe_impl)
+                    moe_impl=b.moe_impl, topk=b.topk)
         if self._fallback is not None:
             return self._fallback._step(w)
         return self.batcher.push(self.slot, w)
@@ -427,11 +437,13 @@ class BatchedDfsmnStreamingSession(DfsmnStreamingSession):
                 self._fallback = (
                     DfsmnMoeStreamingSession(
                         b.params, b.cfg, chunk_size=b.chunk,
-                        cache_T=b._cache_T, moe_impl=b.moe_impl)
+                        cache_T=b._cache_T, moe_impl=b.moe_impl,
+                        topk=b.topk)
                     if b.moe else
                     DfsmnStreamingSession(b.params, b.cfg,
                                           chunk_size=b.chunk,
-                                          cache_T=b._cache_T))
+                                          cache_T=b._cache_T,
+                                          topk=b.topk))
         if self._fallback is not None:
             fb = self._fallback
             if fb.state is None:     # MoE state sized on first chunk
@@ -440,20 +452,20 @@ class BatchedDfsmnStreamingSession(DfsmnStreamingSession):
                                             fb._cache_T, fb.chunk,
                                             c.shape[-1])
             out, fb.state = fb._fn(fb.params, jnp.asarray(c), fb.state)
-            return np.asarray(out)
+            return chunk_np(out)
         return self.batcher.push(self.slot, c)
 
     def _run(self, c: np.ndarray, real_limit):
         out = self._raw_chunk(c)
         self._fed += c.shape[1]
-        C = out.shape[1]
+        C = chunk_frames(out)
         first_pos = self._fed - C - self.delay
         start = max(0, self._next_pos - first_pos)
         end = C if real_limit is None else min(C, real_limit - first_pos)
         if end <= start:
             return None
         self._next_pos = first_pos + end
-        return out[:, start:end]
+        return chunk_slice(out, start, end)
 
     def reset(self) -> None:
         if self.slot is not None:

@@ -20,30 +20,68 @@ from m3asr_tpu.config import EncoderConfig, MoEEncoderConfig
 from m3asr_tpu.models import streaming
 
 
+def sparse_topk(logits: jax.Array, k: int):
+    """On-device sparse chunk output: per-frame log-softmax top-K
+    (sorted best-first), the streaming twin of the engine's
+    decode_output="topk" (runtime/engine.py). Shrinks the chunk D2H
+    from (B, C, V) floats to (B, C, K) values + int32 ids — at V=5000,
+    K=10 that is ~250x less per tick; greedy partials read column 0,
+    beam partials feed PrefixBeamState.advance_sparse."""
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    vals, idx = jax.lax.top_k(lp, min(k, logits.shape[-1]))
+    return vals, idx.astype(jnp.int32)
+
+
+def chunk_np(out):
+    """Device chunk output -> numpy: array, or (vals, idx) tuple."""
+    if isinstance(out, tuple):
+        return tuple(np.asarray(o) for o in out)
+    return np.asarray(out)
+
+
+def chunk_slice(out, start: int, end: int):
+    """Slice the time axis of a dense or sparse chunk output."""
+    if isinstance(out, tuple):
+        return tuple(o[:, start:end] for o in out)
+    return out[:, start:end]
+
+
+def chunk_frames(out) -> int:
+    """Time-axis length of a dense or sparse chunk output."""
+    return (out[0] if isinstance(out, tuple) else out).shape[1]
+
+
 class StreamingSession:
     def __init__(self, params, cfg: EncoderConfig, chunk_size: int = 16,
                  num_left_chunks: int = 2, batch: int = 1,
-                 moe: bool = False, moe_impl: str = "dense"):
+                 moe: bool = False, moe_impl: str = "dense",
+                 topk: int = 0):
         self.params = params
         self.cfg = cfg
         self.chunk = chunk_size
         self.window = 4 * chunk_size + 3
         self.stride = 4 * chunk_size
         self.moe = moe
+        self.topk = topk
         self._batch = batch
         self._cache_T = chunk_size * num_left_chunks
         cache_T = self._cache_T
         self.state = streaming.init_state(cfg, batch, cache_T)
+        out_t = (lambda o: sparse_topk(o, topk)) if topk else (lambda o: o)
         if moe:
             assert isinstance(cfg, MoEEncoderConfig)
             self.embed_state = streaming.init_state(cfg.embed_conf, batch,
                                                     cache_T)
-            self._fn = jax.jit(
-                lambda p, w, s, es: streaming.forward_chunk_moe(
-                    p, cfg, w, s, es, moe_impl=moe_impl))
+
+            def fn(p, w, s, es):
+                out, ns, nes = streaming.forward_chunk_moe(
+                    p, cfg, w, s, es, moe_impl=moe_impl)
+                return out_t(out), ns, nes
         else:
-            self._fn = jax.jit(
-                lambda p, w, s: streaming.forward_chunk(p, cfg, w, s))
+            def fn(p, w, s):
+                out, ns = streaming.forward_chunk(p, cfg, w, s)
+                return out_t(out), ns
+        self._fn = jax.jit(fn)
         self._buf: Optional[np.ndarray] = None
         self._consumed = 0
 
@@ -70,7 +108,7 @@ class StreamingSession:
         else:
             out, self.state = self._fn(self.params, jnp.asarray(w),
                                        self.state)
-        return np.asarray(out)
+        return chunk_np(out)
 
     def reset(self) -> None:
         """Back to a fresh stream, keeping the jitted chunk function
@@ -107,7 +145,7 @@ class StreamingSession:
                       self._buf.shape[2]), np.float32)
         w[:, :rest] = self._buf[:, self._consumed:]
         out = self._step(w)
-        return [out[:, :n_out]]
+        return [chunk_slice(out, 0, n_out)]
 
 
 class DfsmnStreamingSession:
@@ -119,16 +157,22 @@ class DfsmnStreamingSession:
     `delay` zero frames to flush the matured tail."""
 
     def __init__(self, params, cfg, chunk_size: int = 16, batch: int = 1,
-                 cache_T: int = 256):
+                 cache_T: int = 256, topk: int = 0):
         from m3asr_tpu.models import dfsmn_streaming as S
         self.params = params
         self.cfg = cfg
         self.chunk = chunk_size
+        self.topk = topk
         self._batch = batch
         self._cache_T = cache_T
         self.delay = S.stream_delay(cfg)
         self.state = S.init_state(cfg, batch, cache_T)
-        self._fn = jax.jit(lambda p, c, s: S.forward_chunk(p, cfg, c, s))
+        out_t = (lambda o: sparse_topk(o, topk)) if topk else (lambda o: o)
+
+        def fn(p, c, s):
+            out, ns = S.forward_chunk(p, cfg, c, s)
+            return out_t(out), ns
+        self._fn = jax.jit(fn)
         self._buf: Optional[np.ndarray] = None
         self._consumed = 0         # buffer-relative frames consumed
         self._fed = 0              # total frames fed to the model
@@ -138,15 +182,15 @@ class DfsmnStreamingSession:
              ) -> Optional[np.ndarray]:
         out, self.state = self._fn(self.params, jnp.asarray(c), self.state)
         self._fed += c.shape[1]
-        out = np.asarray(out)
-        C = out.shape[1]
+        out = chunk_np(out)
+        C = chunk_frames(out)
         first_pos = self._fed - C - self.delay       # position of out[0]
         start = max(0, self._next_pos - first_pos)
         end = C if real_limit is None else min(C, real_limit - first_pos)
         if end <= start:
             return None
         self._next_pos = first_pos + end
-        return out[:, start:end]
+        return chunk_slice(out, start, end)
 
     def push(self, feat: np.ndarray) -> List[np.ndarray]:
         """feat: (B, t, input_dim). Returns matured logits pieces."""
@@ -214,18 +258,23 @@ class DfsmnMoeStreamingSession(DfsmnStreamingSession):
     feature dim sizes the delay buffer)."""
 
     def __init__(self, params, cfg, chunk_size: int = 16, batch: int = 1,
-                 cache_T: int = 256, moe_impl: str = "dense"):
+                 cache_T: int = 256, moe_impl: str = "dense",
+                 topk: int = 0):
         from m3asr_tpu.models import dfsmn_streaming as S
         self.params = params
         self.cfg = cfg
         self.chunk = chunk_size
+        self.topk = topk
         self._batch = batch
         self._cache_T = cache_T
         self.delay = S.moe_stream_delay(cfg, chunk_size)
         self.state = None
-        self._fn = jax.jit(
-            lambda p, c, s: S.forward_chunk_moe(p, cfg, c, s,
-                                                moe_impl=moe_impl))
+        out_t = (lambda o: sparse_topk(o, topk)) if topk else (lambda o: o)
+
+        def fn(p, c, s):
+            out, ns = S.forward_chunk_moe(p, cfg, c, s, moe_impl=moe_impl)
+            return out_t(out), ns
+        self._fn = jax.jit(fn)
         self._buf: Optional[np.ndarray] = None
         self._consumed = 0
         self._fed = 0

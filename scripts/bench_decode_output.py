@@ -28,6 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def run(args):
+    import jax
+    cache = os.environ.get("M3ASR_BENCH_CACHE", "/tmp/m3asr_bench_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     from __graft_entry__ import _flagship_params
     from m3asr_tpu.decode import native
     from m3asr_tpu.decode.ctc import ctc_greedy_from_ids
@@ -40,7 +46,7 @@ def run(args):
                             for s in seqs}))
     rng = np.random.RandomState(0)
 
-    for mode in ("logits", "argmax", "topk", "beam"):
+    for mode in args.modes.split(","):
         eng = Engine(cfg, params,
                      EngineConfig(dtype=args.dtype, decode_output=mode,
                                   decode_topk=args.beam,
@@ -99,6 +105,10 @@ if __name__ == "__main__":
     p.add_argument("--beam", type=int, default=8)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16", "int8"])
+    p.add_argument("--modes", default="logits,argmax,topk,beam",
+                   help="comma-separated decode_output arms; one mode "
+                        "per invocation keeps each run inside a bench "
+                        "timeout (each arm compiles its own engine)")
     p.add_argument("--host_decode", default="beam",
                    choices=["greedy", "beam"],
                    help="host decode for the dense logits arm")

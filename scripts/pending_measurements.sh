@@ -126,12 +126,19 @@ trap - EXIT
 # logits vs argmax (greedy) vs topk (sparse beam) end-to-end utterance ->
 # transcript latency; the dense arm ships (T',5000) floats over the
 # tunnel per call, the sparse arms (T') ids / (T',8) candidates.
-record decode_output_ab_bf16 \
-    timeout 580 python scripts/bench_decode_output.py --iters 20 \
-    --dtype bfloat16
-record decode_output_ab_fp32_206 \
-    timeout 580 python scripts/bench_decode_output.py --iters 20 \
-    --seq 206 --dtype float32
+# one (mode, seq) per invocation: each arm compiles its own engine
+# through the tunnel, so a combined run blows the per-row timeout (the
+# r7 attempt recorded only the first arm's line)
+for mode in logits argmax topk beam; do
+    for seq in 206 2048 6000; do
+        record "decode_${mode}_${seq}_bf16" \
+            timeout 580 python scripts/bench_decode_output.py \
+            --iters 20 --seq "$seq" --dtype bfloat16 --modes "$mode"
+    done
+    record "decode_${mode}_206_fp32" \
+        timeout 580 python scripts/bench_decode_output.py \
+        --iters 20 --seq 206 --dtype float32 --modes "$mode"
+done
 
 # --- 4. parallel bucket warmup A/B (flagship build time) -------------------
 # CPU-small measurement was a wash (tracing dominates); on the chip the

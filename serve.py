@@ -33,6 +33,13 @@ pooled and their jitted chunk forwards reused across connections):
           blank frames follow speech — pass the threshold at start)
   {"stream": "end"}
       -> {"hyp": [ids...], "out_frames": N, "final": true}
+
+By default chunk programs emit on-device sparse top-K outputs
+(--stream_topk, the streaming twin of engine decode_output="topk"):
+per-frame log-softmax top-K values+ids cross device->host instead of
+(C, V) logits — ~V/K x less transfer per tick, identical partials
+(greedy = column 0; beam = advance_sparse, exact for beam_size <= K).
+--stream_topk 0 restores dense logits chunks.
 """
 
 import argparse
@@ -76,6 +83,33 @@ class _StreamDecode:
 
     def update(self, chunks) -> None:
         for ch in chunks:
+            if isinstance(ch, tuple):
+                # sparse chunk (serve.py --stream_topk): per-frame
+                # top-K log-softmax (vals, idx), best-first — column 0
+                # IS the dense argmax; beam partials ride
+                # advance_sparse (identical hypotheses for
+                # K >= beam_size, decode/ctc.py)
+                vals, idx = (np.asarray(ch[0])[0], np.asarray(ch[1])[0])
+                top1 = idx[:, 0]
+                if self.ep_blanks:
+                    for t in top1:
+                        if int(t) == self.blank:
+                            self._trailing_blanks += 1
+                        else:
+                            self._trailing_blanks = 0
+                            self._spoke = True
+                if self.beam is not None:
+                    self.beam.advance_sparse(vals, idx)
+                    self.frames += vals.shape[0]
+                    continue
+                for t in top1:
+                    t = int(t)
+                    if t != self.prev and t != self.blank:
+                        self.hyp.append(t)
+                        self.times.append(self.frames)
+                    self.prev = t
+                    self.frames += 1
+                continue
             arr = np.asarray(ch)[0]          # (T, V) logits
             if self.ep_blanks:
                 for t in arr.argmax(-1):
@@ -543,7 +577,8 @@ def _build_runtime(args):
                         slots=args.stream_slots,
                         moe=(family == "dfsmn_moe"),
                         moe_impl=dfsmn_impl,
-                        window_ms=args.stream_window_ms)
+                        window_ms=args.stream_window_ms,
+                        topk=args.stream_topk)
                 b = dfsmn_batchers[chunk]
             return BatchedDfsmnStreamingSession(b)
     else:
@@ -567,7 +602,8 @@ def _build_runtime(args):
                         engine.params, enc_cfg, chunk_size=chunk,
                         num_left_chunks=left, slots=args.stream_slots,
                         moe=engine.is_moe, moe_impl=moe_impl,
-                        window_ms=args.stream_window_ms)
+                        window_ms=args.stream_window_ms,
+                        topk=args.stream_topk)
                 b = batchers[key]
             return BatchedStreamingSession(b)
     stream_pool = SessionPool(factory) if factory is not None else None
@@ -670,6 +706,15 @@ if __name__ == "__main__":
                    help="concurrent streams sharing one batched chunk "
                         "program (overflow streams get dedicated "
                         "single-stream sessions)")
+    p.add_argument("--stream_topk", type=int, default=10,
+                   help="on-device sparse chunk outputs: the chunk "
+                        "program emits per-frame top-K log-softmax "
+                        "(vals, ids) instead of (C, V) logits, cutting "
+                        "the per-tick device->host transfer ~V/K x. "
+                        "Greedy partials use column 0; beam partials "
+                        "match the dense search for beam_size <= K "
+                        "(larger beams degrade to K candidates/frame). "
+                        "0 = dense logits")
     p.add_argument("--stream_window_ms", type=float, default=2.0,
                    help="co-pending window for cross-stream chunk "
                         "batching")

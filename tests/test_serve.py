@@ -371,6 +371,68 @@ def test_serve_streaming_concurrent_batched(tmp_path):
 
 
 @pytest.mark.slow
+def test_serve_streaming_sparse_matches_dense(tmp_path):
+    """--stream_topk (on-device sparse chunk outputs, the default) must
+    produce byte-identical greedy AND beam transcripts to a dense
+    (--stream_topk 0) server on the same engine and input."""
+    m = golden_model()
+    torch.save({f"encoder.{k}": v for k, v in m.state_dict().items()},
+               tmp_path / "ckpt.pt")
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(small_yaml(), f)
+    env = dict(os.environ, M3ASR_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "build.py"),
+         "-c", str(tmp_path / "cfg.yaml"), "-m", str(tmp_path / "ckpt.pt"),
+         "-o", str(tmp_path / "eng"), "--buckets", "1x64", "--skip-warmup"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    rng = np.random.RandomState(9)
+    feat = rng.randn(75, 20).round(4)
+
+    def run_stream(port, decode):
+        with socket.create_connection(("127.0.0.1", port),
+                                      timeout=300) as s:
+            f = s.makefile("rw")
+            start = {"stream": "start", "chunk_size": 8,
+                     "num_left_chunks": 2}
+            if decode == "beam":
+                start.update({"decode": "beam", "beam_size": 4})
+            f.write(json.dumps(start) + "\n")
+            f.flush()
+            assert json.loads(f.readline()).get("ok")
+            partials = []
+            for i in range(0, feat.shape[0], 25):
+                f.write(json.dumps(
+                    {"stream": "chunk",
+                     "feat": feat[i:i + 25].tolist()}) + "\n")
+                f.flush()
+                partials.append(json.loads(f.readline())["partial"])
+            f.write(json.dumps({"stream": "end"}) + "\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            assert resp.get("final"), resp
+            return partials, resp["hyp"]
+
+    outs = {}
+    for name, topk in (("dense", "0"), ("sparse", "6")):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "serve.py"),
+             "-p", str(tmp_path / "eng"), "--port", "0",
+             "--stream_topk", topk],
+            stdout=subprocess.PIPE, text=True, env=env)
+        try:
+            line = proc.stdout.readline()
+            port = int(re.search(r":(\d+)$", line.strip()).group(1))
+            outs[name] = {d: run_stream(port, d)
+                          for d in ("greedy", "beam")}
+        finally:
+            proc.terminate()
+            proc.wait(timeout=10)
+    assert outs["sparse"] == outs["dense"]
+
+
+@pytest.mark.slow
 def test_serve_streaming_dfsmn(tmp_path):
     """Streaming over a DFSMN engine (frame-aligned chunks, FIR delay
     handled by the session), and over a DFSMN-MoE engine (embed

@@ -150,6 +150,121 @@ def test_batcher_parity_with_independent_sessions():
         batcher.close()
 
 
+def _np_topk(arr, k):
+    """Reference top-K of dense logits chunks: per-frame log-softmax,
+    sorted best-first (unique order for distinct random floats)."""
+    m = arr.max(-1, keepdims=True)
+    lp = arr - m - np.log(np.exp(arr - m).sum(-1, keepdims=True))
+    idx = np.argsort(-lp, axis=-1)[..., :k]
+    vals = np.take_along_axis(lp, idx, axis=-1)
+    return vals.astype(np.float32), idx.astype(np.int32)
+
+
+def _feed_any(session, feat, step_sizes, outs):
+    """_feed without the np.asarray coercion (sparse chunks are
+    (vals, idx) tuples)."""
+    i = 0
+    for n in step_sizes:
+        outs.extend(session.push(feat[:, i:i + n]))
+        i += n
+    outs.extend(session.finish())
+
+
+def test_sparse_session_matches_dense_topk():
+    """StreamingSession(topk=K) emits exactly the per-frame top-K
+    log-softmax of the dense session's logits chunks (values and ids),
+    including the zero-padded finish() tail."""
+    cfg, params = dense_setup()
+    rng = np.random.RandomState(11)
+    feat = rng.randn(1, 4 * CHUNK * 3 + 9, 20).astype(np.float32)
+    pieces = [25, 40, feat.shape[1] - 65]
+    K = 5
+
+    dense_outs, sparse_outs = [], []
+    _feed_any(StreamingSession(params, cfg, chunk_size=CHUNK,
+                               num_left_chunks=LEFT), feat, pieces,
+              dense_outs)
+    _feed_any(StreamingSession(params, cfg, chunk_size=CHUNK,
+                               num_left_chunks=LEFT, topk=K), feat,
+              pieces, sparse_outs)
+    assert len(dense_outs) == len(sparse_outs) > 0
+    for d, (vals, idx) in zip(dense_outs, sparse_outs):
+        assert vals.shape == idx.shape == d.shape[:2] + (K,)
+        ref_v, ref_i = _np_topk(np.asarray(d), K)
+        np.testing.assert_array_equal(np.asarray(idx), ref_i)
+        allclose(np.asarray(vals), ref_v, rtol=1e-4, atol=1e-4)
+
+
+def test_sparse_batcher_parity():
+    """Concurrent sparse BatchedStreamingSessions == top-K of the
+    independent dense sessions (exercises the tuple path through
+    _dispatch slicing and per-slot result fan-out)."""
+    cfg, params = dense_setup()
+    rng = np.random.RandomState(12)
+    feats = [rng.randn(1, T, 20).astype(np.float32)
+             for T in (4 * CHUNK * 3 + 3, 4 * CHUNK * 2 + 9)]
+    pieces = [[30, 21, 16], [17, 40]]
+    K = 4
+
+    refs = []
+    for f, ps in zip(feats, pieces):
+        outs = []
+        _feed_any(StreamingSession(params, cfg, chunk_size=CHUNK,
+                                   num_left_chunks=LEFT), f, ps, outs)
+        refs.append(outs)
+
+    batcher = StreamBatcher(params, cfg, chunk_size=CHUNK,
+                            num_left_chunks=LEFT, slots=4,
+                            window_ms=20.0, topk=K)
+    try:
+        sessions = [BatchedStreamingSession(batcher) for _ in range(2)]
+        got = [[] for _ in range(2)]
+        threads = [threading.Thread(target=_feed_any,
+                                    args=(sessions[i], feats[i],
+                                          pieces[i], got[i]))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(2):
+            assert len(got[i]) == len(refs[i])
+            for (vals, idx), d in zip(got[i], refs[i]):
+                ref_v, ref_i = _np_topk(np.asarray(d), K)
+                np.testing.assert_array_equal(np.asarray(idx), ref_i)
+                allclose(np.asarray(vals), ref_v, rtol=1e-4, atol=1e-4)
+    finally:
+        batcher.close()
+
+
+def test_sparse_dfsmn_session_matches_dense_topk():
+    """DFSMN sparse streaming: the tuple chunk output rides the
+    maturity slicing (_run start/end) exactly like the dense array."""
+    from m3asr_tpu.models import dfsmn
+    from m3asr_tpu.runtime.streaming_session import DfsmnStreamingSession
+
+    cfg = dfsmn.DfsmnSanConfig(num_block=2, fsmn_each_block=3,
+                               hidden_dim=32, memory_dim=16, look_back=4,
+                               look_ahead=0, stride_left=2,
+                               stride_right=1, num_head=4, num_memory=8)
+    params = dfsmn.init_dfsmn_san(jax.random.PRNGKey(2), cfg, 16, 9)
+    rng = np.random.RandomState(13)
+    feat = rng.randn(1, 50, 16).astype(np.float32)
+    pieces = [19, 22, 9]
+    K = 3
+
+    dense_outs, sparse_outs = [], []
+    _feed_any(DfsmnStreamingSession(params, cfg, chunk_size=8), feat,
+              pieces, dense_outs)
+    _feed_any(DfsmnStreamingSession(params, cfg, chunk_size=8, topk=K),
+              feat, pieces, sparse_outs)
+    assert len(dense_outs) == len(sparse_outs) > 0
+    for d, (vals, idx) in zip(dense_outs, sparse_outs):
+        ref_v, ref_i = _np_topk(np.asarray(d), K)
+        np.testing.assert_array_equal(np.asarray(idx), ref_i)
+        allclose(np.asarray(vals), ref_v, rtol=1e-4, atol=1e-4)
+
+
 def test_idle_slots_do_not_advance():
     """Opening a second slot and letting it idle while the first runs
     must leave the idle stream exactly fresh."""
