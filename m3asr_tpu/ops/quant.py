@@ -7,9 +7,11 @@ per utterance pass), so int8 weights cut the floor 4x vs fp32 / 2x vs
 bf16, and int4 halves it again. Symmetric scales: int8 uses
 per-(expert, output-column) scales; int4 adds group-wise scales along
 the contraction dim (default group 128, the AWQ-style layout) to keep
-the 15-level grid accurate. Weights are stored as XLA-native s8/s4
-(s4 is bit-packed in TPU HBM); the dequant (convert + scale) fuses
-into the XLA dot/einsum consumer.
+the 15-level grid accurate. int8 weights are stored as XLA-native s8;
+int4 as hand-packed nibble pairs in int8 bytes (pack_int4 — XLA s4
+arrays cannot be jit arguments on this jax version). Either way the
+dequant (unpack/convert + scale) fuses into the XLA dot/einsum
+consumer, so HBM traffic is the quantized bytes.
 """
 
 from __future__ import annotations
@@ -24,6 +26,36 @@ from m3asr_tpu.ops.common import swish
 
 
 INT4_GROUP = 128  # contraction-dim scale group for int4 (AWQ layout)
+
+
+def pack_int4(q: np.ndarray) -> np.ndarray:
+    """Pack int4 values (int8 storage, range [-8, 7]) two-per-byte
+    along the LAST axis, concat-half layout: packed[..., j] holds
+    column j in its low nibble and column j + out//2 in its high
+    nibble. The unpack (unpack_int4) is two elementwise maps + one
+    concatenate, which XLA fuses into the consuming einsum's operand
+    read — HBM traffic is the packed bytes, the true int4 rate.
+
+    Why not XLA-native s4 arrays: on this jax version an s4 array
+    cannot be a jit argument at all — both the host->device transfer
+    and the argument relayout die in a device_put recursion
+    ("Recursively calling jit" RecursionError, measured on chip).
+    Nibble packing by hand keeps the int4 HBM win without the s4
+    dtype."""
+    out = q.shape[-1]
+    assert out % 2 == 0, f"odd output dim {out} cannot nibble-pack"
+    lo = q[..., : out // 2].astype(np.uint8) & 0xF
+    hi = q[..., out // 2:].astype(np.uint8) & 0xF
+    return ((hi << 4) | lo).astype(np.uint8).view(np.int8)
+
+
+def unpack_int4(packed: jax.Array, dtype) -> jax.Array:
+    """Inverse of pack_int4 (jit-side): (..., out//2) int8 ->
+    (..., out) `dtype`, sign-extending each nibble."""
+    p = packed.astype(jnp.int32)
+    lo = ((p & 15) ^ 8) - 8
+    hi = (((p >> 4) & 15) ^ 8) - 8
+    return jnp.concatenate([lo, hi], axis=-1).astype(dtype)
 
 
 def quantize_tensor(w, axis: int = -2, bits: int = 8,
@@ -52,10 +84,8 @@ def quantize_tensor(w, axis: int = -2, bits: int = 8,
         amax = np.max(np.abs(w), axis=axis, keepdims=True)
         scale = np.where(amax > 0, amax / qmax, 1.0).astype(np.float32)
         q = np.clip(np.round(w / scale), -qmax, qmax)
-    if bits == 8:
-        return q.astype(np.int8), scale
-    # numpy has no int4: quantized values ride int8 through numpy and
-    # become XLA-native s4 at jnp.asarray time (quantize_moe_params)
+    # int4 values also ride int8 through numpy (range [-8, 7]);
+    # quantize_moe_params nibble-packs them via pack_int4
     return q.astype(np.int8), scale
 
 
@@ -69,8 +99,10 @@ def quantize_moe_params(p, bits: int = 8,
     for name in ("w1", "w2"):
         qw, s = quantize_tensor(np.asarray(p[name]), bits=bits,
                                 group_size=group_size)
-        q[name + "_q"] = jnp.asarray(qw, jnp.int4 if bits == 4
-                                     else jnp.int8)
+        if bits == 4:
+            q[name + "_q4"] = jnp.asarray(pack_int4(qw))
+        else:
+            q[name + "_q"] = jnp.asarray(qw, jnp.int8)
         q[name + "_scale"] = jnp.asarray(s)
         q.pop(name, None)
     return q
@@ -87,8 +119,23 @@ def _apply_scale(qf: jax.Array, s: jax.Array) -> jax.Array:
 
 
 def _deq(p, name, dtype):
+    q4 = p.get(name + "_q4")
+    if q4 is not None:        # nibble-packed int4 (pack_int4)
+        return _apply_scale(unpack_int4(q4, dtype), p[name + "_scale"])
     return _apply_scale(p[name + "_q"].astype(dtype),
                         p[name + "_scale"])
+
+
+def _gather_deq(p, name, tile_e, dtype):
+    """Per-tile expert gather + dequant (tiled grouped GEMM): the
+    gather moves quantized bytes (packed nibbles for int4), the
+    convert+scale fuses into the batched einsum."""
+    q4 = p.get(name + "_q4")
+    if q4 is not None:
+        qg = unpack_int4(jnp.take(q4, tile_e, axis=0), dtype)
+    else:
+        qg = jnp.take(p[name + "_q"], tile_e, axis=0).astype(dtype)
+    return _apply_scale(qg, jnp.take(p[name + "_scale"], tile_e, axis=0))
 
 
 def moe_experts_dense_q(p, x: jax.Array, gate_idx: jax.Array,
@@ -133,7 +180,7 @@ def moe_experts_tiled_q(p, x: jax.Array, gate_idx: jax.Array,
     bytes (4x less than fp32); dequant fuses into the batched einsum."""
     from m3asr_tpu.ops.moe import _tile_layout
     B, T, d = x.shape
-    E = p["w1_q"].shape[0]
+    E = (p["w1_q4"] if "w1_q4" in p else p["w1_q"]).shape[0]
     N = B * T
     flat_x = x.reshape(N, d)
     flat_e = gate_idx.reshape(N)
@@ -143,16 +190,14 @@ def moe_experts_tiled_q(p, x: jax.Array, gate_idx: jax.Array,
         jnp.take(flat_x, order, axis=0))
     xt = x_pad.reshape(n_tiles, tile, d)
 
-    w1g = _apply_scale(jnp.take(p["w1_q"], tile_e, axis=0).astype(x.dtype),
-                       jnp.take(p["w1_scale"], tile_e, axis=0))
+    w1g = _gather_deq(p, "w1", tile_e, x.dtype)
     h = jnp.einsum("gtd,gdh->gth", xt, w1g, preferred_element_type=x.dtype)
     if p.get("b1") is not None:
         h = h + jnp.take(p["b1"].astype(x.dtype), tile_e, axis=0)[:, None, :]
     h = activation(h)
     if upper_bound is not None:
         h = jnp.minimum(h, jnp.asarray(upper_bound, h.dtype))
-    w2g = _apply_scale(jnp.take(p["w2_q"], tile_e, axis=0).astype(x.dtype),
-                       jnp.take(p["w2_scale"], tile_e, axis=0))
+    w2g = _gather_deq(p, "w2", tile_e, x.dtype)
     y = jnp.einsum("gth,ghd->gtd", h, w2g, preferred_element_type=x.dtype)
     if p.get("b2") is not None:
         y = y + jnp.take(p["b2"].astype(x.dtype), tile_e, axis=0)[:, None, :]
@@ -181,7 +226,7 @@ def moe_experts_dense_w8a8(p, x: jax.Array, gate_idx: jax.Array,
     already wins the HBM-bound serving regime; this is the
     compute-bound (large-batch/long-input) mode. 8-bit weights only —
     int4 engines keep weight-only dequant."""
-    if p["w1_q"].dtype != jnp.int8:
+    if "w1_q" not in p or p["w1_q"].dtype != jnp.int8:
         raise ValueError("w8a8 needs int8 expert weights")
     out_dtype = x.dtype
     xq, xs = quantize_act(x)                      # (B,T,d) s8, (B,T,1)
@@ -213,7 +258,7 @@ def moe_experts_tiled_w8a8(p, x: jax.Array, gate_idx: jax.Array,
     """Skew-robust tiled grouped GEMM, s8 x s8 -> s32: the per-tile
     weight gather moves int8 bytes AND the MXU runs at the int8 rate —
     the large-token-count serving mode when act_quant is on."""
-    if p["w1_q"].dtype != jnp.int8:
+    if "w1_q" not in p or p["w1_q"].dtype != jnp.int8:
         raise ValueError("w8a8 needs int8 expert weights")
     from m3asr_tpu.ops.moe import _tile_layout
     out_dtype = x.dtype

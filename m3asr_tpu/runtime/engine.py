@@ -144,18 +144,22 @@ def _flatten(tree, prefix=""):
         key = prefix[:-1]
         if str(a.dtype) == "bfloat16":  # npz can't store ml_dtypes
             a = a.astype(np.float32)
-        elif str(a.dtype) == "int4":    # ride npz as int8 bytes
+        elif str(a.dtype) == "int4":    # legacy s4 leaf: npz as bytes
             a, key = a.view(np.int8), key + "__i4"
         out[key] = a
     return out
 
 
 def _unflatten(flat: Dict[str, np.ndarray]):
-    import ml_dtypes
     tree: Dict = {}
     for path, v in flat.items():
         if path.endswith("__i4"):
-            path, v = path[:-4], v.view(ml_dtypes.int4)
+            # legacy engine dirs stored unpacked s4 leaves (one value
+            # per byte); repack to the nibble-packed int4 layout the
+            # quant ops consume (s4 jit arguments crash this jax —
+            # ops/quant.pack_int4)
+            from m3asr_tpu.ops.quant import pack_int4
+            path, v = path[:-4] + "4", pack_int4(v)
         parts = path.split("/")
         node = tree
         for p in parts[:-1]:

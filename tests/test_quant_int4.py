@@ -32,9 +32,10 @@ def test_int4_group_quant_roundtrip_beats_per_column():
     w[:, :32] *= 8.0
     qg, sg = quantize_tensor(w, bits=4, group_size=32)
     qc, sc = quantize_tensor(w, bits=4, group_size=None)
-    deq_g = np.asarray(_deq({"w_q": jnp.asarray(qg, jnp.int4),
+    from m3asr_tpu.ops.quant import pack_int4
+    deq_g = np.asarray(_deq({"w_q4": jnp.asarray(pack_int4(qg)),
                              "w_scale": jnp.asarray(sg)}, "w", jnp.float32))
-    deq_c = np.asarray(_deq({"w_q": jnp.asarray(qc, jnp.int4),
+    deq_c = np.asarray(_deq({"w_q4": jnp.asarray(pack_int4(qc)),
                              "w_scale": jnp.asarray(sc)}, "w", jnp.float32))
     # the skewed group saturates both layouts' grids identically; the
     # win is everywhere else, so compare RMS, and max error on the
@@ -74,7 +75,10 @@ def test_int4_dense_matches_manual_dequant():
     the explicitly dequantized weights (same math, so near-exact)."""
     p, x, gate_idx = _moe_setup()
     q = quantize_moe_params(p, bits=4, group_size=16)
-    assert q["w1_q"].dtype == jnp.int4 and q["w1_scale"].ndim == 4
+    # nibble-packed storage: int8 bytes, half the output columns
+    assert q["w1_q4"].dtype == jnp.int8 and q["w1_scale"].ndim == 4
+    assert q["w1_q4"].shape[-1] == p["w1"].shape[-1] // 2
+    assert "w1_q" not in q
 
     from m3asr_tpu.ops.quant import moe_experts_dense_q
     out_q = jax.jit(lambda qq: moe_experts_dense_q(qq, x, gate_idx))(q)
@@ -117,23 +121,42 @@ def test_int4_default_group_is_awq_128():
     assert q["w2_scale"].shape == (4, 1, 256)
 
 
+def test_int4_pack_roundtrip():
+    """pack_int4/unpack_int4 are exact inverses over the full int4
+    range, and unpacked values dequantize identically to the raw q."""
+    from m3asr_tpu.ops.quant import pack_int4, unpack_int4
+    rng = np.random.RandomState(4)
+    q = rng.randint(-8, 8, (3, 16, 10)).astype(np.int8)
+    packed = pack_int4(q)
+    assert packed.dtype == np.int8 and packed.shape == (3, 16, 5)
+    un = np.asarray(unpack_int4(jnp.asarray(packed), jnp.int32))
+    np.testing.assert_array_equal(un, q)
+
+
 def test_int4_npz_roundtrip():
-    """Engine param flattening tags int4 leaves so npz (which cannot
-    store ml_dtypes) round-trips them."""
+    """Packed int4 leaves are plain int8 and round-trip npz untouched;
+    LEGACY engine dirs (unpacked s4 leaves tagged __i4) load as the
+    packed layout."""
     from m3asr_tpu.runtime.engine import _flatten, _unflatten
     p, _, _ = _moe_setup()
     q = quantize_moe_params(p, bits=4, group_size=16)
     flat = _flatten({"ff": q})
-    assert any(k.endswith("__i4") for k in flat)
+    assert not any(k.endswith("__i4") for k in flat)
     import io
     buf = io.BytesIO()
     np.savez(buf, **flat)
     buf.seek(0)
     tree = _unflatten(dict(np.load(buf)))
-    assert str(np.asarray(tree["ff"]["w1_q"]).dtype) == "int4"
-    np.testing.assert_array_equal(
-        np.asarray(tree["ff"]["w1_q"]).astype(np.int8),
-        np.asarray(q["w1_q"]).astype(np.int8))
+    np.testing.assert_array_equal(np.asarray(tree["ff"]["w1_q4"]),
+                                  np.asarray(q["w1_q4"]))
+
+    # legacy: an __i4-tagged unpacked leaf repacks on load
+    from m3asr_tpu.ops.quant import pack_int4
+    rng = np.random.RandomState(5)
+    raw = rng.randint(-8, 8, (2, 8, 6)).astype(np.int8)
+    tree = _unflatten({"ff/w1_q__i4": raw})
+    np.testing.assert_array_equal(np.asarray(tree["ff"]["w1_q4"]),
+                                  pack_int4(raw))
 
 
 @pytest.mark.slow
@@ -167,7 +190,7 @@ def test_int4_engine_and_roundtrip(tmp_path):
                EngineConfig(dtype="int4", bucket_lengths=(64,),
                             bucket_batches=(1,), donate_input=False))
     ff = q.params["blocks"]["feed_forward"]
-    assert "w1_q" in ff and str(ff["w1_q"].dtype) == "int4"
+    assert "w1_q4" in ff and str(ff["w1_q4"].dtype) == "int8"
     out, out_len = q.infer(feat, fl)
     assert (out_len == ref_len).all()
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
@@ -175,7 +198,7 @@ def test_int4_engine_and_roundtrip(tmp_path):
 
     q.save(str(tmp_path / "eng"), raw_yaml=raw)
     q2 = Engine.load(str(tmp_path / "eng"))
-    assert str(q2.params["blocks"]["feed_forward"]["w1_q"].dtype) == "int4"
+    assert str(q2.params["blocks"]["feed_forward"]["w1_q4"].dtype) == "int8"
     out2, _ = q2.infer(feat, fl)
     np.testing.assert_allclose(out2, out, rtol=2e-2, atol=2e-2)
 
