@@ -556,21 +556,33 @@ class Engine:
                 "exported bucket %s unusable (%s); retracing", path, e)
             return None
 
-    def warmup(self, buckets=None, parallel: bool = True):
+    def warmup(self, buckets=None, parallel: bool = True,
+               execute: bool = False):
         """Pre-compile the given (or all) buckets — the 'engine build'
         phase (replaces TRT tactic search). Buckets compile in parallel
         threads by default: tracing is python-bound but XLA's compile
         releases the GIL, so the ladder builds in ~max(bucket) instead
-        of sum(bucket) time (distinct keys — no duplicated work)."""
+        of sum(bucket) time (distinct keys — no duplicated work).
+
+        execute=True additionally runs ONE real call on the smallest
+        bucket: AOT compilation never executes, so the parameter
+        host->device transfer (1-2.3 GB of expert weights) otherwise
+        lands inside the first live request — measured as a ~27 s p99
+        outlier on a 16-client load test through this harness's
+        tunnel. Serving entry points want execute=True."""
         items = list(buckets or self.buckets.all_buckets())
         if not parallel or len(items) <= 1:
             for b, t in items:
                 self.get_fn(b, t)
-            return
-        from concurrent.futures import ThreadPoolExecutor
-        workers = min(len(items), os.cpu_count() or 4)
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            list(ex.map(lambda bt: self.get_fn(*bt), items))
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            workers = min(len(items), os.cpu_count() or 4)
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(lambda bt: self.get_fn(*bt), items))
+        if execute and items:
+            b, t = min(items)
+            feat = np.zeros((b, t, self.model_cfg.input_dim), np.float32)
+            self.infer(feat, np.full((b,), t, np.int32))
 
     # ------------------------------------------------------------------
     # inference

@@ -67,6 +67,72 @@ def make_gate_idx(rng, n, routing):
     raise ValueError(routing)
 
 
+def _tiled_a8_split(p, x, gate_idx, *, s8_first, s8_second, tile=128):
+    """Diagnostic twin of quant_ops.moe_experts_tiled_w8a8 where each of
+    the two grouped einsums independently runs either s8 x s8 -> s32 or
+    dequantized bf16 — used to localize which stage makes the full
+    w8a8-tiled path slow on chip."""
+    from m3asr_tpu.ops.common import swish
+    from m3asr_tpu.ops.moe import _tile_layout
+    from m3asr_tpu.ops.quant import _apply_scale, quantize_act
+
+    out_dtype = x.dtype
+    B, T, d = x.shape
+    E = p["w1_q"].shape[0]
+    N = B * T
+    flat_x = x.reshape(N, d)
+    flat_e = gate_idx.reshape(N)
+    order, slot, n_tiles, tile_e = _tile_layout(flat_e, N, E, tile)
+
+    if s8_first:
+        xq, xs = quantize_act(flat_x)
+        xq_pad = jnp.zeros((n_tiles * tile, d), jnp.int8).at[slot].set(
+            jnp.take(xq, order, axis=0))
+        xs_pad = jnp.ones((n_tiles * tile, 1), jnp.float32).at[slot].set(
+            jnp.take(xs, order, axis=0))
+        xt = xq_pad.reshape(n_tiles, tile, d)
+        st = xs_pad.reshape(n_tiles, tile, 1)
+        w1g = jnp.take(p["w1_q"], tile_e, axis=0)
+        s1g = jnp.take(p["w1_scale"], tile_e, axis=0)
+        h32 = jnp.einsum("gtd,gdh->gth", xt, w1g,
+                         preferred_element_type=jnp.int32)
+        h = (h32.astype(jnp.float32) * st * s1g).astype(out_dtype)
+    else:
+        x_pad = jnp.zeros((n_tiles * tile, d), x.dtype).at[slot].set(
+            jnp.take(flat_x, order, axis=0))
+        xt = x_pad.reshape(n_tiles, tile, d)
+        w1g = _apply_scale(
+            jnp.take(p["w1_q"], tile_e, axis=0).astype(x.dtype),
+            jnp.take(p["w1_scale"], tile_e, axis=0))
+        h = jnp.einsum("gtd,gdh->gth", xt, w1g,
+                       preferred_element_type=x.dtype)
+    if p.get("b1") is not None:
+        h = h + jnp.take(p["b1"].astype(out_dtype), tile_e,
+                         axis=0)[:, None, :]
+    h = swish(h)
+
+    if s8_second:
+        hq, hs = quantize_act(h)
+        w2g = jnp.take(p["w2_q"], tile_e, axis=0)
+        s2g = jnp.take(p["w2_scale"], tile_e, axis=0)
+        y32 = jnp.einsum("gth,ghd->gtd", hq, w2g,
+                         preferred_element_type=jnp.int32)
+        y = (y32.astype(jnp.float32) * hs * s2g).astype(out_dtype)
+    else:
+        w2g = _apply_scale(
+            jnp.take(p["w2_q"], tile_e, axis=0).astype(out_dtype),
+            jnp.take(p["w2_scale"], tile_e, axis=0))
+        y = jnp.einsum("gth,ghd->gtd", h, w2g,
+                       preferred_element_type=out_dtype)
+    if p.get("b2") is not None:
+        y = y + jnp.take(p["b2"].astype(out_dtype), tile_e,
+                         axis=0)[:, None, :]
+
+    out_sorted = jnp.take(y.reshape(n_tiles * tile, d), slot, axis=0)
+    out = jnp.zeros_like(flat_x).at[order].set(out_sorted)
+    return out.reshape(B, T, d)
+
+
 def main(args):
     cache = os.environ.get("M3ASR_BENCH_CACHE", "/tmp/m3asr_bench_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
@@ -98,6 +164,21 @@ def main(args):
                         .moe_experts_tiled_q(pp, xv, g, tile=128),
                         "quant_tiled256": lambda pp, xv, g: quant_ops
                         .moe_experts_tiled_q(pp, xv, g, tile=256),
+                        "quant_a8": lambda pp, xv, g: quant_ops
+                        .moe_experts_dense_w8a8(pp, xv, g),
+                        "quant_a8_tiled128": lambda pp, xv, g: quant_ops
+                        .moe_experts_tiled_w8a8(pp, xv, g, tile=128),
+                        "quant_a8_tiled256": lambda pp, xv, g: quant_ops
+                        .moe_experts_tiled_w8a8(pp, xv, g, tile=256),
+                        # diagnostics: s8 x s8 on only one of the two
+                        # grouped einsums, to localize the w8a8-tiled
+                        # slowdown (BENCHMARKS.md w8a8 A/B)
+                        "a8_tiled_first_only": lambda pp, xv, g:
+                        _tiled_a8_split(pp, xv, g, s8_first=True,
+                                        s8_second=False),
+                        "a8_tiled_second_only": lambda pp, xv, g:
+                        _tiled_a8_split(pp, xv, g, s8_first=False,
+                                        s8_second=True),
                     }
                     pp, prec = qp, "default"
                 else:

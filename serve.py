@@ -546,7 +546,12 @@ def _build_runtime(args):
 
     engine = Engine.load(args.plan_name)
     if args.warmup:
-        engine.warmup([(1, engine.buckets.lengths[0])])
+        # ALL buckets + one executed call: a cold batch bucket compiles
+        # inside a live request otherwise, and AOT compilation alone
+        # never stages the params — the GB-scale expert-weight
+        # transfer then lands in the first request (measured: ~27 s
+        # p99 outlier on a 16-client load test)
+        engine.warmup(execute=True)
     # never collect more requests than the engine's largest batch
     # bucket can run in one call
     max_batch = min(args.max_batch, max(engine.buckets.batches))
