@@ -67,7 +67,13 @@ def bench_device(cfg, params, feat, feat_len, dtype, moe_impl, iters,
             blocks["feed_forward"], bits=4 if dtype == "int4" else 8)
         p["blocks"] = blocks
         from m3asr_tpu.runtime.engine import _INT8_IMPL
-        moe_impl = _INT8_IMPL.get(moe_impl, "quant")
+        # map a float-family name (e.g. --impl dense) onto its quant
+        # twin; a name that is already resolved (quant*, incl. the
+        # w8a8 twins from the act_quant auto policy) must pass through
+        # UNCHANGED — the round-8 default of "quant" here silently
+        # benched dense int8 instead of w8a8-tiled at large token
+        # counts (BENCHMARKS.md round-9 correction)
+        moe_impl = _INT8_IMPL[moe_impl]
     feat_d = jnp.asarray(feat, jdtype)
     len_d = jnp.asarray(feat_len, jnp.int32)
 

@@ -435,8 +435,14 @@ def _dispatch(p, x, gate_idx, impl: str):
         from m3asr_tpu.ops.quant import moe_experts_tiled_w8a8
         return moe_experts_tiled_w8a8(p, x, gate_idx)
     if impl == "quant_pallas":
+        if "w1_q4" in p:        # packed int4 params -> the q4 kernel
+            from m3asr_tpu.ops.pallas_moe_q4 import moe_experts_pallas_q4
+            return moe_experts_pallas_q4(p, x, gate_idx)
         from m3asr_tpu.ops.pallas_moe import moe_experts_pallas_q
         return moe_experts_pallas_q(p, x, gate_idx)
+    if impl == "quant4_pallas":
+        from m3asr_tpu.ops.pallas_moe_q4 import moe_experts_pallas_q4
+        return moe_experts_pallas_q4(p, x, gate_idx)
     raise ValueError(f"unknown moe impl: {impl}")
 
 

@@ -1,0 +1,219 @@
+"""Pallas int4 MoE expert kernel (TPU) — packed-nibble streaming.
+
+Why this exists: the XLA int4 path (ops/quant.py unpack_int4) measured
+SLOWER than int8 on chip (BENCHMARKS.md round-8: 2.63 vs 1.69 ms at
+1x206) because XLA materializes the unpacked bf16 weights in HBM
+instead of fusing the unpack into the einsum operand read — the packed
+bytes' 2x HBM win never reaches the MXU. This kernel keeps the packed
+bytes packed all the way into VMEM and unpacks there, so HBM traffic
+is the true int4 rate (~0.3 GB per 18-layer pass vs 0.6 GB int8 /
+1.15 GB bf16).
+
+Design (vs ops/pallas_moe._stream_kernel, the round-2 int8 streamer
+that lost to XLA):
+
+* Chunked DMA: the old kernel issued ONE async copy per expert
+  (512 KB int8) with 2-slot double buffering and reached only
+  ~290 GB/s — per-copy latency and loop overhead dominate sub-µs
+  transfers. Here each DMA moves a CHUNK of `chunk` experts' packed
+  weights (2 MB for chunk=8 at flagship dims), cutting the copy count
+  per layer from 64 to 8 while staying inside VMEM
+  (2 slots x (w1 2MB + w2 2MB) = 8 MB).
+
+* Factored unpack, MXU-neutral: pack_int4's concat-half layout stores
+  output column j (lo nibble) and column j + out/2 (hi nibble) in one
+  byte p = (hi & 15) << 4 | (lo & 15). XORing p with 0x88 flips each
+  nibble's sign bit, turning the byte into the biased-unsigned
+  u = 16*(hi+8) + (lo+8), so with U0 = x @ u, U1 = x @ (u >> 4) and
+  rs = rowsum(x) per contraction group:
+
+      x @ lo = U0 - 16*U1 - 8*rs        (lo = (u - 16*(u>>4)) - 8)
+      x @ hi = U1 - 8*rs                (hi = (u >> 4) - 8)
+
+  i.e. TWO half-width dots replace the full-width dot on the unpacked
+  weights — identical total MXU FLOPs — and the VPU does one xor, one
+  logical shift and two converts per packed byte instead of the full
+  sign-extending unpack+concat over the full-width tensor.
+
+* Group-wise scales stay exact: quantize_tensor(bits=4) scales are
+  constant within each 128-row contraction group g, so
+  x @ (q_g * s_g) == (x @ q_g) * s_g — the kernel runs one dot pair
+  per group and scales the f32 partial sums.
+
+Reference lineage: FMoEExpertPluginDynamic's scatter -> per-expert
+GEMM -> gather (fmoe_expert_plugin.cpp:75-130) as a dense
+all-experts-compute with masked accumulation; int4 itself is beyond
+the reference (its int8 builder asserts, builder.py:43).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from m3asr_tpu.ops.common import swish
+
+
+def _group_matmul_packed(x, pblk_ref, scale_ref, e, n_groups, gs, cdt,
+                         prec):
+    """x (N, d) @ packed-int4 weights for one expert, with group-wise
+    scales applied to the f32 partial sums. pblk_ref is the (d, out/2)
+    int8 packed block already in VMEM (pack_int4 layout); scale_ref is
+    (E, G, out) f32. Returns (N, out) f32.
+
+    Per contraction group g (scale constant within a group):
+        u  = (p ^ 0x88) as uint8          # nibbles biased to [0, 15]
+        U0 = x_g @ u;  U1 = x_g @ (u >> 4);  rs = rowsum(x_g)
+        out[:, :out/2] += (U0 - 16*U1 - 8*rs) * s_g[:out/2]   # lo
+        out[:, out/2:] += (U1 - 8*rs)        * s_g[out/2:]    # hi
+    Biased-unsigned values are exact in bf16 (<= 255 < 2^8 mantissa).
+    """
+    half = pblk_ref.shape[-1]
+    lo_acc = None
+    hi_acc = None
+    bias = jnp.full((), 0x88 - 0x100, jnp.int8)        # 0x88 as int8
+    for g in range(n_groups):
+        p8 = pblk_ref[g * gs:(g + 1) * gs, :]          # (gs, out/2) int8
+        u8 = pltpu.bitcast(jnp.bitwise_xor(p8, bias), jnp.uint8)
+        uf = u8.astype(cdt)                            # [0, 255] exact
+        hf = (u8 >> 4).astype(cdt)                     # [0, 15]
+        xg = x[:, g * gs:(g + 1) * gs]                 # (N, gs)
+        u0 = jnp.dot(xg, uf, preferred_element_type=jnp.float32,
+                     precision=prec)
+        u1 = jnp.dot(xg, hf, preferred_element_type=jnp.float32,
+                     precision=prec)
+        rs = jnp.sum(xg.astype(jnp.float32), axis=-1,
+                     keepdims=True)                    # (N, 1)
+        s = scale_ref[e, g]                            # (out,) f32
+        lo_part = (u0 - 16.0 * u1 - 8.0 * rs) * s[None, :half]
+        hi_part = (u1 - 8.0 * rs) * s[None, half:]
+        lo_acc = lo_part if lo_acc is None else lo_acc + lo_part
+        hi_acc = hi_part if hi_acc is None else hi_acc + hi_part
+    return jnp.concatenate([lo_acc, hi_acc], axis=-1)  # (N, out) f32
+
+
+def _q4_kernel(gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               s1_ref, s2_ref, out_ref, *, n_experts: int, chunk: int,
+               use_b2: bool, g1: int, g2: int):
+    """Stream packed int4 expert weights chunk-by-chunk; dense
+    all-experts compute with masked accumulation (top-1 gate)."""
+    x = x_ref[...]
+    cdt = x.dtype
+    prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    d = x.shape[-1]
+    hdim = b1_ref.shape[-1]
+    n_chunks = n_experts // chunk
+    gs1 = d // g1
+    gs2 = hdim // g2
+
+    def body(w1_buf, w2_buf, sem1, sem2):
+        def dma(buf, hbm, slot, c, sem):
+            return pltpu.make_async_copy(
+                hbm.at[pl.ds(c * chunk, chunk)], buf.at[slot],
+                sem.at[slot])
+
+        dma(w1_buf, w1_ref, 0, 0, sem1).start()
+        dma(w2_buf, w2_ref, 0, 0, sem2).start()
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+        def loop(c, _):
+            slot = jax.lax.rem(c, 2)
+            nxt = jax.lax.rem(c + 1, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                dma(w1_buf, w1_ref, nxt, c + 1, sem1).start()
+                dma(w2_buf, w2_ref, nxt, c + 1, sem2).start()
+
+            dma(w1_buf, w1_ref, slot, c, sem1).wait()
+            dma(w2_buf, w2_ref, slot, c, sem2).wait()
+
+            for j in range(chunk):                     # static unroll
+                e = c * chunk + j
+                h = _group_matmul_packed(
+                    x, w1_buf.at[slot, j], s1_ref, e, g1, gs1, cdt, prec)
+                h = h + b1_ref[e][None, :].astype(jnp.float32)
+                h = swish(h).astype(cdt)
+                y = _group_matmul_packed(
+                    h, w2_buf.at[slot, j], s2_ref, e, g2, gs2, cdt, prec)
+                if use_b2:
+                    y = y + b2_ref[e][None, :].astype(jnp.float32)
+                sel = gate_ref[...] == e               # (N, 1) 2-D
+                out_ref[...] += jnp.where(sel, y, 0.0).astype(out_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, loop, 0)
+
+    E, dd, h_half = w1_ref.shape
+    _, hh, d_half = w2_ref.shape
+    pl.run_scoped(
+        body,
+        w1_buf=pltpu.VMEM((2, chunk, dd, h_half), jnp.int8),
+        w2_buf=pltpu.VMEM((2, chunk, hh, d_half), jnp.int8),
+        sem1=pltpu.SemaphoreType.DMA((2,)),
+        sem2=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def moe_experts_pallas_q4(p, x: jax.Array, gate_idx: jax.Array,
+                          chunk: int = 8,
+                          interpret: bool | None = None) -> jax.Array:
+    """Top-1 expert outputs on packed int4 weights
+    (ops.quant.quantize_moe_params(bits=4) layout: w1_q4/w2_q4 packed
+    int8 nibble pairs + group-wise w1_scale/w2_scale (E, G, 1, out)).
+    Same contract as ops.quant.moe_experts_dense_q on q4 params.
+    interpret=None auto-selects interpret mode off-TPU (CPU tests)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, d = x.shape
+    E, _, h_half = p["w1_q4"].shape
+    hdim = 2 * h_half
+    if E % chunk:
+        chunk = 1
+    N = B * T
+    pad = (-N) % 32                      # int8/bf16-safe sublane pad
+    x2 = x.reshape(N, d)
+    g2d = gate_idx.reshape(N, 1).astype(jnp.int32)
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        g2d = jnp.pad(g2d, ((0, pad), (0, 0)), constant_values=-1)
+
+    s1 = p["w1_scale"]
+    s2 = p["w2_scale"]
+    if s1.ndim == 3:                     # (E, 1, out) per-column scales
+        s1 = s1[:, None]
+        s2 = s2[:, None]
+    g1 = s1.shape[1]
+    g2 = s2.shape[1]
+    s1 = s1.reshape(E, g1, hdim).astype(jnp.float32)
+    s2 = s2.reshape(E, g2, d).astype(jnp.float32)
+
+    b1 = p["b1"].astype(jnp.float32) if p.get("b1") is not None else \
+        jnp.zeros((E, hdim), jnp.float32)
+    use_b2 = p.get("b2") is not None
+    b2 = p["b2"].astype(jnp.float32) if use_b2 else \
+        jnp.zeros((E, d), jnp.float32)
+
+    kernel = functools.partial(_q4_kernel, n_experts=E, chunk=chunk,
+                               use_b2=use_b2, g1=g1, g2=g2)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)       # noqa: E731
+    w_bytes = E * (d * h_half + hdim * (d // 2))
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[vmem(), vmem(), hbm(), vmem(), hbm(), vmem(),
+                  vmem(), vmem()],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (N + pad) * d * hdim * 2 * E,
+            bytes_accessed=w_bytes,
+            transcendentals=(N + pad) * hdim * E),
+    )(g2d, x2, p["w1_q4"], b1, p["w2_q4"], b2, s1, s2)
+    return out[:N].reshape(B, T, d)

@@ -93,7 +93,16 @@ _INT8_IMPL = {"dense": "quant", "capacity": "quant_capacity",
               "pallas": "quant_pallas", "tiled": "quant_tiled",
               "quant": "quant", "quant_capacity": "quant_capacity",
               "quant_pallas": "quant_pallas",
-              "quant_tiled": "quant_tiled"}
+              "quant_tiled": "quant_tiled",
+              # w8a8 twins and the packed-int4 Pallas kernel are
+              # already int8-family names — identity entries so a
+              # resolved name survives a second mapping (a round-8
+              # bench.py bug silently remapped "quant_a8_tiled" to the
+              # DEFAULT dense "quant": the recorded "w8a8 tiled
+              # regression" was actually dense int8 at 1499-4088
+              # tokens; see BENCHMARKS.md round-9 correction)
+              "quant_a8": "quant_a8", "quant_a8_tiled": "quant_a8_tiled",
+              "quant4_pallas": "quant4_pallas"}
 
 
 def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,

@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""On-chip A/B of the Pallas packed-int4 MoE kernel vs the XLA paths
+(18 layers, flagship dims). Prints per-impl ms/18-layers like
+bench_moe_tiled.py (chained-scan differencing)."""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from m3asr_tpu.ops import moe as moe_ops
+from m3asr_tpu.ops import quant as quant_ops
+from m3asr_tpu.ops.pallas_moe_q4 import moe_experts_pallas_q4
+
+E, D, H = 32, 512, 1024
+
+
+def timed(fn, args, iters=10, k=8, precision="default"):
+    def scan_n(n):
+        def run(*a):
+            def body(c, _):
+                out = fn(*a, carry=c)
+                return out, None
+            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                length=n)
+            return c
+        with jax.default_matmul_precision(precision):
+            return jax.jit(run).lower(*args).compile()
+
+    f1, fk = scan_n(1), scan_n(k)
+    float(f1(*args)); float(fk(*args))
+
+    def sample(f):
+        t0 = time.perf_counter(); float(f(*args))
+        return (time.perf_counter() - t0) * 1e3
+
+    t1 = np.median([sample(f1) for _ in range(iters)])
+    tk = np.median([sample(fk) for _ in range(iters)])
+    return (tk - t1) / (k - 1)
+
+
+def main(args):
+    cache = os.environ.get("M3ASR_BENCH_CACHE", "/tmp/m3asr_bench_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    key = jax.random.PRNGKey(0)
+    p = moe_ops.init_moe_ffn(key, D, 0, E, H)
+    p.pop("router")
+    ks = jax.random.split(key, 2)
+    p["w1"] = jax.random.normal(ks[0], (E, D, H)) * 0.05
+    p["w2"] = jax.random.normal(ks[1], (E, H, D)) * 0.05
+    qp8 = quant_ops.quantize_moe_params(p, bits=8)
+    qp4 = quant_ops.quantize_moe_params(p, bits=4)
+
+    rng = np.random.RandomState(0)
+    results = {}
+    for n_tokens in args.tokens:
+        x = jnp.asarray(rng.randn(1, n_tokens, D), args.dtype)
+        gi = jnp.asarray(rng.randint(0, E, (1, n_tokens)), jnp.int32)
+
+        impls = {
+            "int8_xla_dense": (qp8, quant_ops.moe_experts_dense_q),
+            "int4_xla_dense": (qp4, quant_ops.moe_experts_dense_q),
+            "int4_pallas_c8": (qp4, lambda pp, xv, g:
+                               moe_experts_pallas_q4(pp, xv, g, chunk=8)),
+            "int4_pallas_c4": (qp4, lambda pp, xv, g:
+                               moe_experts_pallas_q4(pp, xv, g, chunk=4)),
+            "int4_pallas_c16": (qp4, lambda pp, xv, g:
+                                moe_experts_pallas_q4(pp, xv, g, chunk=16)),
+        }
+        if args.impls:
+            impls = {k: v for k, v in impls.items() if k in args.impls}
+
+        # one-shot correctness probe on chip
+        ref = quant_ops.moe_experts_dense_q(qp4, x, gi)
+        for name, (pp, fn) in impls.items():
+            if "pallas" not in name:
+                continue
+            err = float(jnp.max(jnp.abs(fn(pp, x, gi) - ref)))
+            print(json.dumps({f"maxerr/{name}/{n_tokens}": err}),
+                  flush=True)
+
+        for name, (pp, fn) in impls.items():
+            def stage(pp, xv, g, carry, fn=fn):
+                def body(c, _):
+                    y = fn(pp, xv + c, g)
+                    return y[0, 0, 0].astype(jnp.float32) * 1e-30, None
+                c, _ = jax.lax.scan(body, carry, None, length=18)
+                return c
+            ms = timed(stage, (pp, x, gi), iters=args.iters)
+            key_s = f"{n_tokens}tok/{name}"
+            results[key_s] = round(ms, 3)
+            print(json.dumps({key_s: results[key_s]}), flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tokens", type=int, nargs="+", default=[64])
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--impls", nargs="+", default=None)
+    ap.add_argument("--iters", type=int, default=10)
+    main(ap.parse_args())
