@@ -78,9 +78,11 @@ def _group_matmul_packed(x, pblk_ref, scale_ref, e, n_groups, gs, cdt,
     bias = jnp.full((), 0x88 - 0x100, jnp.int8)        # 0x88 as int8
     for g in range(n_groups):
         p8 = pblk_ref[g * gs:(g + 1) * gs, :]          # (gs, out/2) int8
-        u8 = pltpu.bitcast(jnp.bitwise_xor(p8, bias), jnp.uint8)
-        uf = u8.astype(cdt)                            # [0, 255] exact
-        hf = (u8 >> 4).astype(cdt)                     # [0, 15]
+        # Mosaic has no uint8->bf16 cast; widen to int32 and mask to
+        # the unsigned byte value instead of bitcasting to uint8
+        u32 = jnp.bitwise_xor(p8, bias).astype(jnp.int32) & 255
+        uf = u32.astype(cdt)                           # [0, 255] exact
+        hf = (u32 >> 4).astype(cdt)                    # [0, 15]
         xg = x[:, g * gs:(g + 1) * gs]                 # (N, gs)
         u0 = jnp.dot(xg, uf, preferred_element_type=jnp.float32,
                      precision=prec)

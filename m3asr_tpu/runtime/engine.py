@@ -122,8 +122,17 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
                     f"one of {sorted(k for k in a8 if k != 'auto')}")
             if requested != "auto":
                 return a8[requested]
+            # measured round 9 (after the bench mapping fix): w8a8
+            # dense wins the compute-bound dense regime (1x2048:
+            # 5.13 vs 6.03 ms weight-only), but w8a8-tiled never beats
+            # weight-only tiled (stage 9.1 vs 7.7; full model 23.3 vs
+            # 22.4 at 8x2048, 17.07 vs 17.02 at 1x6000) — the tile
+            # gather already moves int8 bytes and the extra
+            # quantize_act passes don't pay. act_quant engines
+            # therefore fall back to weight-only tiled past the dense
+            # threshold.
             return ("quant_a8" if tokens <= MOE_DENSE_TOKEN_THRESHOLD
-                    else "quant_a8_tiled")
+                    else "quant_tiled")
         if requested != "auto":
             impl = _INT8_IMPL.get(requested)
             if impl is None:

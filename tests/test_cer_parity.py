@@ -180,9 +180,12 @@ def test_cer_parity_engine_vs_torch(tmp_path, trained):
     assert stats["cer"] < 0.2
 
 
-def test_int8_and_bf16_engines_keep_cer(trained):
+def test_quantized_engines_keep_cer(trained):
     """The fast serving modes decode the toy task as well as fp32 —
-    quantization noise must not cost accuracy on this margin."""
+    quantization noise must not cost accuracy on this margin. Covers
+    bf16, weight-only int8, w8a8 (act_quant), and the 15-level
+    group-scaled int4 grid (the accuracy risk flagged in
+    BENCHMARKS.md)."""
     from m3asr_tpu.config import model_config_from_dict
     from m3asr_tpu.models.registry import get_family
     from m3asr_tpu.runtime.engine import Engine, EngineConfig
@@ -192,13 +195,16 @@ def test_int8_and_bf16_engines_keep_cer(trained):
     cfg = model_config_from_dict(small_yaml())
     params = get_family(cfg.nnet_proto).convert(
         {f"encoder.{k}": v for k, v in m.state_dict().items()}, cfg)
-    for dtype in ("bfloat16", "int8"):
+    modes = [("bfloat16", {}), ("int8", {}),
+             ("int8", {"act_quant": True}), ("int4", {})]
+    for dtype, extra in modes:
         eng = Engine(cfg, params,
                      EngineConfig(dtype=dtype, bucket_lengths=(64,),
-                                  bucket_batches=(4,), donate_input=False))
+                                  bucket_batches=(4,), donate_input=False,
+                                  **extra))
         hyps = []
         for f, _ in test_corpus:
             out, out_len = eng.infer(f[None], np.array([f.shape[0]]))
             hyps.append(native.ctc_greedy_search(out, out_len)[0])
         q_cer = cer(refs, hyps)
-        assert q_cer <= t_cer + 0.05, (dtype, q_cer, t_cer)
+        assert q_cer <= t_cer + 0.05, (dtype, extra, q_cer, t_cer)

@@ -122,8 +122,11 @@ def test_moe_auto_impl_act_quant_policy():
     from m3asr_tpu.runtime.engine import moe_auto_impl
     assert moe_auto_impl("bfloat16", 64, int8=True,
                          act_quant=True) == "quant_a8"
+    # past the dense threshold act_quant engines fall back to
+    # weight-only tiled: w8a8-tiled never beat it on chip (BENCHMARKS
+    # round-9 correction — the tile gather already moves int8 bytes)
     assert moe_auto_impl("bfloat16", 2048, int8=True,
-                         act_quant=True) == "quant_a8_tiled"
+                         act_quant=True) == "quant_tiled"
     assert moe_auto_impl("bfloat16", 64, int8=True, requested="tiled",
                          act_quant=True) == "quant_a8_tiled"
     with pytest.raises(ValueError, match="w8a8"):
