@@ -176,7 +176,8 @@ def main(args):
         return moe_auto_impl(
             "bfloat16" if dtype in ("int8", "int4") else dtype,
             tokens, int8=dtype in ("int8", "int4"),
-            requested=args.impl, act_quant=args.act_quant)
+            requested=args.impl, act_quant=args.act_quant,
+            int4=dtype == "int4")
 
     results = {}
     impls = {}

@@ -13,12 +13,12 @@ Design (vs ops/pallas_moe._stream_kernel, the round-2 int8 streamer
 that lost to XLA):
 
 * Chunked DMA: the old kernel issued ONE async copy per expert
-  (512 KB int8) with 2-slot double buffering and reached only
-  ~290 GB/s — per-copy latency and loop overhead dominate sub-µs
-  transfers. Here each DMA moves a CHUNK of `chunk` experts' packed
-  weights (2 MB for chunk=8 at flagship dims), cutting the copy count
-  per layer from 64 to 8 while staying inside VMEM
-  (2 slots x (w1 2MB + w2 2MB) = 8 MB).
+  with 2-slot double buffering and reached only ~290 GB/s — per-copy
+  latency and loop overhead dominate sub-µs transfers. Here each DMA
+  moves a CHUNK of `chunk` experts' packed weights. Measured sweep at
+  64 tokens, flagship dims (ms / 18 layers, bf16 activations):
+  chunk=1 0.80, 2 **0.59**, 4 0.65, 8 0.81 — vs int8 XLA dense 0.73
+  and int4 XLA dense 1.41. chunk=2 is the default.
 
 * Factored unpack, MXU-neutral: pack_int4's concat-half layout stores
   output column j (lo nibble) and column j + out/2 (hi nibble) in one
@@ -58,12 +58,14 @@ from jax.experimental.pallas import tpu as pltpu
 from m3asr_tpu.ops.common import swish
 
 
-def _group_matmul_packed(x, pblk_ref, scale_ref, e, n_groups, gs, cdt,
+def _group_matmul_packed(x, pblk, scale_ref, e, n_groups, gs, cdt,
                          prec):
     """x (N, d) @ packed-int4 weights for one expert, with group-wise
-    scales applied to the f32 partial sums. pblk_ref is the (d, out/2)
-    int8 packed block already in VMEM (pack_int4 layout); scale_ref is
-    (E, G, out) f32. Returns (N, out) f32.
+    scales applied to the f32 partial sums. pblk is the (d, out/2)
+    int8 packed block VALUE read from VMEM (pack_int4 layout);
+    scale_ref is (E*G, out) f32 — flattened because Mosaic only lowers
+    2-D gathers, so dynamic multi-index reads of >2-D refs cannot
+    compile. Returns (N, out) f32.
 
     Per contraction group g (scale constant within a group):
         u  = (p ^ 0x88) as uint8          # nibbles biased to [0, 15]
@@ -72,12 +74,12 @@ def _group_matmul_packed(x, pblk_ref, scale_ref, e, n_groups, gs, cdt,
         out[:, out/2:] += (U1 - 8*rs)        * s_g[out/2:]    # hi
     Biased-unsigned values are exact in bf16 (<= 255 < 2^8 mantissa).
     """
-    half = pblk_ref.shape[-1]
+    half = pblk.shape[-1]
     lo_acc = None
     hi_acc = None
     bias = jnp.full((), 0x88 - 0x100, jnp.int8)        # 0x88 as int8
     for g in range(n_groups):
-        p8 = pblk_ref[g * gs:(g + 1) * gs, :]          # (gs, out/2) int8
+        p8 = pblk[g * gs:(g + 1) * gs, :]              # (gs, out/2) int8
         # Mosaic has no uint8->bf16 cast; widen to int32 and mask to
         # the unsigned byte value instead of bitcasting to uint8
         u32 = jnp.bitwise_xor(p8, bias).astype(jnp.int32) & 255
@@ -90,9 +92,15 @@ def _group_matmul_packed(x, pblk_ref, scale_ref, e, n_groups, gs, cdt,
                      precision=prec)
         rs = jnp.sum(xg.astype(jnp.float32), axis=-1,
                      keepdims=True)                    # (N, 1)
-        s = scale_ref[e, g]                            # (out,) f32
-        lo_part = (u0 - 16.0 * u1 - 8.0 * rs) * s[None, :half]
-        hi_part = (u1 - 8.0 * rs) * s[None, half:]
+        # read the scale row as TWO 2-D (1, half) slices: slicing a
+        # 1-D value (s[None, :half]) lowers as a >2-D gather, which
+        # Mosaic rejects — pl.ds row reads with static column slices
+        # stay plain dynamic slices
+        row = e * n_groups + g
+        s_lo = scale_ref[pl.ds(row, 1), :half]         # (1, half) f32
+        s_hi = scale_ref[pl.ds(row, 1), half:]
+        lo_part = (u0 - 16.0 * u1 - 8.0 * rs) * s_lo
+        hi_part = (u1 - 8.0 * rs) * s_hi
         lo_acc = lo_part if lo_acc is None else lo_acc + lo_part
         hi_acc = hi_part if hi_acc is None else hi_acc + hi_part
     return jnp.concatenate([lo_acc, hi_acc], axis=-1)  # (N, out) f32
@@ -114,9 +122,13 @@ def _q4_kernel(gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     gs2 = hdim // g2
 
     def body(w1_buf, w2_buf, sem1, sem2):
+        # buffers are (2*chunk, rows, cols): slot s occupies rows
+        # [s*chunk, (s+1)*chunk) — 3-D refs with one dynamic leading
+        # index are the only dynamic pattern this Mosaic lowers
         def dma(buf, hbm, slot, c, sem):
             return pltpu.make_async_copy(
-                hbm.at[pl.ds(c * chunk, chunk)], buf.at[slot],
+                hbm.at[pl.ds(c * chunk, chunk)],
+                buf.at[pl.ds(slot * chunk, chunk)],
                 sem.at[slot])
 
         dma(w1_buf, w1_ref, 0, 0, sem1).start()
@@ -138,13 +150,15 @@ def _q4_kernel(gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             for j in range(chunk):                     # static unroll
                 e = c * chunk + j
                 h = _group_matmul_packed(
-                    x, w1_buf.at[slot, j], s1_ref, e, g1, gs1, cdt, prec)
-                h = h + b1_ref[e][None, :].astype(jnp.float32)
+                    x, w1_buf[slot * chunk + j], s1_ref, e, g1, gs1,
+                    cdt, prec)
+                h = h + b1_ref[pl.ds(e, 1), :].astype(jnp.float32)
                 h = swish(h).astype(cdt)
                 y = _group_matmul_packed(
-                    h, w2_buf.at[slot, j], s2_ref, e, g2, gs2, cdt, prec)
+                    h, w2_buf[slot * chunk + j], s2_ref, e, g2, gs2,
+                    cdt, prec)
                 if use_b2:
-                    y = y + b2_ref[e][None, :].astype(jnp.float32)
+                    y = y + b2_ref[pl.ds(e, 1), :].astype(jnp.float32)
                 sel = gate_ref[...] == e               # (N, 1) 2-D
                 out_ref[...] += jnp.where(sel, y, 0.0).astype(out_ref.dtype)
             return 0
@@ -155,15 +169,15 @@ def _q4_kernel(gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     _, hh, d_half = w2_ref.shape
     pl.run_scoped(
         body,
-        w1_buf=pltpu.VMEM((2, chunk, dd, h_half), jnp.int8),
-        w2_buf=pltpu.VMEM((2, chunk, hh, d_half), jnp.int8),
+        w1_buf=pltpu.VMEM((2 * chunk, dd, h_half), jnp.int8),
+        w2_buf=pltpu.VMEM((2 * chunk, hh, d_half), jnp.int8),
         sem1=pltpu.SemaphoreType.DMA((2,)),
         sem2=pltpu.SemaphoreType.DMA((2,)),
     )
 
 
 def moe_experts_pallas_q4(p, x: jax.Array, gate_idx: jax.Array,
-                          chunk: int = 8,
+                          chunk: int = 2,
                           interpret: bool | None = None) -> jax.Array:
     """Top-1 expert outputs on packed int4 weights
     (ops.quant.quantize_moe_params(bits=4) layout: w1_q4/w2_q4 packed
@@ -192,8 +206,10 @@ def moe_experts_pallas_q4(p, x: jax.Array, gate_idx: jax.Array,
         s2 = s2[:, None]
     g1 = s1.shape[1]
     g2 = s2.shape[1]
-    s1 = s1.reshape(E, g1, hdim).astype(jnp.float32)
-    s2 = s2.reshape(E, g2, d).astype(jnp.float32)
+    # (E*G, out): Mosaic supports only 2-D gathers, so the kernel
+    # reads scale rows via a flattened e*G + g index
+    s1 = s1.reshape(E * g1, hdim).astype(jnp.float32)
+    s2 = s2.reshape(E * g2, d).astype(jnp.float32)
 
     b1 = p["b1"].astype(jnp.float32) if p.get("b1") is not None else \
         jnp.zeros((E, hdim), jnp.float32)

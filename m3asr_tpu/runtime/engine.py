@@ -106,10 +106,27 @@ _INT8_IMPL = {"dense": "quant", "capacity": "quant_capacity",
 
 
 def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
-                  requested: str = "auto", act_quant: bool = False) -> str:
+                  requested: str = "auto", act_quant: bool = False,
+                  int4: bool = False) -> str:
     """The measured MoE dispatch policy (BENCHMARKS.md), shared by the
     Engine and bench.py. dtype: 'float32'|'bfloat16'. act_quant swaps
-    the int8 impls for their w8a8 twins (s8 x s8 MXU einsums)."""
+    the int8 impls for their w8a8 twins (s8 x s8 MXU einsums). int4
+    (packed-nibble expert weights) routes the dense regime to the
+    Pallas packed kernel on TPU — the XLA dense path materializes the
+    unpacked bf16 weights in HBM and loses to int8 (measured 1.41 vs
+    0.73 ms/18L at 64 tokens), while the kernel keeps bytes packed
+    into VMEM and wins (0.65 ms, chunk=4)."""
+    if int4 and requested in ("auto", "dense", "quant", "pallas",
+                              "quant_pallas", "quant4_pallas"):
+        import jax
+        if jax.default_backend() == "tpu" and (
+                requested != "auto" or tokens <= MOE_DENSE_TOKEN_THRESHOLD):
+            return "quant4_pallas"
+        # off-TPU (tests) or past the dense threshold: the tiled
+        # grouped GEMM's per-tile gather moves packed bytes and the
+        # dequant fuses into the batched einsum
+        return ("quant" if tokens <= MOE_DENSE_TOKEN_THRESHOLD
+                else "quant_tiled")
     if int8:
         if act_quant:
             a8 = {"auto": None, "dense": "quant_a8", "quant": "quant_a8",
@@ -408,7 +425,8 @@ class Engine:
             return "dense"
         return moe_auto_impl(dtype, tokens, int8=self.int8_experts,
                              requested=self.cfg.moe_impl,
-                             act_quant=self.cfg.act_quant)
+                             act_quant=self.cfg.act_quant,
+                             int4=self.quant_bits == 4)
 
     def _forward_fn(self, batch: int, length: int):
         """The bucket's pure forward (params, feat, feat_len) -> ...,

@@ -71,12 +71,20 @@ def main(args):
         impls = {
             "int8_xla_dense": (qp8, quant_ops.moe_experts_dense_q),
             "int4_xla_dense": (qp4, quant_ops.moe_experts_dense_q),
+            "int8_xla_tiled": (qp8, lambda pp, xv, g: quant_ops
+                               .moe_experts_tiled_q(pp, xv, g, tile=128)),
+            "int4_xla_tiled": (qp4, lambda pp, xv, g: quant_ops
+                               .moe_experts_tiled_q(pp, xv, g, tile=128)),
             "int4_pallas_c8": (qp4, lambda pp, xv, g:
                                moe_experts_pallas_q4(pp, xv, g, chunk=8)),
             "int4_pallas_c4": (qp4, lambda pp, xv, g:
                                moe_experts_pallas_q4(pp, xv, g, chunk=4)),
             "int4_pallas_c16": (qp4, lambda pp, xv, g:
                                 moe_experts_pallas_q4(pp, xv, g, chunk=16)),
+            "int4_pallas_c2": (qp4, lambda pp, xv, g:
+                               moe_experts_pallas_q4(pp, xv, g, chunk=2)),
+            "int4_pallas_c1": (qp4, lambda pp, xv, g:
+                               moe_experts_pallas_q4(pp, xv, g, chunk=1)),
         }
         if args.impls:
             impls = {k: v for k, v in impls.items() if k in args.impls}
@@ -93,7 +101,10 @@ def main(args):
         for name, (pp, fn) in impls.items():
             def stage(pp, xv, g, carry, fn=fn):
                 def body(c, _):
-                    y = fn(pp, xv + c, g)
+                    # keep xv's dtype: a f32 carry would promote the
+                    # whole stage to f32 (int4 engines run bf16
+                    # activations)
+                    y = fn(pp, xv + c.astype(xv.dtype), g)
                     return y[0, 0, 0].astype(jnp.float32) * 1e-30, None
                 c, _ = jax.lax.scan(body, carry, None, length=18)
                 return c
