@@ -108,7 +108,8 @@ def _group_matmul_packed(x, pblk, scale_ref, e, n_groups, gs, cdt,
 
 def _q4_kernel(gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                s1_ref, s2_ref, out_ref, *, n_experts: int, chunk: int,
-               use_b2: bool, g1: int, g2: int):
+               use_b2: bool, g1: int, g2: int, activation=swish,
+               upper_bound=None):
     """Stream packed int4 expert weights chunk-by-chunk; dense
     all-experts compute with masked accumulation (top-1 gate)."""
     x = x_ref[...]
@@ -153,7 +154,10 @@ def _q4_kernel(gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     x, w1_buf[slot * chunk + j], s1_ref, e, g1, gs1,
                     cdt, prec)
                 h = h + b1_ref[pl.ds(e, 1), :].astype(jnp.float32)
-                h = swish(h).astype(cdt)
+                h = activation(h)
+                if upper_bound is not None:   # DFSMN expert clamp
+                    h = jnp.minimum(h, jnp.float32(upper_bound))
+                h = h.astype(cdt)
                 y = _group_matmul_packed(
                     h, w2_buf[slot * chunk + j], s2_ref, e, g2, gs2,
                     cdt, prec)
@@ -178,6 +182,8 @@ def _q4_kernel(gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 def moe_experts_pallas_q4(p, x: jax.Array, gate_idx: jax.Array,
                           chunk: int = 2,
+                          activation=swish,
+                          upper_bound=None,
                           interpret: bool | None = None) -> jax.Array:
     """Top-1 expert outputs on packed int4 weights
     (ops.quant.quantize_moe_params(bits=4) layout: w1_q4/w2_q4 packed
@@ -218,7 +224,9 @@ def moe_experts_pallas_q4(p, x: jax.Array, gate_idx: jax.Array,
         jnp.zeros((E, d), jnp.float32)
 
     kernel = functools.partial(_q4_kernel, n_experts=E, chunk=chunk,
-                               use_b2=use_b2, g1=g1, g2=g2)
+                               use_b2=use_b2, g1=g1, g2=g2,
+                               activation=activation,
+                               upper_bound=upper_bound)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)       # noqa: E731
     w_bytes = E * (d * h_half + hdim * (d // 2))

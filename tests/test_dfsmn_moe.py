@@ -204,3 +204,26 @@ def test_dfsmn_moe_w8a8_engine():
         rel = np.abs(oa[b, :n] - o8[b, :n]).max() / (
             np.abs(o8[b, :n]).max() + 1e-6)
         assert rel < 0.08, rel
+
+
+def test_cfsmn_moe_layer_quant4_pallas():
+    """The packed-int4 Pallas kernel's relu + upper_bound epilogue (the
+    DFSMN expert) matches the XLA q4 dequant path (interpret on CPU)."""
+    torch.manual_seed(74)
+    m = G.randomize_(G.CFSMNMoELayer(16, 8, 24, num_experts=4), seed=75)
+    g = torch.Generator().manual_seed(76)
+    x = torch.randn(2, 19, 16, generator=g)
+    embed = torch.randn(2, 19, 8, generator=g)
+    p = ckpt._to_jax(ckpt.convert_cfsmn_moe(StateDict(m.state_dict())))
+    from m3asr_tpu.ops.quant import quantize_moe_params
+    qp = dict(p)
+    qp.update(quantize_moe_params(
+        {k: p[k] for k in ("w1", "w2", "b1", "b2") if k in p}, bits=4))
+    cfg = dfsmn.FsmnConfig(4, 1, 2, 1, upper_bound=1.0, skip_connect=True)
+    args = (jnp.asarray(x.numpy()), jnp.asarray(embed.numpy()),
+            jnp.array([19, 11]), cfg)
+    ref = dfsmn.cfsmn_moe_layer(qp, *args, moe_impl="quant")
+    got = dfsmn.cfsmn_moe_layer(qp, *args, moe_impl="quant4_pallas")
+    np.testing.assert_allclose(
+        np.asarray(valid_region(got, [19, 11])),
+        np.asarray(valid_region(ref, [19, 11])), rtol=1e-3, atol=2e-4)
