@@ -125,7 +125,33 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
         # the fp32 flagship at 14.4 ms vs 5.7 ms for the rolled scan
         # (v5e); the scan's software-pipelined weight streaming beats
         # unrolled scheduling, so keep the loop rolled.
-        x, (hiddens, router_ps) = jax.lax.scan(body, x, params["blocks"])
+        blocks = params["blocks"]
+        ff = blocks.get("feed_forward", {})
+        if moe_impl == "quant4_pallas" and "w1_q4" in ff:
+            # packed-int4 Pallas path: scanning over the STACKED packed
+            # weights would materialize a 16 MB dynamic-slice copy per
+            # layer ahead of the custom call (measured +0.42 ms/18L —
+            # scripts/repro_q4_scan_copy.py). Keep w1_q4/w2_q4 OUT of
+            # the scan xs; the kernel DMAs rows layer*E + chunk from
+            # the full stacked array via a carried layer index.
+            w1s, w2s = ff["w1_q4"], ff["w2_q4"]
+            xs_blocks = dict(blocks)
+            xs_blocks["feed_forward"] = {
+                k: v for k, v in ff.items()
+                if k not in ("w1_q4", "w2_q4")}
+            idxs = jnp.arange(w1s.shape[0], dtype=jnp.int32)
+
+            def body_q4(h, xs):
+                block_p, l = xs
+                bp = dict(block_p)
+                bp["feed_forward"] = dict(block_p["feed_forward"],
+                                          w1_q4=w1s, w2_q4=w2s, _layer=l)
+                return body(h, bp)
+
+            x, (hiddens, router_ps) = jax.lax.scan(
+                body_q4, x, (xs_blocks, idxs))
+        else:
+            x, (hiddens, router_ps) = jax.lax.scan(body, x, blocks)
 
     if cfg.normalize_before:
         x_normed = layer_norm(params["after_norm"], x)

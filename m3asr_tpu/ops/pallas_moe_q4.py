@@ -106,12 +106,26 @@ def _group_matmul_packed(x, pblk, scale_ref, e, n_groups, gs, cdt,
     return jnp.concatenate([lo_acc, hi_acc], axis=-1)  # (N, out) f32
 
 
-def _q4_kernel(gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-               s1_ref, s2_ref, out_ref, *, n_experts: int, chunk: int,
+def _q4_kernel(*refs, n_experts: int, chunk: int,
                use_b2: bool, g1: int, g2: int, activation=swish,
-               upper_bound=None):
+               upper_bound=None, stacked: bool = False):
     """Stream packed int4 expert weights chunk-by-chunk; dense
-    all-experts compute with masked accumulation (top-1 gate)."""
+    all-experts compute with masked accumulation (top-1 gate).
+
+    stacked=True: w1_ref/w2_ref hold ALL layers' experts flattened to
+    (L*E, rows, cols) and a leading layer_ref (1,1) SMEM scalar picks
+    the layer — the kernel DMAs rows layer*E + c*chunk directly from
+    the full array, so the caller never slices the stacked weights
+    (an XLA-side dynamic-slice would MATERIALIZE a 16 MB copy per
+    layer before the custom call; measured +0.42 ms/18L)."""
+    if stacked:
+        (layer_ref, gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         s1_ref, s2_ref, out_ref) = refs
+        e_base = layer_ref[0, 0] * n_experts
+    else:
+        (gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         s1_ref, s2_ref, out_ref) = refs
+        e_base = 0
     x = x_ref[...]
     cdt = x.dtype
     prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
@@ -128,7 +142,7 @@ def _q4_kernel(gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         # index are the only dynamic pattern this Mosaic lowers
         def dma(buf, hbm, slot, c, sem):
             return pltpu.make_async_copy(
-                hbm.at[pl.ds(c * chunk, chunk)],
+                hbm.at[pl.ds(e_base + c * chunk, chunk)],
                 buf.at[pl.ds(slot * chunk, chunk)],
                 sem.at[slot])
 
@@ -169,7 +183,7 @@ def _q4_kernel(gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
         jax.lax.fori_loop(0, n_chunks, loop, 0)
 
-    E, dd, h_half = w1_ref.shape
+    _, dd, h_half = w1_ref.shape
     _, hh, d_half = w2_ref.shape
     pl.run_scoped(
         body,
@@ -184,16 +198,38 @@ def moe_experts_pallas_q4(p, x: jax.Array, gate_idx: jax.Array,
                           chunk: int = 2,
                           activation=swish,
                           upper_bound=None,
+                          layer=None,
                           interpret: bool | None = None) -> jax.Array:
     """Top-1 expert outputs on packed int4 weights
     (ops.quant.quantize_moe_params(bits=4) layout: w1_q4/w2_q4 packed
     int8 nibble pairs + group-wise w1_scale/w2_scale (E, G, 1, out)).
     Same contract as ops.quant.moe_experts_dense_q on q4 params.
-    interpret=None auto-selects interpret mode off-TPU (CPU tests)."""
+    interpret=None auto-selects interpret mode off-TPU (CPU tests).
+
+    Stacked mode (the engine's scan-over-blocks path): w1_q4/w2_q4 may
+    carry a leading layer axis (L, E, ...) with `layer` (traced scalar,
+    or p["_layer"]) selecting the layer INSIDE the kernel's DMA —
+    avoids the 16 MB/layer dynamic-slice copy an XLA-side slice of the
+    stacked array would materialize ahead of the custom call.
+    Scales/biases must still be this layer's slices (they are small
+    scan xs; their per-layer copies are noise)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if layer is None:
+        layer = p.get("_layer")
+    w1q, w2q = p["w1_q4"], p["w2_q4"]
+    if w1q.ndim == 4:
+        if layer is None:
+            raise ValueError("stacked (L, E, ...) w1_q4 needs `layer`")
+        L = w1q.shape[0]
+        w1q = w1q.reshape((L * w1q.shape[1],) + w1q.shape[2:])
+        w2q = w2q.reshape((L * w2q.shape[1],) + w2q.shape[2:])
+        E_stack = w1q.shape[0] // L
+    else:
+        E_stack = None
     B, T, d = x.shape
-    E, _, h_half = p["w1_q4"].shape
+    E = E_stack if E_stack is not None else p["w1_q4"].shape[0]
+    h_half = w1q.shape[-1]
     hdim = 2 * h_half
     if E % chunk:
         chunk = 1
@@ -207,6 +243,11 @@ def moe_experts_pallas_q4(p, x: jax.Array, gate_idx: jax.Array,
 
     s1 = p["w1_scale"]
     s2 = p["w2_scale"]
+    if s1.ndim == 5:
+        raise ValueError(
+            "stacked scales (L, E, G, 1, out): pass this layer's slice "
+            "(scales are small scan xs; only the packed weights stay "
+            "stacked)")
     if s1.ndim == 3:                     # (E, 1, out) per-column scales
         s1 = s1[:, None]
         s2 = s2[:, None]
@@ -223,17 +264,24 @@ def moe_experts_pallas_q4(p, x: jax.Array, gate_idx: jax.Array,
     b2 = p["b2"].astype(jnp.float32) if use_b2 else \
         jnp.zeros((E, d), jnp.float32)
 
+    stacked = E_stack is not None
     kernel = functools.partial(_q4_kernel, n_experts=E, chunk=chunk,
                                use_b2=use_b2, g1=g1, g2=g2,
                                activation=activation,
-                               upper_bound=upper_bound)
+                               upper_bound=upper_bound,
+                               stacked=stacked)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)       # noqa: E731
+    in_specs = [vmem(), vmem(), hbm(), vmem(), hbm(), vmem(),
+                vmem(), vmem()]
+    args = [g2d, x2, w1q, b1, w2q, b2, s1, s2]
+    if stacked:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.insert(0, jnp.asarray(layer, jnp.int32).reshape(1, 1))
     w_bytes = E * (d * h_half + hdim * (d // 2))
     out = pl.pallas_call(
         kernel,
-        in_specs=[vmem(), vmem(), hbm(), vmem(), hbm(), vmem(),
-                  vmem(), vmem()],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
         interpret=interpret,
@@ -241,5 +289,5 @@ def moe_experts_pallas_q4(p, x: jax.Array, gate_idx: jax.Array,
             flops=2 * (N + pad) * d * hdim * 2 * E,
             bytes_accessed=w_bytes,
             transcendentals=(N + pad) * hdim * E),
-    )(g2d, x2, p["w1_q4"], b1, p["w2_q4"], b2, s1, s2)
+    )(*args)
     return out[:N].reshape(B, T, d)

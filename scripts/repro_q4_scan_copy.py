@@ -31,16 +31,29 @@ from m3asr_tpu.ops.pallas_moe_q4 import moe_experts_pallas_q4
 E, D, H, L = 32, 512, 1024, 18
 
 
-def timed(fn, args, iters=8, k=4):
-    jitted = jax.jit(lambda *a: fn(*a)[0, 0, 0].astype(jnp.float32))
-    float(jitted(*args))
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        for _ in range(k):
-            float(jitted(*args))
-        ts.append((time.perf_counter() - t0) * 1e3 / k)
-    return float(np.median(ts))
+def timed(fn, args, iters=8, k=6):
+    """Chained-scan differencing (bench.py method): subtracts the
+    ~30 ms per-fetch RPC of this harness."""
+    def scan_n(n):
+        def run(*a):
+            def body(c, _):
+                out = fn(a[0], a[1] + c.astype(a[1].dtype), a[2])
+                return out[0, 0, 0].astype(jnp.float32) * 1e-30, None
+            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                length=n)
+            return c
+        return jax.jit(run).lower(*args).compile()
+
+    f1, fk = scan_n(1), scan_n(k)
+    float(f1(*args)); float(fk(*args))
+
+    def sample(f):
+        t0 = time.perf_counter(); float(f(*args))
+        return (time.perf_counter() - t0) * 1e3
+
+    t1 = np.median([sample(f1) for _ in range(iters)])
+    tk = np.median([sample(fk) for _ in range(iters)])
+    return (tk - t1) / (k - 1)
 
 
 def main(args):

@@ -128,3 +128,61 @@ def test_q4_dispatch_routes_to_kernel():
         got = moe._dispatch(qp, x, gate_idx, impl)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_q4_stacked_layer_mode():
+    """Stacked (L, E, ...) packed weights + an in-kernel layer index
+    equal per-layer calls — the engine's scan path uses this to avoid
+    the 16 MB/layer dynamic-slice copy ahead of the custom call."""
+    L = 3
+    per_layer = [_q4_params(jax.random.PRNGKey(10 + i)) for i in range(L)]
+    stacked_w = {
+        "w1_q4": jnp.stack([q["w1_q4"] for q in per_layer]),
+        "w2_q4": jnp.stack([q["w2_q4"] for q in per_layer]),
+    }
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, 8, 32), jnp.float32)
+    gate_idx = jnp.asarray(rng.randint(0, 4, (1, 8)), jnp.int32)
+    for i in range(L):
+        ref = moe_experts_pallas_q4(per_layer[i], x, gate_idx, chunk=2,
+                                    interpret=True)
+        sp = dict(per_layer[i], **stacked_w)
+        got = moe_experts_pallas_q4(sp, x, gate_idx, chunk=2,
+                                    layer=jnp.int32(i), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+        # _layer key inside the param dict works too (the scan path)
+        got2 = moe_experts_pallas_q4(dict(sp, _layer=jnp.int32(i)), x,
+                                     gate_idx, chunk=2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                                   rtol=0, atol=0)
+
+
+def test_q4_model_scan_path_matches_quant():
+    """moe_conformer.forward with moe_impl='quant4_pallas' (the
+    stacked-scan kernel path) matches the XLA 'quant' dequant path on
+    an int4-quantized model (CPU interpret)."""
+    from m3asr_tpu.config import EncoderConfig, MoEConfig, MoEEncoderConfig
+    from m3asr_tpu.models import moe_conformer
+    from m3asr_tpu.ops.quant import quantize_moe_params
+
+    cfg = MoEEncoderConfig(
+        attention_dim=32, attention_heads=4, num_blocks=3,
+        embed_conf=EncoderConfig(attention_dim=24, attention_heads=4,
+                                 linear_units=32, num_blocks=1),
+        moe_conf=MoEConfig(num_experts=4, hidden_units=64))
+    params = moe_conformer.init(jax.random.PRNGKey(12), cfg, 20, 11)
+    blocks = dict(params["blocks"])
+    blocks["feed_forward"] = quantize_moe_params(blocks["feed_forward"],
+                                                 bits=4)
+    params = dict(params, blocks=blocks)
+    rng = np.random.RandomState(13)
+    feat = jnp.asarray(rng.randn(2, 33, 20), jnp.float32)
+    lens = jnp.array([33, 21], jnp.int32)
+    ref, len_ref = moe_conformer.forward(params, cfg, feat, lens,
+                                         moe_impl="quant")
+    got, len_got = moe_conformer.forward(params, cfg, feat, lens,
+                                         moe_impl="quant4_pallas")
+    assert list(np.asarray(len_ref)) == list(np.asarray(len_got))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=2e-3)
