@@ -40,6 +40,15 @@ that lost to XLA):
   x @ (q_g * s_g) == (x @ q_g) * s_g — the kernel runs one dot pair
   per group and scales the f32 partial sums.
 
+* Stacked-layer mode: inside the model's scan over blocks, an XLA-side
+  dynamic-slice of the stacked (L, E, ...) packed weights would
+  MATERIALIZE a 16 MB copy per layer ahead of the custom call
+  (+0.42 ms/18L, scripts/repro_q4_scan_copy.py). The kernel instead
+  takes the full array flattened to (L*E, rows, cols) plus a layer
+  index in SMEM and DMAs rows layer*E + c*chunk directly. Result:
+  full-model 1x206 int4 = 1.49 ms — the fastest serving mode (int8
+  1.73 same-conditions) at half the expert memory.
+
 Reference lineage: FMoEExpertPluginDynamic's scatter -> per-expert
 GEMM -> gather (fmoe_expert_plugin.cpp:75-130) as a dense
 all-experts-compute with masked accumulation; int4 itself is beyond

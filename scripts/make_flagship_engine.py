@@ -4,7 +4,8 @@ routers, as bench.py uses) for serving/load-test experiments when no
 real checkpoint is available.
 
 Usage: python scripts/make_flagship_engine.py -o /tmp/eng \
-          [--dtype float32|bfloat16|int8] [--buckets 1x256,4x256,8x256]
+          [--dtype float32|bfloat16|int8|int4] [--act_quant] \
+          [--decode_output argmax] [--buckets 1x256,4x256,8x256]
 """
 
 import argparse
@@ -29,8 +30,13 @@ def main(args):
     pairs = [b.split("x") for b in args.buckets.split(",")]
     batches = tuple(sorted({int(b) for b, _ in pairs}))
     lengths = tuple(sorted({int(t) for _, t in pairs}))
+    extra = {}
+    if args.act_quant:
+        extra["act_quant"] = True
+    if args.decode_output != "logits":
+        extra["decode_output"] = args.decode_output
     ecfg = EngineConfig(dtype=args.dtype, bucket_batches=batches,
-                        bucket_lengths=lengths)
+                        bucket_lengths=lengths, **extra)
     eng = Engine(cfg, params, ecfg)
     raw = {
         "nnet_proto": "conformer_aed_fmoe_localComm_catEmbed_domain_acc_hier",
@@ -50,7 +56,12 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8"])
+                   choices=["float32", "bfloat16", "int8", "int4"])
+    p.add_argument("--act_quant", action="store_true",
+                   help="int8 engines: w8a8 (dense regime wins 15%% on "
+                        "chip at 511 tokens)")
+    p.add_argument("--decode_output", default="logits",
+                   choices=["logits", "argmax", "topk", "beam"])
     p.add_argument("--buckets", default="1x256,4x256,8x256")
     p.add_argument("--platform", default="cpu",
                    help="jax platform for building ('' = default)")
