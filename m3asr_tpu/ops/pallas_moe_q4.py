@@ -67,14 +67,18 @@ from jax.experimental.pallas import tpu as pltpu
 from m3asr_tpu.ops.common import swish
 
 
-def _group_matmul_packed(x, pblk, scale_ref, e, n_groups, gs, cdt,
+def _group_matmul_packed(x, pblk, read_scale, n_groups, gs, cdt,
                          prec):
     """x (N, d) @ packed-int4 weights for one expert, with group-wise
     scales applied to the f32 partial sums. pblk is the (d, out/2)
     int8 packed block VALUE read from VMEM (pack_int4 layout);
-    scale_ref is (E*G, out) f32 — flattened because Mosaic only lowers
-    2-D gathers, so dynamic multi-index reads of >2-D refs cannot
-    compile. Returns (N, out) f32.
+    `read_scale(g) -> ((1, out/2) lo, (1, out/2) hi)` reads group g's
+    scale row — a callback because the dense streamer's scales live in
+    a flattened (E*G, out) ref addressed by e*G + g (Mosaic only
+    lowers 2-D gathers, so dynamic multi-index reads of >2-D refs
+    cannot compile) while the tiled kernel's scale BLOCK is already
+    this expert's (1, G, out) slice, addressed statically by g.
+    Returns (N, out) f32.
 
     Per contraction group g (scale constant within a group):
         u  = (p ^ 0x88) as uint8          # nibbles biased to [0, 15]
@@ -101,13 +105,11 @@ def _group_matmul_packed(x, pblk, scale_ref, e, n_groups, gs, cdt,
                      precision=prec)
         rs = jnp.sum(xg.astype(jnp.float32), axis=-1,
                      keepdims=True)                    # (N, 1)
-        # read the scale row as TWO 2-D (1, half) slices: slicing a
+        # scale rows are read as TWO 2-D (1, half) slices: slicing a
         # 1-D value (s[None, :half]) lowers as a >2-D gather, which
-        # Mosaic rejects — pl.ds row reads with static column slices
-        # stay plain dynamic slices
-        row = e * n_groups + g
-        s_lo = scale_ref[pl.ds(row, 1), :half]         # (1, half) f32
-        s_hi = scale_ref[pl.ds(row, 1), half:]
+        # Mosaic rejects — ref reads with static column slices stay
+        # plain dynamic slices
+        s_lo, s_hi = read_scale(g)                     # (1, half) f32
         lo_part = (u0 - 16.0 * u1 - 8.0 * rs) * s_lo
         hi_part = (u1 - 8.0 * rs) * s_hi
         lo_acc = lo_part if lo_acc is None else lo_acc + lo_part
@@ -173,17 +175,26 @@ def _q4_kernel(*refs, n_experts: int, chunk: int,
 
             for j in range(chunk):                     # static unroll
                 e = c * chunk + j
+
+                def rd(sref, G, e=e):
+                    h2 = sref.shape[-1] // 2
+
+                    def read(g):
+                        row = pl.ds(e * G + g, 1)
+                        return sref[row, :h2], sref[row, h2:]
+                    return read
+
                 h = _group_matmul_packed(
-                    x, w1_buf[slot * chunk + j], s1_ref, e, g1, gs1,
-                    cdt, prec)
+                    x, w1_buf[slot * chunk + j], rd(s1_ref, g1),
+                    g1, gs1, cdt, prec)
                 h = h + b1_ref[pl.ds(e, 1), :].astype(jnp.float32)
                 h = activation(h)
                 if upper_bound is not None:   # DFSMN expert clamp
                     h = jnp.minimum(h, jnp.float32(upper_bound))
                 h = h.astype(cdt)
                 y = _group_matmul_packed(
-                    h, w2_buf[slot * chunk + j], s2_ref, e, g2, gs2,
-                    cdt, prec)
+                    h, w2_buf[slot * chunk + j], rd(s2_ref, g2),
+                    g2, gs2, cdt, prec)
                 if use_b2:
                     y = y + b2_ref[pl.ds(e, 1), :].astype(jnp.float32)
                 sel = gate_ref[...] == e               # (N, 1) 2-D
@@ -300,3 +311,162 @@ def moe_experts_pallas_q4(p, x: jax.Array, gate_idx: jax.Array,
             transcendentals=(N + pad) * hdim * E),
     )(*args)
     return out[:N].reshape(B, T, d)
+
+
+def _q4_tiled_kernel(te_ref, ly_ref, x_ref, w1_ref, b1_ref, w2_ref,
+                     b2_ref, s1_ref, s2_ref, out_ref, *, g1: int,
+                     g2: int, use_b2: bool, activation=swish,
+                     upper_bound=None):
+    """One single-expert token tile: x (tile, d) @ this tile's expert
+    packed weights. The expert selection happens OUTSIDE the kernel
+    body — the weight/scale/bias BlockSpec index_maps read the
+    scalar-prefetched tile->expert table, so Pallas's pipeline both
+    (a) streams each tile's expert weights HBM->VMEM without ever
+    materializing a gathered (G, d, h) copy in HBM (the XLA tiled
+    path's `jnp.take` does — at 4032 tokens that is a ~33 MB int8
+    write+read per layer), and (b) skips the re-fetch entirely when
+    consecutive tiles share an expert (sorted layout makes that the
+    common case: revisits = n_tiles - active_experts)."""
+    del te_ref, ly_ref                       # consumed by index_maps
+    x = x_ref[...]
+    cdt = x.dtype
+    prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    d = x.shape[-1]
+    hdim = b1_ref.shape[-1]
+    gs1 = d // g1
+    gs2 = hdim // g2
+
+    def rd(sref):
+        # this expert's (1, G, out) scale block; static g -> 2-D reads
+        h2 = sref.shape[-1] // 2
+        return lambda g: (sref[0, g:g + 1, :h2], sref[0, g:g + 1, h2:])
+
+    h = _group_matmul_packed(x, w1_ref[0], rd(s1_ref),
+                             g1, gs1, cdt, prec)
+    h = h + b1_ref[0].astype(jnp.float32)
+    h = activation(h)
+    if upper_bound is not None:              # DFSMN expert clamp
+        h = jnp.minimum(h, jnp.float32(upper_bound))
+    h = h.astype(cdt)
+    y = _group_matmul_packed(h, w2_ref[0], rd(s2_ref),
+                             g2, gs2, cdt, prec)
+    if use_b2:
+        y = y + b2_ref[0].astype(jnp.float32)
+    out_ref[...] = y.astype(out_ref.dtype)
+
+
+def moe_experts_pallas_q4_tiled(p, x: jax.Array, gate_idx: jax.Array,
+                                tile: int = 128,
+                                activation=swish,
+                                upper_bound=None,
+                                layer=None,
+                                interpret: bool | None = None
+                                ) -> jax.Array:
+    """Skew-robust tiled grouped GEMM on packed int4 weights — the
+    large-token twin of `moe_experts_pallas_q4` (which computes ALL
+    experts densely and only wins while weights dominate, <=512
+    tokens). Layout is ops.moe.moe_experts_tiled's megablocks-style
+    sort+pad (one expert per `tile`-token tile, static tile count);
+    the per-tile weight "gather" is a BlockSpec index_map over the
+    scalar-prefetched tile->expert table, so the packed bytes go
+    HBM->VMEM once per expert RUN (consecutive same-expert tiles reuse
+    the resident block) instead of XLA's materialized per-tile
+    `jnp.take` copy. Exact: padded rows are zeros and their outputs
+    are never gathered back.
+
+    Same contract as ops.quant.moe_experts_tiled_q on q4 params;
+    stacked (L, E, ...) packed weights + `layer` (or p["_layer"])
+    follow the dense kernel's convention (scales/biases must be this
+    layer's slices — they are small scan xs).
+
+    Reference lineage: FMoEExpertPluginDynamic's scatter -> per-expert
+    GEMM -> gather (fmoe_expert_plugin.cpp:75-130) with dynamic GEMM
+    sizes replaced by tile-quantized static ones; int4 is beyond the
+    reference (its int8 builder asserts, builder.py:43)."""
+    from m3asr_tpu.ops.moe import _tile_layout
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if layer is None:
+        layer = p.get("_layer")
+    w1q, w2q = p["w1_q4"], p["w2_q4"]
+    if w1q.ndim == 4:
+        if layer is None:
+            raise ValueError("stacked (L, E, ...) w1_q4 needs `layer`")
+        L = w1q.shape[0]
+        E = w1q.shape[1]
+        w1q = w1q.reshape((L * E,) + w1q.shape[2:])
+        w2q = w2q.reshape((L * E,) + w2q.shape[2:])
+    else:
+        E = w1q.shape[0]
+    B, T, d = x.shape
+    h_half = w1q.shape[-1]
+    hdim = 2 * h_half
+    d_half = w2q.shape[-1]
+
+    s1 = p["w1_scale"]
+    s2 = p["w2_scale"]
+    if s1.ndim == 5:
+        raise ValueError(
+            "stacked scales (L, E, G, 1, out): pass this layer's slice "
+            "(scales are small scan xs; only the packed weights stay "
+            "stacked)")
+    if s1.ndim == 3:                     # (E, 1, out) per-column scales
+        s1 = s1[:, None]
+        s2 = s2[:, None]
+    g1 = s1.shape[1]
+    g2 = s2.shape[1]
+    # (E, G, out) so the per-expert BlockSpec slices (1, G, out) — a
+    # Mosaic-legal block (trailing two dims equal the array's); the
+    # biases likewise ride as (E, 1, out)
+    s1 = s1.reshape(E, g1, hdim).astype(jnp.float32)
+    s2 = s2.reshape(E, g2, d).astype(jnp.float32)
+    b1 = (p["b1"].astype(jnp.float32) if p.get("b1") is not None else
+          jnp.zeros((E, hdim), jnp.float32)).reshape(E, 1, hdim)
+    use_b2 = p.get("b2") is not None
+    b2 = (p["b2"].astype(jnp.float32) if use_b2 else
+          jnp.zeros((E, d), jnp.float32)).reshape(E, 1, d)
+
+    N = B * T
+    flat_e = gate_idx.reshape(N)
+    order, slot, n_tiles, tile_e = _tile_layout(flat_e, N, E, tile)
+    x_pad = jnp.zeros((n_tiles * tile, d), x.dtype).at[slot].set(
+        jnp.take(x.reshape(N, d), order, axis=0))
+    ly = jnp.asarray(0 if layer is None else layer,
+                     jnp.int32).reshape(1)
+
+    kernel = functools.partial(_q4_tiled_kernel, g1=g1, g2=g2,
+                               use_b2=use_b2, activation=activation,
+                               upper_bound=upper_bound)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,           # (tile_e, layer)
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i, te, ly: (i, 0)),
+            pl.BlockSpec((1, d, h_half),
+                         lambda i, te, ly: (ly[0] * E + te[i], 0, 0)),
+            pl.BlockSpec((1, 1, hdim), lambda i, te, ly: (te[i], 0, 0)),
+            pl.BlockSpec((1, hdim, d_half),
+                         lambda i, te, ly: (ly[0] * E + te[i], 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, te, ly: (te[i], 0, 0)),
+            pl.BlockSpec((1, g1, hdim),
+                         lambda i, te, ly: (te[i], 0, 0)),
+            pl.BlockSpec((1, g2, d), lambda i, te, ly: (te[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, d), lambda i, te, ly: (i, 0)),
+    )
+    w_bytes = min(n_tiles, E) * (d * h_half + hdim * d_half)
+    y_pad = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile, d), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * tile * d * hdim * 2,
+            bytes_accessed=w_bytes,
+            transcendentals=n_tiles * tile * hdim),
+    )(tile_e, ly, x_pad, w1q, b1, w2q, b2, s1, s2)
+    out = jnp.zeros((N, d), x.dtype).at[order].set(
+        jnp.take(y_pad, slot, axis=0))
+    return out.reshape(B, T, d)

@@ -102,7 +102,8 @@ _INT8_IMPL = {"dense": "quant", "capacity": "quant_capacity",
               # regression" was actually dense int8 at 1499-4088
               # tokens; see BENCHMARKS.md round-9 correction)
               "quant_a8": "quant_a8", "quant_a8_tiled": "quant_a8_tiled",
-              "quant4_pallas": "quant4_pallas"}
+              "quant4_pallas": "quant4_pallas",
+              "quant4_tiled": "quant4_tiled"}
 
 
 def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
@@ -117,14 +118,21 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
     0.73 ms/18L at 64 tokens), while the kernel keeps bytes packed
     into VMEM and wins (0.65 ms, chunk=4)."""
     if int4 and requested in ("auto", "dense", "quant", "pallas",
-                              "quant_pallas", "quant4_pallas"):
+                              "quant_pallas", "quant4_pallas",
+                              "tiled", "quant_tiled", "quant4_tiled"):
         import jax
-        if jax.default_backend() == "tpu" and (
-                requested != "auto" or tokens <= MOE_DENSE_TOKEN_THRESHOLD):
-            return "quant4_pallas"
-        # off-TPU (tests) or past the dense threshold: the tiled
-        # grouped GEMM's per-tile gather moves packed bytes and the
-        # dequant fuses into the batched einsum
+        on_tpu = jax.default_backend() == "tpu"
+        if requested in ("tiled", "quant_tiled", "quant4_tiled"):
+            # tiled q4 Pallas kernel on TPU (BlockSpec-indexed expert
+            # weight blocks — no gathered-weight HBM materialization);
+            # off-TPU the XLA tiled path's per-tile gather moves packed
+            # bytes and the dequant fuses into the batched einsum
+            return "quant4_tiled" if on_tpu else "quant_tiled"
+        if on_tpu:
+            return ("quant4_pallas"
+                    if requested != "auto"
+                    or tokens <= MOE_DENSE_TOKEN_THRESHOLD
+                    else "quant4_tiled")
         return ("quant" if tokens <= MOE_DENSE_TOKEN_THRESHOLD
                 else "quant_tiled")
     if int8:

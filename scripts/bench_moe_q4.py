@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from m3asr_tpu.ops import moe as moe_ops
 from m3asr_tpu.ops import quant as quant_ops
-from m3asr_tpu.ops.pallas_moe_q4 import moe_experts_pallas_q4
+from m3asr_tpu.ops.pallas_moe_q4 import (moe_experts_pallas_q4,
+                                         moe_experts_pallas_q4_tiled)
 
 E, D, H = 32, 512, 1024
 
@@ -85,6 +86,15 @@ def main(args):
                                moe_experts_pallas_q4(pp, xv, g, chunk=2)),
             "int4_pallas_c1": (qp4, lambda pp, xv, g:
                                moe_experts_pallas_q4(pp, xv, g, chunk=1)),
+            "int4_pallas_t64": (qp4, lambda pp, xv, g:
+                                moe_experts_pallas_q4_tiled(
+                                    pp, xv, g, tile=64)),
+            "int4_pallas_t128": (qp4, lambda pp, xv, g:
+                                 moe_experts_pallas_q4_tiled(
+                                     pp, xv, g, tile=128)),
+            "int4_pallas_t256": (qp4, lambda pp, xv, g:
+                                 moe_experts_pallas_q4_tiled(
+                                     pp, xv, g, tile=256)),
         }
         if args.impls:
             impls = {k: v for k, v in impls.items() if k in args.impls}

@@ -158,6 +158,64 @@ def test_q4_stacked_layer_mode():
                                    rtol=0, atol=0)
 
 
+def test_q4_tiled_kernel_matches_xla_dequant():
+    """The tiled (grid-over-single-expert-token-tiles) kernel — the
+    large-token twin of the dense streamer — matches the XLA dequant
+    path, incl. skewed routing (tile padding) and group-wise scales."""
+    qp = _q4_params(jax.random.PRNGKey(20), E=4, D=256, H=512)
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.randn(2, 37, 256), jnp.float32)
+    # skewed: expert 1 gets most tokens, expert 2 none
+    gate_idx = jnp.asarray(
+        np.where(rng.rand(2, 37) < 0.7, 1,
+                 rng.randint(0, 4, (2, 37))), jnp.int32)
+    from m3asr_tpu.ops.pallas_moe_q4 import moe_experts_pallas_q4_tiled
+    ref = quant.moe_experts_dense_q(qp, x, gate_idx)
+    for tile in (8, 16):
+        got = moe_experts_pallas_q4_tiled(qp, x, gate_idx, tile=tile,
+                                          interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-3, atol=5e-4)
+
+
+def test_q4_tiled_kernel_stacked_and_epilogue():
+    """Stacked (L, E, ...) weights + the DFSMN relu/upper_bound
+    epilogue through the tiled kernel; dispatch wiring via
+    moe._dispatch('quant4_tiled')."""
+    from m3asr_tpu.ops.pallas_moe_q4 import moe_experts_pallas_q4_tiled
+    L = 2
+    per_layer = [_q4_params(jax.random.PRNGKey(30 + i), E=4, D=32, H=64)
+                 for i in range(L)]
+    stacked_w = {
+        "w1_q4": jnp.stack([q["w1_q4"] for q in per_layer]),
+        "w2_q4": jnp.stack([q["w2_q4"] for q in per_layer]),
+    }
+    rng = np.random.RandomState(31)
+    x = jnp.asarray(rng.randn(1, 11, 32), jnp.float32)
+    gate_idx = jnp.asarray(rng.randint(0, 4, (1, 11)), jnp.int32)
+    for i in range(L):
+        ref = quant.moe_experts_dense_q(per_layer[i], x, gate_idx)
+        sp = dict(per_layer[i], **stacked_w)
+        got = moe_experts_pallas_q4_tiled(sp, x, gate_idx, tile=8,
+                                          layer=jnp.int32(i),
+                                          interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-4)
+    qp = per_layer[0]
+    ref_u = quant.moe_experts_dense_q(qp, x, gate_idx,
+                                      activation=jax.nn.relu,
+                                      upper_bound=2.0)
+    got_u = moe_experts_pallas_q4_tiled(qp, x, gate_idx, tile=8,
+                                        activation=jax.nn.relu,
+                                        upper_bound=2.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u),
+                               rtol=1e-3, atol=1e-4)
+    got_d = moe._dispatch(qp, x, gate_idx, "quant4_tiled")
+    ref_d = quant.moe_experts_dense_q(qp, x, gate_idx)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_q4_model_scan_path_matches_quant():
     """moe_conformer.forward with moe_impl='quant4_pallas' (the
     stacked-scan kernel path) matches the XLA 'quant' dequant path on
