@@ -80,8 +80,8 @@ def main(args):
         dtype = "int8"   # int8 expert weights + bf16 activations
     if args.int4:
         dtype = "int4"   # group-scaled int4 experts + bf16 activations
-    if args.act_quant and not args.int8:
-        sys.exit("--act_quant (w8a8) requires --int8")
+    if args.act_quant and not (args.int8 or args.int4):
+        sys.exit("--act_quant requires --int8 (w8a8) or --int4 (w4a8)")
     ecfg = EngineConfig(dtype=dtype, use_prior=prior is not None,
                         ep=args.ep, tp=args.tp,
                         act_quant=args.act_quant,
@@ -139,7 +139,8 @@ if __name__ == "__main__":
                         help="weight-only int8 experts + bf16 activations "
                              "(beyond the reference: its int8 asserts)")
     parser.add_argument("--act_quant", action="store_true",
-                        help="with --int8: also quantize activations "
+                        help="with --int8 (w8a8) or --int4 (w4a8): "
+                             "also quantize activations "
                              "per token (s8 x s8 MXU einsums — the "
                              "compute-bound large-batch mode)")
     parser.add_argument("--int4", action="store_true",

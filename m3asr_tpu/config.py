@@ -256,6 +256,12 @@ DENSE_CONFORMER_PROTOS = {
     "conformer_embed_domain_acc",
     "conformer_aed",
     "conformer_aed2",
+    # model/ctc_aed.py: JointCtcAedModel — the joint CTC+AED scaffold
+    # (sos/eos/ctc_weight/reverse_weight). Its only live subclass is
+    # conformer_aed2's Net (conformer_aed2.py:15-18), so the proto
+    # resolves to the dense conformer encoder + AED decoder here; the
+    # rescoring flow it sketches is models/aed.attention_rescoring.
+    "ctc_aed",
 }
 
 DFSMN_PROTOS = {

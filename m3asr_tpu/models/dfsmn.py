@@ -293,7 +293,10 @@ def cfsmn_moe_layer(p, x: jax.Array, embed: jax.Array,
     gate_value, gate_idx = moe_ops.softmax_top1_gate(p["router"], router_in,
                                                      lengths)
     if moe_impl in ("quant", "quant_tiled", "quant_a8", "quant_a8_tiled",
-                    "quant4_pallas", "quant4_tiled"):
+                    "quant4_pallas", "quant4_tiled", "quant4_a8",
+                    "quant4_a8_tiled"):
+        import functools as _ft
+
         from m3asr_tpu.ops import quant as quant_ops
         from m3asr_tpu.ops.pallas_moe_q4 import (
             moe_experts_pallas_q4, moe_experts_pallas_q4_tiled)
@@ -303,6 +306,10 @@ def cfsmn_moe_layer(p, x: jax.Array, embed: jax.Array,
                     "quant_a8_tiled": quant_ops.moe_experts_tiled_w8a8,
                     "quant4_pallas": moe_experts_pallas_q4,
                     "quant4_tiled": moe_experts_pallas_q4_tiled,
+                    "quant4_a8": _ft.partial(moe_experts_pallas_q4,
+                                             act_quant=True),
+                    "quant4_a8_tiled": _ft.partial(
+                        moe_experts_pallas_q4_tiled, act_quant=True),
                     }[moe_impl]
     else:
         table = {"dense": moe_ops.moe_experts_dense,
@@ -312,7 +319,7 @@ def cfsmn_moe_layer(p, x: jax.Array, embed: jax.Array,
             raise ValueError(
                 f"moe_impl={moe_impl!r} is not supported for the "
                 f"DFSMN-MoE layer; choose one of "
-                f"{sorted(table) + ['quant', 'quant_tiled', 'quant_a8', 'quant_a8_tiled', 'quant4_pallas', 'quant4_tiled']}")
+                f"{sorted(table) + ['quant', 'quant_tiled', 'quant_a8', 'quant_a8_tiled', 'quant4_pallas', 'quant4_tiled', 'quant4_a8', 'quant4_a8_tiled']}")
         dispatch = table[moe_impl]
     y = dispatch(p, x, gate_idx, activation=jax.nn.relu,
                  upper_bound=cfg.upper_bound)

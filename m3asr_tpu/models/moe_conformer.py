@@ -127,7 +127,8 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
         # unrolled scheduling, so keep the loop rolled.
         blocks = params["blocks"]
         ff = blocks.get("feed_forward", {})
-        if moe_impl in ("quant4_pallas", "quant4_tiled") and "w1_q4" in ff:
+        if moe_impl in ("quant4_pallas", "quant4_tiled", "quant4_a8",
+                        "quant4_a8_tiled") and "w1_q4" in ff:
             # packed-int4 Pallas path: scanning over the STACKED packed
             # weights would materialize a 16 MB dynamic-slice copy per
             # layer ahead of the custom call (measured +0.42 ms/18L —

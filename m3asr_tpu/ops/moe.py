@@ -446,6 +446,12 @@ def _dispatch(p, x, gate_idx, impl: str):
     if impl == "quant4_tiled":
         from m3asr_tpu.ops.pallas_moe_q4 import moe_experts_pallas_q4_tiled
         return moe_experts_pallas_q4_tiled(p, x, gate_idx)
+    if impl == "quant4_a8":
+        from m3asr_tpu.ops.pallas_moe_q4 import moe_experts_pallas_q4
+        return moe_experts_pallas_q4(p, x, gate_idx, act_quant=True)
+    if impl == "quant4_a8_tiled":
+        from m3asr_tpu.ops.pallas_moe_q4 import moe_experts_pallas_q4_tiled
+        return moe_experts_pallas_q4_tiled(p, x, gate_idx, act_quant=True)
     raise ValueError(f"unknown moe impl: {impl}")
 
 

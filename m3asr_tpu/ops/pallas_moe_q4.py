@@ -117,9 +117,62 @@ def _group_matmul_packed(x, pblk, read_scale, n_groups, gs, cdt,
     return jnp.concatenate([lo_acc, hi_acc], axis=-1)  # (N, out) f32
 
 
+def _quant_rows(x):
+    """Per-row (= per-token) symmetric int8 quantization inside the
+    kernel: x (N, d) float -> (q int8, scale (N, 1) f32). Same
+    round-half-even grid as ops.quant.quantize_act, so the w4a8 kernels
+    and the XLA w8a8 twins share quantization semantics."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _group_matmul_packed_s8(xq, pblk, read_scale, n_groups, gs):
+    """xq (N, d) int8 @ packed-int4 weights for one expert — the w4a8
+    twin of _group_matmul_packed: both nibble planes stay INTEGER
+    ([0, 15] fits s8), so the two half-width dots run s8 x s8 -> s32 on
+    the MXU (2x the bf16 rate on v5e) and the arithmetic is exact:
+
+        u  = (p ^ 0x88) as unsigned      # nibbles biased to [0, 15]
+        L  = xq_g @ (u & 15);  H = xq_g @ (u >> 4);  rs = rowsum(xq_g)
+        out[:, :out/2] += (L - 8*rs) * s_g[:out/2]     # lo = (u&15)-8
+        out[:, out/2:] += (H - 8*rs) * s_g[out/2:]     # hi = (u>>4)-8
+
+    Returns (N, out) f32 — caller multiplies by the per-token
+    activation scale (constant across groups, so it factors out of the
+    group sum)."""
+    half = pblk.shape[-1]
+    del half
+    lo_acc = None
+    hi_acc = None
+    bias = jnp.full((), 0x88 - 0x100, jnp.int8)        # 0x88 as int8
+    for g in range(n_groups):
+        p8 = pblk[g * gs:(g + 1) * gs, :]              # (gs, out/2) int8
+        u32 = jnp.bitwise_xor(p8, bias).astype(jnp.int32) & 255
+        lo_w = (u32 & 15).astype(jnp.int8)             # [0, 15]
+        hi_w = (u32 >> 4).astype(jnp.int8)             # [0, 15]
+        xg = xq[:, g * gs:(g + 1) * gs]                # (N, gs) int8
+        dot = lambda a, b: jax.lax.dot_general(        # noqa: E731
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        L = dot(xg, lo_w)                              # (N, half) s32
+        H = dot(xg, hi_w)
+        rs = jnp.sum(xg.astype(jnp.int32), axis=-1,
+                     keepdims=True)                    # (N, 1) s32
+        s_lo, s_hi = read_scale(g)                     # (1, half) f32
+        lo_part = (L - 8 * rs).astype(jnp.float32) * s_lo
+        hi_part = (H - 8 * rs).astype(jnp.float32) * s_hi
+        lo_acc = lo_part if lo_acc is None else lo_acc + lo_part
+        hi_acc = hi_part if hi_acc is None else hi_acc + hi_part
+    return jnp.concatenate([lo_acc, hi_acc], axis=-1)  # (N, out) f32
+
+
 def _q4_kernel(*refs, n_experts: int, chunk: int,
                use_b2: bool, g1: int, g2: int, activation=swish,
-               upper_bound=None, stacked: bool = False):
+               upper_bound=None, stacked: bool = False,
+               a8: bool = False):
     """Stream packed int4 expert weights chunk-by-chunk; dense
     all-experts compute with masked accumulation (top-1 gate).
 
@@ -146,6 +199,10 @@ def _q4_kernel(*refs, n_experts: int, chunk: int,
     n_chunks = n_experts // chunk
     gs1 = d // g1
     gs2 = hdim // g2
+    if a8:
+        # w4a8: quantize the tokens ONCE (x is shared by all experts);
+        # the nibble dots then run s8 x s8 -> s32 on the MXU
+        xq, xs = _quant_rows(x)
 
     def body(w1_buf, w2_buf, sem1, sem2):
         # buffers are (2*chunk, rows, cols): slot s occupies rows
@@ -184,17 +241,28 @@ def _q4_kernel(*refs, n_experts: int, chunk: int,
                         return sref[row, :h2], sref[row, h2:]
                     return read
 
-                h = _group_matmul_packed(
-                    x, w1_buf[slot * chunk + j], rd(s1_ref, g1),
-                    g1, gs1, cdt, prec)
+                if a8:
+                    h = _group_matmul_packed_s8(
+                        xq, w1_buf[slot * chunk + j], rd(s1_ref, g1),
+                        g1, gs1) * xs
+                else:
+                    h = _group_matmul_packed(
+                        x, w1_buf[slot * chunk + j], rd(s1_ref, g1),
+                        g1, gs1, cdt, prec)
                 h = h + b1_ref[pl.ds(e, 1), :].astype(jnp.float32)
                 h = activation(h)
                 if upper_bound is not None:   # DFSMN expert clamp
                     h = jnp.minimum(h, jnp.float32(upper_bound))
-                h = h.astype(cdt)
-                y = _group_matmul_packed(
-                    h, w2_buf[slot * chunk + j], rd(s2_ref, g2),
-                    g2, gs2, cdt, prec)
+                if a8:
+                    hq, hs = _quant_rows(h)
+                    y = _group_matmul_packed_s8(
+                        hq, w2_buf[slot * chunk + j], rd(s2_ref, g2),
+                        g2, gs2) * hs
+                else:
+                    h = h.astype(cdt)
+                    y = _group_matmul_packed(
+                        h, w2_buf[slot * chunk + j], rd(s2_ref, g2),
+                        g2, gs2, cdt, prec)
                 if use_b2:
                     y = y + b2_ref[pl.ds(e, 1), :].astype(jnp.float32)
                 sel = gate_ref[...] == e               # (N, 1) 2-D
@@ -219,6 +287,7 @@ def moe_experts_pallas_q4(p, x: jax.Array, gate_idx: jax.Array,
                           activation=swish,
                           upper_bound=None,
                           layer=None,
+                          act_quant: bool = False,
                           interpret: bool | None = None) -> jax.Array:
     """Top-1 expert outputs on packed int4 weights
     (ops.quant.quantize_moe_params(bits=4) layout: w1_q4/w2_q4 packed
@@ -273,6 +342,11 @@ def moe_experts_pallas_q4(p, x: jax.Array, gate_idx: jax.Array,
         s2 = s2[:, None]
     g1 = s1.shape[1]
     g2 = s2.shape[1]
+    if d % g1 or hdim % g2:
+        raise ValueError(
+            f"scale group counts must divide the contraction dims: "
+            f"d={d} %% g1={g1}, hdim={hdim} %% g2={g2} "
+            "(quantize_moe_params(bits=4) layout)")
     # (E*G, out): Mosaic supports only 2-D gathers, so the kernel
     # reads scale rows via a flattened e*G + g index
     s1 = s1.reshape(E * g1, hdim).astype(jnp.float32)
@@ -289,7 +363,7 @@ def moe_experts_pallas_q4(p, x: jax.Array, gate_idx: jax.Array,
                                use_b2=use_b2, g1=g1, g2=g2,
                                activation=activation,
                                upper_bound=upper_bound,
-                               stacked=stacked)
+                               stacked=stacked, a8=act_quant)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)       # noqa: E731
     in_specs = [vmem(), vmem(), hbm(), vmem(), hbm(), vmem(),
@@ -316,7 +390,7 @@ def moe_experts_pallas_q4(p, x: jax.Array, gate_idx: jax.Array,
 def _q4_tiled_kernel(te_ref, ly_ref, x_ref, w1_ref, b1_ref, w2_ref,
                      b2_ref, s1_ref, s2_ref, out_ref, *, g1: int,
                      g2: int, use_b2: bool, activation=swish,
-                     upper_bound=None):
+                     upper_bound=None, a8: bool = False):
     """One single-expert token tile: x (tile, d) @ this tile's expert
     packed weights. The expert selection happens OUTSIDE the kernel
     body — the weight/scale/bias BlockSpec index_maps read the
@@ -342,15 +416,28 @@ def _q4_tiled_kernel(te_ref, ly_ref, x_ref, w1_ref, b1_ref, w2_ref,
         h2 = sref.shape[-1] // 2
         return lambda g: (sref[0, g:g + 1, :h2], sref[0, g:g + 1, h2:])
 
-    h = _group_matmul_packed(x, w1_ref[0], rd(s1_ref),
-                             g1, gs1, cdt, prec)
+    if a8:
+        # w4a8: per-token int8 quantization of this tile's rows, then
+        # s8 x s8 -> s32 nibble dots (padded rows are zeros -> scale 1,
+        # q 0: still exact)
+        xq, xs = _quant_rows(x)
+        h = _group_matmul_packed_s8(xq, w1_ref[0], rd(s1_ref),
+                                    g1, gs1) * xs
+    else:
+        h = _group_matmul_packed(x, w1_ref[0], rd(s1_ref),
+                                 g1, gs1, cdt, prec)
     h = h + b1_ref[0].astype(jnp.float32)
     h = activation(h)
     if upper_bound is not None:              # DFSMN expert clamp
         h = jnp.minimum(h, jnp.float32(upper_bound))
-    h = h.astype(cdt)
-    y = _group_matmul_packed(h, w2_ref[0], rd(s2_ref),
-                             g2, gs2, cdt, prec)
+    if a8:
+        hq, hs = _quant_rows(h)
+        y = _group_matmul_packed_s8(hq, w2_ref[0], rd(s2_ref),
+                                    g2, gs2) * hs
+    else:
+        h = h.astype(cdt)
+        y = _group_matmul_packed(h, w2_ref[0], rd(s2_ref),
+                                 g2, gs2, cdt, prec)
     if use_b2:
         y = y + b2_ref[0].astype(jnp.float32)
     out_ref[...] = y.astype(out_ref.dtype)
@@ -361,6 +448,7 @@ def moe_experts_pallas_q4_tiled(p, x: jax.Array, gate_idx: jax.Array,
                                 activation=swish,
                                 upper_bound=None,
                                 layer=None,
+                                act_quant: bool = False,
                                 interpret: bool | None = None
                                 ) -> jax.Array:
     """Skew-robust tiled grouped GEMM on packed int4 weights — the
@@ -417,6 +505,11 @@ def moe_experts_pallas_q4_tiled(p, x: jax.Array, gate_idx: jax.Array,
         s2 = s2[:, None]
     g1 = s1.shape[1]
     g2 = s2.shape[1]
+    if d % g1 or hdim % g2:
+        raise ValueError(
+            f"scale group counts must divide the contraction dims: "
+            f"d={d} %% g1={g1}, hdim={hdim} %% g2={g2} "
+            "(quantize_moe_params(bits=4) layout)")
     # (E, G, out) so the per-expert BlockSpec slices (1, G, out) — a
     # Mosaic-legal block (trailing two dims equal the array's); the
     # biases likewise ride as (E, 1, out)
@@ -438,7 +531,7 @@ def moe_experts_pallas_q4_tiled(p, x: jax.Array, gate_idx: jax.Array,
 
     kernel = functools.partial(_q4_tiled_kernel, g1=g1, g2=g2,
                                use_b2=use_b2, activation=activation,
-                               upper_bound=upper_bound)
+                               upper_bound=upper_bound, a8=act_quant)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,           # (tile_e, layer)
         grid=(n_tiles,),
@@ -456,7 +549,15 @@ def moe_experts_pallas_q4_tiled(p, x: jax.Array, gate_idx: jax.Array,
         ],
         out_specs=pl.BlockSpec((tile, d), lambda i, te, ly: (i, 0)),
     )
+    # _tile_layout SORTS tokens by expert, so each expert occupies one
+    # contiguous tile run and its weight block crosses HBM->VMEM exactly
+    # once: min(n_tiles, E) weight fetches is the true count for this
+    # layout, not an optimistic bound (alternating-expert tile orders
+    # cannot occur). Activation/output/scale traffic is added so the
+    # scheduler hint is total bytes, not weights alone.
     w_bytes = min(n_tiles, E) * (d * h_half + hdim * d_half)
+    act_bytes = n_tiles * tile * 2 * d * x.dtype.itemsize \
+        + E * (g1 * hdim + g2 * d) * 4
     y_pad = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -464,7 +565,7 @@ def moe_experts_pallas_q4_tiled(p, x: jax.Array, gate_idx: jax.Array,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * tile * d * hdim * 2,
-            bytes_accessed=w_bytes,
+            bytes_accessed=w_bytes + act_bytes,
             transcendentals=n_tiles * tile * hdim),
     )(tile_e, ly, x_pad, w1q, b1, w2q, b2, s1, s2)
     out = jnp.zeros((N, d), x.dtype).at[order].set(

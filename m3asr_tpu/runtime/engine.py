@@ -103,7 +103,9 @@ _INT8_IMPL = {"dense": "quant", "capacity": "quant_capacity",
               # tokens; see BENCHMARKS.md round-9 correction)
               "quant_a8": "quant_a8", "quant_a8_tiled": "quant_a8_tiled",
               "quant4_pallas": "quant4_pallas",
-              "quant4_tiled": "quant4_tiled"}
+              "quant4_tiled": "quant4_tiled",
+              "quant4_a8": "quant4_a8",
+              "quant4_a8_tiled": "quant4_a8_tiled"}
 
 
 def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
@@ -119,15 +121,47 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
     into VMEM and wins (0.65 ms, chunk=4)."""
     if int4 and requested in ("auto", "dense", "quant", "pallas",
                               "quant_pallas", "quant4_pallas",
-                              "tiled", "quant_tiled", "quant4_tiled"):
+                              "tiled", "quant_tiled", "quant4_tiled",
+                              "quant4_a8", "quant4_a8_tiled"):
         import jax
         on_tpu = jax.default_backend() == "tpu"
-        if requested in ("tiled", "quant_tiled", "quant4_tiled"):
+        if requested in ("quant4_a8", "quant4_a8_tiled"):
+            # explicit w4a8 kernel request honored on every backend
+            # (interpret mode off-TPU)
+            return requested
+        if act_quant:
+            # w4a8: packed-int4 weights x per-token int8 activations —
+            # the nibble dots run s8 x s8 -> s32 on the MXU (the one
+            # quant mode aimed at dominating both the HBM-bound and
+            # compute-bound regimes). Off-TPU there is no XLA w4a8
+            # twin; fall back to the weight-only int4 XLA paths.
+            if on_tpu:
+                if requested in ("tiled", "quant_tiled"):
+                    return "quant4_a8_tiled"
+                return ("quant4_a8"
+                        if requested != "auto"
+                        or tokens <= MOE_DENSE_TOKEN_THRESHOLD
+                        else "quant4_a8_tiled")
+            return ("quant" if tokens <= MOE_DENSE_TOKEN_THRESHOLD
+                    else "quant_tiled")
+        if requested == "quant4_tiled":
+            # explicit kernel request is honored on every backend —
+            # off-TPU the kernel runs in interpret mode (parity testing
+            # through the engine; pallas_moe_q4 interpret=None auto)
+            return "quant4_tiled"
+        if requested in ("tiled", "quant_tiled"):
             # tiled q4 Pallas kernel on TPU (BlockSpec-indexed expert
             # weight blocks — no gathered-weight HBM materialization);
             # off-TPU the XLA tiled path's per-tile gather moves packed
             # bytes and the dequant fuses into the batched einsum
-            return "quant4_tiled" if on_tpu else "quant_tiled"
+            if not on_tpu:
+                import logging
+                logging.getLogger("m3asr").info(
+                    "int4 moe_impl=%s off-TPU -> XLA quant_tiled "
+                    "(request quant4_tiled explicitly for the Pallas "
+                    "kernel in interpret mode)", requested)
+                return "quant_tiled"
+            return "quant4_tiled"
         if on_tpu:
             return ("quant4_pallas"
                     if requested != "auto"
@@ -250,12 +284,13 @@ class EngineConfig:
     bucket_batches: Tuple[int, ...] = DEFAULT_BATCHES
     moe_impl: str = "auto"  # auto|dense|ragged|capacity|pallas (quant is
                              # implied by dtype="int8")
-    act_quant: bool = False  # int8 engines only: also quantize
+    act_quant: bool = False  # int8/int4 engines: also quantize
                              # activations per token so the expert
-                             # einsums run s8 x s8 -> s32 on the MXU
-                             # (2x the bf16 rate on v5e) — the
-                             # compute-bound large-batch mode; weight-
-                             # only already wins the HBM-bound regime
+                             # dots run s8 x s8 -> s32 on the MXU
+                             # (2x the bf16 rate on v5e). int8 = w8a8
+                             # (XLA einsums); int4 = w4a8 (the Pallas
+                             # packed-nibble kernels' integer dots) —
+                             # int4 weight traffic at the int8 MXU rate
     fp32_precision: str = "high"      # matmul precision for fp32
                                       # engines: "high" (bf16_3x; meets
                                       # the reference parity tolerance,
@@ -310,15 +345,13 @@ class Engine:
         # expert weights (int4 adds group-wise scales, ops/quant.py)
         self.quant_bits = {"int8": 8, "int4": 4}.get(self.cfg.dtype)
         self.int8_experts = self.quant_bits is not None
-        if self.quant_bits == 4 and self.cfg.moe_impl in (
-                "pallas", "quant_pallas"):
-            raise NotImplementedError(
-                "moe_impl='pallas' dequantizes int8 in-kernel; int4 "
-                "engines use the XLA quant impls (auto/dense/tiled/"
-                "capacity)")
-        if self.cfg.act_quant and self.quant_bits != 8:
+        # (int4 + moe_impl='pallas'/'quant_pallas' maps onto the packed
+        # q4 kernel in moe_auto_impl — no guard needed since round 9's
+        # quant4_pallas landed)
+        if self.cfg.act_quant and self.quant_bits is None:
             raise ValueError(
-                "act_quant (w8a8) requires dtype='int8' expert weights")
+                "act_quant requires quantized expert weights: "
+                "dtype='int8' (w8a8) or dtype='int4' (w4a8)")
         if self.cfg.return_hidden and model_cfg.nnet_proto == "dfsmn_base_res":
             raise NotImplementedError(
                 "return_hidden: the plain cFSMN stack (dfsmn_base_res) "

@@ -95,6 +95,27 @@ def main(args):
             "int4_pallas_t256": (qp4, lambda pp, xv, g:
                                  moe_experts_pallas_q4_tiled(
                                      pp, xv, g, tile=256)),
+            # w4a8: packed-int4 weights x per-token int8 activations,
+            # s8 x s8 MXU nibble dots
+            "w4a8_pallas_c2": (qp4, lambda pp, xv, g:
+                               moe_experts_pallas_q4(
+                                   pp, xv, g, chunk=2, act_quant=True)),
+            "w4a8_pallas_c4": (qp4, lambda pp, xv, g:
+                               moe_experts_pallas_q4(
+                                   pp, xv, g, chunk=4, act_quant=True)),
+            "w4a8_pallas_t128": (qp4, lambda pp, xv, g:
+                                 moe_experts_pallas_q4_tiled(
+                                     pp, xv, g, tile=128,
+                                     act_quant=True)),
+            "w4a8_pallas_t256": (qp4, lambda pp, xv, g:
+                                 moe_experts_pallas_q4_tiled(
+                                     pp, xv, g, tile=256,
+                                     act_quant=True)),
+            # XLA w8a8 twins for cross-mode regime comparison
+            "w8a8_xla_dense": (qp8, quant_ops.moe_experts_dense_w8a8),
+            "w8a8_xla_tiled": (qp8, lambda pp, xv, g: quant_ops
+                               .moe_experts_tiled_w8a8(pp, xv, g,
+                                                       tile=128)),
         }
         if args.impls:
             impls = {k: v for k, v in impls.items() if k in args.impls}

@@ -24,6 +24,7 @@ def test_registry_covers_reference_model_zoo():
     protos = [
         "conformer", "conformer2", "conformer_embed",
         "conformer_embed_domain_acc", "conformer_aed", "conformer_aed2",
+        "ctc_aed",
         "conformer_fmoe_localComm_catEmbed",
         "conformer_fmoe_localComm_catEmbed_domain_acc",
         "conformer_fmoe_localComm_catEmbed_domain_acc_hier",
@@ -78,6 +79,7 @@ def test_every_reference_proto_inits_and_forwards():
     protos = [
         "conformer", "conformer2", "conformer_embed",
         "conformer_embed_domain_acc", "conformer_aed", "conformer_aed2",
+        "ctc_aed",
         "conformer_fmoe_localComm_catEmbed",
         "conformer_fmoe_localComm_catEmbed_domain_acc",
         "conformer_fmoe_localComm_catEmbed_domain_acc_hier",
@@ -103,6 +105,45 @@ def test_every_reference_proto_inits_and_forwards():
         out = res[0]
         assert np.isfinite(np.asarray(out)).all(), p
         assert out.shape[0] == 1 and out.shape[-1] == 5, (p, out.shape)
+
+
+def test_ctc_aed_proto_loads_and_rescoring_composes():
+    """`nnet_proto: ctc_aed` must resolve and run end to end — the
+    JointCtcAedModel scaffold (model/ctc_aed.py:15-40: sos/eos =
+    vocab-1, ctc_weight, reverse_weight) whose only live subclass is
+    conformer_aed2's Net: dense conformer encoder + AED decoder +
+    attention rescoring."""
+    import jax
+    import jax.numpy as jnp
+
+    from m3asr_tpu.config import model_config_from_dict
+    from m3asr_tpu.models import aed
+
+    mc = model_config_from_dict({
+        "nnet_proto": "ctc_aed", "input_dim": 8, "output_dim": 9,
+        "model_conf": {
+            "encoder_conf": {"attention_dim": 16, "attention_heads": 4,
+                             "linear_units": 24, "num_blocks": 1},
+            "decoder_conf": {"attention_heads": 4, "linear_units": 24,
+                             "num_blocks": 1},
+            "ctc_weight": 0.3, "reverse_weight": 0.0,
+        }})
+    assert mc.sos == mc.eos == 8          # vocab_size - 1
+    fam = get_family("ctc_aed")
+    assert fam.name == "conformer"
+    params = fam.init(jax.random.PRNGKey(0), mc)
+    feat = jnp.zeros((1, 16, 8), jnp.float32)
+    fl = jnp.asarray([16], jnp.int32)
+    out, lens, hidden = fam.forward(params, mc, feat, fl,
+                                    output_embed=True)
+    assert out.shape[-1] == 9
+    dec = aed.init(jax.random.PRNGKey(1), mc.decoder_conf, 9,
+                   mc.encoder_conf.attention_dim)
+    nbest = [((1, 2), -1.0), ((3,), -2.0)]
+    hyp, score = aed.attention_rescoring(
+        dec, mc.decoder_conf, nbest, hidden[:, :int(lens[0])],
+        int(lens[0]), mc.sos, mc.eos, -1, ctc_weight=0.3)
+    assert hyp in ([1, 2], [3]) and np.isfinite(score)
 
 
 def test_scalar_writer(tmp_path):

@@ -216,6 +216,112 @@ def test_q4_tiled_kernel_stacked_and_epilogue():
                                rtol=1e-3, atol=1e-4)
 
 
+def _ref_w4a8(qp, x, gate_idx, activation=swish):
+    """w4a8 reference in plain jnp: dequantized int4 weights x the same
+    per-token int8 activation grid (ops.quant.quantize_act semantics,
+    which _quant_rows mirrors). The kernel's integer dots are exact, so
+    the only divergence is quantization ties after the f32-vs-integer
+    first-layer rounding — tolerance documents that."""
+    from m3asr_tpu.ops.quant import _deq, quantize_act
+    w1 = _deq(qp, "w1", jnp.float32)
+    w2 = _deq(qp, "w2", jnp.float32)
+    xq, xs = quantize_act(x.astype(jnp.float32))
+    h = jnp.einsum("btd,edh->beth", xq.astype(jnp.float32), w1) \
+        * xs[:, None]
+    h = h + qp["b1"][None, :, None, :]
+    h = activation(h)
+    hq, hs = quantize_act(h)
+    y = jnp.einsum("beth,ehd->betd", hq.astype(jnp.float32), w2) * hs
+    y = y + qp["b2"][None, :, None, :]
+    onehot = jax.nn.one_hot(gate_idx, w1.shape[0], dtype=jnp.float32)
+    return jnp.einsum("betd,bte->btd", y, onehot)
+
+
+def test_w4a8_dense_and_tiled_match_reference():
+    """act_quant=True: both kernels run the s8 x s8 nibble-dot path and
+    sit on the w4a8 reference; weight-only output stays the yardstick
+    for overall quantization error."""
+    from m3asr_tpu.ops.pallas_moe_q4 import moe_experts_pallas_q4_tiled
+    qp = _q4_params(jax.random.PRNGKey(40), E=4, D=256, H=512)
+    rng = np.random.RandomState(41)
+    x = jnp.asarray(rng.randn(1, 48, 256), jnp.float32)
+    gate_idx = jnp.asarray(rng.randint(0, 4, (1, 48)), jnp.int32)
+    ref = _ref_w4a8(qp, x, gate_idx)
+    got_d = moe_experts_pallas_q4(qp, x, gate_idx, chunk=2,
+                                  act_quant=True, interpret=True)
+    got_t = moe_experts_pallas_q4_tiled(qp, x, gate_idx, tile=16,
+                                        act_quant=True, interpret=True)
+    # 127-level act grid: ties after f32-vs-integer first-layer
+    # rounding move one step (~amax/127); bound well inside one step
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref),
+                               rtol=5e-2, atol=6e-3)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref),
+                               rtol=5e-2, atol=6e-3)
+    # w4a8 stays within activation-quantization error of weight-only
+    wo = quant.moe_experts_dense_q(qp, x, gate_idx)
+    err = np.max(np.abs(np.asarray(got_d) - np.asarray(wo)))
+    assert err < 0.05 * float(jnp.max(jnp.abs(wo))) + 0.05
+
+
+def test_w4a8_dispatch_and_stacked():
+    """moe._dispatch wiring for quant4_a8/quant4_a8_tiled; stacked
+    (L, E, ...) weights with act_quant follow the same layer-index
+    convention as weight-only."""
+    from m3asr_tpu.ops.pallas_moe_q4 import moe_experts_pallas_q4_tiled
+    qp = _q4_params(jax.random.PRNGKey(42))
+    rng = np.random.RandomState(43)
+    x = jnp.asarray(rng.randn(1, 8, 32), jnp.float32)
+    gate_idx = jnp.asarray(rng.randint(0, 4, (1, 8)), jnp.int32)
+    ref = _ref_w4a8(qp, x, gate_idx)
+    for impl in ("quant4_a8", "quant4_a8_tiled"):
+        got = moe._dispatch(qp, x, gate_idx, impl)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=5e-2, atol=6e-3)
+    # stacked mode
+    L = 2
+    per_layer = [_q4_params(jax.random.PRNGKey(44 + i)) for i in range(L)]
+    stacked_w = {
+        "w1_q4": jnp.stack([q["w1_q4"] for q in per_layer]),
+        "w2_q4": jnp.stack([q["w2_q4"] for q in per_layer]),
+    }
+    for i in range(L):
+        want = moe_experts_pallas_q4(per_layer[i], x, gate_idx, chunk=2,
+                                     act_quant=True, interpret=True)
+        sp = dict(per_layer[i], **stacked_w)
+        got = moe_experts_pallas_q4(sp, x, gate_idx, chunk=2,
+                                    layer=jnp.int32(i), act_quant=True,
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=0)
+        got_t = moe_experts_pallas_q4_tiled(sp, x, gate_idx, tile=8,
+                                            layer=jnp.int32(i),
+                                            act_quant=True,
+                                            interpret=True)
+        want_t = moe_experts_pallas_q4_tiled(per_layer[i], x, gate_idx,
+                                             tile=8, act_quant=True,
+                                             interpret=True)
+        np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                                   rtol=0, atol=0)
+
+
+def test_w4a8_auto_policy():
+    """moe_auto_impl: int4 + act_quant routes to the w4a8 kernels on
+    TPU and to the weight-only XLA paths off-TPU; explicit quant4_a8*
+    requests are honored on every backend (interpret off-TPU)."""
+    from m3asr_tpu.runtime.engine import moe_auto_impl
+    # tests run on CPU: auto falls back to XLA weight-only
+    assert moe_auto_impl("bfloat16", 64, int8=True, act_quant=True,
+                         int4=True) == "quant"
+    assert moe_auto_impl("bfloat16", 2048, int8=True, act_quant=True,
+                         int4=True) == "quant_tiled"
+    for req in ("quant4_a8", "quant4_a8_tiled"):
+        assert moe_auto_impl("bfloat16", 64, int8=True, act_quant=True,
+                             int4=True, requested=req) == req
+    # explicit quant4_tiled honored off-TPU too (ADVICE round-2)
+    assert moe_auto_impl("bfloat16", 2048, int8=True, int4=True,
+                         requested="quant4_tiled") == "quant4_tiled"
+
+
 def test_q4_model_scan_path_matches_quant():
     """moe_conformer.forward with moe_impl='quant4_pallas' (the
     stacked-scan kernel path) matches the XLA 'quant' dequant path on

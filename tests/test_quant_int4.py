@@ -247,12 +247,15 @@ def test_cli_build_int4(tmp_path):
     assert "hyp:" in r.stdout
 
 
-def test_int4_rejects_pallas_impl():
-    from m3asr_tpu.config import model_config_from_dict
-    from m3asr_tpu.runtime.engine import Engine, EngineConfig
+def test_int4_pallas_impl_maps_to_q4_kernel():
+    """int4 + moe_impl='pallas'/'quant_pallas' maps onto the packed q4
+    kernel (quant4_pallas on TPU, XLA quant off-TPU) instead of the
+    pre-round-9 NotImplementedError."""
+    from m3asr_tpu.runtime.engine import moe_auto_impl
 
-    from test_runtime import small_yaml
-
-    cfg = model_config_from_dict(small_yaml())
-    with pytest.raises(NotImplementedError, match="pallas"):
-        Engine(cfg, {}, EngineConfig(dtype="int4", moe_impl="pallas"))
+    for req in ("pallas", "quant_pallas"):
+        impl = moe_auto_impl("bfloat16", 64, int8=True, requested=req,
+                             int4=True)
+        # CPU test backend -> XLA fallback; the explicit-name contract
+        # is covered in test_w4a8_auto_policy
+        assert impl in ("quant4_pallas", "quant")
