@@ -387,9 +387,37 @@ def moe_experts_pallas_q4(p, x: jax.Array, gate_idx: jax.Array,
     return out[:N].reshape(B, T, d)
 
 
+def _unpack_expert(pblk, sref, G, gs, dst, a8: bool):
+    """Unpack one expert's packed block into the scratch plane `dst`
+    (rows, out): column j <- low nibble of packed col j, column
+    half + j <- high nibble (pack_int4 layout). a8=True stores the raw
+    SIGNED nibbles ([-8, 7]) as int8 — the s8 dots then need no bias
+    correction at all; a8=False stores group-scale-applied dequantized
+    values in dst.dtype. Per contraction group so the scale rows stay
+    2-D reads (Mosaic lowers no >2-D gathers)."""
+    half = pblk.shape[-1]
+    bias = jnp.full((), 0x88 - 0x100, jnp.int8)        # 0x88 as int8
+    for g in range(G):
+        u32 = jnp.bitwise_xor(pblk[g * gs:(g + 1) * gs, :],
+                              bias).astype(jnp.int32) & 255
+        lo = (u32 & 15) - 8                            # [-8, 7]
+        hi = (u32 >> 4) - 8
+        if a8:
+            dst[g * gs:(g + 1) * gs, :half] = lo.astype(jnp.int8)
+            dst[g * gs:(g + 1) * gs, half:] = hi.astype(jnp.int8)
+        else:
+            s_lo = sref[0, g:g + 1, :half]             # (1, half) f32
+            s_hi = sref[0, g:g + 1, half:]
+            dt = dst.dtype
+            dst[g * gs:(g + 1) * gs, :half] = \
+                (lo.astype(jnp.float32) * s_lo).astype(dt)
+            dst[g * gs:(g + 1) * gs, half:] = \
+                (hi.astype(jnp.float32) * s_hi).astype(dt)
+
+
 def _q4_tiled_kernel(te_ref, ly_ref, x_ref, w1_ref, b1_ref, w2_ref,
-                     b2_ref, s1_ref, s2_ref, out_ref, *, g1: int,
-                     g2: int, use_b2: bool, activation=swish,
+                     b2_ref, s1_ref, s2_ref, out_ref, w1u, w2u, *,
+                     g1: int, g2: int, use_b2: bool, activation=swish,
                      upper_bound=None, a8: bool = False):
     """One single-expert token tile: x (tile, d) @ this tile's expert
     packed weights. The expert selection happens OUTSIDE the kernel
@@ -400,8 +428,35 @@ def _q4_tiled_kernel(te_ref, ly_ref, x_ref, w1_ref, b1_ref, w2_ref,
     path's `jnp.take` does — at 4032 tokens that is a ~33 MB int8
     write+read per layer), and (b) skips the re-fetch entirely when
     consecutive tiles share an expert (sorted layout makes that the
-    common case: revisits = n_tiles - active_experts)."""
-    del te_ref, ly_ref                       # consumed by index_maps
+    common case: revisits = n_tiles - active_experts).
+
+    MEMOIZED UNPACK: the VPU nibble-unpack dominated the first version
+    of this kernel (measured ~70% of its time at 4088 tokens — the
+    dots are only ~1.6 ms of the 5.7 ms total), so the unpack now
+    writes per-expert scratch planes w1u/w2u ONCE per expert run (TPU
+    grids are sequential; scratch persists across tiles, gated on
+    te[i] != te[i-1]) instead of re-unpacking inside every tile's dot:
+
+      a8=False: w1u (d, hdim) holds the group-scale-applied dequantized
+        weights -> each tile is ONE full-width MXU dot per layer (the
+        U0/U1/rowsum factoring exists only to make PER-DOT unpack
+        cheap; with memoization the plain dequant is strictly better).
+      a8=True (w4a8): w1u holds the SIGNED nibbles as int8 -> each
+        tile runs per-group s8 x s8 -> s32 dots (2x the bf16 MXU rate)
+        with NO rowsum bias correction, rescaled by group x per-token
+        scales on the f32 partials.
+    """
+    del ly_ref                               # consumed by index_maps
+    i = pl.program_id(0)
+    changed = (i == 0) | (te_ref[i] != te_ref[jnp.maximum(i - 1, 0)])
+
+    @pl.when(changed)
+    def _():
+        _unpack_expert(w1_ref[0], s1_ref, g1,
+                       w1_ref.shape[1] // g1, w1u, a8)
+        _unpack_expert(w2_ref[0], s2_ref, g2,
+                       w2_ref.shape[1] // g2, w2u, a8)
+
     x = x_ref[...]
     cdt = x.dtype
     prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
@@ -411,33 +466,37 @@ def _q4_tiled_kernel(te_ref, ly_ref, x_ref, w1_ref, b1_ref, w2_ref,
     gs1 = d // g1
     gs2 = hdim // g2
 
-    def rd(sref):
-        # this expert's (1, G, out) scale block; static g -> 2-D reads
-        h2 = sref.shape[-1] // 2
-        return lambda g: (sref[0, g:g + 1, :h2], sref[0, g:g + 1, h2:])
+    def a8_matmul(q, wu, sref, G, gs):
+        """Per-group s8 dots on the memoized signed-nibble plane,
+        group-scale applied to the s32 partials. Returns (N, out) f32
+        (caller applies the per-token activation scale)."""
+        acc = None
+        for g in range(G):
+            part = jax.lax.dot_general(
+                q[:, g * gs:(g + 1) * gs], wu[g * gs:(g + 1) * gs, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            part = part.astype(jnp.float32) * sref[0, g:g + 1, :]
+            acc = part if acc is None else acc + part
+        return acc
 
     if a8:
-        # w4a8: per-token int8 quantization of this tile's rows, then
-        # s8 x s8 -> s32 nibble dots (padded rows are zeros -> scale 1,
-        # q 0: still exact)
+        # padded rows are zeros -> scale 1, q 0: still exact
         xq, xs = _quant_rows(x)
-        h = _group_matmul_packed_s8(xq, w1_ref[0], rd(s1_ref),
-                                    g1, gs1) * xs
+        h = a8_matmul(xq, w1u, s1_ref, g1, gs1) * xs
     else:
-        h = _group_matmul_packed(x, w1_ref[0], rd(s1_ref),
-                                 g1, gs1, cdt, prec)
+        h = jnp.dot(x, w1u[...], preferred_element_type=jnp.float32,
+                    precision=prec)
     h = h + b1_ref[0].astype(jnp.float32)
     h = activation(h)
     if upper_bound is not None:              # DFSMN expert clamp
         h = jnp.minimum(h, jnp.float32(upper_bound))
     if a8:
         hq, hs = _quant_rows(h)
-        y = _group_matmul_packed_s8(hq, w2_ref[0], rd(s2_ref),
-                                    g2, gs2) * hs
+        y = a8_matmul(hq, w2u, s2_ref, g2, gs2) * hs
     else:
-        h = h.astype(cdt)
-        y = _group_matmul_packed(h, w2_ref[0], rd(s2_ref),
-                                 g2, gs2, cdt, prec)
+        y = jnp.dot(h.astype(cdt), w2u[...],
+                    preferred_element_type=jnp.float32, precision=prec)
     if use_b2:
         y = y + b2_ref[0].astype(jnp.float32)
     out_ref[...] = y.astype(out_ref.dtype)
@@ -548,6 +607,14 @@ def moe_experts_pallas_q4_tiled(p, x: jax.Array, gate_idx: jax.Array,
             pl.BlockSpec((1, g2, d), lambda i, te, ly: (te[i], 0, 0)),
         ],
         out_specs=pl.BlockSpec((tile, d), lambda i, te, ly: (i, 0)),
+        scratch_shapes=[
+            # memoized per-expert unpack planes (persist across the
+            # sequential grid; rewritten only when the tile's expert
+            # changes): int8 signed nibbles for w4a8, dequantized
+            # x-dtype planes for weight-only
+            pltpu.VMEM((d, hdim), jnp.int8 if act_quant else x.dtype),
+            pltpu.VMEM((hdim, d), jnp.int8 if act_quant else x.dtype),
+        ],
     )
     # _tile_layout SORTS tokens by expert, so each expert occupies one
     # contiguous tile run and its weight block crosses HBM->VMEM exactly

@@ -53,9 +53,15 @@ def make_mesh(dp: Optional[int] = None, ep: int = 1,
                       TENSOR_AXIS))
 
 
+# expert-tensor leaf names, float and quantized twins (ops/quant.py:
+# w{1,2}_q int8, w{1,2}_q4 packed nibbles, w{1,2}_scale f32)
+_EXPERT_LEAVES = ("w1", "b1", "w2", "b2", "w1_q", "w2_q",
+                  "w1_q4", "w2_q4", "w1_scale", "w2_scale")
+
+
 def _is_expert_path(path: Tuple) -> bool:
     keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
-    return any(k in ("w1", "b1", "w2", "b2") for k in keys)
+    return any(k in _EXPERT_LEAVES for k in keys)
 
 
 def moe_param_sharding(mesh: Mesh, params):
@@ -82,7 +88,11 @@ def _stacked_blocks_path(keys) -> bool:
 
 
 def param_sharding(mesh: Mesh, params, tp: bool = False,
-                   pp: bool = False):
+                   pp: bool = False, int4_scales: bool = False):
+    # int4_scales is accepted for back-compat but unused: the group-vs-
+    # per-column scale layout is detected per leaf from the sibling
+    # quantized weight's rank (the two layouts' ranks collide when a
+    # per-column tree is scan-stacked).
     """Sharding specs for a conformer-family param tree over the
     (dp, sp, ep, tp) mesh.
 
@@ -127,14 +137,44 @@ def param_sharding(mesh: Mesh, params, tp: bool = False,
 
         if _is_expert_path(path):
             # expert tensors, stacked (L, E, ...) or flat (E, ...);
-            # rank-driven so the DFSMN list-of-blocks layout works too
-            if "w1" in keys or "w2" in keys:      # (..., E, d, h)
+            # rank-driven so the DFSMN list-of-blocks layout works too.
+            # Quantized twins follow their float parents: w{1,2}_q int8
+            # shard exactly like w{1,2}; packed w{1,2}_q4 shard over
+            # 'ep' only (a tp split of packed bytes would need a
+            # non-contiguous lo/hi-chunk scale reshard); scales follow
+            # their weights' output-column split.
+            name = next((k for k in reversed(keys)
+                         if k in _EXPERT_LEAVES), None)
+            if name in ("w1", "w2", "w1_q", "w2_q"):  # (..., E, in, out)
                 lead = (None,) * (ndim - 3)
                 if not tp:
                     return pspec(*lead, EXPERT_AXIS)
-                tail = ((None, TENSOR_AXIS) if "w1" in keys
+                tail = ((None, TENSOR_AXIS) if name.startswith("w1")
                         else (TENSOR_AXIS, None))
                 return pspec(*lead, EXPERT_AXIS, *tail)
+            if name in ("w1_q4", "w2_q4"):
+                lead = (None,) * (ndim - 3)
+                return pspec(*lead, EXPERT_AXIS)
+            if name in ("w1_scale", "w2_scale"):
+                # int8 per-column: (..., E, 1, out); int4 group-wise
+                # adds a G axis: (..., E, G, 1, out). The ranks collide
+                # (stacked per-column == flat group-wise), so compare
+                # against the sibling quantized weight's rank: grouped
+                # iff scale.ndim == weight.ndim + 1.
+                node = params
+                for k in path[:-1]:
+                    node = (node[k.key] if hasattr(k, "key")
+                            else node[k.idx])
+                sib = node.get(name[:2] + "_q4", node.get(name[:2] + "_q"))
+                grouped = sib is not None and ndim == np.ndim(sib) + 1
+                e_off = 4 if grouped else 3
+                lead = (None,) * (ndim - e_off)
+                if tp and not grouped and name == "w1_scale":
+                    # w1 column-parallel: scale's out axis follows;
+                    # w2 row-parallel: its (1, out) scale commutes with
+                    # the psum and stays replicated over tp
+                    return pspec(*lead, EXPERT_AXIS, None, TENSOR_AXIS)
+                return pspec(*lead, EXPERT_AXIS)
             lead = (None,) * (ndim - 2)           # b1/b2 (..., E, dim)
             if tp and "b1" in keys:
                 return pspec(*lead, EXPERT_AXIS, TENSOR_AXIS)

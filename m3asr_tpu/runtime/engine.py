@@ -412,16 +412,19 @@ class Engine:
                 raise NotImplementedError(
                     "ep/tp-sharded serving supports the moe_conformer "
                     "family (scan-stacked (L, E, ...) expert tensors)")
-            if self.int8_experts:
+            if self.quant_bits == 4 and self.cfg.tp > 1:
                 raise NotImplementedError(
-                    "ep/tp-sharded serving is fp32/bf16 only (int8/int4 "
-                    "expert tensors carry quantized names the sharding "
-                    "rule does not split)")
+                    "tp x int4: a tp split of the packed nibble bytes "
+                    "needs a non-contiguous (lo chunk, hi chunk) scale "
+                    "reshard the P-spec rule cannot express; use "
+                    "ep-only sharding for int4 engines (or int8 for tp)")
             if self.cfg.tp > 1 and self.cfg.attn_impl == "flash":
-                raise NotImplementedError(
-                    "tp-sharded serving requires attn_impl='xla': the "
-                    "Pallas flash kernel has no SPMD partitioning rule "
-                    "for head-split weights")
+                import logging
+                logging.getLogger("m3asr").warning(
+                    "tp-sharded serving: attn_impl='flash' has no SPMD "
+                    "partitioning rule for head-split weights; falling "
+                    "back to attn_impl='xla' for this engine")
+                self.cfg = dataclasses.replace(self.cfg, attn_impl="xla")
             from m3asr_tpu.parallel import mesh as pmesh
             n_need = self.cfg.ep * self.cfg.tp
             devs = jax.devices()
@@ -431,8 +434,9 @@ class Engine:
             self.mesh = pmesh.make_mesh(dp=1, ep=self.cfg.ep,
                                         tp=self.cfg.tp,
                                         devices=devs[:n_need])
-            self._p_shard = pmesh.param_sharding(self.mesh, self.params,
-                                                 tp=self.cfg.tp > 1)
+            self._p_shard = pmesh.param_sharding(
+                self.mesh, self.params, tp=self.cfg.tp > 1,
+                int4_scales=self.quant_bits == 4)
             self.params = jax.device_put(self.params, self._p_shard)
 
         self.neg_log_prior = None
@@ -462,7 +466,12 @@ class Engine:
         if self.mesh is not None:
             # sharded experts: the dense one-hot einsum partitions
             # cleanly over the E contraction (one psum); the
-            # sort/gather paths would force expert-axis resharding
+            # sort/gather paths would force expert-axis resharding.
+            # Quantized engines take the XLA dequant twins (the Pallas
+            # kernels have no SPMD partitioning rule)
+            if self.int8_experts:
+                return ("quant_a8" if self.cfg.act_quant
+                        and self.quant_bits == 8 else "quant")
             return "dense"
         return moe_auto_impl(dtype, tokens, int8=self.int8_experts,
                              requested=self.cfg.moe_impl,

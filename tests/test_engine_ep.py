@@ -101,10 +101,66 @@ def test_ep_engine_save_load_roundtrip(tmp_path):
     allclose(out_b, out_a, rtol=1e-4, atol=1e-4)
 
 
-def test_ep_rejects_unsupported_modes():
+def test_ep_sharded_quantized_engines_match_single_device():
+    """ep x int8 / int4 / w8a8: the quantized expert tensors and their
+    scales shard over 'ep' (parallel.mesh._EXPERT_LEAVES covers the
+    *_q/*_q4/*_scale names) and outputs equal the single-device
+    quantized engine — the round-2 feature-matrix hole closed."""
     cfg, params = _engine_fixtures()
-    with pytest.raises(NotImplementedError):
-        Engine(cfg, params, EngineConfig(ep=2, dtype="int8",
+    ecfg = dict(bucket_lengths=(48,), bucket_batches=(2,),
+                donate_input=False)
+    rng = np.random.RandomState(61)
+    feat = rng.randn(2, 41, 16).astype(np.float32)
+    lens = np.array([41, 27], np.int32)
+    for dtype, extra in (("int8", {}), ("int4", {}),
+                         ("int8", {"act_quant": True})):
+        single = Engine(cfg, params, EngineConfig(dtype=dtype, **extra,
+                                                  **ecfg))
+        sharded = Engine(cfg, params, EngineConfig(ep=4, dtype=dtype,
+                                                   **extra, **ecfg))
+        ff = sharded.params["blocks"]["feed_forward"]
+        wq = ff["w1_q4"] if dtype == "int4" else ff["w1_q"]
+        assert "ep" in str(wq.sharding.spec), wq.sharding
+        assert "ep" in str(ff["w1_scale"].sharding.spec), \
+            ff["w1_scale"].sharding
+        out_s, len_s = single.infer(feat, lens)
+        out_p, len_p = sharded.infer(feat, lens)
+        assert list(len_s) == list(len_p)
+        for b, L in enumerate(len_s):
+            # bf16 activations: sharded psum reduction order differs
+            allclose(out_p[b:b + 1, :L], out_s[b:b + 1, :L],
+                     rtol=5e-2, atol=5e-2)
+
+
+def test_tp_sharded_int8_engine_matches_single_device():
+    """tp x int8: w_q columns/rows split over 'tp', w1_scale follows
+    the column split, w2_scale commutes with the psum."""
+    cfg, params = _engine_fixtures()
+    ecfg = dict(bucket_lengths=(48,), bucket_batches=(2,),
+                donate_input=False)
+    single = Engine(cfg, params, EngineConfig(dtype="int8", **ecfg))
+    sharded = Engine(cfg, params, EngineConfig(tp=2, ep=2, dtype="int8",
+                                               **ecfg))
+    ff = sharded.params["blocks"]["feed_forward"]
+    assert "tp" in str(ff["w1_q"].sharding.spec), ff["w1_q"].sharding
+    assert "tp" in str(ff["w1_scale"].sharding.spec)
+    rng = np.random.RandomState(62)
+    feat = rng.randn(2, 41, 16).astype(np.float32)
+    lens = np.array([41, 27], np.int32)
+    out_s, len_s = single.infer(feat, lens)
+    out_p, len_p = sharded.infer(feat, lens)
+    assert list(len_s) == list(len_p)
+    for b, L in enumerate(len_s):
+        allclose(out_p[b:b + 1, :L], out_s[b:b + 1, :L],
+                 rtol=5e-2, atol=5e-2)
+
+
+def test_tp_rejects_int4_packed():
+    """tp x int4 stays an explicit error: splitting packed nibble
+    bytes would need a non-contiguous lo/hi-chunk scale reshard."""
+    cfg, params = _engine_fixtures()
+    with pytest.raises(NotImplementedError, match="int4"):
+        Engine(cfg, params, EngineConfig(tp=2, dtype="int4",
                                          bucket_lengths=(48,),
                                          bucket_batches=(2,)))
 
@@ -149,9 +205,20 @@ def test_tp_engine_save_load_roundtrip(tmp_path):
     allclose(out_b, out_a, rtol=1e-4, atol=1e-4)
 
 
-def test_tp_rejects_flash_attention():
+def test_tp_flash_falls_back_to_xla():
+    """tp x flash no longer raises: the engine logs a warning and
+    serves with attn_impl='xla' (same outputs as an explicit xla
+    engine)."""
     cfg, params = _engine_fixtures()
-    with pytest.raises(NotImplementedError):
-        Engine(cfg, params, EngineConfig(tp=2, attn_impl="flash",
-                                         bucket_lengths=(48,),
-                                         bucket_batches=(2,)))
+    ecfg = dict(bucket_lengths=(48,), bucket_batches=(2,),
+                donate_input=False)
+    eng = Engine(cfg, params, EngineConfig(tp=2, attn_impl="flash",
+                                           **ecfg))
+    assert eng.cfg.attn_impl == "xla"
+    ref = Engine(cfg, params, EngineConfig(tp=2, **ecfg))
+    rng = np.random.RandomState(63)
+    feat = rng.randn(1, 33, 16).astype(np.float32)
+    lens = np.array([33], np.int32)
+    out_a, _ = eng.infer(feat, lens)
+    out_b, _ = ref.infer(feat, lens)
+    allclose(out_a, out_b, rtol=1e-5, atol=1e-5)
