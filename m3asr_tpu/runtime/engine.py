@@ -478,15 +478,19 @@ class Engine:
                              act_quant=self.cfg.act_quant,
                              int4=self.quant_bits == 4)
 
-    def _forward_fn(self, batch: int, length: int):
+    def _forward_fn(self, batch: int, length: int, out_mode=None):
         """The bucket's pure forward (params, feat, feat_len) -> ...,
-        shared by JIT compilation and jax.export serialization."""
+        shared by JIT compilation and jax.export serialization.
+        out_mode overrides cfg.decode_output for this program (long-form
+        decode runs a beam engine's windows in 'topk' mode and finishes
+        the search on the stitched stream)."""
         from m3asr_tpu.models.registry import get_family
         family = get_family(self.model_cfg.nnet_proto)
         model_cfg = self.model_cfg
         moe_impl = self._moe_impl_for(batch, length)
         neg_log_prior = self.neg_log_prior
-        out_mode = self.cfg.decode_output
+        if out_mode is None:
+            out_mode = self.cfg.decode_output
         is_moe = self.is_moe
 
         return_hidden = self.cfg.return_hidden
@@ -550,8 +554,8 @@ class Engine:
 
         return forward
 
-    def _make_forward(self, batch: int, length: int):
-        forward = self._forward_fn(batch, length)
+    def _make_forward(self, batch: int, length: int, out_mode=None):
+        forward = self._forward_fn(batch, length, out_mode)
         donate = (1,) if self.cfg.donate_input else ()
         prec = (self.cfg.fp32_precision if self.dtype == jnp.float32
                 else "default")
@@ -571,12 +575,16 @@ class Engine:
             compiled = lowered.compile()
         return compiled
 
-    def get_fn(self, batch: int, length: int):
-        key = (batch, length)
+    def get_fn(self, batch: int, length: int, out_mode=None):
+        key = ((batch, length) if out_mode is None
+               else (batch, length, out_mode))
         if key not in self._fns:
-            fn = self._exported_fn(batch, length)
+            # exported artifacts carry the engine's own decode output;
+            # mode-overridden programs always retrace
+            fn = (self._exported_fn(batch, length) if out_mode is None
+                  else None)
             self._fns[key] = fn if fn is not None \
-                else self._make_forward(batch, length)
+                else self._make_forward(batch, length, out_mode)
         return self._fns[key]
 
     # ------------------------------------------------------------------
@@ -673,11 +681,13 @@ class Engine:
     # ------------------------------------------------------------------
     # inference
     # ------------------------------------------------------------------
-    def infer(self, feat: np.ndarray, feat_len: np.ndarray
-              ) -> Tuple[np.ndarray, np.ndarray]:
+    def infer(self, feat: np.ndarray, feat_len: np.ndarray,
+              out_mode=None) -> Tuple[np.ndarray, np.ndarray]:
         """feat: (B, T, input_dim) float; feat_len: (B,) or (1, B) int
         (the reference engine takes feat_len shaped (1, B) —
-        builder.py:56). Pads to the bucket, runs, trims."""
+        builder.py:56). Pads to the bucket, runs, trims. out_mode
+        overrides cfg.decode_output for this call (infer_long's
+        window programs; the override compiles its own program)."""
         feat = np.asarray(feat)
         feat_len = np.asarray(feat_len).reshape(-1).astype(np.int32)
         B, T = feat.shape[:2]
@@ -686,11 +696,11 @@ class Engine:
         pad_feat[:B, :T] = feat
         pad_len = np.zeros((bb,), np.int32)
         pad_len[:B] = feat_len
-        fn = self.get_fn(bb, bt)
+        fn = self.get_fn(bb, bt, out_mode)
         res = fn(self.params, jnp.asarray(pad_feat, self.dtype),
                  jnp.asarray(pad_len))
         res = jax.device_get(res)
-        mode = self.cfg.decode_output
+        mode = self.cfg.decode_output if out_mode is None else out_mode
         sparse = mode in ("argmax", "topk", "beam")
         out = np.asarray(res[0])
         if not sparse:  # logits/log_softmax may be bf16; decode wants f32
@@ -738,7 +748,15 @@ class Engine:
         whose receptive-field centers fall in its exclusive region, so
         every output row has >= overlap frames of real left/right
         context (except at the utterance edges, same as offline).
-        Returns (logits (1, T', V), out_len (1,)) like infer().
+
+        Returns the same tuple shape as infer(): (logits|values|ids,
+        out_len, ...). Frame-aligned extras (argmax best-logp, top-K
+        indices, hier taps h6/h12/h_final, hidden) stitch with the same
+        center cuts, so AED/hier rescoring works on long audio.
+        decode_output='beam' engines run their windows in 'topk' mode
+        (K = beam width, the identical per-frame prune) and finish one
+        prefix beam over the stitched stream — returns (nbest_ids,
+        out_len, hyp_lens, scores) like the on-device beam.
         """
         feat = np.asarray(feat)
         if feat.ndim == 3:
@@ -749,15 +767,15 @@ class Engine:
         W = self.buckets.lengths[-1]
         if T <= W:
             return self.infer(feat[None, :T], np.array([T]))
-        if self.cfg.return_taps or self.cfg.return_hidden:
-            raise NotImplementedError(
-                "long-form decode emits stitched logits only — taps/"
-                "hidden rescoring across windows is not defined")
-        if self.cfg.decode_output == "beam":
-            raise NotImplementedError(
-                "long-form decode stitches frame-aligned outputs; "
-                "decode_output='beam' emits finished hypotheses — "
-                "build with --decode_output topk for long-form beam")
+        mode = self.cfg.decode_output
+        # beam engines: the on-device search emits finished hypotheses,
+        # which cannot stitch frame-wise. Run the windows in 'topk'
+        # mode instead (same K = the beam width, so the per-frame prune
+        # is identical to the device search's) and finish ONE prefix
+        # beam on the stitched candidate stream — hypotheses equal the
+        # offline beam on the stitched logits (decode/ctc.py sparse ==
+        # dense == device-beam parity tests).
+        win_mode = "topk" if mode == "beam" else None
         f = self.subsample_factor()
         # default: 64 input frames of context per side per subsample
         # step, capped so at least half the window advances per hop
@@ -766,28 +784,50 @@ class Engine:
         hop = W - 2 * O
         if hop <= 0:
             raise ValueError(f"overlap {O} too large for window {W}")
-        sparse = self.cfg.decode_output in ("argmax", "topk")
-        pieces, extras = [], []
+        # every trailing output (best-logp, top-K indices, taps h6/h12/
+        # h_final, hidden) is frame-aligned on axis 1 — all stitch with
+        # the same center cuts as the logits
+        pieces, extras = [], None
         s = 0
         while True:
             e = min(s + W, T)
             win = e - s
-            r = self.infer(feat[None, s:e], np.array([win]))
-            out, out_len = r[0], r[1]
-            n = int(out_len[0])
+            r = self.infer(feat[None, s:e], np.array([win]),
+                           out_mode=win_mode)
+            out, win_len = r[0], r[1]
+            n = int(win_len[0])
             lo = 0 if s == 0 else O // f
             hi = n if e == T else min(n, (win - O) // f)
-            pieces.append(out[0, lo:hi])
-            if sparse:  # best-logp / top-K indices stitch identically
-                extras.append(np.asarray(r[2])[0, lo:hi])
+            pieces.append(np.asarray(out)[0, lo:hi])
+            if extras is None:
+                extras = [[] for _ in r[2:]]
+            for j, a in enumerate(r[2:]):
+                extras[j].append(np.asarray(a)[0, lo:hi])
             if e == T:
                 break
             s += hop
-        logits = np.concatenate(pieces, axis=0)[None]
-        out_len = np.array([logits.shape[1]], np.int32)
-        if sparse:
-            return logits, out_len, np.concatenate(extras, axis=0)[None]
-        return logits, out_len
+        stitched = np.concatenate(pieces, axis=0)[None]
+        ex = tuple(np.concatenate(x, axis=0)[None] for x in extras)
+        out_len = np.array([stitched.shape[1]], np.int32)
+        if mode == "beam":
+            # finish the search on the host over the stitched top-K
+            # stream (values=stitched, indices=ex[0]); return the
+            # engine's beam contract: (nbest_ids (1, beam, T'),
+            # out_len, hyp_lens (1, beam), scores (1, beam))
+            from m3asr_tpu.decode.ctc import ctc_prefix_beam_search_sparse
+            beam = int(self.cfg.decode_topk)
+            nbest = ctc_prefix_beam_search_sparse(
+                stitched[0], ex[0][0], int(out_len[0]), beam)
+            Tq = stitched.shape[1]
+            ids = np.zeros((1, beam, Tq), np.int32)
+            hyp_lens = np.zeros((1, beam), np.int32)
+            scores = np.full((1, beam), -np.inf, np.float32)
+            for i, (pref, sc) in enumerate(nbest[:beam]):
+                ids[0, i, :len(pref)] = pref
+                hyp_lens[0, i] = len(pref)
+                scores[0, i] = sc
+            return (ids, out_len, hyp_lens, scores) + ex[1:]
+        return (stitched, out_len) + ex
 
     # ------------------------------------------------------------------
     # serialization

@@ -9,6 +9,19 @@ model — is `external_grad_step` (a vjp pullback); the Kaldi process
 boundary is a pluggable callable so deployments wire in their own
 lattice tools (the binaries themselves are outside this repo's scope).
 
+Covers BOTH reference trainer shapes with one loop: the per-utterance
+variants (train_lattice_smbr_ddp.py:277-297 — grep one transcript,
+write one posterior, one tool call per utterance) and the multi-stream
+"latticeMS" variants (train_latticeMS_smbr_ddp.py:275-307 — the loader
+carries a trans_file side stream, the WHOLE batch's posteriors go out
+in one ark and one `...-online-ms` call returns the batch gradient
+ark). The two differ only in loader plumbing and call granularity —
+KaldiLatticeBridge always writes the batch ark + batch trans file and
+reads the batch gradient ark back (the MS shape; a per-utterance
+deployment just points `command` at the non-MS binary and gets the
+identical math one key at a time), and io/loader.py's `trans_file`
+stream is the latticeMS loader contract (key-asserted per batch).
+
 Test status: plumbing-tested only — tests/test_smbr.py exercises the
 vjp pullback and the posterior/gradient ark round-trip with a FAKE
 runner standing in for the Kaldi binaries; no end-to-end sMBR run

@@ -124,30 +124,40 @@ def main(args):
             # through windowed center-cut stitching (the reference
             # engine cannot run these at all — its max optimization
             # profile is 6100 frames, builder.py:62-68)
-            if args.decode in ("rescore", "attention"):
+            if args.decode == "attention":
                 sys.exit(f"utterance longer than the max bucket "
-                         f"({max_bucket}) — rescoring/attention decode "
+                         f"({max_bucket}) — standalone attention decode "
                          "is not defined over stitched windows; use "
-                         "-d greedy/beam")
-            outs, olens, auxs = [], [], []
-            for i in range(len(batch["lens"])):
-                li = int(batch["lens"][i])
-                r = engine.infer_long(batch["data"][i][:li], li,
-                                      overlap=args.long_overlap)
-                outs.append(r[0][0])
-                olens.append(int(r[1][0]))
-                if len(r) > 2:  # sparse decode output extra
-                    auxs.append(r[2][0])
+                         "-d greedy/beam (or rescore on a taps engine)")
+            if args.decode == "rescore" and not (
+                    engine.cfg.return_taps or engine.cfg.return_hidden):
+                sys.exit("long-form rescoring needs the stitched "
+                         "decoder memories — build the engine with "
+                         "--return_taps (hier) or --return_hidden")
+            rs = [engine.infer_long(batch["data"][i][:int(li)], int(li),
+                                    overlap=args.long_overlap)
+                  for i, li in enumerate(batch["lens"])]
 
-            def pad_stack(rows):
-                mx = max(r.shape[0] for r in rows)
-                return np.stack([np.pad(
-                    r, ((0, mx - r.shape[0]),) + ((0, 0),) * (r.ndim - 1))
-                    for r in rows])
+            def pad_stack(rows, time_axis=0):
+                mx = max(r.shape[time_axis] for r in rows)
+                return np.stack([np.pad(r, tuple(
+                    (0, mx - r.shape[time_axis]) if a == time_axis
+                    else (0, 0) for a in range(r.ndim))) for r in rows])
 
-            res = (pad_stack(outs), np.asarray(olens, np.int32))
-            if auxs:
-                res += (pad_stack(auxs),)
+            olens = np.asarray([int(r[1][0]) for r in rs], np.int32)
+            if engine.cfg.decode_output == "beam":
+                # (ids (B,beam,T'), out_len, hyp_lens, scores) [+ taps]
+                res = (pad_stack([r[0][0] for r in rs], time_axis=1),
+                       olens,
+                       np.concatenate([r[2] for r in rs]),
+                       np.concatenate([r[3] for r in rs]))
+                tail0 = 4
+            else:
+                res = (pad_stack([r[0][0] for r in rs]), olens)
+                tail0 = 2
+            # frame-aligned extras (sparse aux, taps, hidden)
+            res += tuple(pad_stack([np.asarray(r[j])[0] for r in rs])
+                         for j in range(tail0, len(rs[0])))
         else:
             res = engine.infer(batch["data"], batch["lens"])
         out, out_lens = res[0], res[1]

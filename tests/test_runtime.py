@@ -249,3 +249,79 @@ def test_infer_long_windowed_stitching():
     direct, dl = eng.infer(feat[None, :50], np.array([50]))
     np.testing.assert_array_equal(short, direct)
     assert int(sl[0]) == int(dl[0])
+
+
+@pytest.mark.slow
+def test_infer_long_taps_and_beam():
+    """Long-form composes with return_taps (hier rescoring memories
+    stitch with the same center cuts as the logits) and with
+    decode_output='beam' (windows run in topk mode, one host prefix
+    beam finishes the stitched stream — round-2 VERDICT item 6)."""
+    m = golden_model()
+    cfg = model_config_from_dict(small_yaml())
+    params = ckpt.convert_encoder(
+        {f"encoder.{k}": v for k, v in m.state_dict().items()}, cfg)
+    rng = np.random.RandomState(8)
+    T = 150
+    feat = rng.randn(T, 20).astype(np.float32)
+    W, O = 64, 16
+    f, hop = 4, W - 2 * O
+
+    # --- taps stitch exactly like the logits -------------------------
+    eng = Engine(cfg, params,
+                 EngineConfig(bucket_lengths=(W,), bucket_batches=(1,),
+                              return_taps=True, donate_input=False))
+    out, out_len, h6, h12, hf = eng.infer_long(feat, T, overlap=O)
+    n = int(out_len[0])
+    assert h6.shape[:2] == (1, n) and h12.shape[:2] == (1, n) \
+        and hf.shape[:2] == (1, n)
+    rows = {0: [], 1: [], 2: [], 3: []}
+    s = 0
+    while True:
+        e = min(s + W, T)
+        win = e - s
+        r = eng.infer(feat[None, s:e], np.array([win]))
+        k = int(r[1][0])
+        lo = 0 if s == 0 else O // f
+        hi = k if e == T else min(k, (win - O) // f)
+        for j, a in enumerate((r[0], r[2], r[3], r[4])):
+            rows[j].append(np.asarray(a)[0, lo:hi])
+        if e == T:
+            break
+        s += hop
+    np.testing.assert_array_equal(out[0], np.concatenate(rows[0]))
+    for j, got in ((1, h6), (2, h12), (3, hf)):
+        np.testing.assert_array_equal(got[0], np.concatenate(rows[j]))
+
+    # --- beam: stitched-topk + host search == the documented recipe --
+    beam = 4
+    beng = Engine(cfg, params,
+                  EngineConfig(bucket_lengths=(W,), bucket_batches=(1,),
+                               decode_output="beam", decode_topk=beam,
+                               donate_input=False))
+    ids, out_len2, hyp_lens, scores = beng.infer_long(feat, T, overlap=O)
+    assert int(out_len2[0]) == n
+    assert ids.shape == (1, beam, n) and hyp_lens.shape == (1, beam)
+    # replicate: windows in topk mode, manual stitch, host sparse beam
+    vals_rows, idx_rows = [], []
+    s = 0
+    while True:
+        e = min(s + W, T)
+        win = e - s
+        v, wl, ix = beng.infer(feat[None, s:e], np.array([win]),
+                               out_mode="topk")
+        k = int(wl[0])
+        lo = 0 if s == 0 else O // f
+        hi = k if e == T else min(k, (win - O) // f)
+        vals_rows.append(np.asarray(v)[0, lo:hi])
+        idx_rows.append(np.asarray(ix)[0, lo:hi])
+        if e == T:
+            break
+        s += hop
+    from m3asr_tpu.decode.ctc import ctc_prefix_beam_search_sparse
+    nbest = ctc_prefix_beam_search_sparse(
+        np.concatenate(vals_rows), np.concatenate(idx_rows), n, beam)
+    assert len(nbest) >= 1
+    for i, (pref, sc) in enumerate(nbest[:beam]):
+        assert list(ids[0, i, :hyp_lens[0, i]]) == list(pref)
+        assert scores[0, i] == pytest.approx(sc, rel=1e-6)
