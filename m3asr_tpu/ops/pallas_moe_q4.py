@@ -503,7 +503,7 @@ def _q4_tiled_kernel(te_ref, ly_ref, x_ref, w1_ref, b1_ref, w2_ref,
 
 
 def moe_experts_pallas_q4_tiled(p, x: jax.Array, gate_idx: jax.Array,
-                                tile: int = 128,
+                                tile: int | None = None,
                                 activation=swish,
                                 upper_bound=None,
                                 layer=None,
@@ -526,6 +526,12 @@ def moe_experts_pallas_q4_tiled(p, x: jax.Array, gate_idx: jax.Array,
     stacked (L, E, ...) packed weights + `layer` (or p["_layer"])
     follow the dense kernel's convention (scales/biases must be this
     layer's slices — they are small scan xs).
+
+    tile=None picks the tile from the token count: per-expert tile
+    padding costs up to E * (tile - 1) wasted slots, so mid-size
+    inputs want the smaller tile — measured w4a8 at 511 tokens:
+    tile=64 2.32 ms/18L vs tile=128 2.86; at 1499 tokens tile=128
+    3.54 wins (scripts/bench_moe_q4.py, v5e).
 
     Reference lineage: FMoEExpertPluginDynamic's scatter -> per-expert
     GEMM -> gather (fmoe_expert_plugin.cpp:75-130) with dynamic GEMM
@@ -581,6 +587,8 @@ def moe_experts_pallas_q4_tiled(p, x: jax.Array, gate_idx: jax.Array,
           jnp.zeros((E, d), jnp.float32)).reshape(E, 1, d)
 
     N = B * T
+    if tile is None:
+        tile = 64 if N <= 768 else 128
     flat_e = gate_idx.reshape(N)
     order, slot, n_tiles, tile_e = _tile_layout(flat_e, N, E, tile)
     x_pad = jnp.zeros((n_tiles * tile, d), x.dtype).at[slot].set(

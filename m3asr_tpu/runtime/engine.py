@@ -87,6 +87,18 @@ from m3asr_tpu.runtime.buckets import (BucketSpec, DEFAULT_BATCHES,
 # request for large diverse batches. See BENCHMARKS.md.
 MOE_DENSE_TOKEN_THRESHOLD = 512          # same crossover, every dtype
 
+# The packed-int4 Pallas kernels have their own crossovers (measured
+# round 3, scripts/bench_moe_q4.py on v5e, ms per 18 MoE layers):
+# the DENSE q4 kernel computes all experts and its in-kernel temps
+# scale with tokens (scoped-VMEM OOM from ~448 tokens), while the
+# TILED q4 kernel pays per-expert tile padding that shrinks as tokens
+# grow. w4a8 at 255 tok: dense 2.44 vs tiled-64 2.12; at 511 tiled-64
+# 2.32 (dense OOM); at 1499 tiled-128 3.54. Weight-only int4 dense
+# holds on longer (no s8 partials): 2.44 at 255 vs XLA tiled 6.89,
+# then loses at 511 (4.60 vs tiled-128 2.88).
+MOE_Q4_DENSE_TOKEN_THRESHOLD = 256       # weight-only int4 kernel
+MOE_W4A8_DENSE_TOKEN_THRESHOLD = 128     # w4a8 kernel (s8 temps)
+
 # int8 engines quantize the expert tensors at init, so only the quant
 # impls can run; explicit impl choices map onto their quant twins.
 _INT8_IMPL = {"dense": "quant", "capacity": "quant_capacity",
@@ -140,7 +152,7 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
                     return "quant4_a8_tiled"
                 return ("quant4_a8"
                         if requested != "auto"
-                        or tokens <= MOE_DENSE_TOKEN_THRESHOLD
+                        or tokens <= MOE_W4A8_DENSE_TOKEN_THRESHOLD
                         else "quant4_a8_tiled")
             return ("quant" if tokens <= MOE_DENSE_TOKEN_THRESHOLD
                     else "quant_tiled")
@@ -165,7 +177,7 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
         if on_tpu:
             return ("quant4_pallas"
                     if requested != "auto"
-                    or tokens <= MOE_DENSE_TOKEN_THRESHOLD
+                    or tokens <= MOE_Q4_DENSE_TOKEN_THRESHOLD
                     else "quant4_tiled")
         return ("quant" if tokens <= MOE_DENSE_TOKEN_THRESHOLD
                 else "quant_tiled")

@@ -97,12 +97,19 @@ def main(args):
                                      pp, xv, g, tile=256)),
             # w4a8: packed-int4 weights x per-token int8 activations,
             # s8 x s8 MXU nibble dots
+            "w4a8_pallas_c1": (qp4, lambda pp, xv, g:
+                               moe_experts_pallas_q4(
+                                   pp, xv, g, chunk=1, act_quant=True)),
             "w4a8_pallas_c2": (qp4, lambda pp, xv, g:
                                moe_experts_pallas_q4(
                                    pp, xv, g, chunk=2, act_quant=True)),
             "w4a8_pallas_c4": (qp4, lambda pp, xv, g:
                                moe_experts_pallas_q4(
                                    pp, xv, g, chunk=4, act_quant=True)),
+            "w4a8_pallas_t64": (qp4, lambda pp, xv, g:
+                                moe_experts_pallas_q4_tiled(
+                                    pp, xv, g, tile=64,
+                                    act_quant=True)),
             "w4a8_pallas_t128": (qp4, lambda pp, xv, g:
                                  moe_experts_pallas_q4_tiled(
                                      pp, xv, g, tile=128,
