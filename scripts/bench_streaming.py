@@ -40,15 +40,24 @@ def main(args):
         params = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16)
             if a.dtype == jnp.float32 else a, params)
-    elif args.dtype == "int8":
+    elif args.dtype in ("int8", "int4"):
         from m3asr_tpu.ops.quant import quantize_moe_params
         params = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16)
             if a.dtype == jnp.float32 else a, params)
         blocks = dict(params["blocks"])
-        blocks["feed_forward"] = quantize_moe_params(blocks["feed_forward"])
+        blocks["feed_forward"] = quantize_moe_params(
+            blocks["feed_forward"], bits=4 if args.dtype == "int4" else 8)
         params["blocks"] = blocks
-        moe_impl = "quant"
+        # chunk windows are tiny token counts (chunk=16 -> 16 tokens):
+        # always the dense regime; int4 routes to the packed Pallas
+        # kernel on TPU (runtime/engine.moe_auto_impl semantics)
+        if args.dtype == "int4":
+            on_tpu = jax.default_backend() == "tpu"
+            moe_impl = ("quant4_a8" if args.act_quant else "quant4_pallas") \
+                if on_tpu else "quant"
+        else:
+            moe_impl = "quant_a8" if args.act_quant else "quant"
 
     prec = "high" if args.dtype == "float32" else "default"
     with jax.default_matmul_precision(prec):
@@ -68,7 +77,8 @@ def main(args):
     p50 = float(np.percentile(times, 50))
     audio_ms = sess.stride * 10            # 10 ms frame shift
     print(json.dumps({
-        "metric": f"stream_chunk_ms_c{args.chunk}_{args.dtype}",
+        "metric": (f"stream_chunk_ms_c{args.chunk}_{args.dtype}"
+                   + ("_a8" if args.act_quant else "")),
         "value": round(p50, 3), "unit": "ms",
         "audio_ms_per_chunk": audio_ms,
         "streaming_rtf": round(p50 / audio_ms, 5),
@@ -82,6 +92,8 @@ if __name__ == "__main__":
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--left", type=int, default=2)
     p.add_argument("--dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8"])
+                   choices=["float32", "bfloat16", "int8", "int4"])
+    p.add_argument("--act_quant", action="store_true",
+                   help="per-token int8 activations (w8a8 / w4a8)")
     p.add_argument("--iters", type=int, default=30)
     main(p.parse_args())

@@ -148,4 +148,23 @@ done
 record warmup_parallel \
     timeout 580 python scripts/bench_warmup.py -p /tmp/eng_int8_pending
 
+# --- 5. round-3 pending (tunnel died 2026-08-19 ~17:45) ---------------------
+# (a) the serving-mode ladder: BENCH_r03's artifact + roofline input
+record ladder_206_2048 timeout 590 python bench.py --iters 40
+# (b) small-token w4a8 regime (sets MOE_W4A8_DENSE_TOKEN_THRESHOLD; the
+#     128 value interpolates 2.44-at-255 — verify dense still wins <=127)
+record q4_small_tokens timeout 590 python scripts/bench_moe_q4.py \
+    --tokens 64 127 --iters 12 \
+    --impls w4a8_pallas_c2 w4a8_pallas_c4 w4a8_pallas_t64 w8a8_xla_dense
+# (c) weight-only int4 tiled-64 vs dense at the 255/511 boundary
+#     (sets MOE_Q4_DENSE_TOKEN_THRESHOLD, currently 256)
+record q4_int4_mid timeout 590 python scripts/bench_moe_q4.py \
+    --tokens 255 511 --iters 12 \
+    --impls int4_pallas_c2 int4_pallas_t64 int4_pallas_t128
+# (d) int4 streaming chunk rows (VERDICT r2 weak #8)
+record stream_chunk_int4 timeout 590 python scripts/bench_streaming.py \
+    --dtype int4 --chunk 16
+record stream_chunk_w4a8 timeout 590 python scripts/bench_streaming.py \
+    --dtype int4 --act_quant --chunk 16
+
 echo "done -> $OUT" >&2
