@@ -92,11 +92,13 @@ MOE_DENSE_TOKEN_THRESHOLD = 512          # same crossover, every dtype
 # the DENSE q4 kernel computes all experts and its in-kernel temps
 # scale with tokens (scoped-VMEM OOM from ~448 tokens), while the
 # TILED q4 kernel pays per-expert tile padding that shrinks as tokens
-# grow. w4a8 at 255 tok: dense 2.44 vs tiled-64 2.12; at 511 tiled-64
-# 2.32 (dense OOM); at 1499 tiled-128 3.54. Weight-only int4 dense
-# holds on longer (no s8 partials): 2.44 at 255 vs XLA tiled 6.89,
-# then loses at 511 (4.60 vs tiled-128 2.88).
-MOE_Q4_DENSE_TOKEN_THRESHOLD = 256       # weight-only int4 kernel
+# grow. Dense wins the small buckets (w4a8 127 tok: dense-c2 0.94 vs
+# tiled-64 1.27), tiled-64 wins from 255 (w4a8 2.12 vs dense 2.44;
+# weight-only 1.98 vs 2.71) through 511 (2.32 / 2.27; dense OOM),
+# tiled-128 from ~1k (3.54 at 1499). Bucket token counts fall on
+# 63/127/255/511/1023/1535, so any boundary in (127, 255] is
+# behaviorally identical; 128 is used for both int4 families.
+MOE_Q4_DENSE_TOKEN_THRESHOLD = 128       # weight-only int4 kernel
 MOE_W4A8_DENSE_TOKEN_THRESHOLD = 128     # w4a8 kernel (s8 temps)
 
 # int8 engines quantize the expert tensors at init, so only the quant

@@ -99,9 +99,19 @@ def synth_utt(rng, n_tokens, noise=0.03):
     return featurize(synth_wave(rng, toks, noise)), toks
 
 
-def make_corpus(rng, n, min_toks=15, max_toks=35, noise=0.03):
-    return [synth_utt(rng, rng.randint(min_toks, max_toks + 1), noise)
-            for _ in range(n)]
+def make_corpus(rng, n, min_toks=15, max_toks=35, noise=0.03,
+                noise_range=None):
+    """noise_range=(lo, hi) draws a per-utterance noise level — used
+    for the TRAINING corpus so the model has a graceful degradation
+    curve instead of a cliff (a model that only ever saw one noise
+    level collapses to all-blanks a small step above it, and a CER
+    of 1.0 for every mode carries no information)."""
+    out = []
+    for _ in range(n):
+        lvl = (rng.uniform(*noise_range) if noise_range else noise)
+        out.append(synth_utt(rng, rng.randint(min_toks, max_toks + 1),
+                             lvl))
+    return out
 
 
 def cmvn_stats(corpus):
@@ -332,6 +342,14 @@ def main():
     ap.add_argument("--stream_steps", type=int, default=3000)
     ap.add_argument("--stream_eval_utts", type=int, default=200)
     ap.add_argument("--noise", type=float, default=0.03)
+    ap.add_argument("--train_noise_hi", type=float, default=0.25,
+                    help="training noise is drawn per-utterance from "
+                         "[--noise, this] so degradation is graceful")
+    ap.add_argument("--eval_noise", type=float, default=None,
+                    help="additive-noise level of the second (hard) "
+                         "eval split; default auto-calibrates so fp32 "
+                         "CER lands in [0.02, 0.25], where mode deltas "
+                         "are visible")
     ap.add_argument("--out", default=None, help="JSON output path")
     ap.add_argument("--skip_streaming", action="store_true")
     args = ap.parse_args()
@@ -344,7 +362,7 @@ def main():
           f"{FEAT_DIM}-dim fbank via frontend/fbank.py ...")
     t0 = time.time()
     train_corpus = make_corpus(np.random.RandomState(10), args.train_utts,
-                               noise=args.noise)
+                               noise_range=(args.noise, args.train_noise_hi))
     eval_corpus = make_corpus(np.random.RandomState(11), args.eval_utts,
                               noise=args.noise)
     mean, std = cmvn_stats(train_corpus)
@@ -360,18 +378,47 @@ def main():
           f"8 experts) ...")
     params = train_model(cfg, train_corpus, steps=args.steps)
 
+    # a SECOND eval set at much higher additive noise: the trained
+    # model sits near its decision margins there (fp32 CER is a few
+    # percent, not zero), so quantization noise has room to move the
+    # metric — without it every mode reads 0.0000 and the table can't
+    # distinguish a harmless mode from a broken one. The level is
+    # CALIBRATED on a small fp32 probe (the first level in the sweep
+    # whose CER lands in [0.02, 0.25]) so the table stays informative
+    # as the trained model changes.
+    eval_noise = args.eval_noise
+    if eval_noise is None:
+        probe_rng = np.random.RandomState(13)
+        best = None
+        for lvl in (0.1, 0.16, 0.24, 0.35, 0.5, 0.7, 1.0, 1.5):
+            probe = apply_cmvn(
+                make_corpus(probe_rng, 64, noise=lvl), mean, std)
+            c = eval_engine(cfg, params, probe, dict(dtype="float32"))
+            print(f"  calibrating eval_noise: {lvl} -> fp32 CER {c:.4f}")
+            if 0.02 <= c <= 0.3:
+                best = lvl            # keep climbing inside the band
+            if c > 0.3:
+                break
+        eval_noise = best if best is not None else 0.24
+    noisy_corpus = apply_cmvn(
+        make_corpus(np.random.RandomState(12), args.eval_utts,
+                    noise=eval_noise), mean, std)
+
     results = {"task": {
         "vocab": VOCAB, "feat_dim": FEAT_DIM,
         "eval_utts": len(eval_corpus), "eval_tokens": n_eval_tokens,
         "frames_min": int(min(lens)), "frames_max": int(max(lens)),
-        "noise": args.noise,
-    }, "modes": {}}
+        "noise": args.noise, "eval_noise": eval_noise,
+    }, "modes": {}, "modes_noisy": {}}
 
     for name, kw in ENGINE_MODES:
         t0 = time.time()
         c = eval_engine(cfg, params, eval_corpus, kw)
+        cn = eval_engine(cfg, params, noisy_corpus, kw)
         results["modes"][name] = round(c, 5)
-        print(f"  {name}: CER {c:.4f} ({time.time() - t0:.0f}s)")
+        results["modes_noisy"][name] = round(cn, 5)
+        print(f"  {name}: CER {c:.4f} / noisy {cn:.4f} "
+              f"({time.time() - t0:.0f}s)")
 
     t0 = time.time()
     c = eval_longform(cfg, params, eval_corpus)
@@ -388,7 +435,11 @@ def main():
         for name, impl, bits, aq in (
                 ("stream_fp32", "dense", 0, False),
                 ("stream_int8", "quant", 8, False),
-                ("stream_int4", "quant4", 4, False)):
+                # "quant" dispatches the XLA dequant path, which reads
+                # q4 params directly — same int4 grid as the TPU
+                # kernel, CPU-runnable (the Pallas interpret mode is
+                # needlessly slow for a 200-utt sweep)
+                ("stream_int4", "quant", 4, False)):
             t0 = time.time()
             c = eval_streaming(scfg, sparams, sub, moe_impl=impl,
                                quant_bits=bits, act_quant=aq)
@@ -399,6 +450,10 @@ def main():
     results["deltas_vs_fp32"] = {
         k: round(v - fp32, 5) for k, v in results["modes"].items()
         if k != "fp32" and not k.startswith("stream")}
+    nf32 = results["modes_noisy"]["fp32"]
+    results["deltas_vs_fp32_noisy"] = {
+        k: round(v - nf32, 5) for k, v in results["modes_noisy"].items()
+        if k != "fp32"}
     doc = json.dumps(results, indent=2)
     print(doc)
     if args.out:
