@@ -106,6 +106,10 @@ def main(args):
             "w4a8_pallas_c4": (qp4, lambda pp, xv, g:
                                moe_experts_pallas_q4(
                                    pp, xv, g, chunk=4, act_quant=True)),
+            "w4a8_pallas_t32": (qp4, lambda pp, xv, g:
+                                moe_experts_pallas_q4_tiled(
+                                    pp, xv, g, tile=32,
+                                    act_quant=True)),
             "w4a8_pallas_t64": (qp4, lambda pp, xv, g:
                                 moe_experts_pallas_q4_tiled(
                                     pp, xv, g, tile=64,
