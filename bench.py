@@ -269,7 +269,15 @@ def main(args):
         rows = {}
         for name, dtype, aq in MODE_LADDER:
             t0 = time.time()
-            dev_ms, _, impl = run_mode(dtype, aq, seq, iters)
+            try:
+                dev_ms, _, impl = run_mode(dtype, aq, seq, iters)
+            except Exception as e:  # one broken mode must not sink the
+                # whole round artifact (ladder runs unattended)
+                rows[name] = {"p50_ms": None,
+                              "error": f"{type(e).__name__}: {e}"[:200]}
+                print(f"  {seq}: {name} FAILED "
+                      f"[{time.time() - t0:.0f}s]: {e}", file=sys.stderr)
+                continue
             rows[name] = {"p50_ms": round(dev_ms, 3), "moe_impl": impl}
             print(f"  {seq}: {name} ({impl}) = {dev_ms:.3f} ms "
                   f"[{time.time() - t0:.0f}s]", file=sys.stderr)
@@ -280,38 +288,49 @@ def main(args):
                             max(10, args.iters // 3))
                   if args.long_seq else None)
 
+    def best_of(rows):
+        ok = {m: r for m, r in rows.items() if r.get("p50_ms") is not None}
+        return min(ok, key=lambda m: ok[m]["p50_ms"]) if ok else None
+
     baseline = BASELINES.get(args.seq)
-    p50 = modes["fp32"]["p50_ms"]
-    best = min(modes, key=lambda m: modes[m]["p50_ms"])
+    p50 = modes["fp32"].get("p50_ms")
+    best = best_of(modes)
+    if p50 is None:  # headline must stay a number for the driver;
+        # fall back to the best surviving mode, flagged in the metric
+        p50 = modes[best]["p50_ms"] if best else None
+    tag = "fp32" if modes["fp32"].get("p50_ms") is not None else best
     out = {
-        "metric": f"p50_device_latency_ms_{args.batch}x{args.seq}x40_fp32",
+        "metric": f"p50_device_latency_ms_{args.batch}x{args.seq}x40_{tag}",
         "value": p50,
         "unit": "ms",
-        "vs_baseline": (round(p50 / baseline, 4) if baseline else None),
+        "vs_baseline": (round(p50 / baseline, 4) if baseline and p50
+                        else None),
         "baseline_ms": baseline,
-        "speedup_vs_baseline": (round(baseline / p50, 2) if baseline
-                                else None),
-        "rtf": round(p50 / 1e3 / (args.seq * 0.01), 5),
+        "speedup_vs_baseline": (round(baseline / p50, 2)
+                                if baseline and p50 else None),
+        "rtf": (round(p50 / 1e3 / (args.seq * 0.01), 5) if p50
+                else None),
         "device": str(jax.devices()[0]),
         "modes": modes,
         "best_mode": best,
-        "best_mode_ms": modes[best]["p50_ms"],
+        "best_mode_ms": modes[best]["p50_ms"] if best else None,
         "best_speedup_vs_baseline": (
-            round(baseline / modes[best]["p50_ms"], 2) if baseline
-            else None),
+            round(baseline / modes[best]["p50_ms"], 2)
+            if baseline and best else None),
     }
     if long_modes:
         lbase = BASELINES.get(args.long_seq)
-        lbest = min(long_modes, key=lambda m: long_modes[m]["p50_ms"])
+        lbest = best_of(long_modes)
         out["long"] = {
             "shape": f"{args.batch}x{args.long_seq}x40",
             "baseline_ms": lbase,
             "modes": long_modes,
             "best_mode": lbest,
-            "best_mode_ms": long_modes[lbest]["p50_ms"],
+            "best_mode_ms": (long_modes[lbest]["p50_ms"] if lbest
+                             else None),
             "best_speedup_vs_baseline": (
                 round(lbase / long_modes[lbest]["p50_ms"], 2)
-                if lbase else None),
+                if lbase and lbest else None),
         }
     print(json.dumps(out))
 
