@@ -416,9 +416,11 @@ def _unpack_expert(pblk, sref, G, gs, dst, a8: bool):
 
 
 def _q4_tiled_kernel(te_ref, ly_ref, x_ref, w1_ref, b1_ref, w2_ref,
-                     b2_ref, s1_ref, s2_ref, out_ref, w1u, w2u, *,
+                     b2_ref, s1_ref, s2_ref, out_ref, w1u=None,
+                     w2u=None, *,
                      g1: int, g2: int, use_b2: bool, activation=swish,
-                     upper_bound=None, a8: bool = False):
+                     upper_bound=None, a8: bool = False,
+                     memoize: bool = True):
     """One single-expert token tile: x (tile, d) @ this tile's expert
     packed weights. The expert selection happens OUTSIDE the kernel
     body — the weight/scale/bias BlockSpec index_maps read the
@@ -447,15 +449,16 @@ def _q4_tiled_kernel(te_ref, ly_ref, x_ref, w1_ref, b1_ref, w2_ref,
         scales on the f32 partials.
     """
     del ly_ref                               # consumed by index_maps
-    i = pl.program_id(0)
-    changed = (i == 0) | (te_ref[i] != te_ref[jnp.maximum(i - 1, 0)])
+    if memoize:
+        i = pl.program_id(0)
+        changed = (i == 0) | (te_ref[i] != te_ref[jnp.maximum(i - 1, 0)])
 
-    @pl.when(changed)
-    def _():
-        _unpack_expert(w1_ref[0], s1_ref, g1,
-                       w1_ref.shape[1] // g1, w1u, a8)
-        _unpack_expert(w2_ref[0], s2_ref, g2,
-                       w2_ref.shape[1] // g2, w2u, a8)
+        @pl.when(changed)
+        def _():
+            _unpack_expert(w1_ref[0], s1_ref, g1,
+                           w1_ref.shape[1] // g1, w1u, a8)
+            _unpack_expert(w2_ref[0], s2_ref, g2,
+                           w2_ref.shape[1] // g2, w2u, a8)
 
     x = x_ref[...]
     cdt = x.dtype
@@ -465,6 +468,44 @@ def _q4_tiled_kernel(te_ref, ly_ref, x_ref, w1_ref, b1_ref, w2_ref,
     hdim = b1_ref.shape[-1]
     gs1 = d // g1
     gs2 = hdim // g2
+
+    if not memoize:
+        # MID-BAND VARIANT (n_tiles ~ active experts, i.e. ~one tile
+        # per expert): the memoized unpack has no cross-tile reuse to
+        # amortize there, and writing the scratch planes costs ~11 VPU
+        # ops/packed byte vs the factored dot's ~6 — so compute
+        # straight off the PACKED block with the dense streamer's
+        # factored half-width dots instead (see _group_matmul_packed).
+        def rd(sref, half):
+            def read(g):
+                return sref[0, g:g + 1, :half], sref[0, g:g + 1, half:]
+            return read
+
+        h_half = w1_ref.shape[-1]
+        d_half = w2_ref.shape[-1]
+        if a8:
+            xq, xs = _quant_rows(x)
+            h = _group_matmul_packed_s8(
+                xq, w1_ref[0], rd(s1_ref, h_half), g1, gs1) * xs
+        else:
+            h = _group_matmul_packed(
+                x, w1_ref[0], rd(s1_ref, h_half), g1, gs1, cdt, prec)
+        h = h + b1_ref[0].astype(jnp.float32)
+        h = activation(h)
+        if upper_bound is not None:          # DFSMN expert clamp
+            h = jnp.minimum(h, jnp.float32(upper_bound))
+        if a8:
+            hq, hs = _quant_rows(h)
+            y = _group_matmul_packed_s8(
+                hq, w2_ref[0], rd(s2_ref, d_half), g2, gs2) * hs
+        else:
+            y = _group_matmul_packed(
+                h.astype(cdt), w2_ref[0], rd(s2_ref, d_half), g2, gs2,
+                cdt, prec)
+        if use_b2:
+            y = y + b2_ref[0].astype(jnp.float32)
+        out_ref[...] = y.astype(out_ref.dtype)
+        return
 
     def a8_matmul(q, wu, sref, G, gs):
         """Per-group s8 dots on the memoized signed-nibble plane,
@@ -508,6 +549,7 @@ def moe_experts_pallas_q4_tiled(p, x: jax.Array, gate_idx: jax.Array,
                                 upper_bound=None,
                                 layer=None,
                                 act_quant: bool = False,
+                                memoize: bool | None = None,
                                 interpret: bool | None = None
                                 ) -> jax.Array:
     """Skew-robust tiled grouped GEMM on packed int4 weights — the
@@ -591,6 +633,12 @@ def moe_experts_pallas_q4_tiled(p, x: jax.Array, gate_idx: jax.Array,
         tile = 64 if N <= 768 else 128
     flat_e = gate_idx.reshape(N)
     order, slot, n_tiles, tile_e = _tile_layout(flat_e, N, E, tile)
+    if memoize is None:
+        # the memoized unpack only pays when expert runs span several
+        # tiles (reuse = n_tiles - active_experts); in the mid band
+        # (~one tile per expert) the factored packed dots do ~6 VPU
+        # ops/byte vs the unpack's ~11 with nothing amortized
+        memoize = n_tiles >= 2 * E
     x_pad = jnp.zeros((n_tiles * tile, d), x.dtype).at[slot].set(
         jnp.take(x.reshape(N, d), order, axis=0))
     ly = jnp.asarray(0 if layer is None else layer,
@@ -598,7 +646,8 @@ def moe_experts_pallas_q4_tiled(p, x: jax.Array, gate_idx: jax.Array,
 
     kernel = functools.partial(_q4_tiled_kernel, g1=g1, g2=g2,
                                use_b2=use_b2, activation=activation,
-                               upper_bound=upper_bound, a8=act_quant)
+                               upper_bound=upper_bound, a8=act_quant,
+                               memoize=memoize)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,           # (tile_e, layer)
         grid=(n_tiles,),
@@ -615,14 +664,14 @@ def moe_experts_pallas_q4_tiled(p, x: jax.Array, gate_idx: jax.Array,
             pl.BlockSpec((1, g2, d), lambda i, te, ly: (te[i], 0, 0)),
         ],
         out_specs=pl.BlockSpec((tile, d), lambda i, te, ly: (i, 0)),
-        scratch_shapes=[
+        scratch_shapes=([
             # memoized per-expert unpack planes (persist across the
             # sequential grid; rewritten only when the tile's expert
             # changes): int8 signed nibbles for w4a8, dequantized
             # x-dtype planes for weight-only
             pltpu.VMEM((d, hdim), jnp.int8 if act_quant else x.dtype),
             pltpu.VMEM((hdim, d), jnp.int8 if act_quant else x.dtype),
-        ],
+        ] if memoize else []),
     )
     # _tile_layout SORTS tokens by expert, so each expert occupies one
     # contiguous tile run and its weight block crosses HBM->VMEM exactly

@@ -95,6 +95,17 @@ def main(args):
             "int4_pallas_t256": (qp4, lambda pp, xv, g:
                                  moe_experts_pallas_q4_tiled(
                                      pp, xv, g, tile=256)),
+            # no-memo variants: factored packed dots per tile (the
+            # mid-band lever — no scratch-plane unpack when each
+            # expert owns ~one tile)
+            "int4_pallas_t64nm": (qp4, lambda pp, xv, g:
+                                  moe_experts_pallas_q4_tiled(
+                                      pp, xv, g, tile=64,
+                                      memoize=False)),
+            "int4_pallas_t128nm": (qp4, lambda pp, xv, g:
+                                   moe_experts_pallas_q4_tiled(
+                                       pp, xv, g, tile=128,
+                                       memoize=False)),
             # w4a8: packed-int4 weights x per-token int8 activations,
             # s8 x s8 MXU nibble dots
             "w4a8_pallas_c1": (qp4, lambda pp, xv, g:
@@ -122,6 +133,15 @@ def main(args):
                                  moe_experts_pallas_q4_tiled(
                                      pp, xv, g, tile=256,
                                      act_quant=True)),
+            "w4a8_pallas_t64nm": (qp4, lambda pp, xv, g:
+                                  moe_experts_pallas_q4_tiled(
+                                      pp, xv, g, tile=64,
+                                      act_quant=True, memoize=False)),
+            "w4a8_pallas_t128nm": (qp4, lambda pp, xv, g:
+                                   moe_experts_pallas_q4_tiled(
+                                       pp, xv, g, tile=128,
+                                       act_quant=True,
+                                       memoize=False)),
             # XLA w8a8 twins for cross-mode regime comparison
             "w8a8_xla_dense": (qp8, quant_ops.moe_experts_dense_w8a8),
             "w8a8_xla_tiled": (qp8, lambda pp, xv, g: quant_ops

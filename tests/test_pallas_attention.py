@@ -84,6 +84,7 @@ def test_flash_bf16():
         np.asarray(ref[0, :157], np.float32), rtol=0.05, atol=0.05)
 
 
+@pytest.mark.slow  # >12 s on a 1-core host: the fast lane must stay <6 min (VERDICT r2 #10)
 def test_flash_through_model_and_engine():
     """attn_impl='flash' end-to-end: moe_conformer.forward and the
     Engine produce the same logits as the XLA attention path."""
@@ -283,6 +284,7 @@ def test_window_from_mask_roundtrip():
             assert lo[t] == max(0, t - 2) and hi[t] == min(T, t + 3), t
 
 
+@pytest.mark.slow  # >12 s on a 1-core host: the fast lane must stay <6 min (VERDICT r2 #10)
 def test_flash_rel_mha_grad_matches_xla():
     """The custom VJP (dense-recompute backward) must match the XLA
     path's gradients wrt inputs and every attention parameter — with
@@ -319,6 +321,7 @@ def test_flash_rel_mha_grad_matches_xla():
                         f"{jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.slow  # >12 s on a 1-core host: the fast lane must stay <6 min (VERDICT r2 #10)
 def test_flash_trains_dense_conformer():
     """attn_impl='flash' end to end through a jitted train step: loss
     decreases and stays finite (the custom VJP in anger)."""
@@ -410,6 +413,7 @@ def test_flash_attn_mem_masked_window():
                                    rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # >12 s on a 1-core host: the fast lane must stay <6 min (VERDICT r2 #10)
 def test_flash_bwd_kernel_matches_dense_recompute():
     """The kernelized FlashAttention backward (score tiles rebuilt from
     q2/k2 + lse) must match the dense XLA recompute backward on raw
@@ -449,6 +453,7 @@ def test_flash_bwd_kernel_matches_dense_recompute():
                         f"mem={mem_cols} lens={lengths is not None}")
 
 
+@pytest.mark.slow  # >12 s on a 1-core host: the fast lane must stay <6 min (VERDICT r2 #10)
 def test_train_loss_fn_attn_impl_flash():
     """TrainConfig(attn_impl='flash') threads through loss_fn for the
     MoE-conformer recipe (incl. dynamic-chunk masks riding the window
@@ -547,6 +552,7 @@ def test_no_ambient_high_precision_leak():
             assert not bad.search(str(kj)), f"{name}: HIGH dot in kernel"
 
 
+@pytest.mark.slow  # >12 s on a 1-core host: the fast lane must stay <6 min (VERDICT r2 #10)
 def test_flash_composes_with_remat_and_bf16():
     """remat (per-block rematerialization) and compute_dtype='bfloat16'
     both compose with attn_impl='flash' in one training step: finite

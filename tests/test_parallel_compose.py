@@ -30,6 +30,7 @@ def _batch(B=4, T=40):
     return feat, feat_len
 
 
+@pytest.mark.slow  # >12 s on a 1-core host: the fast lane must stay <6 min (VERDICT r2 #10)
 def test_tp_sp_combined_forward_parity():
     """One mesh carrying sp AND tp (sp2 x ep2 x tp2): the Megatron
     weight splits and the activation time-sharding compose."""

@@ -128,6 +128,7 @@ def test_pp_partial_batch_pads():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow  # >12 s on a 1-core host: the fast lane must stay <6 min (VERDICT r2 #10)
 def test_param_sharding_handles_dfsmn_trees():
     """param_sharding(tp/pp) must not crash on the DFSMN families'
     list-of-blocks layout (flat (E, d, h) expert tensors, no L axis) —
