@@ -634,11 +634,15 @@ def moe_experts_pallas_q4_tiled(p, x: jax.Array, gate_idx: jax.Array,
     flat_e = gate_idx.reshape(N)
     order, slot, n_tiles, tile_e = _tile_layout(flat_e, N, E, tile)
     if memoize is None:
-        # the memoized unpack only pays when expert runs span several
-        # tiles (reuse = n_tiles - active_experts); in the mid band
-        # (~one tile per expert) the factored packed dots do ~6 VPU
-        # ops/byte vs the unpack's ~11 with nothing amortized
-        memoize = n_tiles >= 2 * E
+        # measured on chip (scripts/bench_moe_q4.py, ms/18L): the
+        # factored no-memo variant (~6 VPU ops/byte vs the unpack's
+        # ~11) wins only at 511 tokens (1.80 vs 2.01) and loses at 255
+        # (1.74 vs 1.46) and 1499 (3.30 vs 2.65) — the memoized plane's
+        # single full-width MXU dot beats the per-group half-width
+        # factored dots even with zero cross-tile reuse, and the 511
+        # flip is inside the tunnel's run-to-run drift. Default stays
+        # memoized; memoize=False ships as a measured alternate.
+        memoize = True
     x_pad = jnp.zeros((n_tiles * tile, d), x.dtype).at[slot].set(
         jnp.take(x.reshape(N, d), order, axis=0))
     ly = jnp.asarray(0 if layer is None else layer,
