@@ -265,12 +265,20 @@ def main(args):
     # headline stays the reference's own comparison point (fp32 at
     # 1x206x40 vs TRT-T4 20.44 ms) so rounds stay comparable; the
     # modes/long tables carry the real story (round-2 VERDICT weak #1).
-    def ladder_at(seq, iters):
+    def ladder_at(seq, iters, passes=3):
+        # median of three passes per mode: single-pass quant-mode
+        # readings proved unreliable on this tunnel — one evening's
+        # ladder read int8 12.5 ms (high outlier) and w8a8 1.14 ms
+        # (low fluke: scan-differencing with an inflated t1 UNDER-
+        # estimates) where interleaved 5-rep A/Bs give 1.73 / 1.88
+        # (scripts/bench_mode_ab.py). Warm passes cost ~2-6 s each and
+        # the median rejects one-off outliers in both directions.
         rows = {}
         for name, dtype, aq in MODE_LADDER:
             t0 = time.time()
             try:
-                dev_ms, _, impl = run_mode(dtype, aq, seq, iters)
+                samples = [run_mode(dtype, aq, seq, iters)
+                           for _ in range(passes)]
             except Exception as e:  # one broken mode must not sink the
                 # whole round artifact (ladder runs unattended)
                 rows[name] = {"p50_ms": None,
@@ -278,7 +286,11 @@ def main(args):
                 print(f"  {seq}: {name} FAILED "
                       f"[{time.time() - t0:.0f}s]: {e}", file=sys.stderr)
                 continue
-            rows[name] = {"p50_ms": round(dev_ms, 3), "moe_impl": impl}
+            p50s = sorted(s[0] for s in samples)
+            dev_ms = p50s[len(p50s) // 2]
+            impl = samples[0][2]
+            rows[name] = {"p50_ms": round(dev_ms, 3), "moe_impl": impl,
+                          "passes_ms": [round(s[0], 3) for s in samples]}
             print(f"  {seq}: {name} ({impl}) = {dev_ms:.3f} ms "
                   f"[{time.time() - t0:.0f}s]", file=sys.stderr)
         return rows
