@@ -5,6 +5,17 @@ Uses the same chained-scan differencing as bench.py to time each
 subsystem on the real chip: embed encoder, subsampling+PE, attention
 stack, conv stack, macaron FFNs, MoE FFNs (ragged vs dense). Guides
 kernel work: whatever dominates gets the Pallas treatment.
+
+Two measurement caveats, both learned the hard way:
+- the scan carry must consume a REDUCTION of the full output: an
+  earlier version carried out[0,0,0], which let XLA dead-code-slice
+  pointwise components down to one token (attention_x18 read 21 us
+  for 18 layers — the q projection of a single row);
+- component rows scan ONE layer's params 18x, so weights that fit
+  VMEM (attention 4 MB, one layer's bf16 experts 64 MB) can stay
+  resident across iterations — per-component numbers are lower
+  bounds for an 18-distinct-layer pass; full_model is the ground
+  truth total.
 """
 
 import json
@@ -78,37 +89,37 @@ def main(seq=206, dtype=jnp.float32):
     # fp32; this profiler times strict "highest" for floor analysis)
     res["full_model"] = timed(
         lambda p, f, l, carry: moe_conformer.forward(
-            p, cfg, f + carry, l, moe_impl="dense")[0][0, 0, 0] * 1e-30,
+            p, cfg, f + carry, l, moe_impl="dense")[0].sum().astype(jnp.float32) * 1e-30,
         (params, feat, fl))
     res["embed_encoder(6blk)"] = timed(
         lambda p, f, l, carry: conformer.forward(
-            p, cfg.embed_conf, f + carry, l)[0][0, 0, 0] * 1e-30,
+            p, cfg.embed_conf, f + carry, l)[0].sum().astype(jnp.float32) * 1e-30,
         (params["embed"], feat, fl))
     res["moe_ffn_ragged_x18"] = timed(
         lambda bp, xx, e, l, carry: jax.lax.scan(
             lambda c, _: (moe_ops.moe_ffn(bp, xx + c, e, l, impl="ragged")
-                          [0, 0, 0] * 1e-30, None), carry, None,
+                          .sum().astype(jnp.float32) * 1e-30, None), carry, None,
             length=18)[0],
         (bp0["feed_forward"], x, embed, out_len))
     res["moe_ffn_dense_x18"] = timed(
         lambda bp, xx, e, l, carry: jax.lax.scan(
             lambda c, _: (moe_ops.moe_ffn(bp, xx + c, e, l, impl="dense")
-                          [0, 0, 0] * 1e-30, None), carry, None,
+                          .sum().astype(jnp.float32) * 1e-30, None), carry, None,
             length=18)[0],
         (bp0["feed_forward"], x, embed, out_len))
     res["attention_x18"] = timed(
         lambda bp, xx, pe, l, carry: jax.lax.scan(
-            lambda c, _: (rel_mha(bp, xx + c, pe, l, 8)[0, 0, 0] * 1e-30,
+            lambda c, _: (rel_mha(bp, xx + c, pe, l, 8).sum().astype(jnp.float32) * 1e-30,
                           None), carry, None, length=18)[0],
         (bp0["self_attn"], x, pos, out_len))
     res["conv_x18"] = timed(
         lambda bp, xx, l, carry: jax.lax.scan(
-            lambda c, _: (conv_module(bp, xx + c, l)[0, 0, 0] * 1e-30,
+            lambda c, _: (conv_module(bp, xx + c, l).sum().astype(jnp.float32) * 1e-30,
                           None), carry, None, length=18)[0],
         (bp0["conv_module"], x, out_len))
     res["macaron_ffn_x18"] = timed(
         lambda bp, xx, carry: jax.lax.scan(
-            lambda c, _: (positionwise_ffn(bp, xx + c)[0, 0, 0] * 1e-30,
+            lambda c, _: (positionwise_ffn(bp, xx + c).sum().astype(jnp.float32) * 1e-30,
                           None), carry, None, length=18)[0],
         (bp0["feed_forward_macaron"], x))
     print(json.dumps({k: round(v, 3) for k, v in res.items()}))
