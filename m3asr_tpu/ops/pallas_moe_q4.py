@@ -80,28 +80,28 @@ def _group_matmul_packed(x, pblk, read_scale, n_groups, gs, cdt,
     this expert's (1, G, out) slice, addressed statically by g.
     Returns (N, out) f32.
 
-    Per contraction group g (scale constant within a group):
-        u  = (p ^ 0x88) as uint8          # nibbles biased to [0, 15]
-        U0 = x_g @ u;  U1 = x_g @ (u >> 4);  rs = rowsum(x_g)
-        out[:, :out/2] += (U0 - 16*U1 - 8*rs) * s_g[:out/2]   # lo
-        out[:, out/2:] += (U1 - 8*rs)        * s_g[out/2:]    # hi
-    Biased-unsigned values are exact in bf16 (<= 255 < 2^8 mantissa).
-    """
-    half = pblk.shape[-1]
+    Per contraction group g (scale constant within a group), with
+    q = p ^ 0x08 read as int8 = 16*hi_signed + (lo_signed + 8) and
+    asr4(q) = hi_signed (see _group_matmul_packed_s8 — one shift is
+    the whole per-byte unpack, no i32 widening or masking):
+
+        T0 = x_g @ q;  H = x_g @ asr4(q);  rs = rowsum(x_g)
+        out[:, :out/2] += (T0 - 16*H - 8*rs) * s_g[:out/2]   # = x@lo
+        out[:, out/2:] += H * s_g[out/2:]                    # = x@hi
+    q in [-128, 127] and hi in [-8, 7] are exact in bf16 (8-bit
+    mantissa)."""
     lo_acc = None
     hi_acc = None
-    bias = jnp.full((), 0x88 - 0x100, jnp.int8)        # 0x88 as int8
+    flip = jnp.full((), 0x08, jnp.int8)      # low-nibble sign bit
     for g in range(n_groups):
         p8 = pblk[g * gs:(g + 1) * gs, :]              # (gs, out/2) int8
-        # Mosaic has no uint8->bf16 cast; widen to int32 and mask to
-        # the unsigned byte value instead of bitcasting to uint8
-        u32 = jnp.bitwise_xor(p8, bias).astype(jnp.int32) & 255
-        uf = u32.astype(cdt)                           # [0, 255] exact
-        hf = (u32 >> 4).astype(cdt)                    # [0, 15]
+        q = jnp.bitwise_xor(p8, flip)                  # int8, 1 op
+        qf = q.astype(cdt)                             # [-128, 127]
+        hf = jnp.right_shift(q, 4).astype(cdt)         # hi_signed
         xg = x[:, g * gs:(g + 1) * gs]                 # (N, gs)
-        u0 = jnp.dot(xg, uf, preferred_element_type=jnp.float32,
+        t0 = jnp.dot(xg, qf, preferred_element_type=jnp.float32,
                      precision=prec)
-        u1 = jnp.dot(xg, hf, preferred_element_type=jnp.float32,
+        h1 = jnp.dot(xg, hf, preferred_element_type=jnp.float32,
                      precision=prec)
         rs = jnp.sum(xg.astype(jnp.float32), axis=-1,
                      keepdims=True)                    # (N, 1)
@@ -110,8 +110,8 @@ def _group_matmul_packed(x, pblk, read_scale, n_groups, gs, cdt,
         # Mosaic rejects — ref reads with static column slices stay
         # plain dynamic slices
         s_lo, s_hi = read_scale(g)                     # (1, half) f32
-        lo_part = (u0 - 16.0 * u1 - 8.0 * rs) * s_lo
-        hi_part = (u1 - 8.0 * rs) * s_hi
+        lo_part = (t0 - 16.0 * h1 - 8.0 * rs) * s_lo
+        hi_part = h1 * s_hi
         lo_acc = lo_part if lo_acc is None else lo_acc + lo_part
         hi_acc = hi_part if hi_acc is None else hi_acc + hi_part
     return jnp.concatenate([lo_acc, hi_acc], axis=-1)  # (N, out) f32
@@ -131,39 +131,45 @@ def _quant_rows(x):
 
 def _group_matmul_packed_s8(xq, pblk, read_scale, n_groups, gs):
     """xq (N, d) int8 @ packed-int4 weights for one expert — the w4a8
-    twin of _group_matmul_packed: both nibble planes stay INTEGER
-    ([0, 15] fits s8), so the two half-width dots run s8 x s8 -> s32 on
-    the MXU (2x the bf16 rate on v5e) and the arithmetic is exact:
+    twin of _group_matmul_packed. RAW-BYTE dots: with q = p ^ 0x08
+    (flip only the LOW nibble's sign bit), the byte read as int8 is
+    exactly
 
-        u  = (p ^ 0x88) as unsigned      # nibbles biased to [0, 15]
-        L  = xq_g @ (u & 15);  H = xq_g @ (u >> 4);  rs = rowsum(xq_g)
-        out[:, :out/2] += (L - 8*rs) * s_g[:out/2]     # lo = (u&15)-8
-        out[:, out/2:] += (H - 8*rs) * s_g[out/2:]     # hi = (u>>4)-8
+        q = 16*hi_signed + (lo_signed + 8),   asr4(q) = hi_signed
 
-    Returns (N, out) f32 — caller multiplies by the per-token
-    activation scale (constant across groups, so it factors out of the
-    group sum)."""
-    half = pblk.shape[-1]
-    del half
+    so ONE arithmetic shift is the entire per-byte VPU unpack (the
+    previous biased-unsigned factoring paid ~6 ops/byte: xor, widen to
+    i32, mask, shift, two narrowing converts — and the widen/narrow
+    ops were the VPU bottleneck the roofline measured). The dots run
+    s8 x s8 -> s32 on the MXU (2x the bf16 rate on v5e), one of them
+    on the RAW xored bytes, and the lo half is recovered exactly on
+    the (N, out/2) partials:
+
+        T0 = xq_g @ q;  H = xq_g @ asr4(q);  rs = rowsum(xq_g)
+        out[:, :out/2] += (T0 - 16*H - 8*rs) * s_g[:out/2]   # = xq@lo
+        out[:, out/2:] += H * s_g[out/2:]                    # = xq@hi
+
+    (exact in s32: |T0| <= 127*128*gs < 2^31). Returns (N, out) f32 —
+    caller multiplies by the per-token activation scale (constant
+    across groups, so it factors out of the group sum)."""
     lo_acc = None
     hi_acc = None
-    bias = jnp.full((), 0x88 - 0x100, jnp.int8)        # 0x88 as int8
+    flip = jnp.full((), 0x08, jnp.int8)      # low-nibble sign bit
     for g in range(n_groups):
         p8 = pblk[g * gs:(g + 1) * gs, :]              # (gs, out/2) int8
-        u32 = jnp.bitwise_xor(p8, bias).astype(jnp.int32) & 255
-        lo_w = (u32 & 15).astype(jnp.int8)             # [0, 15]
-        hi_w = (u32 >> 4).astype(jnp.int8)             # [0, 15]
+        q = jnp.bitwise_xor(p8, flip)                  # int8, 1 op
+        hi_w = jnp.right_shift(q, 4).astype(jnp.int8)  # asr: hi_signed
         xg = xq[:, g * gs:(g + 1) * gs]                # (N, gs) int8
         dot = lambda a, b: jax.lax.dot_general(        # noqa: E731
             a, b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        L = dot(xg, lo_w)                              # (N, half) s32
+        T0 = dot(xg, q)                                # (N, half) s32
         H = dot(xg, hi_w)
         rs = jnp.sum(xg.astype(jnp.int32), axis=-1,
                      keepdims=True)                    # (N, 1) s32
         s_lo, s_hi = read_scale(g)                     # (1, half) f32
-        lo_part = (L - 8 * rs).astype(jnp.float32) * s_lo
-        hi_part = (H - 8 * rs).astype(jnp.float32) * s_hi
+        lo_part = (T0 - 16 * H - 8 * rs).astype(jnp.float32) * s_lo
+        hi_part = H.astype(jnp.float32) * s_hi
         lo_acc = lo_part if lo_acc is None else lo_acc + lo_part
         hi_acc = hi_part if hi_acc is None else hi_acc + hi_part
     return jnp.concatenate([lo_acc, hi_acc], axis=-1)  # (N, out) f32
@@ -394,17 +400,21 @@ def _unpack_expert(pblk, sref, G, gs, dst, a8: bool):
     SIGNED nibbles ([-8, 7]) as int8 — the s8 dots then need no bias
     correction at all; a8=False stores group-scale-applied dequantized
     values in dst.dtype. Per contraction group so the scale rows stay
-    2-D reads (Mosaic lowers no >2-D gathers)."""
+    2-D reads (Mosaic lowers no >2-D gathers).
+
+    Extraction stays int8-native (see _group_matmul_packed_s8): with
+    q = p ^ 0x08, hi = asr4(q) and lo = q - 16*hi - 8 — the 16*hi
+    intermediate fits int8 and q - 16*hi is exact modularly, so no
+    i32 widening or byte masking is needed."""
     half = pblk.shape[-1]
-    bias = jnp.full((), 0x88 - 0x100, jnp.int8)        # 0x88 as int8
+    flip = jnp.full((), 0x08, jnp.int8)      # low-nibble sign bit
     for g in range(G):
-        u32 = jnp.bitwise_xor(pblk[g * gs:(g + 1) * gs, :],
-                              bias).astype(jnp.int32) & 255
-        lo = (u32 & 15) - 8                            # [-8, 7]
-        hi = (u32 >> 4) - 8
+        q = jnp.bitwise_xor(pblk[g * gs:(g + 1) * gs, :], flip)
+        hi = jnp.right_shift(q, 4).astype(jnp.int8)    # [-8, 7]
+        lo = q - jnp.int8(16) * hi - jnp.int8(8)       # [-8, 7]
         if a8:
-            dst[g * gs:(g + 1) * gs, :half] = lo.astype(jnp.int8)
-            dst[g * gs:(g + 1) * gs, half:] = hi.astype(jnp.int8)
+            dst[g * gs:(g + 1) * gs, :half] = lo
+            dst[g * gs:(g + 1) * gs, half:] = hi
         else:
             s_lo = sref[0, g:g + 1, :half]             # (1, half) f32
             s_hi = sref[0, g:g + 1, half:]
