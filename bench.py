@@ -189,7 +189,13 @@ def main(args):
 
     # persistent XLA cache: repeat benchmark invocations skip the slow
     # remote compile of unchanged programs
-    cache = os.environ.get("M3ASR_BENCH_CACHE", "/tmp/m3asr_bench_cache")
+    # default to a repo-local (gitignored) dir: /tmp does not reliably
+    # survive to the driver's round-end invocation, and a cold ladder
+    # pays ~24 eighteen-layer XLA compiles on a 1-core host (>30 min)
+    cache = os.environ.get(
+        "M3ASR_BENCH_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache"))
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
