@@ -67,6 +67,16 @@ from jax.experimental.pallas import tpu as pltpu
 from m3asr_tpu.ops.common import swish
 
 
+def _asr4(q):
+    """Arithmetic shift right by 4 of an int8 plane, spelled as
+    widen-shift so Mosaic can lower it: int8 shifts in ANY spelling
+    (jnp.right_shift, lax.shift_right_arithmetic, //16) crash the TPU
+    compiler (HTTP 500, minimal repro bisected round 4 — see
+    data/smoke_ledger.jsonl), while i32 asr + narrowing lowers fine.
+    Returns int32 in [-8, 7]; callers narrow to their compute dtype."""
+    return q.astype(jnp.int32) >> 4
+
+
 def _group_matmul_packed(x, pblk, read_scale, n_groups, gs, cdt,
                          prec):
     """x (N, d) @ packed-int4 weights for one expert, with group-wise
@@ -82,8 +92,9 @@ def _group_matmul_packed(x, pblk, read_scale, n_groups, gs, cdt,
 
     Per contraction group g (scale constant within a group), with
     q = p ^ 0x08 read as int8 = 16*hi_signed + (lo_signed + 8) and
-    asr4(q) = hi_signed (see _group_matmul_packed_s8 — one shift is
-    the whole per-byte unpack, no i32 widening or masking):
+    asr4(q) = hi_signed (see _group_matmul_packed_s8 — one widening
+    shift is the whole per-byte unpack; the T0 dot reads the raw
+    xored bytes with no unpack at all):
 
         T0 = x_g @ q;  H = x_g @ asr4(q);  rs = rowsum(x_g)
         out[:, :out/2] += (T0 - 16*H - 8*rs) * s_g[:out/2]   # = x@lo
@@ -97,7 +108,7 @@ def _group_matmul_packed(x, pblk, read_scale, n_groups, gs, cdt,
         p8 = pblk[g * gs:(g + 1) * gs, :]              # (gs, out/2) int8
         q = jnp.bitwise_xor(p8, flip)                  # int8, 1 op
         qf = q.astype(cdt)                             # [-128, 127]
-        hf = jnp.right_shift(q, 4).astype(cdt)         # hi_signed
+        hf = _asr4(q).astype(cdt)                      # hi_signed
         xg = x[:, g * gs:(g + 1) * gs]                 # (N, gs)
         t0 = jnp.dot(xg, qf, preferred_element_type=jnp.float32,
                      precision=prec)
@@ -137,10 +148,11 @@ def _group_matmul_packed_s8(xq, pblk, read_scale, n_groups, gs):
 
         q = 16*hi_signed + (lo_signed + 8),   asr4(q) = hi_signed
 
-    so ONE arithmetic shift is the entire per-byte VPU unpack (the
-    previous biased-unsigned factoring paid ~6 ops/byte: xor, widen to
-    i32, mask, shift, two narrowing converts — and the widen/narrow
-    ops were the VPU bottleneck the roofline measured). The dots run
+    so one widening shift (_asr4; int8-native shifts don't lower under
+    Mosaic) is the entire per-byte VPU unpack — the previous
+    biased-unsigned factoring paid ~6 ops/byte: xor, widen to i32,
+    mask, shift, two narrowing converts, and BOTH nibble planes had to
+    be extracted before their dots. The dots run
     s8 x s8 -> s32 on the MXU (2x the bf16 rate on v5e), one of them
     on the RAW xored bytes, and the lo half is recovered exactly on
     the (N, out/2) partials:
@@ -158,7 +170,7 @@ def _group_matmul_packed_s8(xq, pblk, read_scale, n_groups, gs):
     for g in range(n_groups):
         p8 = pblk[g * gs:(g + 1) * gs, :]              # (gs, out/2) int8
         q = jnp.bitwise_xor(p8, flip)                  # int8, 1 op
-        hi_w = jnp.right_shift(q, 4).astype(jnp.int8)  # asr: hi_signed
+        hi_w = _asr4(q).astype(jnp.int8)               # asr: hi_signed
         xg = xq[:, g * gs:(g + 1) * gs]                # (N, gs) int8
         dot = lambda a, b: jax.lax.dot_general(        # noqa: E731
             a, b, (((1,), (0,)), ((), ())),
@@ -402,16 +414,20 @@ def _unpack_expert(pblk, sref, G, gs, dst, a8: bool):
     values in dst.dtype. Per contraction group so the scale rows stay
     2-D reads (Mosaic lowers no >2-D gathers).
 
-    Extraction stays int8-native (see _group_matmul_packed_s8): with
-    q = p ^ 0x08, hi = asr4(q) and lo = q - 16*hi - 8 — the 16*hi
-    intermediate fits int8 and q - 16*hi is exact modularly, so no
-    i32 widening or byte masking is needed."""
+    Extraction (see _group_matmul_packed_s8): with q = p ^ 0x08,
+    hi = asr4(q) (one widening shift — _asr4) and lo = q - 16*hi - 8,
+    both in i32 before narrowing to the store dtype — no byte masking
+    is needed."""
     half = pblk.shape[-1]
     flip = jnp.full((), 0x08, jnp.int8)      # low-nibble sign bit
     for g in range(G):
         q = jnp.bitwise_xor(pblk[g * gs:(g + 1) * gs, :], flip)
-        hi = jnp.right_shift(q, 4).astype(jnp.int8)    # [-8, 7]
-        lo = q - jnp.int8(16) * hi - jnp.int8(8)       # [-8, 7]
+        hi32 = _asr4(q)                                # [-8, 7] i32
+        # i32 throughout: int8 multiply (like int8 shifts) does not
+        # lower under Mosaic — bisected round 4, data/smoke_ledger
+        lo32 = q.astype(jnp.int32) - 16 * hi32 - 8     # [-8, 7] i32
+        hi = hi32.astype(jnp.int8)
+        lo = lo32.astype(jnp.int8)
         if a8:
             dst[g * gs:(g + 1) * gs, :half] = lo
             dst[g * gs:(g + 1) * gs, half:] = hi
