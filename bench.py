@@ -288,7 +288,7 @@ def main(args):
             except Exception as e:  # one broken mode must not sink the
                 # whole round artifact (ladder runs unattended)
                 rows[name] = {"p50_ms": None,
-                              "error": f"{type(e).__name__}: {e}"[:200]}
+                              "error": f"{type(e).__name__}: {e}"[:80]}
                 print(f"  {seq}: {name} FAILED "
                       f"[{time.time() - t0:.0f}s]: {e}", file=sys.stderr)
                 continue
@@ -350,7 +350,29 @@ def main(args):
                 round(lbase / long_modes[lbest]["p50_ms"], 2)
                 if lbase and lbest else None),
         }
-    print(json.dumps(out))
+    # Artifact contract (round-3 VERDICT weak #2): the driver captures
+    # only a ~2 kB tail of stdout, so the FINAL line must stay compact
+    # — headline + per-mode p50s, no passes_ms/error prose. The full
+    # ladder goes to a preceding stdout line and data/bench_ladder_last
+    # .json for humans.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "data", "bench_ladder_last.json"),
+                  "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(out))        # full ladder: preceding line
+    compact = {k: v for k, v in out.items() if k not in ("modes", "long")}
+    compact["modes_p50_ms"] = {m: r.get("p50_ms")
+                               for m, r in modes.items()}
+    if long_modes:
+        compact["long_shape"] = out["long"]["shape"]
+        compact["long_best_mode"] = out["long"]["best_mode"]
+        compact["long_best_mode_ms"] = out["long"]["best_mode_ms"]
+        compact["long_modes_p50_ms"] = {m: r.get("p50_ms")
+                                        for m, r in long_modes.items()}
+    print(json.dumps(compact))    # final line: the driver's artifact
 
 
 if __name__ == "__main__":

@@ -57,9 +57,13 @@ def _bound_kernel(te_ref, ly_ref, x_ref, w1_ref, w2_ref, out_ref):
     dot = lambda a, b: jax.lax.dot_general(      # noqa: E731
         a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    h = dot(xq, w1_ref[0])                       # (tile, H) s32
+    h = dot(xq, w1_ref[0])                       # (tile, H/2) s32
     hq, hs = _quant_rows(h.astype(jnp.float32) * xs)
-    y = dot(hq, w2_ref[0][:H, :])                # (tile, D/2) s32
+    # widen the half-width hidden back to H before the second dot so
+    # both dots pay exactly half the real kernel's MXU FLOPs (w2's
+    # packed block is (H, D/2): full contraction dim, half columns)
+    hq2 = jnp.concatenate([hq, hq], axis=-1)     # (tile, H) s8
+    y = dot(hq2, w2_ref[0])                      # (tile, D/2) s32
     y = y.astype(jnp.float32) * hs
     out_ref[...] = jnp.concatenate([y, y], axis=-1).astype(out_ref.dtype)
 
