@@ -56,7 +56,8 @@ def make_mesh(dp: Optional[int] = None, ep: int = 1,
 # expert-tensor leaf names, float and quantized twins (ops/quant.py:
 # w{1,2}_q int8, w{1,2}_q4 packed nibbles, w{1,2}_scale f32)
 _EXPERT_LEAVES = ("w1", "b1", "w2", "b2", "w1_q", "w2_q",
-                  "w1_q4", "w2_q4", "w1_scale", "w2_scale")
+                  "w1_q4", "w2_q4", "w1_q4c", "w2_q4c",
+                  "w1_scale", "w2_scale")
 
 
 def _is_expert_path(path: Tuple) -> bool:
@@ -152,8 +153,23 @@ def param_sharding(mesh: Mesh, params, tp: bool = False,
                 tail = ((None, TENSOR_AXIS) if name.startswith("w1")
                         else (TENSOR_AXIS, None))
                 return pspec(*lead, EXPERT_AXIS, *tail)
+            if name == "w1_q4c":
+                # tp-chunked packing (quant.repack_int4_tp):
+                # (..., E, in, tp, chunk) — the tp axis IS the shard
+                # split; unpack_int4_tp yields natural column order
+                lead = (None,) * (ndim - 4)
+                if not tp:
+                    return pspec(*lead, EXPERT_AXIS)
+                return pspec(*lead, EXPERT_AXIS, None, TENSOR_AXIS, None)
             if name in ("w1_q4", "w2_q4"):
                 lead = (None,) * (ndim - 3)
+                if tp and name == "w2_q4" and \
+                        np.shape(leaf)[-2] % mesh.shape.get(
+                            TENSOR_AXIS, 1) == 0:
+                    # row parallel: the packed byte axis is w2's OUT
+                    # columns (untouched); the split rides the
+                    # contraction rows, so no repack is needed
+                    return pspec(*lead, EXPERT_AXIS, TENSOR_AXIS, None)
                 return pspec(*lead, EXPERT_AXIS)
             if name in ("w1_scale", "w2_scale"):
                 # int8 per-column: (..., E, 1, out); int4 group-wise
@@ -166,14 +182,32 @@ def param_sharding(mesh: Mesh, params, tp: bool = False,
                     node = (node[k.key] if hasattr(k, "key")
                             else node[k.idx])
                 sib = node.get(name[:2] + "_q4", node.get(name[:2] + "_q"))
-                grouped = sib is not None and ndim == np.ndim(sib) + 1
+                sib_nd = np.ndim(sib) if sib is not None else None
+                if sib is None:
+                    sibc = node.get(name[:2] + "_q4c")
+                    if sibc is not None:  # tp-chunked: one extra axis
+                        sib_nd = np.ndim(sibc) - 1
+                grouped = sib_nd is not None and ndim == sib_nd + 1
                 e_off = 4 if grouped else 3
                 lead = (None,) * (ndim - e_off)
+                tpn = mesh.shape.get(TENSOR_AXIS, 1)
                 if tp and not grouped and name == "w1_scale":
                     # w1 column-parallel: scale's out axis follows;
                     # w2 row-parallel: its (1, out) scale commutes with
                     # the psum and stays replicated over tp
                     return pspec(*lead, EXPERT_AXIS, None, TENSOR_AXIS)
+                if tp and grouped and name == "w1_scale" \
+                        and np.shape(leaf)[-1] % tpn == 0:
+                    # group-wise (..., E, G, 1, out): G groups the
+                    # contraction (unsplit); out follows the column split
+                    return pspec(*lead, EXPERT_AXIS, None, None,
+                                 TENSOR_AXIS)
+                if tp and grouped and name == "w2_scale" \
+                        and np.shape(leaf)[-3] % tpn == 0:
+                    # w2 rows (contraction) split -> its scale GROUPS
+                    # split with them; out columns stay whole
+                    return pspec(*lead, EXPERT_AXIS, TENSOR_AXIS, None,
+                                 None)
                 return pspec(*lead, EXPERT_AXIS)
             lead = (None,) * (ndim - 2)           # b1/b2 (..., E, dim)
             if tp and "b1" in keys:

@@ -427,11 +427,27 @@ class Engine:
                     "ep/tp-sharded serving supports the moe_conformer "
                     "family (scan-stacked (L, E, ...) expert tensors)")
             if self.quant_bits == 4 and self.cfg.tp > 1:
-                raise NotImplementedError(
-                    "tp x int4: a tp split of the packed nibble bytes "
-                    "needs a non-contiguous (lo chunk, hi chunk) scale "
-                    "reshard the P-spec rule cannot express; use "
-                    "ep-only sharding for int4 engines (or int8 for tp)")
+                # quantize-after-slice (round-3 VERDICT #6): the global
+                # concat-half nibble layout cannot column-split, so
+                # repack w1's bytes per tp chunk (w1_q4 -> w1_q4c with
+                # an explicit (tp, chunk) axis pair); w2 splits its
+                # unpacked contraction rows and needs no repack
+                from m3asr_tpu.ops.quant import repack_int4_tp
+
+                def _repack(tree):
+                    if isinstance(tree, dict):
+                        if "w1_q4" in tree:
+                            tree = dict(tree)
+                            tree["w1_q4c"] = jnp.asarray(repack_int4_tp(
+                                np.asarray(tree.pop("w1_q4")),
+                                self.cfg.tp))
+                            return tree
+                        return {k: _repack(v) for k, v in tree.items()}
+                    if isinstance(tree, list):
+                        return [_repack(v) for v in tree]
+                    return tree
+
+                self.params = _repack(self.params)
             if self.cfg.tp > 1 and self.cfg.attn_impl == "flash":
                 import logging
                 logging.getLogger("m3asr").warning(

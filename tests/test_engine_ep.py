@@ -156,14 +156,34 @@ def test_tp_sharded_int8_engine_matches_single_device():
                  rtol=5e-2, atol=5e-2)
 
 
-def test_tp_rejects_int4_packed():
-    """tp x int4 stays an explicit error: splitting packed nibble
-    bytes would need a non-contiguous lo/hi-chunk scale reshard."""
+def test_tp_sharded_int4_engine_matches_single_device():
+    """tp x int4 (round-3 VERDICT #6 closed): w1's packed nibbles are
+    repacked per tp chunk at engine build (quant.repack_int4_tp ->
+    w1_q4c with an explicit (tp, chunk) axis pair) so the column split
+    and its scales shard contiguously; w2 splits its unpacked
+    contraction rows with no repack. Alone and composed with ep."""
     cfg, params = _engine_fixtures()
-    with pytest.raises(NotImplementedError, match="int4"):
-        Engine(cfg, params, EngineConfig(tp=2, dtype="int4",
-                                         bucket_lengths=(48,),
-                                         bucket_batches=(2,)))
+    ecfg = dict(bucket_lengths=(48,), bucket_batches=(2,),
+                donate_input=False)
+    single = Engine(cfg, params, EngineConfig(dtype="int4", **ecfg))
+    rng = np.random.RandomState(63)
+    feat = rng.randn(2, 41, 16).astype(np.float32)
+    lens = np.array([41, 27], np.int32)
+    out_s, len_s = single.infer(feat, lens)
+    for kw in (dict(tp=2), dict(tp=2, ep=2), dict(tp=2, ep=4)):
+        sharded = Engine(cfg, params,
+                         EngineConfig(dtype="int4", **kw, **ecfg))
+        ff = sharded.params["blocks"]["feed_forward"]
+        assert "w1_q4" not in ff and "w1_q4c" in ff
+        assert "tp" in str(ff["w1_q4c"].sharding.spec), \
+            ff["w1_q4c"].sharding
+        assert "tp" in str(ff["w2_q4"].sharding.spec), \
+            ff["w2_q4"].sharding
+        out_p, len_p = sharded.infer(feat, lens)
+        assert list(len_s) == list(len_p)
+        for b, L in enumerate(len_s):
+            allclose(out_p[b:b + 1, :L], out_s[b:b + 1, :L],
+                     rtol=5e-2, atol=5e-2)
 
 
 def test_tp_sharded_engine_matches_single_device():

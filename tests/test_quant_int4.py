@@ -259,3 +259,25 @@ def test_int4_pallas_impl_maps_to_q4_kernel():
         # CPU test backend -> XLA fallback; the explicit-name contract
         # is covered in test_w4a8_auto_policy
         assert impl in ("quant4_pallas", "quant")
+
+
+def test_repack_int4_tp_roundtrip():
+    """repack_int4_tp -> unpack_int4_tp equals the plain unpack for
+    every tp that divides the column count: the tp-chunked layout is a
+    pure re-pairing of nibbles, values and order unchanged (the tp x
+    int4 sharded-serving layout, quant.repack_int4_tp)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from m3asr_tpu.ops.quant import (pack_int4, repack_int4_tp,
+                                     unpack_int4, unpack_int4_tp)
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(-8, 8, (3, 5, 24), dtype=np.int8)
+    q4 = pack_int4(vals)
+    want = np.asarray(unpack_int4(jnp.asarray(q4), jnp.float32))
+    np.testing.assert_array_equal(want, vals.astype(np.float32))
+    for tp in (1, 2, 3, 4, 6, 12):
+        q4c = repack_int4_tp(q4, tp)
+        assert q4c.shape == (3, 5, tp, 12 // tp)
+        got = np.asarray(unpack_int4_tp(jnp.asarray(q4c), jnp.float32))
+        np.testing.assert_array_equal(got, want)
