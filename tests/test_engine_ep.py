@@ -243,3 +243,30 @@ def test_tp_flash_falls_back_to_xla():
     out_a, _ = eng.infer(feat, lens)
     out_b, _ = ref.infer(feat, lens)
     allclose(out_a, out_b, rtol=1e-5, atol=1e-5)
+
+
+def test_tp_int4_engine_save_load_roundtrip(tmp_path):
+    """Sharded + quantized + saved: a tp x ep x int4 engine round-trips
+    through save/load (params gathered to host npz incl. the repacked
+    w1_q4c; load re-quantize is skipped and re-shards on the available
+    mesh) and reproduces the original outputs (round-3 VERDICT #9)."""
+    cfg, params = _engine_fixtures()
+    eng = Engine(cfg, params,
+                 EngineConfig(tp=2, ep=2, dtype="int4",
+                              bucket_lengths=(48,), bucket_batches=(2,),
+                              donate_input=False))
+    eng.save(str(tmp_path / "eng"))
+    loaded = Engine.load(str(tmp_path / "eng"))
+    assert loaded.cfg.tp == 2 and loaded.cfg.ep == 2
+    assert loaded.mesh is not None
+    ff = loaded.params["blocks"]["feed_forward"]
+    assert "w1_q4c" in ff and "tp" in str(ff["w1_q4c"].sharding.spec)
+    rng = np.random.RandomState(64)
+    feat = rng.randn(2, 41, 16).astype(np.float32)
+    lens = np.array([41, 27], np.int32)
+    out_a, len_a = eng.infer(feat, lens)
+    out_b, len_b = loaded.infer(feat, lens)
+    assert list(len_a) == list(len_b)
+    for b, L in enumerate(len_a):
+        allclose(out_b[b:b + 1, :L], out_a[b:b + 1, :L],
+                 rtol=1e-4, atol=1e-4)
