@@ -22,10 +22,15 @@ deployment just points `command` at the non-MS binary and gets the
 identical math one key at a time), and io/loader.py's `trans_file`
 stream is the latticeMS loader contract (key-asserted per batch).
 
-Test status: plumbing-tested only — tests/test_smbr.py exercises the
-vjp pullback and the posterior/gradient ark round-trip with a FAKE
-runner standing in for the Kaldi binaries; no end-to-end sMBR run
-against real lattice tools has been performed.
+Test status: tests/test_smbr.py exercises the vjp pullback and the
+posterior/gradient ark round-trip with a FAKE runner standing in for
+the Kaldi binaries, AND validates the ark reader/writer/bridge against
+committed spec-crafted fixtures (tests/fixtures/smbr/, generated with
+raw struct packing by scripts/make_smbr_fixtures.py — bytes this
+module's own IO never produced, incl. DM/CompressedMatrix/text/int-
+vector variants and a byte-for-byte writer equality check). No
+end-to-end run against live Kaldi binaries has been performed — the
+binaries are outside this environment.
 """
 
 from __future__ import annotations

@@ -177,3 +177,89 @@ def test_run_smbr_training_updates_params(tmp_path):
                                 jax.tree.leaves(params)))
     assert moved > 1e-6
     assert (tmp_path / "smbr_epoch0.pkl").exists()
+
+
+# ---------------------------------------------------------------------
+# Real-format fixtures (round-3 VERDICT #7): the committed arks under
+# tests/fixtures/smbr/ were crafted byte-for-byte per Kaldi's specs by
+# scripts/make_smbr_fixtures.py with raw struct packing — NOT via
+# io/kaldi_io.py — so these tests catch reader format drift that the
+# fake-runner round-trips (which parse bytes this code itself wrote)
+# cannot.
+# ---------------------------------------------------------------------
+import os
+
+FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "fixtures", "smbr")
+
+
+def _expected():
+    return np.load(os.path.join(FIXDIR, "expected.npz"))
+
+
+def test_reader_parses_committed_binary_fm_ark():
+    from m3asr_tpu.io.kaldi_io import read_ark
+    exp = _expected()
+    got = dict(read_ark(os.path.join(FIXDIR, "grad.ark")))
+    assert list(got) == ["utt1", "utt2"]
+    np.testing.assert_array_equal(got["utt1"], exp["utt1"])
+    np.testing.assert_array_equal(got["utt2"], exp["utt2"])
+
+
+def test_reader_parses_committed_dm_and_text_arks():
+    from m3asr_tpu.io.kaldi_io import read_ark
+    exp = _expected()
+    got = dict(read_ark(os.path.join(FIXDIR, "grad_dm.ark")))
+    np.testing.assert_allclose(got["uttd"], exp["uttd"], rtol=1e-6)
+    got = dict(read_ark(os.path.join(FIXDIR, "post_text.ark")))
+    np.testing.assert_allclose(got["uttt"], exp["uttt"], atol=1e-6)
+
+
+def test_reader_parses_committed_compressed_matrix():
+    from m3asr_tpu.io.kaldi_io import read_ark
+    exp = _expected()
+    got = dict(read_ark(os.path.join(FIXDIR, "grad_cm.ark")))
+    # u8 percentile quantization: tolerance = range / 63 (coarsest seg)
+    rng_ = float(exp["uttc"].max() - exp["uttc"].min())
+    np.testing.assert_allclose(got["uttc"], exp["uttc"],
+                               atol=rng_ / 63 + 1e-6)
+
+
+def test_reader_parses_committed_int_vector_ark():
+    from m3asr_tpu.io.kaldi_io import read_int_vector_ark
+    exp = _expected()
+    got = dict(read_int_vector_ark(os.path.join(FIXDIR, "trans.ark")))
+    np.testing.assert_array_equal(got["utt1"], exp["trans_utt1"])
+    np.testing.assert_array_equal(got["utt2"], np.zeros((0,), np.int32))
+    np.testing.assert_array_equal(got["utt3"], exp["trans_utt3"])
+
+
+def test_ark_writer_bytes_match_kaldi_spec():
+    """The WRITER side of the drift check: ArkWriter's bytes equal the
+    spec-crafted fixture byte-for-byte (same keys + matrices)."""
+    import io as _io
+    from m3asr_tpu.io.kaldi_io import ArkWriter
+    exp = _expected()
+    buf = _io.BytesIO()
+    w = ArkWriter.__new__(ArkWriter)
+    w.ark = buf
+    w.scp = None
+    w.write("utt1", exp["utt1"])
+    w.write("utt2", exp["utt2"])
+    with open(os.path.join(FIXDIR, "grad.ark"), "rb") as f:
+        assert buf.getvalue() == f.read()
+
+
+def test_bridge_reads_externally_written_gradients(tmp_path):
+    """KaldiLatticeBridge parses a gradient ark it did NOT write: the
+    external 'tool' is a file copy of the committed fixture."""
+    import shutil
+    exp = _expected()
+    bridge = KaldiLatticeBridge(
+        runner=lambda post, grad: shutil.copy(
+            os.path.join(FIXDIR, "grad.ark"), grad))
+    logits = np.zeros((2, 7, 5), np.float32)
+    grads = bridge(["utt1", "utt2"], logits, np.array([7, 4]),
+                   str(tmp_path / "post.ark"), str(tmp_path / "grad.ark"))
+    np.testing.assert_array_equal(grads["utt1"], exp["utt1"])
+    np.testing.assert_array_equal(grads["utt2"], exp["utt2"])
