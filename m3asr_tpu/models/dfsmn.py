@@ -294,12 +294,14 @@ def cfsmn_moe_layer(p, x: jax.Array, embed: jax.Array,
                                                      lengths)
     if moe_impl in ("quant", "quant_tiled", "quant_a8", "quant_a8_tiled",
                     "quant4_pallas", "quant4_tiled", "quant4_a8",
-                    "quant4_a8_tiled"):
+                    "quant4_a8_tiled", "quant_runs", "quant4_runs",
+                    "quant_a8_runs", "quant4_a8_runs"):
         import functools as _ft
 
         from m3asr_tpu.ops import quant as quant_ops
         from m3asr_tpu.ops.pallas_moe_q4 import (
             moe_experts_pallas_q4, moe_experts_pallas_q4_tiled)
+        from m3asr_tpu.ops.pallas_moe_runs import moe_experts_pallas_runs
         dispatch = {"quant": quant_ops.moe_experts_dense_q,
                     "quant_tiled": quant_ops.moe_experts_tiled_q,
                     "quant_a8": quant_ops.moe_experts_dense_w8a8,
@@ -310,6 +312,12 @@ def cfsmn_moe_layer(p, x: jax.Array, embed: jax.Array,
                                              act_quant=True),
                     "quant4_a8_tiled": _ft.partial(
                         moe_experts_pallas_q4_tiled, act_quant=True),
+                    "quant_runs": moe_experts_pallas_runs,
+                    "quant4_runs": moe_experts_pallas_runs,
+                    "quant_a8_runs": _ft.partial(
+                        moe_experts_pallas_runs, act_quant=True),
+                    "quant4_a8_runs": _ft.partial(
+                        moe_experts_pallas_runs, act_quant=True),
                     }[moe_impl]
     else:
         table = {"dense": moe_ops.moe_experts_dense,
@@ -319,7 +327,7 @@ def cfsmn_moe_layer(p, x: jax.Array, embed: jax.Array,
             raise ValueError(
                 f"moe_impl={moe_impl!r} is not supported for the "
                 f"DFSMN-MoE layer; choose one of "
-                f"{sorted(table) + ['quant', 'quant_tiled', 'quant_a8', 'quant_a8_tiled', 'quant4_pallas', 'quant4_tiled', 'quant4_a8', 'quant4_a8_tiled']}")
+                f"{sorted(table) + ['quant', 'quant_tiled', 'quant_a8', 'quant_a8_tiled', 'quant4_pallas', 'quant4_tiled', 'quant4_a8', 'quant4_a8_tiled', 'quant_runs', 'quant4_runs', 'quant_a8_runs', 'quant4_a8_runs']}")
         dispatch = table[moe_impl]
     y = dispatch(p, x, gate_idx, activation=jax.nn.relu,
                  upper_bound=cfg.upper_bound)

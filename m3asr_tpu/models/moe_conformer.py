@@ -127,26 +127,38 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
         # unrolled scheduling, so keep the loop rolled.
         blocks = params["blocks"]
         ff = blocks.get("feed_forward", {})
+        wk = None
         if moe_impl in ("quant4_pallas", "quant4_tiled", "quant4_a8",
-                        "quant4_a8_tiled") and "w1_q4" in ff:
-            # packed-int4 Pallas path: scanning over the STACKED packed
-            # weights would materialize a 16 MB dynamic-slice copy per
-            # layer ahead of the custom call (measured +0.42 ms/18L —
-            # scripts/repro_q4_scan_copy.py). Keep w1_q4/w2_q4 OUT of
-            # the scan xs; the kernel DMAs rows layer*E + chunk from
-            # the full stacked array via a carried layer index.
-            w1s, w2s = ff["w1_q4"], ff["w2_q4"]
+                        "quant4_a8_tiled", "quant4_runs",
+                        "quant4_a8_runs") and "w1_q4" in ff:
+            wk = ("w1_q4", "w2_q4")
+        elif moe_impl in ("quant_runs", "quant_a8_runs") and \
+                "w1_q" in ff:
+            # int8 run-length kernel: same rule — an XLA-side scan
+            # slice of the stacked (L, E, d, h) int8 weights would
+            # materialize a 33 MB copy per layer ahead of the custom
+            # call; keep them out of the xs and index inside the DMA
+            wk = ("w1_q", "w2_q")
+        if wk is not None:
+            # Pallas streaming kernels: scanning over the STACKED
+            # weights would materialize a 16-33 MB dynamic-slice copy
+            # per layer ahead of the custom call (measured
+            # +0.42 ms/18L — scripts/repro_q4_scan_copy.py). Keep the
+            # expert weights OUT of the scan xs; the kernel DMAs rows
+            # layer*E + chunk from the full stacked array via a
+            # carried layer index.
+            w1s, w2s = ff[wk[0]], ff[wk[1]]
             xs_blocks = dict(blocks)
             xs_blocks["feed_forward"] = {
-                k: v for k, v in ff.items()
-                if k not in ("w1_q4", "w2_q4")}
+                k: v for k, v in ff.items() if k not in wk}
             idxs = jnp.arange(w1s.shape[0], dtype=jnp.int32)
 
             def body_q4(h, xs):
                 block_p, l = xs
                 bp = dict(block_p)
                 bp["feed_forward"] = dict(block_p["feed_forward"],
-                                          w1_q4=w1s, w2_q4=w2s, _layer=l)
+                                          _layer=l,
+                                          **{wk[0]: w1s, wk[1]: w2s})
                 return body(h, bp)
 
             x, (hiddens, router_ps) = jax.lax.scan(

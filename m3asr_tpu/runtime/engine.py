@@ -119,7 +119,11 @@ _INT8_IMPL = {"dense": "quant", "capacity": "quant_capacity",
               "quant4_pallas": "quant4_pallas",
               "quant4_tiled": "quant4_tiled",
               "quant4_a8": "quant4_a8",
-              "quant4_a8_tiled": "quant4_a8_tiled"}
+              "quant4_a8_tiled": "quant4_a8_tiled",
+              "quant_runs": "quant_runs",
+              "quant_a8_runs": "quant_a8_runs",
+              "quant4_runs": "quant4_runs",
+              "quant4_a8_runs": "quant4_a8_runs"}
 
 
 def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
@@ -133,6 +137,10 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
     unpacked bf16 weights in HBM and loses to int8 (measured 1.41 vs
     0.73 ms/18L at 64 tokens), while the kernel keeps bytes packed
     into VMEM and wins (0.65 ms, chunk=4)."""
+    if int4 and requested in ("quant4_runs", "quant4_a8_runs"):
+        # explicit run-length kernel request honored on every backend
+        # (interpret mode off-TPU); see ops/pallas_moe_runs.py
+        return requested
     if int4 and requested in ("auto", "dense", "quant", "pallas",
                               "quant_pallas", "quant4_pallas",
                               "tiled", "quant_tiled", "quant4_tiled",
@@ -188,7 +196,9 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
             a8 = {"auto": None, "dense": "quant_a8", "quant": "quant_a8",
                   "quant_a8": "quant_a8", "tiled": "quant_a8_tiled",
                   "quant_tiled": "quant_a8_tiled",
-                  "quant_a8_tiled": "quant_a8_tiled"}
+                  "quant_a8_tiled": "quant_a8_tiled",
+                  "quant_runs": "quant_a8_runs",
+                  "quant_a8_runs": "quant_a8_runs"}
             if requested not in a8:
                 raise ValueError(
                     f"moe_impl={requested!r} has no w8a8 twin; choose "

@@ -20,6 +20,7 @@ from m3asr_tpu.ops import moe as moe_ops
 from m3asr_tpu.ops import quant as quant_ops
 from m3asr_tpu.ops.pallas_moe_q4 import (moe_experts_pallas_q4,
                                          moe_experts_pallas_q4_tiled)
+from m3asr_tpu.ops.pallas_moe_runs import moe_experts_pallas_runs
 
 E, D, H = 32, 512, 1024
 
@@ -150,16 +151,48 @@ def main(args):
             "w8a8_xla_tiled": (qp8, lambda pp, xv, g: quant_ops
                                .moe_experts_tiled_w8a8(pp, xv, g,
                                                        tile=128)),
+            # run-length kernels: ONE grid step, chunked weight DMA,
+            # top-1 compute over per-expert tile runs (round-4 mid-band
+            # lever — see ops/pallas_moe_runs.py)
+            "int4_runs_t64": (qp4, lambda pp, xv, g:
+                              moe_experts_pallas_runs(pp, xv, g,
+                                                      tile=64)),
+            "int4_runs_t128": (qp4, lambda pp, xv, g:
+                               moe_experts_pallas_runs(pp, xv, g,
+                                                       tile=128)),
+            "w4a8_runs_t64": (qp4, lambda pp, xv, g:
+                              moe_experts_pallas_runs(
+                                  pp, xv, g, tile=64, act_quant=True)),
+            "w4a8_runs_t128": (qp4, lambda pp, xv, g:
+                               moe_experts_pallas_runs(
+                                   pp, xv, g, tile=128,
+                                   act_quant=True)),
+            "int8_runs_t64": (qp8, lambda pp, xv, g:
+                              moe_experts_pallas_runs(pp, xv, g,
+                                                      tile=64)),
+            "int8_runs_t128": (qp8, lambda pp, xv, g:
+                               moe_experts_pallas_runs(pp, xv, g,
+                                                       tile=128)),
+            "w8a8_runs_t64": (qp8, lambda pp, xv, g:
+                              moe_experts_pallas_runs(
+                                  pp, xv, g, tile=64, act_quant=True)),
+            "w8a8_runs_t128": (qp8, lambda pp, xv, g:
+                               moe_experts_pallas_runs(
+                                   pp, xv, g, tile=128,
+                                   act_quant=True)),
         }
         if args.impls:
             impls = {k: v for k, v in impls.items() if k in args.impls}
 
-        # one-shot correctness probe on chip
+        # one-shot correctness probe on chip (kernel impls only; the
+        # reference matches the impl's weight format)
         ref = quant_ops.moe_experts_dense_q(qp4, x, gi)
+        ref8 = quant_ops.moe_experts_dense_q(qp8, x, gi)
         for name, (pp, fn) in impls.items():
-            if "pallas" not in name:
+            if "pallas" not in name and "runs" not in name:
                 continue
-            err = float(jnp.max(jnp.abs(fn(pp, x, gi) - ref)))
+            want = ref8 if pp is qp8 else ref
+            err = float(jnp.max(jnp.abs(fn(pp, x, gi) - want)))
             print(json.dumps({f"maxerr/{name}/{n_tokens}": err}),
                   flush=True)
 

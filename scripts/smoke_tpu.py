@@ -16,6 +16,7 @@ Exit code 0 = all kernels compiled + ran + numerics within tolerance.
 Runs warm in <2 min with the persistent compile cache.
 """
 
+import argparse
 import json
 import os
 import subprocess
@@ -44,6 +45,14 @@ def _git_state():
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="substring filter on kernel names (e.g. "
+                         "'runs' to gate just the runs kernels); the "
+                         "ledger row records the filter")
+    ap.add_argument("--shapes", nargs="*", default=None,
+                    help="subset of shape tags (small, mid)")
+    flt = ap.parse_args()
     cache = os.environ.get("M3ASR_BENCH_CACHE",
                            os.path.join(REPO, ".bench_cache"))
     jax.config.update("jax_compilation_cache_dir", cache)
@@ -62,6 +71,7 @@ def main():
                                           moe_experts_pallas_q)
     from m3asr_tpu.ops.pallas_moe_q4 import (moe_experts_pallas_q4,
                                              moe_experts_pallas_q4_tiled)
+    from m3asr_tpu.ops.pallas_moe_runs import moe_experts_pallas_runs
     from m3asr_tpu.ops.pallas_attention import flash_attention_bhtd
 
     key = jax.random.PRNGKey(0)
@@ -100,10 +110,22 @@ def main():
                 qp4, x, gi, tile=128, memoize=False), ref, 5e-2),
             "int8_stream": (lambda: moe_experts_pallas_q(
                 qp8, x, gi), ref8, 5e-2),
+            "int4_runs_t64": (lambda: moe_experts_pallas_runs(
+                qp4, x, gi, tile=64), ref, 5e-2),
+            "w4a8_runs_t64": (lambda: moe_experts_pallas_runs(
+                qp4, x, gi, tile=64, act_quant=True), ref, 1.5e-1),
+            "int8_runs_t64": (lambda: moe_experts_pallas_runs(
+                qp8, x, gi, tile=64), ref8, 5e-2),
+            "w8a8_runs_t64": (lambda: moe_experts_pallas_runs(
+                qp8, x, gi, tile=64, act_quant=True), ref8, 1.5e-1),
             "bf16_stream": (lambda: moe_experts_dense_pallas(
                 pf, x, gi), None, None),
         }
+        if flt.shapes and tag not in flt.shapes:
+            continue
         for name, (fn, want, tol) in kernels.items():
+            if flt.only and not any(s in name for s in flt.only):
+                continue
             t0 = time.perf_counter()
             try:
                 out = np.asarray(jax.jit(fn)(), np.float32)
@@ -145,6 +167,8 @@ def main():
     head, dirty = _git_state()
     row = {"kind": "smoke_tpu", "head": head, "dirty": dirty,
            "backend": backend, "pass": not failed, "results": results}
+    if flt.only or flt.shapes:
+        row["filter"] = {"only": flt.only, "shapes": flt.shapes}
     os.makedirs(os.path.dirname(LEDGER), exist_ok=True)
     with open(LEDGER, "a") as f:
         f.write(json.dumps(row) + "\n")
