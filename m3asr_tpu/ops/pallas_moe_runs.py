@@ -71,7 +71,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from m3asr_tpu.ops.common import swish
-from m3asr_tpu.ops.pallas_moe_q4 import _asr4, _quant_rows
+from m3asr_tpu.ops.pallas_moe_q4 import (_asr4, _group_matmul_packed,
+                                         _group_matmul_packed_s8,
+                                         _quant_rows)
 
 
 def _unpack_q4_plane(pblk, dst, G, gs):
@@ -129,7 +131,7 @@ def _plane_matmul(xg, plane, srow, G, gs, prec):
 def _runs_kernel(*refs, fmt: str, n_experts: int, chunk: int,
                  tile: int, g1: int, g2: int, use_b2: bool,
                  activation=swish, upper_bound=None, a8: bool,
-                 stacked: bool):
+                 stacked: bool, factored: bool = False):
     """See module docstring. refs layout:
     [starts (1, E+1) SMEM, active (1, E/chunk) SMEM,
      (layer (1, 1) SMEM if stacked), x (Npad, d) VMEM,
@@ -153,10 +155,12 @@ def _runs_kernel(*refs, fmt: str, n_experts: int, chunk: int,
     gs1 = d // g1
     gs2 = hdim // g2
     q4 = fmt == "q4"
-    # scratch planes: q4 always unpacks into planes; q8 weight-only
-    # dequantizes into planes; q8 + a8 (w8a8) runs s8 dots straight off
-    # the DMA buffer and needs none.
-    planes = q4 or not a8
+    # scratch planes: q4 unpacks into planes unless factored (which
+    # computes straight off the packed block with half-width dots —
+    # cheaper per byte when each expert owns ~one tile); q8
+    # weight-only dequantizes into planes; q8 + a8 (w8a8) runs s8 dots
+    # straight off the DMA buffer and needs none.
+    planes = (q4 and not factored) or (not q4 and not a8)
     pdt = jnp.int8 if (q4 and a8) else cdt
 
     def body(w1_buf, w2_buf, sem1, sem2, plane1=None, plane2=None):
@@ -204,14 +208,28 @@ def _runs_kernel(*refs, fmt: str, n_experts: int, chunk: int,
                 s1r = srow(s1_ref, g1)
                 s2r = srow(s2_ref, g2)
 
+                if q4 and factored:
+                    # half-row scale reads for the factored dots (the
+                    # dense kernel's exact pattern: static column
+                    # slices on the ref, dynamic row)
+                    def rdh(sref, G, e=e):
+                        h2 = sref.shape[-1] // 2
+
+                        def read(g):
+                            row = pl.ds(e * G + g, 1)
+                            return sref[row, :h2], sref[row, h2:]
+                        return read
+                    r1h = rdh(s1_ref, g1)
+                    r2h = rdh(s2_ref, g2)
+
                 @pl.when(t1 > t0)
                 def _():
-                    if q4:
+                    if q4 and not factored:
                         _unpack_q4_plane(w1_buf[slot * chunk + j],
                                          w1p, g1, gs1)
                         _unpack_q4_plane(w2_buf[slot * chunk + j],
                                          w2p, g2, gs2)
-                    elif not a8:
+                    elif not q4 and not a8:
                         # int8 weight-only: convert the block to the
                         # compute dtype once per expert (pure convert —
                         # the per-column scale rides the dot partials,
@@ -227,7 +245,11 @@ def _runs_kernel(*refs, fmt: str, n_experts: int, chunk: int,
                     xg = x_ref[pl.ds(row, tile), :]
                     if a8:
                         xq, xs = _quant_rows(xg)
-                        if q4:
+                        if q4 and factored:
+                            h = _group_matmul_packed_s8(
+                                xq, w1_buf[slot * chunk + j], r1h,
+                                g1, gs1) * xs
+                        elif q4:
                             h = _plane_matmul(xq, w1p[...], s1r,
                                               g1, gs1, prec) * xs
                         else:
@@ -236,6 +258,10 @@ def _runs_kernel(*refs, fmt: str, n_experts: int, chunk: int,
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
                             h = t32.astype(jnp.float32) * xs * s1r(0)
+                    elif q4 and factored:
+                        h = _group_matmul_packed(
+                            xg, w1_buf[slot * chunk + j], r1h,
+                            g1, gs1, cdt, prec)
                     else:
                         h = _plane_matmul(xg, w1p[...], s1r,
                                           g1, gs1, prec)
@@ -245,7 +271,11 @@ def _runs_kernel(*refs, fmt: str, n_experts: int, chunk: int,
                         h = jnp.minimum(h, jnp.float32(upper_bound))
                     if a8:
                         hq, hs = _quant_rows(h)
-                        if q4:
+                        if q4 and factored:
+                            y = _group_matmul_packed_s8(
+                                hq, w2_buf[slot * chunk + j], r2h,
+                                g2, gs2) * hs
+                        elif q4:
                             y = _plane_matmul(hq, w2p[...], s2r,
                                               g2, gs2, prec) * hs
                         else:
@@ -254,6 +284,10 @@ def _runs_kernel(*refs, fmt: str, n_experts: int, chunk: int,
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
                             y = t32.astype(jnp.float32) * hs * s2r(0)
+                    elif q4 and factored:
+                        y = _group_matmul_packed(
+                            h.astype(cdt), w2_buf[slot * chunk + j],
+                            r2h, g2, gs2, cdt, prec)
                     else:
                         y = _plane_matmul(h.astype(cdt), w2p[...], s2r,
                                           g2, gs2, prec)
@@ -288,6 +322,7 @@ def moe_experts_pallas_runs(p, x: jax.Array, gate_idx: jax.Array,
                             upper_bound=None,
                             layer=None,
                             act_quant: bool = False,
+                            factored: bool | None = None,
                             interpret: bool | None = None) -> jax.Array:
     """Top-1 expert outputs via the run-length kernel. Accepts either
     packed-int4 params (quantize_moe_params(bits=4): w1_q4/w2_q4 +
@@ -351,8 +386,16 @@ def moe_experts_pallas_runs(p, x: jax.Array, gate_idx: jax.Array,
         chunk = 1
     n_chunks = E // chunk
     N = B * T
+    # measured defaults (BENCHMARKS.md "Run-length kernels", v5e,
+    # same-process sweep at 255/511/1499 tokens): int4/w4a8 run the
+    # FACTORED half-width dots off the packed block at tile 64
+    # (1.49/1.46/2.45 ms/18L vs plane-unpack 1.80/2.11/3.33 and t128f
+    # 2.12/2.42/2.91); int8 wants tile 32 (1.31/1.73/2.65 vs t64
+    # 1.61/1.78/2.73); w8a8 tile 64 (1.71/1.44/2.39).
+    if factored is None:
+        factored = q4
     if tile is None:
-        tile = 64
+        tile = 64 if (q4 or act_quant) else 32
     from m3asr_tpu.ops.moe import _tile_layout
     flat_e = gate_idx.reshape(N)
     order, slot, n_tiles, _ = _tile_layout(flat_e, N, E, tile)
@@ -371,7 +414,8 @@ def moe_experts_pallas_runs(p, x: jax.Array, gate_idx: jax.Array,
                                chunk=chunk, tile=tile, g1=g1, g2=g2,
                                use_b2=use_b2, activation=activation,
                                upper_bound=upper_bound, a8=act_quant,
-                               stacked=stacked)
+                               stacked=stacked,
+                               factored=factored and q4)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)       # noqa: E731

@@ -100,6 +100,11 @@ MOE_DENSE_TOKEN_THRESHOLD = 512          # same crossover, every dtype
 # behaviorally identical; 128 is used for both int4 families.
 MOE_Q4_DENSE_TOKEN_THRESHOLD = 128       # weight-only int4 kernel
 MOE_W4A8_DENSE_TOKEN_THRESHOLD = 128     # w4a8 kernel (s8 temps)
+# int8/w8a8: XLA dense wins the weight-bound small buckets (0.83
+# ms/18L at 64 tokens vs runs-t32 0.97); the run-length kernel wins
+# from the 255 bucket up (1.31/1.73/2.65 vs XLA dense 1.61@255 /
+# tiled 4.59@1499) — r4 sweep, BENCHMARKS.md "Run-length kernels"
+MOE_Q8_RUNS_TOKEN_THRESHOLD = 128
 
 # int8 engines quantize the expert tensors at init, so only the quant
 # impls can run; explicit impl choices map onto their quant twins.
@@ -160,10 +165,14 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
             if on_tpu:
                 if requested in ("tiled", "quant_tiled"):
                     return "quant4_a8_tiled"
+                # auto: dense kernel in the weight-bound small-token
+                # regime, run-length kernel beyond (r4: w4a8 runs
+                # factored-t64 1.69/1.79/2.52 ms/18L at 255/511/1499
+                # vs tiled-64 2.12@511 / tiled-128 3.54@1499)
                 return ("quant4_a8"
                         if requested != "auto"
                         or tokens <= MOE_W4A8_DENSE_TOKEN_THRESHOLD
-                        else "quant4_a8_tiled")
+                        else "quant4_a8_runs")
             return ("quant" if tokens <= MOE_DENSE_TOKEN_THRESHOLD
                     else "quant_tiled")
         if requested == "quant4_tiled":
@@ -185,10 +194,15 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
                 return "quant_tiled"
             return "quant4_tiled"
         if on_tpu:
+            # auto: dense streamer keeps the weight-bound small-token
+            # regime (0.57 ms/18L at 64 tokens vs runs 0.80); the
+            # run-length kernel owns everything beyond (r4 factored
+            # t64: 1.49/1.46/2.45 ms/18L at 255/511/1499 vs tiled-64
+            # 2.17@255, 2.42@511 / tiled-128 3.72@1499)
             return ("quant4_pallas"
                     if requested != "auto"
                     or tokens <= MOE_Q4_DENSE_TOKEN_THRESHOLD
-                    else "quant4_tiled")
+                    else "quant4_runs")
         return ("quant" if tokens <= MOE_DENSE_TOKEN_THRESHOLD
                 else "quant_tiled")
     if int8:
@@ -205,15 +219,16 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
                     f"one of {sorted(k for k in a8 if k != 'auto')}")
             if requested != "auto":
                 return a8[requested]
-            # measured round 9 (after the bench mapping fix): w8a8
-            # dense wins the compute-bound dense regime (1x2048:
-            # 5.13 vs 6.03 ms weight-only), but w8a8-tiled never beats
-            # weight-only tiled (stage 9.1 vs 7.7; full model 23.3 vs
-            # 22.4 at 8x2048, 17.07 vs 17.02 at 1x6000) — the tile
-            # gather already moves int8 bytes and the extra
-            # quantize_act passes don't pay. act_quant engines
-            # therefore fall back to weight-only tiled past the dense
-            # threshold.
+            # r4: the run-length kernel retires the round-9 tiled
+            # fallback on TPU — w8a8 runs-t64 wins every measured
+            # point past the small buckets (1.71/1.44/2.39 ms/18L at
+            # 255/511/1499 vs w8a8-tiled 3.57@511 / weight-only tiled
+            # 4.59@1499). Off-TPU the old policy stands.
+            import jax
+            if jax.default_backend() == "tpu":
+                return ("quant_a8"
+                        if tokens <= MOE_Q8_RUNS_TOKEN_THRESHOLD
+                        else "quant_a8_runs")
             return ("quant_a8" if tokens <= MOE_DENSE_TOKEN_THRESHOLD
                     else "quant_tiled")
         if requested != "auto":
@@ -223,7 +238,14 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
                     f"moe_impl={requested!r} cannot run on int8 expert "
                     f"weights; choose one of {sorted(set(_INT8_IMPL))}")
             return impl
-        # dense int8 below the crossover; quant_capacity is opt-in
+        # dense int8 below the crossover; quant_capacity is opt-in.
+        # On TPU the run-length kernel owns everything past the small
+        # buckets (r4: runs-t32 1.31/1.73/2.65 ms/18L at 255/511/1499
+        # vs XLA dense 1.61@255 / tiled 4.59@1499).
+        import jax
+        if jax.default_backend() == "tpu":
+            return ("quant" if tokens <= MOE_Q8_RUNS_TOKEN_THRESHOLD
+                    else "quant_runs")
         return ("quant" if tokens <= MOE_DENSE_TOKEN_THRESHOLD
                 else "quant_tiled")
     if requested != "auto":

@@ -154,6 +154,15 @@ def main(args):
             # run-length kernels: ONE grid step, chunked weight DMA,
             # top-1 compute over per-expert tile runs (round-4 mid-band
             # lever — see ops/pallas_moe_runs.py)
+            "int4_runs_t32": (qp4, lambda pp, xv, g:
+                              moe_experts_pallas_runs(pp, xv, g,
+                                                      tile=32)),
+            "w4a8_runs_t32": (qp4, lambda pp, xv, g:
+                              moe_experts_pallas_runs(
+                                  pp, xv, g, tile=32, act_quant=True)),
+            "int8_runs_t32": (qp8, lambda pp, xv, g:
+                              moe_experts_pallas_runs(pp, xv, g,
+                                                      tile=32)),
             "int4_runs_t64": (qp4, lambda pp, xv, g:
                               moe_experts_pallas_runs(pp, xv, g,
                                                       tile=64)),
@@ -180,6 +189,30 @@ def main(args):
                                moe_experts_pallas_runs(
                                    pp, xv, g, tile=128,
                                    act_quant=True)),
+            # factored runs: half-width dots off the packed block, no
+            # scratch-plane unpack (~6 vs ~11 VPU ops/byte at ~1
+            # tile/expert)
+            "int4_runs_t64f": (qp4, lambda pp, xv, g:
+                               moe_experts_pallas_runs(
+                                   pp, xv, g, tile=64, factored=True)),
+            "w4a8_runs_t64f": (qp4, lambda pp, xv, g:
+                               moe_experts_pallas_runs(
+                                   pp, xv, g, tile=64, act_quant=True,
+                                   factored=True)),
+            "int4_runs_t128f": (qp4, lambda pp, xv, g:
+                                moe_experts_pallas_runs(
+                                    pp, xv, g, tile=128,
+                                    factored=True)),
+            # chunk sweep: fewer, larger weight DMAs
+            "int4_runs_t64c4": (qp4, lambda pp, xv, g:
+                                moe_experts_pallas_runs(
+                                    pp, xv, g, tile=64, chunk=4)),
+            "int8_runs_t64c4": (qp8, lambda pp, xv, g:
+                                moe_experts_pallas_runs(
+                                    pp, xv, g, tile=64, chunk=4)),
+            "int8_runs_t64c8": (qp8, lambda pp, xv, g:
+                                moe_experts_pallas_runs(
+                                    pp, xv, g, tile=64, chunk=8)),
         }
         if args.impls:
             impls = {k: v for k, v in impls.items() if k in args.impls}

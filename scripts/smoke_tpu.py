@@ -112,6 +112,11 @@ def main():
                 qp8, x, gi), ref8, 5e-2),
             "int4_runs_t64": (lambda: moe_experts_pallas_runs(
                 qp4, x, gi, tile=64), ref, 5e-2),
+            "int4_runs_t64f": (lambda: moe_experts_pallas_runs(
+                qp4, x, gi, tile=64, factored=True), ref, 5e-2),
+            "w4a8_runs_t64f": (lambda: moe_experts_pallas_runs(
+                qp4, x, gi, tile=64, factored=True, act_quant=True),
+                ref, 1.5e-1),
             "w4a8_runs_t64": (lambda: moe_experts_pallas_runs(
                 qp4, x, gi, tile=64, act_quant=True), ref, 1.5e-1),
             "int8_runs_t64": (lambda: moe_experts_pallas_runs(

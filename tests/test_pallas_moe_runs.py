@@ -217,3 +217,24 @@ def test_runs_engine_integration():
         assert (out_len == ref_len).all()
         rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
         assert rel < 0.05, (dtype, runs_impl, rel)
+
+
+def test_runs_q4_factored_matches():
+    """factored=True (half-width dots straight off the packed block, no
+    scratch planes) == the default plane path, both weight formats of
+    the q4 family."""
+    qp = _q4_params(jax.random.PRNGKey(60), E=4, D=256, H=512)
+    rng = np.random.RandomState(61)
+    x = jnp.asarray(rng.randn(1, 37, 256), jnp.float32)
+    gate_idx = jnp.asarray(rng.randint(0, 4, (1, 37)), jnp.int32)
+    for aq in (False, True):
+        ref = moe_experts_pallas_runs(qp, x, gate_idx, tile=16, chunk=2,
+                                      act_quant=aq, factored=False,
+                                      interpret=True)
+        got = moe_experts_pallas_runs(qp, x, gate_idx, tile=16, chunk=2,
+                                      act_quant=aq, factored=True,
+                                      interpret=True)
+        # same quantized math, different factorization: the factored
+        # intermediate dots carry ~34x magnitude -> ~1e-4 abs f32 noise
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-3, atol=3e-4)
