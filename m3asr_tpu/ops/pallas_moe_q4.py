@@ -201,11 +201,11 @@ def _q4_kernel(*refs, n_experts: int, chunk: int,
     (an XLA-side dynamic-slice would MATERIALIZE a 16 MB copy per
     layer before the custom call; measured +0.42 ms/18L)."""
     if stacked:
-        (layer_ref, gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         s1_ref, s2_ref, out_ref) = refs
+        (layer_ref, act_ref, gate_ref, x_ref, w1_ref, b1_ref, w2_ref,
+         b2_ref, s1_ref, s2_ref, out_ref) = refs
         e_base = layer_ref[0, 0] * n_experts
     else:
-        (gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+        (act_ref, gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
          s1_ref, s2_ref, out_ref) = refs
         e_base = 0
     x = x_ref[...]
@@ -232,59 +232,76 @@ def _q4_kernel(*refs, n_experts: int, chunk: int,
                 buf.at[pl.ds(slot * chunk, chunk)],
                 sem.at[slot])
 
-        dma(w1_buf, w1_ref, 0, 0, sem1).start()
-        dma(w2_buf, w2_ref, 0, 0, sem2).start()
+        # chunk-skip (round 4): expert chunks that received NO tokens
+        # skip their DMA AND their all-token dots entirely — under
+        # top-1 routing an unrouted expert's masked accumulation adds
+        # exactly zero, so the skip is output-invariant. At the 51-
+        # token headline shape ~6/32 experts are idle even under
+        # uniform routing; real routing is skewed and skips more.
+        @pl.when(act_ref[0, 0] != 0)
+        def _():
+            dma(w1_buf, w1_ref, 0, 0, sem1).start()
+            dma(w2_buf, w2_ref, 0, 0, sem2).start()
         out_ref[...] = jnp.zeros_like(out_ref)
 
         def loop(c, _):
             slot = jax.lax.rem(c, 2)
             nxt = jax.lax.rem(c + 1, 2)
+            # clamp: & does not short-circuit and [0, n_chunks] would
+            # be an out-of-bounds SMEM read on the last chunk
+            nxt_act = act_ref[0, jnp.minimum(c + 1, n_chunks - 1)]
 
-            @pl.when(c + 1 < n_chunks)
+            @pl.when((c + 1 < n_chunks) & (nxt_act != 0))
             def _():
                 dma(w1_buf, w1_ref, nxt, c + 1, sem1).start()
                 dma(w2_buf, w2_ref, nxt, c + 1, sem2).start()
 
-            dma(w1_buf, w1_ref, slot, c, sem1).wait()
-            dma(w2_buf, w2_ref, slot, c, sem2).wait()
+            @pl.when(act_ref[0, c] != 0)
+            def _():
+                dma(w1_buf, w1_ref, slot, c, sem1).wait()
+                dma(w2_buf, w2_ref, slot, c, sem2).wait()
 
-            for j in range(chunk):                     # static unroll
-                e = c * chunk + j
+            @pl.when(act_ref[0, c] != 0)
+            def _():
+                for j in range(chunk):                 # static unroll
+                    e = c * chunk + j
 
-                def rd(sref, G, e=e):
-                    h2 = sref.shape[-1] // 2
+                    def rd(sref, G, e=e):
+                        h2 = sref.shape[-1] // 2
 
-                    def read(g):
-                        row = pl.ds(e * G + g, 1)
-                        return sref[row, :h2], sref[row, h2:]
-                    return read
+                        def read(g):
+                            row = pl.ds(e * G + g, 1)
+                            return sref[row, :h2], sref[row, h2:]
+                        return read
 
-                if a8:
-                    h = _group_matmul_packed_s8(
-                        xq, w1_buf[slot * chunk + j], rd(s1_ref, g1),
-                        g1, gs1) * xs
-                else:
-                    h = _group_matmul_packed(
-                        x, w1_buf[slot * chunk + j], rd(s1_ref, g1),
-                        g1, gs1, cdt, prec)
-                h = h + b1_ref[pl.ds(e, 1), :].astype(jnp.float32)
-                h = activation(h)
-                if upper_bound is not None:   # DFSMN expert clamp
-                    h = jnp.minimum(h, jnp.float32(upper_bound))
-                if a8:
-                    hq, hs = _quant_rows(h)
-                    y = _group_matmul_packed_s8(
-                        hq, w2_buf[slot * chunk + j], rd(s2_ref, g2),
-                        g2, gs2) * hs
-                else:
-                    h = h.astype(cdt)
-                    y = _group_matmul_packed(
-                        h, w2_buf[slot * chunk + j], rd(s2_ref, g2),
-                        g2, gs2, cdt, prec)
-                if use_b2:
-                    y = y + b2_ref[pl.ds(e, 1), :].astype(jnp.float32)
-                sel = gate_ref[...] == e               # (N, 1) 2-D
-                out_ref[...] += jnp.where(sel, y, 0.0).astype(out_ref.dtype)
+                    if a8:
+                        h = _group_matmul_packed_s8(
+                            xq, w1_buf[slot * chunk + j], rd(s1_ref, g1),
+                            g1, gs1) * xs
+                    else:
+                        h = _group_matmul_packed(
+                            x, w1_buf[slot * chunk + j], rd(s1_ref, g1),
+                            g1, gs1, cdt, prec)
+                    h = h + b1_ref[pl.ds(e, 1), :].astype(jnp.float32)
+                    h = activation(h)
+                    if upper_bound is not None:   # DFSMN expert clamp
+                        h = jnp.minimum(h, jnp.float32(upper_bound))
+                    if a8:
+                        hq, hs = _quant_rows(h)
+                        y = _group_matmul_packed_s8(
+                            hq, w2_buf[slot * chunk + j], rd(s2_ref, g2),
+                            g2, gs2) * hs
+                    else:
+                        h = h.astype(cdt)
+                        y = _group_matmul_packed(
+                            h, w2_buf[slot * chunk + j], rd(s2_ref, g2),
+                            g2, gs2, cdt, prec)
+                    if use_b2:
+                        y = y + b2_ref[pl.ds(e, 1), :] \
+                            .astype(jnp.float32)
+                    sel = gate_ref[...] == e           # (N, 1) 2-D
+                    out_ref[...] += jnp.where(sel, y, 0.0) \
+                        .astype(out_ref.dtype)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, loop, 0)
@@ -384,9 +401,16 @@ def moe_experts_pallas_q4(p, x: jax.Array, gate_idx: jax.Array,
                                stacked=stacked, a8=act_quant)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)       # noqa: E731
-    in_specs = [vmem(), vmem(), hbm(), vmem(), hbm(), vmem(),
+    # chunk-skip flags: expert chunks with no routed tokens skip DMA
+    # and compute (masked accumulation of an unrouted expert is zero)
+    n_chunks = E // chunk
+    counts = jnp.bincount(gate_idx.reshape(N), length=E)
+    active = (counts.reshape(n_chunks, chunk).sum(axis=1) > 0) \
+        .astype(jnp.int32).reshape(1, n_chunks)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                vmem(), vmem(), hbm(), vmem(), hbm(), vmem(),
                 vmem(), vmem()]
-    args = [g2d, x2, w1q, b1, w2q, b2, s1, s2]
+    args = [active, g2d, x2, w1q, b1, w2q, b2, s1, s2]
     if stacked:
         in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
         args.insert(0, jnp.asarray(layer, jnp.int32).reshape(1, 1))

@@ -110,6 +110,7 @@ MOE_Q8_RUNS_TOKEN_THRESHOLD = 128
 # impls can run; explicit impl choices map onto their quant twins.
 _INT8_IMPL = {"dense": "quant", "capacity": "quant_capacity",
               "pallas": "quant_pallas", "tiled": "quant_tiled",
+              "runs": "quant_runs",
               "quant": "quant", "quant_capacity": "quant_capacity",
               "quant_pallas": "quant_pallas",
               "quant_tiled": "quant_tiled",
@@ -142,9 +143,11 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
     unpacked bf16 weights in HBM and loses to int8 (measured 1.41 vs
     0.73 ms/18L at 64 tokens), while the kernel keeps bytes packed
     into VMEM and wins (0.65 ms, chunk=4)."""
-    if int4 and requested in ("quant4_runs", "quant4_a8_runs"):
+    if int4 and requested in ("quant4_runs", "quant4_a8_runs", "runs"):
         # explicit run-length kernel request honored on every backend
         # (interpret mode off-TPU); see ops/pallas_moe_runs.py
+        if requested == "runs":
+            return "quant4_a8_runs" if act_quant else "quant4_runs"
         return requested
     if int4 and requested in ("auto", "dense", "quant", "pallas",
                               "quant_pallas", "quant4_pallas",
@@ -211,6 +214,7 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
                   "quant_a8": "quant_a8", "tiled": "quant_a8_tiled",
                   "quant_tiled": "quant_a8_tiled",
                   "quant_a8_tiled": "quant_a8_tiled",
+                  "runs": "quant_a8_runs",
                   "quant_runs": "quant_a8_runs",
                   "quant_a8_runs": "quant_a8_runs"}
             if requested not in a8:
