@@ -364,3 +364,26 @@ def test_q4_model_scan_path_matches_quant():
     assert list(np.asarray(len_ref)) == list(np.asarray(len_got))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-3, atol=2e-3)
+
+
+def test_q4_dense_chunk_skip_routings():
+    """Round-4 chunk-skip: expert chunks with no routed tokens skip
+    DMA and compute — outputs must be identical to mixed routing
+    semantics for one-expert-only and chunk-gap routings (the skipped
+    chunks' contribution is exactly zero under top-1 masking)."""
+    qp = _q4_params(jax.random.PRNGKey(70), E=8, D=32, H=64)
+    rng = np.random.RandomState(71)
+    x = jnp.asarray(rng.randn(1, 19, 32), jnp.float32)
+    for gate in (np.full((1, 19), 5),               # one expert
+                 np.where(np.arange(19) < 9, 0, 7)[None],  # gap chunks
+                 rng.randint(0, 8, (1, 19))):       # mixed
+        gi = jnp.asarray(gate, jnp.int32)
+        for aq in (False, True):
+            ref = _ref_w4a8(qp, x, gi) if aq else \
+                quant.moe_experts_dense_q(qp, x, gi)
+            got = moe_experts_pallas_q4(qp, x, gi, chunk=2,
+                                        act_quant=aq, interpret=True)
+            amax = float(jnp.max(jnp.abs(np.asarray(ref))))
+            tol = 3e-2 * amax / 127 + 1e-4 if aq else 2e-4
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=tol)
