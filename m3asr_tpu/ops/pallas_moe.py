@@ -41,88 +41,131 @@ from jax.experimental.pallas import tpu as pltpu
 from m3asr_tpu.ops.common import swish
 
 
-def _stream_kernel(*refs, use_b2: bool, n_experts: int, quant: bool):
+def _stream_kernel(*refs, use_b2: bool, n_experts: int, quant: bool,
+                   chunk: int = 1):
     """Loop over experts inside ONE invocation, double-buffering the
-    weight DMA. w1_ref/w2_ref live in ANY (HBM); everything else VMEM."""
+    weight DMA in chunks of `chunk` experts (round 4 — the original
+    one-expert-per-copy version reached only ~290 GB/s; chunked copies
+    match the q4 streamer's ~510). Expert chunks that received no
+    tokens (act_ref flags) skip their DMA and their dots entirely —
+    output-invariant under top-1 masked accumulation. w1_ref/w2_ref
+    live in ANY (HBM); everything else VMEM."""
     if quant:
-        (gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, s1_ref, s2_ref,
-         out_ref) = refs
+        (act_ref, gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         s1_ref, s2_ref, out_ref) = refs
     else:
-        gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref = refs
+        (act_ref, gate_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref) = refs
         s1_ref = s2_ref = None
     x = x_ref[...]
     compute_dtype = x.dtype
+    n_chunks = n_experts // chunk
 
     def body(w1_buf, w2_buf, sem1, sem2):
-        def dma(buf, hbm, slot, e, sem):
-            return pltpu.make_async_copy(hbm.at[e], buf.at[slot],
-                                         sem.at[slot])
+        def dma(buf, hbm, slot, c, sem):
+            return pltpu.make_async_copy(
+                hbm.at[pl.ds(c * chunk, chunk)],
+                buf.at[pl.ds(slot * chunk, chunk)],
+                sem.at[slot])
 
-        dma(w1_buf, w1_ref, 0, 0, sem1).start()
-        dma(w2_buf, w2_ref, 0, 0, sem2).start()
+        @pl.when(act_ref[0, 0] != 0)
+        def _():
+            dma(w1_buf, w1_ref, 0, 0, sem1).start()
+            dma(w2_buf, w2_ref, 0, 0, sem2).start()
         out_ref[...] = jnp.zeros_like(out_ref)
 
-        def loop(e, _):
-            slot = jax.lax.rem(e, 2)
-            nxt = jax.lax.rem(e + 1, 2)
+        def loop(c, _):
+            slot = jax.lax.rem(c, 2)
+            nxt = jax.lax.rem(c + 1, 2)
+            # clamp: & does not short-circuit; [0, n_chunks] would be
+            # an out-of-bounds SMEM read on the last chunk
+            nxt_act = act_ref[0, jnp.minimum(c + 1, n_chunks - 1)]
 
-            @pl.when(e + 1 < n_experts)
+            @pl.when((c + 1 < n_chunks) & (nxt_act != 0))
             def _():
-                dma(w1_buf, w1_ref, nxt, e + 1, sem1).start()
-                dma(w2_buf, w2_ref, nxt, e + 1, sem2).start()
+                dma(w1_buf, w1_ref, nxt, c + 1, sem1).start()
+                dma(w2_buf, w2_ref, nxt, c + 1, sem2).start()
 
-            dma(w1_buf, w1_ref, slot, e, sem1).wait()
-            dma(w2_buf, w2_ref, slot, e, sem2).wait()
+            @pl.when(act_ref[0, c] != 0)
+            def _():
+                dma(w1_buf, w1_ref, slot, c, sem1).wait()
+                dma(w2_buf, w2_ref, slot, c, sem2).wait()
 
-            if quant:
-                w1 = (w1_buf[slot].astype(compute_dtype)
-                      * s1_ref[e].astype(compute_dtype))
-                w2 = (w2_buf[slot].astype(compute_dtype)
-                      * s2_ref[e].astype(compute_dtype))
-            else:
-                w1 = w1_buf[slot]
-                w2 = w2_buf[slot]
-            # explicit precision: Mosaic lowers only DEFAULT/HIGHEST,
-            # and an ambient default_matmul_precision("high") (engine
-            # fp32 mode) would otherwise leak into the kernel trace
-            prec = (jax.lax.Precision.HIGHEST
-                    if w1.dtype == jnp.float32
-                    else jax.lax.Precision.DEFAULT)
-            h = jnp.dot(x, w1, preferred_element_type=jnp.float32,
-                        precision=prec)
-            h = h + b1_ref[e][None, :].astype(jnp.float32)
-            h = swish(h).astype(compute_dtype)
-            y = jnp.dot(h, w2, preferred_element_type=jnp.float32,
-                        precision=prec)
-            if use_b2:
-                y = y + b2_ref[e][None, :].astype(jnp.float32)
-            sel = gate_ref[...] == e                     # (N, 1) 2-D
-            out_ref[...] += jnp.where(sel, y, 0.0).astype(out_ref.dtype)
+                for j in range(chunk):                 # static unroll
+                    e = c * chunk + j
+                    if quant:
+                        # s1_ref[e] (1-D row) is the round-2 spelling
+                        # that lowers on chip; a (1, out) 2-D dynamic
+                        # read broadcast against a buffer-derived
+                        # block hits the Mosaic "Invalid input layout"
+                        # vector.broadcast (see pallas_moe_runs.py)
+                        w1 = (w1_buf[slot * chunk + j]
+                              .astype(compute_dtype)
+                              * s1_ref[e].astype(compute_dtype))
+                        w2 = (w2_buf[slot * chunk + j]
+                              .astype(compute_dtype)
+                              * s2_ref[e].astype(compute_dtype))
+                    else:
+                        w1 = w1_buf[slot * chunk + j]
+                        w2 = w2_buf[slot * chunk + j]
+                    # explicit precision: Mosaic lowers only DEFAULT/
+                    # HIGHEST, and an ambient default_matmul_precision
+                    # ("high") (engine fp32 mode) would otherwise leak
+                    # into the kernel trace
+                    prec = (jax.lax.Precision.HIGHEST
+                            if w1.dtype == jnp.float32
+                            else jax.lax.Precision.DEFAULT)
+                    h = jnp.dot(x, w1,
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+                    h = h + b1_ref[pl.ds(e, 1), :].astype(jnp.float32)
+                    h = swish(h).astype(compute_dtype)
+                    y = jnp.dot(h, w2,
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+                    if use_b2:
+                        y = y + b2_ref[pl.ds(e, 1), :] \
+                            .astype(jnp.float32)
+                    sel = gate_ref[...] == e             # (N, 1) 2-D
+                    out_ref[...] += jnp.where(sel, y, 0.0) \
+                        .astype(out_ref.dtype)
             return 0
 
-        jax.lax.fori_loop(0, n_experts, loop, 0)
+        jax.lax.fori_loop(0, n_chunks, loop, 0)
 
     E, d, h = w1_ref.shape
     w_dtype = w1_ref.dtype
     pl.run_scoped(
         body,
-        w1_buf=pltpu.VMEM((2, d, h), w_dtype),
-        w2_buf=pltpu.VMEM((2, h, d), w_dtype),
+        w1_buf=pltpu.VMEM((2 * chunk, d, h), w_dtype),
+        w2_buf=pltpu.VMEM((2 * chunk, h, d), w_dtype),
         sem1=pltpu.SemaphoreType.DMA((2,)),
         sem2=pltpu.SemaphoreType.DMA((2,)),
     )
 
 
 def _call_stream(x2, g2, w1, b1, w2, b2, *, use_b2, quant,
-                 s1=None, s2=None, interpret=False):
+                 s1=None, s2=None, interpret=False, chunk=2):
     Np, d = x2.shape
     E, _, hdim = w1.shape
+    if E % chunk:
+        chunk = 1
+    n_chunks = E // chunk
+    # chunk-skip flags: g2 pads with -1, which bincount ignores via
+    # the clip below (padded rows select no expert)
+    counts = jnp.bincount(jnp.clip(g2.reshape(-1), 0, E - 1)
+                          * (g2.reshape(-1) >= 0)
+                          + (g2.reshape(-1) < 0) * E,
+                          length=E + 1)[:E]
+    active = (counts.reshape(n_chunks, chunk).sum(axis=1) > 0) \
+        .astype(jnp.int32).reshape(1, n_chunks)
     kernel = functools.partial(_stream_kernel, use_b2=use_b2,
-                               n_experts=E, quant=quant)
+                               n_experts=E, quant=quant, chunk=chunk)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)       # noqa: E731
-    in_specs = [vmem(), vmem(), hbm(), vmem(), hbm(), vmem()]
-    args = [g2, x2, w1, b1, w2, b2]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                vmem(), vmem(), hbm(), vmem(), hbm(), vmem()]
+    args = [active, g2, x2, w1, b1, w2, b2]
     if quant:
         in_specs += [vmem(), vmem()]
         args += [s1, s2]
