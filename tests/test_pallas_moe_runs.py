@@ -238,3 +238,34 @@ def test_runs_q4_factored_matches():
         # intermediate dots carry ~34x magnitude -> ~1e-4 abs f32 noise
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-3, atol=3e-4)
+
+
+def test_runs_dfsmn_epilogue():
+    """relu + upper_bound clamp (the DFSMN-MoE expert epilogue) through
+    all four runs variants — on-TPU auto policy routes DFSMN int8/int4
+    engines here past 128 tokens."""
+    import functools
+    qp4 = _q4_params(jax.random.PRNGKey(80))
+    qp8 = _q8_params(jax.random.PRNGKey(81))
+    rng = np.random.RandomState(82)
+    x = jnp.asarray(rng.randn(1, 15, 32) * 3, jnp.float32)
+    gate_idx = jnp.asarray(rng.randint(0, 4, (1, 15)), jnp.int32)
+    ub = 0.4
+    for p in (qp4, qp8):
+        ref = quant.moe_experts_dense_q(p, x, gate_idx,
+                                        activation=jax.nn.relu,
+                                        upper_bound=ub)
+        for aq in (False, True):
+            got = moe_experts_pallas_runs(p, x, gate_idx, tile=8,
+                                          chunk=2,
+                                          activation=jax.nn.relu,
+                                          upper_bound=ub,
+                                          act_quant=aq,
+                                          interpret=True)
+            # a8 vs the weight-only reference: the divergence is the
+            # 127-level activation grid itself (~amax_h/127 through
+            # the second matmul — measured 2.5e-3 here), not kernel
+            # error; weight-only is exact to f32 rounding
+            tol = 6e-3 if aq else 2e-4
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(ref), atol=tol)
