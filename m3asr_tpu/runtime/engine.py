@@ -252,6 +252,11 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
                     else "quant_runs")
         return ("quant" if tokens <= MOE_DENSE_TOKEN_THRESHOLD
                 else "quant_tiled")
+    if requested == "runs":
+        # the run-length kernel family is quant-only (packed expert
+        # weights); the float legs of a `--impl runs` ladder take the
+        # measured float auto policy instead of crashing in dispatch
+        return ("dense" if tokens <= MOE_DENSE_TOKEN_THRESHOLD else "tiled")
     if requested != "auto":
         return requested
     return ("dense" if tokens <= MOE_DENSE_TOKEN_THRESHOLD else "tiled")

@@ -40,7 +40,7 @@ def main(args):
             l, ms = pair.split("=")
             cost_table[int(l)] = float(ms)
     rep = tune_report(lengths, args.k, align=args.align,
-                      cost_table=cost_table)
+                      cost_table=cost_table, mode=args.mode)
     print(json.dumps(rep))
     ladder = rep["ladder"]
     batches = [int(b) for b in args.batches.split(",")]
@@ -60,4 +60,9 @@ if __name__ == "__main__":
     p.add_argument("--batches", default="1,2,4,8")
     p.add_argument("--cost", action="append",
                    help="L=ms measured rows to refit the cost model")
+    p.add_argument("--mode", default="float32",
+                   choices=["float32", "bfloat16", "int8", "w8a8",
+                            "int4", "w4a8"],
+                   help="serving mode whose measured cost curve to use "
+                        "(bucket_tuner.MODE_FITS; ignored with --cost)")
     main(p.parse_args())

@@ -69,3 +69,31 @@ def test_pallas_quantized_matches_xla_quant_path():
     got = pallas_moe.moe_experts_pallas_q(q, x, gate_idx, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_stream_chunk_skip_routings():
+    """Round-4 chunk-skip retrofit on the bf16/int8 streamers: expert
+    chunks with no routed tokens skip DMA and compute — outputs must
+    match mixed-routing semantics for one-expert-only and chunk-gap
+    routings (mirrors test_q4_dense_chunk_skip_routings for the q4
+    kernel; ADVICE r4: this branch was untested on these kernels)."""
+    from m3asr_tpu.ops.quant import moe_experts_dense_q, quantize_moe_params
+    key = jax.random.PRNGKey(70)
+    p = moe.init_moe_ffn(key, 16, 8, 8, 32)
+    p["w1"] = jax.random.normal(jax.random.PRNGKey(71), p["w1"].shape) * 0.1
+    p["w2"] = jax.random.normal(jax.random.PRNGKey(72), p["w2"].shape) * 0.1
+    q = quantize_moe_params(p)
+    rng = np.random.RandomState(73)
+    x = jnp.asarray(rng.randn(1, 19, 16), jnp.float32)
+    for gate in (np.full((1, 19), 5),                      # one expert
+                 np.where(np.arange(19) < 9, 0, 7)[None],  # gap chunks
+                 rng.randint(0, 8, (1, 19))):              # mixed
+        gi = jnp.asarray(gate, jnp.int32)
+        ref = moe.moe_experts_dense(p, x, gi)
+        got = pallas_moe.moe_experts_dense_pallas(p, x, gi, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        ref_q = moe_experts_dense_q(q, x, gi)
+        got_q = pallas_moe.moe_experts_pallas_q(q, x, gi, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
+                                   rtol=1e-4, atol=1e-4)
