@@ -88,16 +88,30 @@ def test_exported_engine_corrupt_blob_falls_back(tmp_path):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
-def test_export_rejects_sharded_engine():
-    raw, cfg, params, _, _ = _setup()
+def test_export_sharded_engine_roundtrip(tmp_path):
+    """ep x tp-sharded engines export WITH their shardings (round-4
+    VERDICT #8): the artifact records the GSPMD partitioning; on load
+    the engine rebuilds the same-shape mesh from engine.json's ep/tp,
+    re-shards params, and runs the exported call with no retracing.
+    Outputs must equal the single-device engine's."""
+    raw, cfg, params, feat, fl = _setup()
     import jax
-    if len(jax.devices()) < 2:
+    if len(jax.devices()) < 4:
         pytest.skip("needs the 8-device virtual mesh")
-    eng = Engine(cfg, params,
-                 EngineConfig(bucket_lengths=(64,), bucket_batches=(1,),
-                              donate_input=False, ep=2))
-    with pytest.raises(NotImplementedError, match="sharded"):
-        eng.export_bucket(1, 64)
+    ecfg = dict(bucket_lengths=(64,), bucket_batches=(2,),
+                donate_input=False)
+    ref, ref_len = Engine(cfg, params, EngineConfig(**ecfg)).infer(feat, fl)
+    eng = Engine(cfg, params, EngineConfig(ep=2, tp=2, **ecfg))
+    eng.save(str(tmp_path / "eng"), raw_yaml=raw,
+             export_platforms=("cpu",))
+    assert os.path.exists(tmp_path / "eng" / "exported" / "2x64.jaxexp")
+
+    eng2 = Engine.load(str(tmp_path / "eng"))
+    assert eng2.mesh is not None  # rebuilt from engine.json ep/tp
+    assert eng2._exported_fn(2, 64) is not None
+    out, out_len = eng2.infer(feat, fl)
+    assert (out_len == ref_len).all()
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.slow
