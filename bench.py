@@ -45,7 +45,7 @@ def bench_e2e(engine, feat, feat_len, iters):
 _PARAM_CACHE = {}
 
 
-def staged_params(params, dtype):
+def staged_params(params, dtype, dense_quant=False, fuse_qkv=False):
     """Cast/quantize + device-stage the flagship params ONCE per weight
     format — the ladder's six modes share four formats (int8/w8a8 and
     int4/w4a8 share their quantized trees), and re-pushing 1-2.3 GB
@@ -53,8 +53,9 @@ def staged_params(params, dtype):
     import jax
     import jax.numpy as jnp
 
-    if dtype in _PARAM_CACHE:
-        return _PARAM_CACHE[dtype]
+    key = (dtype, dense_quant, fuse_qkv)
+    if key in _PARAM_CACHE:
+        return _PARAM_CACHE[key]
     jdtype = jnp.float32 if dtype == "float32" else jnp.bfloat16
     p = jax.tree.map(lambda a: jnp.asarray(a, jdtype)
                      if np.issubdtype(np.asarray(a).dtype, np.floating)
@@ -67,14 +68,26 @@ def staged_params(params, dtype):
         blocks["feed_forward"] = quantize_moe_params(
             blocks["feed_forward"], bits=4 if dtype == "int4" else 8)
         p["blocks"] = blocks
+    if fuse_qkv:
+        # one (D, 3D) qkv matmul + one 2*Dk-contraction score dot per
+        # block (EngineConfig.fuse_qkv); fuse BEFORE dense quant so the
+        # fused kernel quantizes per-column
+        from m3asr_tpu.ops.attention import fuse_qkv_params
+        p = fuse_qkv_params(p)
+    if dense_quant:
+        # weight-only int8 dense (non-expert) weights — halves the
+        # bf16 dense stream (EngineConfig.dense_quant)
+        from m3asr_tpu.ops.quant import quantize_dense_params
+        p = quantize_dense_params(p)
     p = jax.device_put(p)
     jax.block_until_ready(p)
-    _PARAM_CACHE[dtype] = p
+    _PARAM_CACHE[key] = p
     return p
 
 
 def bench_device(cfg, params, feat, feat_len, dtype, moe_impl, iters,
-                 k=8, fp32_precision="high", attn_impl="xla"):
+                 k=8, fp32_precision="high", attn_impl="xla",
+                 dense_quant=False, fuse_qkv=False):
     """Device-execution latency, excluding host<->device transfer and
     the test harness's RPC round-trip (~27 ms/fetch here). Matches what
     the reference times: execute_v2 between pre-staged device buffers
@@ -91,7 +104,7 @@ def bench_device(cfg, params, feat, feat_len, dtype, moe_impl, iters,
 
     enc = cfg.encoder_conf
     jdtype = jnp.float32 if dtype == "float32" else jnp.bfloat16
-    p = staged_params(params, dtype)
+    p = staged_params(params, dtype, dense_quant, fuse_qkv)
     if dtype in ("int8", "int4"):
         from m3asr_tpu.runtime.engine import _INT8_IMPL
         # map a float-family name (e.g. --impl dense) onto its quant
@@ -228,7 +241,8 @@ def main(args):
         impl = pick_impl(dtype, act_quant, b)
         dev_ms, call_ms = bench_device(
             cfg, params, pf, fl, dtype, impl, iters,
-            fp32_precision=args.fp32_precision, attn_impl=args.attn_impl)
+            fp32_precision=args.fp32_precision, attn_impl=args.attn_impl,
+            dense_quant=args.dense_quant, fuse_qkv=args.fuse_qkv)
         return dev_ms, call_ms, impl
 
     if args.dtype != "ladder":
@@ -396,6 +410,13 @@ if __name__ == "__main__":
                         choices=["xla", "flash"],
                         help="flash = Pallas online-softmax attention "
                              "(ops/pallas_attention.py)")
+    parser.add_argument("--fuse_qkv", action="store_true",
+                        help="fused qkv projection + fused rel-pos "
+                             "score dot (EngineConfig.fuse_qkv)")
+    parser.add_argument("--dense_quant", action="store_true",
+                        help="weight-only int8 dense (non-expert) "
+                             "weights in every mode (EngineConfig."
+                             "dense_quant)")
     parser.add_argument("--act_quant", action="store_true",
                         help="int8 only: w8a8 (per-token activation "
                              "quant, s8 x s8 MXU einsums)")

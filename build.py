@@ -85,6 +85,8 @@ def main(args):
     ecfg = EngineConfig(dtype=dtype, use_prior=prior is not None,
                         ep=args.ep, tp=args.tp,
                         act_quant=args.act_quant,
+                        dense_quant=args.dense_quant,
+                        fuse_qkv=args.fuse_qkv,
                         attn_impl=args.attn_impl,
                         decode_output=args.decode_output,
                         decode_topk=args.decode_topk)
@@ -143,6 +145,17 @@ if __name__ == "__main__":
                              "also quantize activations "
                              "per token (s8 x s8 MXU einsums — the "
                              "compute-bound large-batch mode)")
+    parser.add_argument("--fuse_qkv", action="store_true",
+                        help="fuse q/k/v projections into one matmul "
+                             "and the rel-pos ac/bd scores into one "
+                             "2*Dk-contraction dot (not with "
+                             "--attn_impl flash)")
+    parser.add_argument("--dense_quant", action="store_true",
+                        help="weight-only int8 for the dense "
+                             "(non-expert) weights too — attention/"
+                             "FFN/pointwise/out_linear; composes with "
+                             "every dtype (ops.quant."
+                             "quantize_dense_params)")
     parser.add_argument("--int4", action="store_true",
                         help="weight-only int4 experts (group-wise "
                              "scales, ops/quant.py) + bf16 activations")

@@ -65,15 +65,28 @@ def _split_heads(x: jax.Array, h: int) -> jax.Array:
     return x.reshape(B, T, h, D // h)
 
 
+def _qkv(p, query, key, value, h):
+    """Project q/k/v — one fused (D, 3D) matmul when the params carry
+    linear_qkv (ops.attention.fuse_qkv_params, self-attention only:
+    query is key is value), else three (D, D) dots. The fused form
+    feeds the MXU one wide dot instead of three narrow ones."""
+    if "linear_qkv" in p and query is key:
+        qkv = linear(p["linear_qkv"], query)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return (_split_heads(q, h), _split_heads(k, h),
+                _split_heads(v, h))
+    return (_split_heads(linear(p["linear_q"], query), h),
+            _split_heads(linear(p["linear_k"], key), h),
+            _split_heads(linear(p["linear_v"], value), h))
+
+
 def mha(p, query: jax.Array, key: jax.Array, value: jax.Array,
         lengths: Optional[jax.Array], num_heads: int,
         mask: Optional[jax.Array] = None) -> jax.Array:
     """Plain scaled-dot-product MHA (attention.py:114-271).
     Used by the AED decoder (self + cross attention)."""
     h = num_heads
-    q = _split_heads(linear(p["linear_q"], query), h)
-    k = _split_heads(linear(p["linear_k"], key), h)
-    v = _split_heads(linear(p["linear_v"], value), h)
+    q, k, v = _qkv(p, query, key, value, h)
     d_k = q.shape[-1]
     scores = jnp.einsum("bthd,bshd->bhts", q, k,
                         preferred_element_type=jnp.float32)
@@ -104,9 +117,7 @@ def rel_mha(p, x: jax.Array, pos_emb: jax.Array,
     x: (B, T, D); pos_emb: (T, D). Returns (B, T, D).
     """
     h = num_heads
-    q = _split_heads(linear(p["linear_q"], x), h)      # (B,T,H,Dk)
-    k = _split_heads(linear(p["linear_k"], x), h)
-    v = _split_heads(linear(p["linear_v"], x), h)
+    q, k, v = _qkv(p, x, x, x, h)                      # (B,T,H,Dk)
     pp = linear(p["linear_pos"], pos_emb[None])        # (1,T,D)
     pp = _split_heads(pp, h)[0]                        # (T,H,Dk)
 
@@ -114,17 +125,60 @@ def rel_mha(p, x: jax.Array, pos_emb: jax.Array,
     w = p["pos_bias_v"].astype(x.dtype)
     d_k = q.shape[-1]
 
-    matrix_ac = jnp.einsum("bthd,bshd->bhts", q + u[None, None], k,
-                           preferred_element_type=jnp.float32)
-    matrix_bd = jnp.einsum("bthd,shd->bhts", q + w[None, None], pp,
-                           preferred_element_type=jnp.float32)
-    scores = matrix_ac + matrix_bd
+    if "linear_qkv" in p:
+        # fused-score form: ac + bd = [q+u ; q+w] . [k ; pp] over a
+        # 2*Dk contraction — ONE score matmul whose contraction depth
+        # fills the 128-deep MXU at Dk=64 (the reference sketched the
+        # same fusion in its unfinished
+        # incomplete_plugin/rel_pos_qkv_to_context_plugin)
+        q2 = jnp.concatenate([q + u[None, None], q + w[None, None]],
+                             axis=-1)                  # (B,T,H,2Dk)
+        kp = jnp.concatenate(
+            [k, jnp.broadcast_to(pp[None], k.shape)], axis=-1)
+        scores = jnp.einsum("bthd,bshd->bhts", q2, kp,
+                            preferred_element_type=jnp.float32)
+    else:
+        matrix_ac = jnp.einsum("bthd,bshd->bhts", q + u[None, None], k,
+                               preferred_element_type=jnp.float32)
+        matrix_bd = jnp.einsum("bthd,shd->bhts", q + w[None, None], pp,
+                               preferred_element_type=jnp.float32)
+        scores = matrix_ac + matrix_bd
     attn = masked_softmax(scores, lengths, float(d_k) ** -0.5, mask)
     ctx = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v,
                      preferred_element_type=v.dtype)
     B, T = x.shape[:2]
     ctx = ctx.reshape(B, T, -1)
     return linear(p["linear_out"], ctx)
+
+
+def fuse_qkv_params(tree):
+    """Fold every encoder self-attention's linear_q/k/v into one
+    (in, 3*out) linear_qkv (kernels concat on the output axis, biases
+    likewise; works on scan-stacked (L, in, out) kernels). Only nodes
+    NAMED self_attn fuse — decoder cross-attention (query != key) and
+    the streaming/flash paths read the separate weights, so those
+    param trees must not pass through this transform. rel_mha/mha
+    consume linear_qkv transparently; numerics identical up to fp
+    accumulation order. Engine-side, once at build
+    (EngineConfig.fuse_qkv)."""
+    def walk(node, name):
+        if isinstance(node, dict):
+            node = {k: walk(v, k) for k, v in node.items()}
+            if name == "self_attn" and "linear_q" in node \
+                    and "kernel" in node.get("linear_q", {}):
+                parts = [node.pop(n) for n in
+                         ("linear_q", "linear_k", "linear_v")]
+                node["linear_qkv"] = {
+                    "kernel": jnp.concatenate(
+                        [p["kernel"] for p in parts], axis=-1),
+                    "bias": jnp.concatenate(
+                        [p["bias"] for p in parts], axis=-1)}
+            return node
+        if isinstance(node, list):
+            return [walk(v, name) for v in node]
+        return node
+
+    return walk(tree, "")
 
 
 def init_mha(key, d_model: int, dtype=jnp.float32):

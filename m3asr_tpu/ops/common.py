@@ -21,9 +21,18 @@ def linear(p, x: jax.Array) -> jax.Array:
     """y = x @ kernel + bias. kernel is stored (in, out) — the transpose
     of torch's nn.Linear weight, pre-transposed at conversion time like
     the reference does at TRT build time
-    (torch_network_helper.py addLinear:573-614)."""
-    y = jnp.dot(x, p["kernel"].astype(x.dtype),
-                preferred_element_type=x.dtype)
+    (torch_network_helper.py addLinear:573-614).
+
+    kernel_q/kernel_scale (int8 + per-output-column f32, from
+    ops.quant.quantize_dense_params) replaces kernel on dense-quant
+    engines: the convert*scale dequant fuses into the dot's weight
+    operand read, so HBM moves the int8 bytes."""
+    kq = p.get("kernel_q")
+    if kq is not None:
+        w = kq.astype(x.dtype) * p["kernel_scale"].astype(x.dtype)
+    else:
+        w = p["kernel"].astype(x.dtype)
+    y = jnp.dot(x, w, preferred_element_type=x.dtype)
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(x.dtype)
     return y

@@ -339,6 +339,25 @@ class EngineConfig:
     bucket_batches: Tuple[int, ...] = DEFAULT_BATCHES
     moe_impl: str = "auto"  # auto|dense|ragged|capacity|pallas (quant is
                              # implied by dtype="int8")
+    fuse_qkv: bool = False   # fold each block's q/k/v projections into
+                             # one (D, 3D) matmul AND the rel-pos ac/bd
+                             # score pair into one 2*Dk-contraction dot
+                             # (ops.attention.fuse_qkv_params + the
+                             # linear_qkv path in rel_mha) — at Dk=64
+                             # the fused score dot fills the 128-deep
+                             # MXU. Not with attn_impl='flash'; do not
+                             # hand fused params to streaming sessions
+    dense_quant: bool = False  # weight-only int8 for the DENSE
+                             # (non-expert) weights too — attention,
+                             # macaron/embed FFNs, pointwise convs,
+                             # out_linear (ops.quant.
+                             # quantize_dense_params). At the int4
+                             # headline the bf16 dense stream is ~half
+                             # the remaining bytes/pass; this cuts it
+                             # 2x. Composes with every dtype; router/
+                             # depthwise/subsample-conv kernels stay
+                             # float (accuracy-critical or conv-
+                             # consumed)
     act_quant: bool = False  # int8/int4 engines: also quantize
                              # activations per token so the expert
                              # dots run s8 x s8 -> s32 on the MXU
@@ -456,6 +475,29 @@ class Engine:
                 return node
 
             self.params = q(self.params)
+
+        if self.cfg.fuse_qkv:
+            if self.cfg.attn_impl == "flash":
+                raise NotImplementedError(
+                    "fuse_qkv with attn_impl='flash': the Pallas kernel "
+                    "reads the separate q/k/v weights")
+            if self.cfg.ep > 1 or self.cfg.tp > 1:
+                raise NotImplementedError(
+                    "fuse_qkv with ep/tp-sharded serving: the tp "
+                    "head-split rules for the fused qkv kernel are not "
+                    "wired yet")
+            from m3asr_tpu.ops.attention import fuse_qkv_params
+            self.params = fuse_qkv_params(self.params)
+
+        if self.cfg.dense_quant:
+            if self.cfg.ep > 1 or self.cfg.tp > 1:
+                raise NotImplementedError(
+                    "dense_quant with ep/tp-sharded serving: the tp "
+                    "column-split rules for kernel_q/kernel_scale pairs "
+                    "are not wired yet — serve dense-quant engines "
+                    "unsharded or drop dense_quant")
+            from m3asr_tpu.ops.quant import quantize_dense_params
+            self.params = quantize_dense_params(self.params)
 
         # expert-parallel serving: one engine over an ep-device mesh
         # (the sharded-serving config the reference's single-GPU TRT

@@ -75,6 +75,74 @@ def flops_pass(tokens, params_n):
     return 2.0 * params_n * tokens
 
 
+def flops_model(cfg, frames: int, batch: int, dispatch: str):
+    """Honest per-pass FLOPs of the flagship forward (round-4 VERDICT
+    #3 — the dense-equivalent 2*P*N over-counts top-1 quant modes by
+    ~E x on the expert stage and misses the subsampling convs and the
+    O(T^2) attention terms entirely). dispatch: 'dense' (all E experts
+    computed per token, the fp32/bf16 XLA path) | 'top1' (the
+    quantized kernels' per-token single expert).
+
+    Returns (total_flops, breakdown dict)."""
+    enc = cfg.encoder_conf
+    d = enc.attention_dim
+    L = enc.num_blocks
+    E = enc.moe_conf.total_experts
+    hid = enc.moe_conf.hidden_units
+    emb = enc.embed_conf
+    F = cfg.input_dim
+
+    t1 = (frames - 1) // 2  # after conv0 (k3 s2 valid)
+    tok = (t1 - 1) // 2     # after conv1
+    f1 = (F - 1) // 2
+    f2 = (f1 - 1) // 2
+    N = batch * tok
+
+    def sub_flops(odim):
+        # conv0 (k3, 1->odim) + conv1 (k3, odim->odim) + out linear
+        c0 = 2.0 * batch * t1 * f1 * odim * 9
+        c1 = 2.0 * batch * tok * f2 * odim * odim * 9
+        lin = 2.0 * batch * tok * (odim * f2) * odim
+        return c0 + c1 + lin
+
+    def attn_flops(dm, heads, n_tok, with_pos=True):
+        # q/k/v/out projections + pos projection + ac/bd scores + ctx
+        proj = 2.0 * n_tok * dm * dm * (5 if with_pos else 4)
+        t_sq = (n_tok // batch) ** 2 * batch
+        scores = 2.0 * t_sq * dm * (2 if with_pos else 1)  # ac + bd
+        ctx = 2.0 * t_sq * dm
+        return proj + scores + ctx
+
+    def ffn_flops(dm, h, n_tok):
+        return 2.0 * n_tok * dm * h * 2
+
+    def conv_mod_flops(dm, k, n_tok):
+        return 2.0 * n_tok * dm * (2 * dm) + 2.0 * n_tok * dm * k \
+            + 2.0 * n_tok * dm * dm
+
+    # embed sub-encoder: own subsampling + emb.num_blocks dense blocks
+    embed = sub_flops(emb.attention_dim)
+    embed += emb.num_blocks * (
+        attn_flops(emb.attention_dim, emb.attention_heads, N)
+        + 2 * ffn_flops(emb.attention_dim, emb.linear_units, N)
+        + conv_mod_flops(emb.attention_dim, emb.cnn_module_kernel, N))
+    # (the embed encoder's own CTC head is DCE'd at inference —
+    # output_embed=False drops embed_out — so it is not counted)
+
+    main_sub = sub_flops(d)
+    experts_per_tok = E if dispatch == "dense" else 1
+    moe = L * (2.0 * N * (d + emb.attention_dim) * E      # router
+               + experts_per_tok * ffn_flops(d, hid, N))
+    blocks = L * (attn_flops(d, enc.attention_heads, N)
+                  + ffn_flops(d, hid, N)                  # macaron
+                  + conv_mod_flops(d, enc.cnn_module_kernel, N))
+    head = 2.0 * N * d * cfg.output_dim
+    total = embed + main_sub + moe + blocks + head
+    return total, {"embed": embed, "subsample": main_sub, "moe": moe,
+                   "attn+conv+macaron": blocks, "head": head,
+                   "tokens": N}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("bench_json")
@@ -129,6 +197,31 @@ def main():
     table(bench["modes"], args.seq)
     if "long" in bench:
         table(bench["long"]["modes"], args.long_seq)
+
+    def mfu_table(modes, seq, batch=1):
+        """MFU accounting (round-4 VERDICT #3): honest per-mode FLOPs
+        (top-1 dispatch for the quant modes, all-experts dense for
+        fp32/bf16) / measured p50, as % of the mode's MXU rate.
+        fp32-high runs bf16_3x: the HARDWARE does 3x the math, so the
+        useful-FLOPs ceiling is peak/3."""
+        print(f"\nMFU @ {batch}x{seq} (useful FLOPs / p50 / mode MXU "
+              "rate; quant modes counted at top-1 dispatch):")
+        print("| mode | p50 ms | GFLOP/pass | TFLOP/s | MFU | of rate |")
+        print("|---|---|---|---|---|---|")
+        for name, row in modes.items():
+            ms = row["p50_ms"]
+            dispatch = "dense" if name in ("fp32", "bf16") else "top1"
+            fl, parts = flops_model(cfg, seq, batch, dispatch)
+            rate = (MXU_BF16_TFLOPS / 3 if name == "fp32"
+                    else MXU_INT8_TOPS if name in ("w8a8", "w4a8")
+                    else MXU_BF16_TFLOPS)
+            tfs = fl / (ms * 1e-3) / 1e12
+            print(f"| {name} | {ms:.3f} | {fl / 1e9:.1f} | {tfs:.1f} "
+                  f"| {100 * tfs / rate:.1f}% | {rate:.0f} |")
+
+    mfu_table(bench["modes"], args.seq)
+    if "long" in bench:
+        mfu_table(bench["long"]["modes"], args.long_seq)
 
 
 if __name__ == "__main__":
