@@ -186,13 +186,19 @@ def _init_devices_or_die(timeout_s=300):
 # The serving-mode ladder BENCH_r*.json reports: name -> (weights
 # dtype, per-token activation quant). Every mode runs the shared
 # measured auto policy (runtime/engine.moe_auto_impl) at its shape.
+# (name, weights dtype, act_quant, dense_quant, fuse_qkv). The +dqfq
+# rows are the round-5 levers (int8 dense weights + fused qkv/score
+# dots) on the two serving champions — extra rows, so historical mode
+# readings stay comparable.
 MODE_LADDER = (
-    ("fp32", "float32", False),
-    ("bf16", "bfloat16", False),
-    ("int8", "int8", False),
-    ("w8a8", "int8", True),
-    ("int4", "int4", False),
-    ("w4a8", "int4", True),
+    ("fp32", "float32", False, False, False),
+    ("bf16", "bfloat16", False, False, False),
+    ("int8", "int8", False, False, False),
+    ("w8a8", "int8", True, False, False),
+    ("int4", "int4", False, False, False),
+    ("w4a8", "int4", True, False, False),
+    ("int4+dqfq", "int4", False, True, True),
+    ("w8a8+dqfq", "int8", True, True, True),
 )
 
 
@@ -231,7 +237,11 @@ def main(args):
             requested=args.impl, act_quant=act_quant,
             int4=dtype == "int4")
 
-    def run_mode(dtype, act_quant, seq, iters):
+    def run_mode(dtype, act_quant, seq, iters, dense_quant=None,
+                 fuse_qkv=None):
+        dense_quant = (args.dense_quant if dense_quant is None
+                       else dense_quant)
+        fuse_qkv = args.fuse_qkv if fuse_qkv is None else fuse_qkv
         b = next(bb for bb in (256, 512, 1024, 2048, 4096, 6144)
                  if bb >= seq)
         pf = np.zeros((args.batch, b, 40), np.float32)
@@ -242,7 +252,7 @@ def main(args):
         dev_ms, call_ms = bench_device(
             cfg, params, pf, fl, dtype, impl, iters,
             fp32_precision=args.fp32_precision, attn_impl=args.attn_impl,
-            dense_quant=args.dense_quant, fuse_qkv=args.fuse_qkv)
+            dense_quant=dense_quant, fuse_qkv=fuse_qkv)
         return dev_ms, call_ms, impl
 
     if args.dtype != "ladder":
@@ -294,10 +304,10 @@ def main(args):
         # (scripts/bench_mode_ab.py). Warm passes cost ~2-6 s each and
         # the median rejects one-off outliers in both directions.
         rows = {}
-        for name, dtype, aq in MODE_LADDER:
+        for name, dtype, aq, dq, fq in MODE_LADDER:
             t0 = time.time()
             try:
-                samples = [run_mode(dtype, aq, seq, iters)
+                samples = [run_mode(dtype, aq, seq, iters, dq, fq)
                            for _ in range(passes)]
             except Exception as e:  # one broken mode must not sink the
                 # whole round artifact (ladder runs unattended)

@@ -253,6 +253,14 @@ ENGINE_MODES = (
     ("w8a8", dict(dtype="int8", act_quant=True)),
     ("int4", dict(dtype="int4")),
     ("w4a8", dict(dtype="int4", act_quant=True)),
+    # round-5 levers: int8 dense (non-expert) weights + the fused
+    # qkv/score restructure, on the serving-relevant quant modes
+    ("int8+dq", dict(dtype="int8", dense_quant=True)),
+    ("int4+dq", dict(dtype="int4", dense_quant=True)),
+    ("int4+dq+fq", dict(dtype="int4", dense_quant=True,
+                        fuse_qkv=True)),
+    ("w4a8+dq+fq", dict(dtype="int4", act_quant=True,
+                        dense_quant=True, fuse_qkv=True)),
 )
 
 

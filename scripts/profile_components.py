@@ -112,6 +112,29 @@ def main(seq=206, dtype=jnp.float32):
             lambda c, _: (rel_mha(bp, xx + c, pe, l, 8).sum().astype(jnp.float32) * 1e-30,
                           None), carry, None, length=18)[0],
         (bp0["self_attn"], x, pos, out_len))
+    # round-5 finer rows: where does the embed stage + attention time go?
+    from m3asr_tpu.ops.attention import fuse_qkv_params
+    from m3asr_tpu.ops import subsampling as sub
+    bp_fq = fuse_qkv_params({"self_attn": bp0["self_attn"]})["self_attn"]
+    res["attention_fq_x18"] = timed(
+        lambda bp, xx, pe, l, carry: jax.lax.scan(
+            lambda c, _: (rel_mha(bp, xx + c, pe, l, 8).sum().astype(jnp.float32) * 1e-30,
+                          None), carry, None, length=18)[0],
+        (bp_fq, x, pos, out_len))
+    res["subsample4(main)"] = timed(
+        lambda p, f, l, carry: sub.conv2d_subsampling4(
+            p, f + carry, l)[0].sum().astype(jnp.float32) * 1e-30,
+        (params["subsampling"], feat, fl))
+    e_Tp = Tp
+    ex = jnp.asarray(rng.randn(1, e_Tp, cfg.embed_conf.attention_dim),
+                     dtype)
+    e_pos = jnp.asarray(rng.randn(e_Tp, cfg.embed_conf.attention_dim),
+                        dtype)
+    res["embed_blocks(6)"] = timed(
+        lambda bl, xx, pe, l, carry: conformer.run_blocks(
+            bl, cfg.embed_conf, xx + carry, l, pe)[0].sum()
+        .astype(jnp.float32) * 1e-30,
+        (params["embed"]["blocks"], ex, e_pos, out_len))
     res["conv_x18"] = timed(
         lambda bp, xx, l, carry: jax.lax.scan(
             lambda c, _: (conv_module(bp, xx + c, l).sum().astype(jnp.float32) * 1e-30,
