@@ -28,6 +28,31 @@ def _conv2d(p, x: jax.Array, stride: Tuple[int, int]) -> jax.Array:
     return y + p["bias"].astype(x.dtype)
 
 
+def _conv2d_im2col(p, x: jax.Array, stride: Tuple[int, int]) -> jax.Array:
+    """Same conv as _conv2d, restructured as ONE MXU matmul: gather the
+    kh*kw strided patch slices, concat on the channel axis, dot with
+    the (kh*kw*Cin, Cout) flattened kernel. Patch order (i, j, cin)
+    matches the HWIO kernel reshape, so weights are shared verbatim.
+
+    MEASURED NEGATIVE on v5e (round-5, scripts/bench_subsample.py):
+    the patch-concat materialization costs more than the deeper dot
+    contraction buys — standalone 2048-frame stack bf16: XLA conv
+    0.375 ms vs im2col-on-conv1 0.78 vs im2col-both 2.61. Kept (with
+    exact CPU parity coverage) as the recorded non-lever."""
+    kh, kw, cin, cout = p["kernel"].shape
+    B, H, W, C = x.shape
+    sh, sw = stride
+    Ho = (H - kh) // sh + 1
+    Wo = (W - kw) // sw + 1
+    cols = [x[:, i:i + (Ho - 1) * sh + 1:sh,
+              j:j + (Wo - 1) * sw + 1:sw, :]
+            for i in range(kh) for j in range(kw)]
+    patches = jnp.concatenate(cols, axis=-1)   # (B, Ho, Wo, kh*kw*Cin)
+    w = p["kernel"].astype(x.dtype).reshape(kh * kw * cin, cout)
+    y = jnp.dot(patches, w, preferred_element_type=x.dtype)
+    return y + p["bias"].astype(x.dtype)
+
+
 def _to_4d(x: jax.Array, in_ch: int) -> jax.Array:
     """(B, T, F) -> (B, T, F//in_ch, in_ch): the reference's channel
     split (subsampling.py:23-36) mapped to NHWC."""
@@ -39,13 +64,24 @@ def _to_4d(x: jax.Array, in_ch: int) -> jax.Array:
 
 
 def conv2d_subsampling4(p, x: jax.Array, lengths: Optional[jax.Array],
-                        in_ch: int = 1):
+                        in_ch: int = 1, impl: str = "auto"):
     """Two (k=3, s=2) convs + ReLU, then per-frame flatten + Linear
     (subsampling.py:77-145). Returns (y (B, T//4-ish, odim), out_lengths).
-    """
+
+    impl: 'auto' == 'conv' (the XLA conv lowering) — MEASURED WINNER
+    on v5e at every shape tried (2048-frame standalone stack bf16:
+    conv 0.375 ms vs im2col-on-conv1 0.78 vs im2col-both 2.61,
+    scripts/bench_subsample.py round-5 — the patch-concat
+    materialization costs more than the deeper dot contraction buys;
+    recorded so nobody re-tries it). 'im2col'/'im2col1' force the
+    matmul form for both / for conv1 only."""
     x4 = _to_4d(constrain_act_nosp(x), in_ch)
-    h = jax.nn.relu(_conv2d(p["conv0"], x4, (2, 2)))
-    h = jax.nn.relu(_conv2d(p["conv1"], h, (2, 2)))
+    if impl == "auto":
+        impl = "conv"
+    c0 = _conv2d_im2col if impl == "im2col" else _conv2d
+    c1 = _conv2d if impl == "conv" else _conv2d_im2col
+    h = jax.nn.relu(c0(p["conv0"], x4, (2, 2)))
+    h = jax.nn.relu(c1(p["conv1"], h, (2, 2)))
     # (B, T', F', C) -> (B, T', C*F'): torch flattens (C, F) with C
     # outermost (x.transpose(1,2).view(b,t,c*f)); NHWC gives (F', C), so
     # transpose the last two axes before flattening.

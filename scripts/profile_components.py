@@ -40,17 +40,22 @@ from m3asr_tpu.ops.conv import conv_module
 from m3asr_tpu.ops.common import layer_norm
 
 
-def timed(fn, args, iters=10, k=8):
+def timed(fn, args, iters=10, k=8, dtype=jnp.float32):
+    # Round-5 correction, TWO dtype bugs that inflated every earlier
+    # bf16 component row ~2.6x (they were fp32-highest rows): (1) the
+    # f32 scalar carry type-PROMOTED the bf16 inputs (`x + carry` ->
+    # f32 everywhere); (2) matmul precision was hardcoded "highest"
+    # regardless of dtype. Carry now rides the component dtype and
+    # precision comes from the ambient context set in __main__.
     def scan_n(n):
         def run(*a):
             def body(c, _):
                 out = fn(*a, carry=c)
-                return out, None
-            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                return out.astype(c.dtype), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), dtype), None,
                                 length=n)
             return c
-        with jax.default_matmul_precision("highest"):
-            return jax.jit(run).lower(*args).compile()
+        return jax.jit(run).lower(*args).compile()
 
     f1, fk = scan_n(1), scan_n(k)
     float(f1(*args)); float(fk(*args))
@@ -65,6 +70,8 @@ def timed(fn, args, iters=10, k=8):
 
 
 def main(seq=206, dtype=jnp.float32):
+    import functools
+    timed_ = functools.partial(timed, dtype=dtype)
     cfg = _flagship_cfg().encoder_conf
     key = jax.random.PRNGKey(0)
     params = moe_conformer.init(key, cfg, 40, 5000)
@@ -87,41 +94,41 @@ def main(seq=206, dtype=jnp.float32):
     # dense is the auto-policy pick at these token counts — the row is
     # comparable to bench.py's headline (which also reports "high"
     # fp32; this profiler times strict "highest" for floor analysis)
-    res["full_model"] = timed(
+    res["full_model"] = timed_(
         lambda p, f, l, carry: moe_conformer.forward(
             p, cfg, f + carry, l, moe_impl="dense")[0].sum().astype(jnp.float32) * 1e-30,
         (params, feat, fl))
-    res["embed_encoder(6blk)"] = timed(
+    res["embed_encoder(6blk)"] = timed_(
         lambda p, f, l, carry: conformer.forward(
             p, cfg.embed_conf, f + carry, l)[0].sum().astype(jnp.float32) * 1e-30,
         (params["embed"], feat, fl))
-    res["moe_ffn_ragged_x18"] = timed(
+    res["moe_ffn_ragged_x18"] = timed_(
         lambda bp, xx, e, l, carry: jax.lax.scan(
             lambda c, _: (moe_ops.moe_ffn(bp, xx + c, e, l, impl="ragged")
-                          .sum().astype(jnp.float32) * 1e-30, None), carry, None,
+                          .sum().astype(c.dtype) * 1e-30, None), carry, None,
             length=18)[0],
         (bp0["feed_forward"], x, embed, out_len))
-    res["moe_ffn_dense_x18"] = timed(
+    res["moe_ffn_dense_x18"] = timed_(
         lambda bp, xx, e, l, carry: jax.lax.scan(
             lambda c, _: (moe_ops.moe_ffn(bp, xx + c, e, l, impl="dense")
-                          .sum().astype(jnp.float32) * 1e-30, None), carry, None,
+                          .sum().astype(c.dtype) * 1e-30, None), carry, None,
             length=18)[0],
         (bp0["feed_forward"], x, embed, out_len))
-    res["attention_x18"] = timed(
+    res["attention_x18"] = timed_(
         lambda bp, xx, pe, l, carry: jax.lax.scan(
-            lambda c, _: (rel_mha(bp, xx + c, pe, l, 8).sum().astype(jnp.float32) * 1e-30,
+            lambda c, _: (rel_mha(bp, xx + c, pe, l, 8).sum().astype(c.dtype) * 1e-30,
                           None), carry, None, length=18)[0],
         (bp0["self_attn"], x, pos, out_len))
     # round-5 finer rows: where does the embed stage + attention time go?
     from m3asr_tpu.ops.attention import fuse_qkv_params
     from m3asr_tpu.ops import subsampling as sub
     bp_fq = fuse_qkv_params({"self_attn": bp0["self_attn"]})["self_attn"]
-    res["attention_fq_x18"] = timed(
+    res["attention_fq_x18"] = timed_(
         lambda bp, xx, pe, l, carry: jax.lax.scan(
-            lambda c, _: (rel_mha(bp, xx + c, pe, l, 8).sum().astype(jnp.float32) * 1e-30,
+            lambda c, _: (rel_mha(bp, xx + c, pe, l, 8).sum().astype(c.dtype) * 1e-30,
                           None), carry, None, length=18)[0],
         (bp_fq, x, pos, out_len))
-    res["subsample4(main)"] = timed(
+    res["subsample4(main)"] = timed_(
         lambda p, f, l, carry: sub.conv2d_subsampling4(
             p, f + carry, l)[0].sum().astype(jnp.float32) * 1e-30,
         (params["subsampling"], feat, fl))
@@ -130,19 +137,19 @@ def main(seq=206, dtype=jnp.float32):
                      dtype)
     e_pos = jnp.asarray(rng.randn(e_Tp, cfg.embed_conf.attention_dim),
                         dtype)
-    res["embed_blocks(6)"] = timed(
+    res["embed_blocks(6)"] = timed_(
         lambda bl, xx, pe, l, carry: conformer.run_blocks(
             bl, cfg.embed_conf, xx + carry, l, pe)[0].sum()
         .astype(jnp.float32) * 1e-30,
         (params["embed"]["blocks"], ex, e_pos, out_len))
-    res["conv_x18"] = timed(
+    res["conv_x18"] = timed_(
         lambda bp, xx, l, carry: jax.lax.scan(
-            lambda c, _: (conv_module(bp, xx + c, l).sum().astype(jnp.float32) * 1e-30,
+            lambda c, _: (conv_module(bp, xx + c, l).sum().astype(c.dtype) * 1e-30,
                           None), carry, None, length=18)[0],
         (bp0["conv_module"], x, out_len))
-    res["macaron_ffn_x18"] = timed(
+    res["macaron_ffn_x18"] = timed_(
         lambda bp, xx, carry: jax.lax.scan(
-            lambda c, _: (positionwise_ffn(bp, xx + c).sum().astype(jnp.float32) * 1e-30,
+            lambda c, _: (positionwise_ffn(bp, xx + c).sum().astype(c.dtype) * 1e-30,
                           None), carry, None, length=18)[0],
         (bp0["feed_forward_macaron"], x))
     print(json.dumps({k: round(v, 3) for k, v in res.items()}))
@@ -153,5 +160,14 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", type=int, default=206)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--precision", default=None,
+                    help="explicit matmul precision; default: 'default' "
+                         "for bf16 (single-pass, what the engine "
+                         "serves), 'highest' for fp32 floor analysis. "
+                         "Round-5 finding: leaving the platform "
+                         "default in place inflated every bf16 row "
+                         "~2.6x vs the engine's programs")
     a = ap.parse_args()
-    main(a.seq, jnp.bfloat16 if a.bf16 else jnp.float32)
+    prec = a.precision or ("default" if a.bf16 else "highest")
+    with jax.default_matmul_precision(prec):
+        main(a.seq, jnp.bfloat16 if a.bf16 else jnp.float32)

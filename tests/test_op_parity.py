@@ -192,3 +192,21 @@ def test_conformer_block_parity(moe_block):
                           embed=jnp.asarray(embed.numpy()) if moe_block
                           else None)
     allclose(valid_region(y_j, [15, 10]), valid_region(y_t.numpy(), [15, 10]))
+
+
+def test_subsampling4_impl_variants_parity():
+    """The im2col-matmul forms of conv2d_subsampling4 equal the XLA
+    conv lowering exactly (recorded non-lever, round-5 — kept behind
+    impl= so the measurement is reproducible)."""
+    import jax
+    import jax.numpy as jnp
+    from m3asr_tpu.ops import subsampling as sub
+    p = sub.init_conv2d_subsampling4(jax.random.PRNGKey(0), 40, 64)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 57, 40), jnp.float32)
+    lens = jnp.asarray([57, 31], jnp.int32)
+    ref, ref_len = sub.conv2d_subsampling4(p, x, lens, impl="conv")
+    for impl in ("im2col", "im2col1", "auto"):
+        got, got_len = sub.conv2d_subsampling4(p, x, lens, impl=impl)
+        assert (np.asarray(got_len) == np.asarray(ref_len)).all()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
