@@ -181,6 +181,30 @@ def fuse_qkv_params(tree):
     return walk(tree, "")
 
 
+def defuse_qkv_params(tree):
+    """Inverse of fuse_qkv_params: split linear_qkv back into
+    linear_q/k/v (exact — the fusion is a concat). Used by serving
+    paths that need the separate weights (streaming sessions, flash)
+    when handed a fused engine's params."""
+    def walk(node):
+        if isinstance(node, dict):
+            node = {k: walk(v) for k, v in node.items()}
+            if "linear_qkv" in node:
+                node = dict(node)
+                fused = node.pop("linear_qkv")
+                ks = jnp.split(fused["kernel"], 3, axis=-1)
+                bs = jnp.split(fused["bias"], 3, axis=-1)
+                for i, n in enumerate(("linear_q", "linear_k",
+                                       "linear_v")):
+                    node[n] = {"kernel": ks[i], "bias": bs[i]}
+            return node
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(tree)
+
+
 def init_mha(key, d_model: int, dtype=jnp.float32):
     ks = jax.random.split(key, 4)
     return {

@@ -200,6 +200,31 @@ def quantize_dense_params(tree, min_size: int = 256,
     return walk(tree, "")
 
 
+def dequantize_dense_params(tree, dtype=None):
+    """Inverse of quantize_dense_params (lossy-free given the stored
+    int8 values): kernel_q * kernel_scale -> kernel. Used by serving
+    paths that read raw "kernel" leaves (streaming sessions) when
+    handed a dense-quant engine's params. dtype defaults to bfloat16
+    (the quant modes' activation dtype)."""
+    if dtype is None:
+        dtype = jnp.bfloat16
+
+    def walk(node):
+        if isinstance(node, dict):
+            node = {k: walk(v) for k, v in node.items()}
+            if "kernel_q" in node:
+                node = dict(node)
+                q = node.pop("kernel_q")
+                s = node.pop("kernel_scale")
+                node["kernel"] = (q.astype(jnp.float32) * s).astype(dtype)
+            return node
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(tree)
+
+
 def _apply_scale(qf: jax.Array, s: jax.Array) -> jax.Array:
     """qf (..., in, out) * scale, where scale is either (..., 1, out)
     (per-column, int8) or (..., G, 1, out) (group-wise, int4)."""

@@ -357,7 +357,11 @@ class EngineConfig:
                              # 2x. Composes with every dtype; router/
                              # depthwise/subsample-conv kernels stay
                              # float (accuracy-critical or conv-
-                             # consumed)
+                             # consumed). Batch-1 latency lever ONLY:
+                             # at 8x2048 w8a8 it measured 19.45 vs
+                             # 18.90 ms base (dequant multiplies cost
+                             # real FLOPs once compute binds) — skip
+                             # for throughput serving
     act_quant: bool = False  # int8/int4 engines: also quantize
                              # activations per token so the expert
                              # dots run s8 x s8 -> s32 on the MXU

@@ -578,6 +578,18 @@ def _build_runtime(args):
     from m3asr_tpu.models.registry import dfsmn_stream_config, get_family
     family = get_family(engine.model_cfg.nnet_proto).name
     enc_cfg = engine.model_cfg.encoder_conf
+    # streaming chunk forwards read the separate q/k/v weights and raw
+    # "kernel" leaves — undo the batch-engine param transforms (exact
+    # inverses; host-side, once at startup) for fuse_qkv / dense_quant
+    # engines so one engine dir serves both batch and streaming
+    stream_params = engine.params
+    if getattr(engine.cfg, "fuse_qkv", False):
+        from m3asr_tpu.ops.attention import defuse_qkv_params
+        stream_params = defuse_qkv_params(stream_params)
+    if getattr(engine.cfg, "dense_quant", False):
+        from m3asr_tpu.ops.quant import dequantize_dense_params
+        stream_params = dequantize_dense_params(stream_params,
+                                                engine.dtype)
     if family.startswith("dfsmn"):
         # DFSMN streams (incl. MoE) share one batched chunk program per
         # chunk size — the same cross-stream micro-batching as the
@@ -593,7 +605,7 @@ def _build_runtime(args):
             with dfsmn_lock:
                 if chunk not in dfsmn_batchers:
                     dfsmn_batchers[chunk] = DfsmnStreamBatcher(
-                        engine.params, stream_cfg, chunk_size=chunk,
+                        stream_params, stream_cfg, chunk_size=chunk,
                         slots=args.stream_slots,
                         moe=(family == "dfsmn_moe"),
                         moe_impl=dfsmn_impl,
@@ -622,7 +634,7 @@ def _build_runtime(args):
             with batchers_lock:
                 if key not in batchers:
                     batchers[key] = StreamBatcher(
-                        engine.params, enc_cfg, chunk_size=chunk,
+                        stream_params, enc_cfg, chunk_size=chunk,
                         num_left_chunks=left, slots=args.stream_slots,
                         moe=engine.is_moe, moe_impl=moe_impl,
                         window_ms=args.stream_window_ms,

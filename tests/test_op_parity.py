@@ -210,3 +210,54 @@ def test_subsampling4_impl_variants_parity():
         assert (np.asarray(got_len) == np.asarray(ref_len)).all()
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_fuse_defuse_qkv_roundtrip():
+    """defuse_qkv_params is the exact inverse of fuse_qkv_params —
+    serve.py relies on it to hand streaming sessions the separate
+    q/k/v weights from a fused engine."""
+    import jax
+    import jax.numpy as jnp
+    from m3asr_tpu.ops.attention import (defuse_qkv_params,
+                                         fuse_qkv_params, init_rel_mha,
+                                         rel_mha)
+    p = {"self_attn": init_rel_mha(jax.random.PRNGKey(0), 32, 4)}
+    fused = fuse_qkv_params(p)
+    assert "linear_qkv" in fused["self_attn"]
+    back = defuse_qkv_params(fused)
+    for n in ("linear_q", "linear_k", "linear_v"):
+        np.testing.assert_array_equal(
+            np.asarray(back["self_attn"][n]["kernel"]),
+            np.asarray(p["self_attn"][n]["kernel"]))
+        np.testing.assert_array_equal(
+            np.asarray(back["self_attn"][n]["bias"]),
+            np.asarray(p["self_attn"][n]["bias"]))
+    # and the fused forward == the plain forward
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 9, 32), jnp.float32)
+    pos = jnp.asarray(np.random.RandomState(2).randn(9, 32), jnp.float32)
+    lens = jnp.asarray([9], jnp.int32)
+    ref = rel_mha(p["self_attn"], x, pos, lens, 4)
+    got = rel_mha(fused["self_attn"], x, pos, lens, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dense_quant_dequant_roundtrip():
+    """dequantize_dense_params reconstructs exactly the weights the
+    quantized engine computes with (q * scale) — serve.py's streaming
+    path equivalence."""
+    import jax
+    import jax.numpy as jnp
+    from m3asr_tpu.ops.common import init_linear, linear
+    from m3asr_tpu.ops.quant import (dequantize_dense_params,
+                                     quantize_dense_params)
+    p = {"lin": init_linear(jax.random.PRNGKey(3), 64, 48)}
+    q = quantize_dense_params(p)
+    assert "kernel_q" in q["lin"]
+    back = dequantize_dense_params(q, jnp.float32)
+    assert "kernel" in back["lin"] and "kernel_q" not in back["lin"]
+    x = jnp.asarray(np.random.RandomState(4).randn(5, 64), jnp.float32)
+    # identical to what linear() computes on the quantized node
+    np.testing.assert_allclose(np.asarray(linear(back["lin"], x)),
+                               np.asarray(linear(q["lin"], x)),
+                               rtol=1e-6, atol=1e-6)
