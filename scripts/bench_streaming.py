@@ -67,9 +67,9 @@ def main(args):
         sess = StreamingSession(params, cfg.encoder_conf,
                                 chunk_size=args.chunk,
                                 num_left_chunks=args.left, moe=True,
-                                moe_impl=moe_impl)
+                                moe_impl=moe_impl, batch=args.slots)
         rng = np.random.RandomState(0)
-        w = rng.randn(1, sess.window, 40).astype(np.float32)
+        w = rng.randn(args.slots, sess.window, 40).astype(np.float32)
         sess._step(w)                      # compile + warm
         times = []
         for _ in range(args.iters):
@@ -119,11 +119,14 @@ def main(args):
     audio_ms = sess.stride * 10            # 10 ms frame shift
     print(json.dumps({
         "metric": (f"stream_chunk_ms_c{args.chunk}_{args.dtype}"
-                   + ("_a8" if args.act_quant else "")),
+                   + ("_a8" if args.act_quant else "")
+                   + (f"_s{args.slots}" if args.slots > 1 else "")),
+        "slots": args.slots,
         "value": round(p50, 3), "unit": "ms",
         "device_chunk_ms": round(dev_ms, 3),
         "device_streaming_rtf": round(dev_ms / audio_ms, 5),
-        "max_realtime_streams_per_chip": int(audio_ms // dev_ms)
+        "max_realtime_streams_per_chip": int(args.slots * audio_ms
+                                             // dev_ms)
         if dev_ms > 0 else None,
         "audio_ms_per_chunk": audio_ms,
         "streaming_rtf": round(p50 / audio_ms, 5),
@@ -147,4 +150,8 @@ if __name__ == "__main__":
     p.add_argument("--act_quant", action="store_true",
                    help="per-token int8 activations (w8a8 / w4a8)")
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--slots", type=int, default=1,
+                   help="concurrent streams sharing one batched chunk "
+                        "program (slot-saturation: streams/chip = "
+                        "slots * audio_ms / device_chunk_ms)")
     main(p.parse_args())
