@@ -139,6 +139,11 @@ def forward(params, cfg: MoEEncoderConfig, feat: jax.Array,
             # materialize a 33 MB copy per layer ahead of the custom
             # call; keep them out of the xs and index inside the DMA
             wk = ("w1_q", "w2_q")
+        elif moe_impl == "runs_f" and "w1" in ff:
+            # float run-length kernel (round 5): same rule again —
+            # a scan slice of the stacked bf16/f32 expert weights
+            # would copy 64-128 MB per layer
+            wk = ("w1", "w2")
         if wk is not None:
             # Pallas streaming kernels: scanning over the STACKED
             # weights would materialize a 16-33 MB dynamic-slice copy

@@ -452,7 +452,7 @@ def _dispatch(p, x, gate_idx, impl: str):
     if impl == "quant4_a8_tiled":
         from m3asr_tpu.ops.pallas_moe_q4 import moe_experts_pallas_q4_tiled
         return moe_experts_pallas_q4_tiled(p, x, gate_idx, act_quant=True)
-    if impl in ("quant_runs", "quant4_runs"):
+    if impl in ("quant_runs", "quant4_runs", "runs_f"):
         from m3asr_tpu.ops.pallas_moe_runs import moe_experts_pallas_runs
         return moe_experts_pallas_runs(p, x, gate_idx)
     if impl in ("quant_a8_runs", "quant4_a8_runs"):

@@ -38,7 +38,7 @@ Consequences, vs the tiled kernels:
     bytes, which no other impl in this repo can do (round-3 VERDICT
     #5's stream-efficiency lever).
 
-Four weight/activation formats share the structure (fmt x a8):
+Five weight/activation formats share the structure (fmt x a8):
   * q4  (packed int4, pack_int4 concat-half nibbles): unpack once per
     expert into a VMEM plane — dequantized x-dtype for weight-only
     (each tile is then ONE full-width MXU dot per matmul), raw signed
@@ -47,6 +47,14 @@ Four weight/activation formats share the structure (fmt x a8):
   * q8  (int8): weight-only dequantizes the chunk block once per
     expert (1 convert + 1 mul per byte); w8a8 runs s8 dots straight
     off the DMA buffer — no unpack at all.
+  * f   (float weights, bf16/f32 — round 5): no scales, no unpack;
+    dots run straight off the DMA buffer at the compute precision
+    (HIGHEST for f32 engines — at least as accurate as the engine's
+    bf16_3x "high" default). This gives the FLOAT serving modes top-1
+    dispatch in the mid band, where their only prior options computed
+    32x top-1 FLOPs (dense) or collapsed under routing skew (ragged —
+    ~21 ms on one long utterance, BENCHMARKS.md) or paid per-tile
+    grid overhead (tiled).
 
 Stacked-layer mode follows pallas_moe_q4: weights stay flattened
 (L*E, rows, cols) in HBM and the kernel DMAs rows layer*E + c*chunk
@@ -137,8 +145,21 @@ def _runs_kernel(*refs, fmt: str, n_experts: int, chunk: int,
      (layer (1, 1) SMEM if stacked), x (Npad, d) VMEM,
      w1 (E|L*E, d, out1) ANY, b1 (E, hdim) VMEM,
      w2 (E|L*E, hdim, out2) ANY, b2 (E, d) VMEM,
-     s1 (E*g1, hdim) VMEM, s2 (E*g2, d) VMEM] -> out (Npad, d) VMEM"""
-    if stacked:
+     s1 (E*g1, hdim) VMEM, s2 (E*g2, d) VMEM (quant fmts only)]
+    -> out (Npad, d) VMEM"""
+    refs = list(refs)
+    if fmt == "f":
+        # float weights carry no scale tensors
+        s1_ref = s2_ref = None
+        if stacked:
+            (starts_ref, act_ref, layer_ref, x_ref, w1_ref, b1_ref,
+             w2_ref, b2_ref, out_ref) = refs
+            e_base = layer_ref[0, 0] * n_experts
+        else:
+            (starts_ref, act_ref, x_ref, w1_ref, b1_ref, w2_ref,
+             b2_ref, out_ref) = refs
+            e_base = 0
+    elif stacked:
         (starts_ref, act_ref, layer_ref, x_ref, w1_ref, b1_ref, w2_ref,
          b2_ref, s1_ref, s2_ref, out_ref) = refs
         e_base = layer_ref[0, 0] * n_experts
@@ -155,12 +176,13 @@ def _runs_kernel(*refs, fmt: str, n_experts: int, chunk: int,
     gs1 = d // g1
     gs2 = hdim // g2
     q4 = fmt == "q4"
+    fl = fmt == "f"
     # scratch planes: q4 unpacks into planes unless factored (which
     # computes straight off the packed block with half-width dots —
     # cheaper per byte when each expert owns ~one tile); q8
-    # weight-only dequantizes into planes; q8 + a8 (w8a8) runs s8 dots
-    # straight off the DMA buffer and needs none.
-    planes = (q4 and not factored) or (not q4 and not a8)
+    # weight-only dequantizes into planes; q8 + a8 (w8a8) and float
+    # weights run dots straight off the DMA buffer and need none.
+    planes = (q4 and not factored) or (fmt == "q8" and not a8)
     pdt = jnp.int8 if (q4 and a8) else cdt
 
     def body(w1_buf, w2_buf, sem1, sem2, plane1=None, plane2=None):
@@ -205,8 +227,9 @@ def _runs_kernel(*refs, fmt: str, n_experts: int, chunk: int,
                         return sref[pl.ds(e * G + g, 1), :]
                     return read
 
-                s1r = srow(s1_ref, g1)
-                s2r = srow(s2_ref, g2)
+                if not fl:
+                    s1r = srow(s1_ref, g1)
+                    s2r = srow(s2_ref, g2)
 
                 if q4 and factored:
                     # half-row scale reads for the factored dots (the
@@ -229,7 +252,7 @@ def _runs_kernel(*refs, fmt: str, n_experts: int, chunk: int,
                                          w1p, g1, gs1)
                         _unpack_q4_plane(w2_buf[slot * chunk + j],
                                          w2p, g2, gs2)
-                    elif not q4 and not a8:
+                    elif fmt == "q8" and not a8:
                         # int8 weight-only: convert the block to the
                         # compute dtype once per expert (pure convert —
                         # the per-column scale rides the dot partials,
@@ -243,7 +266,11 @@ def _runs_kernel(*refs, fmt: str, n_experts: int, chunk: int,
                 def tile_body(t, _):
                     row = pl.multiple_of(t * tile, tile)
                     xg = x_ref[pl.ds(row, tile), :]
-                    if a8:
+                    if fl:
+                        h = jnp.dot(xg, w1_buf[slot * chunk + j],
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)
+                    elif a8:
                         xq, xs = _quant_rows(xg)
                         if q4 and factored:
                             h = _group_matmul_packed_s8(
@@ -269,7 +296,12 @@ def _runs_kernel(*refs, fmt: str, n_experts: int, chunk: int,
                     h = activation(h)
                     if upper_bound is not None:  # DFSMN expert clamp
                         h = jnp.minimum(h, jnp.float32(upper_bound))
-                    if a8:
+                    if fl:
+                        y = jnp.dot(h.astype(cdt),
+                                    w2_buf[slot * chunk + j],
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)
+                    elif a8:
                         hq, hs = _quant_rows(h)
                         if q4 and factored:
                             y = _group_matmul_packed_s8(
@@ -304,8 +336,8 @@ def _runs_kernel(*refs, fmt: str, n_experts: int, chunk: int,
     _, dd, o1 = w1_ref.shape
     _, hh, o2 = w2_ref.shape
     scratch = dict(
-        w1_buf=pltpu.VMEM((2 * chunk, dd, o1), jnp.int8),
-        w2_buf=pltpu.VMEM((2 * chunk, hh, o2), jnp.int8),
+        w1_buf=pltpu.VMEM((2 * chunk, dd, o1), w1_ref.dtype),
+        w2_buf=pltpu.VMEM((2 * chunk, hh, o2), w2_ref.dtype),
         sem1=pltpu.SemaphoreType.DMA((2,)),
         sem2=pltpu.SemaphoreType.DMA((2,)),
     )
@@ -324,11 +356,14 @@ def moe_experts_pallas_runs(p, x: jax.Array, gate_idx: jax.Array,
                             act_quant: bool = False,
                             factored: bool | None = None,
                             interpret: bool | None = None) -> jax.Array:
-    """Top-1 expert outputs via the run-length kernel. Accepts either
+    """Top-1 expert outputs via the run-length kernel. Accepts
     packed-int4 params (quantize_moe_params(bits=4): w1_q4/w2_q4 +
-    group-wise scales) or int8 params (bits=8: w1_q/w2_q + per-column
-    scales); act_quant=True selects the a8 twin (w4a8 / w8a8). Same
-    contract as ops.quant.moe_experts_dense_q on the matching params.
+    group-wise scales), int8 params (bits=8: w1_q/w2_q + per-column
+    scales), or plain FLOAT params (w1/w2 bf16/f32 — round 5's float
+    runs variant, no scales/unpack); act_quant=True selects the a8
+    twin (w4a8 / w8a8, quant formats only). Same contract as
+    ops.moe.moe_experts_dense / ops.quant.moe_experts_dense_q on the
+    matching params.
 
     Stacked (L, E, ...) weights + `layer` (or p["_layer"]) follow
     pallas_moe_q4's convention: only the big weight tensors stay
@@ -339,11 +374,25 @@ def moe_experts_pallas_runs(p, x: jax.Array, gate_idx: jax.Array,
     if layer is None:
         layer = p.get("_layer")
     q4 = "w1_q4" in p
-    fmt = "q4" if q4 else "q8"
-    w1, w2 = (p["w1_q4"], p["w2_q4"]) if q4 else (p["w1_q"], p["w2_q"])
-    if not q4 and w1.dtype != jnp.int8:
-        raise ValueError("runs kernel needs int8 or packed-int4 "
-                         "expert weights")
+    if q4:
+        fmt = "q4"
+        w1, w2 = p["w1_q4"], p["w2_q4"]
+    elif "w1_q" in p:
+        fmt = "q8"
+        w1, w2 = p["w1_q"], p["w2_q"]
+        if w1.dtype != jnp.int8:
+            raise ValueError("runs kernel needs int8, packed-int4, or "
+                             "float expert weights")
+    else:
+        fmt = "f"
+        if act_quant:
+            raise ValueError("act_quant needs int8/int4 expert weights "
+                             "(w8a8/w4a8); float params have none")
+        # stream bytes = storage bytes: cast to the activation dtype
+        # (identity inside an engine, whose params are already at the
+        # serving dtype)
+        w1 = p["w1"].astype(x.dtype)
+        w2 = p["w2"].astype(x.dtype)
     stacked = w1.ndim == 4
     if stacked:
         if layer is None:
@@ -356,25 +405,30 @@ def moe_experts_pallas_runs(p, x: jax.Array, gate_idx: jax.Array,
     B, T, d = x.shape
     hdim = 2 * w1.shape[-1] if q4 else w1.shape[-1]
 
-    s1 = p["w1_scale"]
-    s2 = p["w2_scale"]
-    if s1.ndim >= 5:
-        raise ValueError(
-            "stacked scales: pass this layer's slice (scales are small "
-            "scan xs; only the packed weights stay stacked)")
-    if q4 and s1.ndim == 3:              # (E, 1, out) per-column scales
-        s1 = s1[:, None]
-        s2 = s2[:, None]
-    g1 = s1.shape[1] if q4 else 1
-    g2 = s2.shape[1] if q4 else 1
-    if d % g1 or hdim % g2:
-        raise ValueError(
-            f"scale group counts must divide the contraction dims: "
-            f"d={d} %% g1={g1}, hdim={hdim} %% g2={g2}")
-    # flattened (E*G, out) rows, read by the kernel at e*G + g (Mosaic
-    # lowers only 2-D dynamic reads — same layout as the dense kernel)
-    s1 = s1.reshape(E * g1, hdim).astype(jnp.float32)
-    s2 = s2.reshape(E * g2, d).astype(jnp.float32)
+    if fmt == "f":
+        s1 = s2 = None
+        g1 = g2 = 1
+    else:
+        s1 = p["w1_scale"]
+        s2 = p["w2_scale"]
+        if s1.ndim >= 5:
+            raise ValueError(
+                "stacked scales: pass this layer's slice (scales are "
+                "small scan xs; only the packed weights stay stacked)")
+        if q4 and s1.ndim == 3:          # (E, 1, out) per-column scales
+            s1 = s1[:, None]
+            s2 = s2[:, None]
+        g1 = s1.shape[1] if q4 else 1
+        g2 = s2.shape[1] if q4 else 1
+        if d % g1 or hdim % g2:
+            raise ValueError(
+                f"scale group counts must divide the contraction dims: "
+                f"d={d} %% g1={g1}, hdim={hdim} %% g2={g2}")
+        # flattened (E*G, out) rows, read by the kernel at e*G + g
+        # (Mosaic lowers only 2-D dynamic reads — same layout as the
+        # dense kernel)
+        s1 = s1.reshape(E * g1, hdim).astype(jnp.float32)
+        s2 = s2.reshape(E * g2, d).astype(jnp.float32)
 
     b1 = p["b1"].astype(jnp.float32) if p.get("b1") is not None else \
         jnp.zeros((E, hdim), jnp.float32)
@@ -419,14 +473,17 @@ def moe_experts_pallas_runs(p, x: jax.Array, gate_idx: jax.Array,
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)       # noqa: E731
-    in_specs = [smem(), smem(), vmem(), hbm(), vmem(), hbm(), vmem(),
-                vmem(), vmem()]
-    args = [starts, active, x_pad, w1, b1, w2, b2, s1, s2]
+    in_specs = [smem(), smem(), vmem(), hbm(), vmem(), hbm(), vmem()]
+    args = [starts, active, x_pad, w1, b1, w2, b2]
+    if fmt != "f":
+        in_specs += [vmem(), vmem()]
+        args += [s1, s2]
     if stacked:
         in_specs.insert(2, smem())
         args.insert(2, jnp.asarray(layer, jnp.int32).reshape(1, 1))
 
-    wpe = d * w1.shape[-1] + hdim * w2.shape[-1]           # bytes/expert
+    wpe = (w1.shape[-2] * w1.shape[-1] + w2.shape[-2] * w2.shape[-1]) \
+        * w1.dtype.itemsize                                # bytes/expert
     kw = {}
     if not interpret:
         # x_pad + out live VMEM-resident; at long inputs that exceeds

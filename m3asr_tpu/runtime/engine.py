@@ -110,7 +110,7 @@ MOE_Q8_RUNS_TOKEN_THRESHOLD = 128
 # impls can run; explicit impl choices map onto their quant twins.
 _INT8_IMPL = {"dense": "quant", "capacity": "quant_capacity",
               "pallas": "quant_pallas", "tiled": "quant_tiled",
-              "runs": "quant_runs",
+              "runs": "quant_runs", "runs_f": "quant_runs",
               "quant": "quant", "quant_capacity": "quant_capacity",
               "quant_pallas": "quant_pallas",
               "quant_tiled": "quant_tiled",
@@ -143,10 +143,11 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
     unpacked bf16 weights in HBM and loses to int8 (measured 1.41 vs
     0.73 ms/18L at 64 tokens), while the kernel keeps bytes packed
     into VMEM and wins (0.65 ms, chunk=4)."""
-    if int4 and requested in ("quant4_runs", "quant4_a8_runs", "runs"):
+    if int4 and requested in ("quant4_runs", "quant4_a8_runs", "runs",
+                              "runs_f"):
         # explicit run-length kernel request honored on every backend
         # (interpret mode off-TPU); see ops/pallas_moe_runs.py
-        if requested == "runs":
+        if requested in ("runs", "runs_f"):
             return "quant4_a8_runs" if act_quant else "quant4_runs"
         return requested
     if int4 and requested in ("auto", "dense", "quant", "pallas",
@@ -214,7 +215,7 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
                   "quant_a8": "quant_a8", "tiled": "quant_a8_tiled",
                   "quant_tiled": "quant_a8_tiled",
                   "quant_a8_tiled": "quant_a8_tiled",
-                  "runs": "quant_a8_runs",
+                  "runs": "quant_a8_runs", "runs_f": "quant_a8_runs",
                   "quant_runs": "quant_a8_runs",
                   "quant_a8_runs": "quant_a8_runs"}
             if requested not in a8:
@@ -252,11 +253,14 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
                     else "quant_runs")
         return ("quant" if tokens <= MOE_DENSE_TOKEN_THRESHOLD
                 else "quant_tiled")
-    if requested == "runs":
-        # the run-length kernel family is quant-only (packed expert
-        # weights); the float legs of a `--impl runs` ladder take the
-        # measured float auto policy instead of crashing in dispatch
-        return ("dense" if tokens <= MOE_DENSE_TOKEN_THRESHOLD else "tiled")
+    if requested in ("runs", "runs_f"):
+        # round 5: the run-length kernel grew a float-weight variant
+        # (fmt "f", ops/pallas_moe_runs.py) — top-1 dispatch for the
+        # float modes, whose prior options computed 32x top-1 FLOPs
+        # (dense) or collapsed under routing skew (ragged). Explicit
+        # requests are honored on every backend (interpret off-TPU),
+        # matching the quant runs/kernel conventions.
+        return "runs_f"
     if requested != "auto":
         return requested
     return ("dense" if tokens <= MOE_DENSE_TOKEN_THRESHOLD else "tiled")

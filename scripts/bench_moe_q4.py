@@ -66,6 +66,9 @@ def main(args):
     p["w2"] = jax.random.normal(ks[1], (E, H, D)) * 0.05
     qp8 = quant_ops.quantize_moe_params(p, bits=8)
     qp4 = quant_ops.quantize_moe_params(p, bits=4)
+    # float-weight params at the activation dtype (round 5: fmt "f"
+    # runs variants — top-1 dispatch for the float serving modes)
+    pf = jax.tree.map(lambda a: a.astype(jnp.dtype(args.dtype)), p)
 
     rng = np.random.RandomState(0)
     results = {}
@@ -213,6 +216,24 @@ def main(args):
             "int8_runs_t64c8": (qp8, lambda pp, xv, g:
                                 moe_experts_pallas_runs(
                                     pp, xv, g, tile=64, chunk=8)),
+            # float-weight runs variants (fmt "f") + their XLA
+            # incumbents at the same weight dtype
+            "f_xla_dense": (pf, moe_ops.moe_experts_dense),
+            "f_xla_tiled": (pf, lambda pp, xv, g: moe_ops
+                            .moe_experts_tiled(pp, xv, g, tile=128)),
+            "f_runs_t32": (pf, lambda pp, xv, g:
+                           moe_experts_pallas_runs(pp, xv, g, tile=32)),
+            "f_runs_t64": (pf, lambda pp, xv, g:
+                           moe_experts_pallas_runs(pp, xv, g, tile=64)),
+            "f_runs_t128": (pf, lambda pp, xv, g:
+                            moe_experts_pallas_runs(pp, xv, g,
+                                                    tile=128)),
+            "f_runs_t32c1": (pf, lambda pp, xv, g:
+                             moe_experts_pallas_runs(pp, xv, g,
+                                                     tile=32, chunk=1)),
+            "f_runs_t32c4": (pf, lambda pp, xv, g:
+                             moe_experts_pallas_runs(pp, xv, g,
+                                                     tile=32, chunk=4)),
         }
         if args.impls:
             impls = {k: v for k, v in impls.items() if k in args.impls}
@@ -221,10 +242,11 @@ def main(args):
         # reference matches the impl's weight format)
         ref = quant_ops.moe_experts_dense_q(qp4, x, gi)
         ref8 = quant_ops.moe_experts_dense_q(qp8, x, gi)
+        reff = moe_ops.moe_experts_dense(pf, x, gi)
         for name, (pp, fn) in impls.items():
             if "pallas" not in name and "runs" not in name:
                 continue
-            want = ref8 if pp is qp8 else ref
+            want = reff if pp is pf else (ref8 if pp is qp8 else ref)
             err = float(jnp.max(jnp.abs(fn(pp, x, gi) - want)))
             print(json.dumps({f"maxerr/{name}/{n_tokens}": err}),
                   flush=True)

@@ -99,6 +99,11 @@ def main():
                          np.float32)
         ref8 = np.asarray(quant_ops.moe_experts_dense_q(qp8, x, gi),
                           np.float32)
+        reff = np.asarray(moe_ops.moe_experts_dense(pf, x, gi),
+                          np.float32)
+        xf = x.astype(jnp.float32)
+        reff32 = np.asarray(moe_ops.moe_experts_dense(p, xf, gi),
+                            np.float32)
         kernels = {
             "int4_dense_c2": (lambda: moe_experts_pallas_q4(
                 qp4, x, gi, chunk=2), ref, 5e-2),
@@ -127,6 +132,12 @@ def main():
                 qp8, x, gi, tile=64, act_quant=True), ref8, 1.5e-1),
             "bf16_stream": (lambda: moe_experts_dense_pallas(
                 pf, x, gi), None, None),
+            # round 5: float-weight runs variants (fmt "f") — top-1
+            # dispatch for the float serving modes in the mid band
+            "bf16_runs_t32": (lambda: moe_experts_pallas_runs(
+                pf, x, gi, tile=32), reff, 5e-2),
+            "f32_runs_t32": (lambda: moe_experts_pallas_runs(
+                p, xf, gi, tile=32), reff32, 5e-2),
         }
         for name, (fn, want, tol) in kernels.items():
             if flt.only and not any(s in name for s in flt.only):

@@ -240,6 +240,147 @@ def test_runs_q4_factored_matches():
                                    rtol=1e-3, atol=3e-4)
 
 
+def _f_params(key, E=4, D=32, H=64, dtype=jnp.float32):
+    p = moe.init_moe_ffn(key, D, 0, E, H)
+    p.pop("router")
+    ks = jax.random.split(key, 2)
+    p["w1"] = (jax.random.normal(ks[0], (E, D, H)) * 0.05).astype(dtype)
+    p["w2"] = (jax.random.normal(ks[1], (E, H, D)) * 0.05).astype(dtype)
+    p["b1"] = p["b1"].astype(dtype)
+    p["b2"] = p["b2"].astype(dtype)
+    return p
+
+
+def test_runs_float_matches_dense():
+    """fmt 'f' (round 5): float weights, no scales/unpack — f32 exact
+    vs the XLA dense path, bf16 within bf16 rounding (the kernel
+    accumulates in f32, the dense einsum in bf16)."""
+    fp = _f_params(jax.random.PRNGKey(70))
+    rng = np.random.RandomState(71)
+    x = jnp.asarray(rng.randn(2, 9, 32), jnp.float32)
+    gate_idx = jnp.asarray(rng.randint(0, 4, (2, 9)), jnp.int32)
+    ref = moe.moe_experts_dense(fp, x, gate_idx)
+    got = moe_experts_pallas_runs(fp, x, gate_idx, tile=8, chunk=2,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    fpb = _f_params(jax.random.PRNGKey(70), dtype=jnp.bfloat16)
+    xb = x.astype(jnp.bfloat16)
+    refb = moe.moe_experts_dense(fpb, xb, gate_idx)
+    gotb = moe_experts_pallas_runs(fpb, xb, gate_idx, tile=8, chunk=2,
+                                   interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(gotb, np.float32), np.asarray(refb, np.float32),
+        atol=4e-3)
+
+
+def test_runs_float_routing_edge_cases():
+    """One-expert-only (other chunks' DMAs skipped), chunk-gap, N <
+    tile, and the no-b2 DFSMN shape — the same edge routings the quant
+    fmts cover, on the float path's own branch."""
+    fp = _f_params(jax.random.PRNGKey(72))
+    rng = np.random.RandomState(73)
+    x = jnp.asarray(rng.randn(1, 40, 32), jnp.float32)
+    for gate in (rng.randint(0, 4, (1, 40)),
+                 np.full((1, 40), 2),
+                 np.where(np.arange(40) < 3, 0, 3)[None]):
+        gate_idx = jnp.asarray(gate, jnp.int32)
+        ref = moe.moe_experts_dense(fp, x, gate_idx)
+        got = moe_experts_pallas_runs(fp, x, gate_idx, tile=16, chunk=2,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+    x1 = x[:, :5]
+    g1 = jnp.asarray(rng.randint(0, 4, (1, 5)), jnp.int32)
+    ref = moe.moe_experts_dense(fp, x1, g1)
+    got = moe_experts_pallas_runs(fp, x1, g1, tile=16, chunk=2,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    nb2 = dict(fp, b2=None)
+    gate_idx = jnp.asarray(np.random.RandomState(79).randint(
+        0, 4, (1, 40)), jnp.int32)
+    ref = moe.moe_experts_dense(nb2, x, gate_idx)
+    got = moe_experts_pallas_runs(nb2, x, gate_idx, tile=16, chunk=2,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_runs_float_stacked_and_dispatch():
+    """Stacked (L, E, ...) float weights reproduce per-layer outputs;
+    ops.moe._dispatch resolves 'runs_f'; the engine policy maps
+    runs/runs_f requests to the right family per serving mode."""
+    L = 3
+    pls = [_f_params(jax.random.PRNGKey(74 + i)) for i in range(L)]
+    rng = np.random.RandomState(78)
+    x = jnp.asarray(rng.randn(1, 13, 32), jnp.float32)
+    gate_idx = jnp.asarray(rng.randint(0, 4, (1, 13)), jnp.int32)
+    w1s = jnp.stack([q["w1"] for q in pls])
+    w2s = jnp.stack([q["w2"] for q in pls])
+    for i in range(L):
+        ref = moe_experts_pallas_runs(pls[i], x, gate_idx, tile=8,
+                                      chunk=2, interpret=True)
+        ps = dict(pls[i], w1=w1s, w2=w2s)
+        got = moe_experts_pallas_runs(ps, x, gate_idx, tile=8, chunk=2,
+                                      layer=jnp.int32(i), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=0)
+    got = moe._dispatch(pls[0], x, gate_idx, "runs_f")
+    ref = moe_experts_pallas_runs(pls[0], x, gate_idx, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=0)
+    from m3asr_tpu.runtime.engine import moe_auto_impl
+    assert moe_auto_impl("float32", 511, requested="runs_f") == "runs_f"
+    assert moe_auto_impl("bfloat16", 511, requested="runs") == "runs_f"
+    assert moe_auto_impl("bfloat16", 511, int8=True,
+                         requested="runs_f") == "quant_runs"
+    assert moe_auto_impl("bfloat16", 511, int8=True, act_quant=True,
+                         requested="runs_f") == "quant_a8_runs"
+    assert moe_auto_impl("bfloat16", 511, int4=True,
+                         requested="runs_f") == "quant4_runs"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        moe_experts_pallas_runs(pls[0], x, gate_idx, act_quant=True,
+                                interpret=True)
+
+
+@pytest.mark.slow  # full engine builds
+def test_runs_float_engine_integration():
+    """float32 / bfloat16 engines built with moe_impl='runs_f'
+    reproduce the dense-impl engines through the full stacked-scan
+    forward (the keep-weights-out-of-scan path)."""
+    import torch
+    from m3asr_tpu import checkpoint as ckpt
+    from m3asr_tpu.config import model_config_from_dict
+    from m3asr_tpu.runtime.engine import Engine, EngineConfig
+    from test_runtime import golden_model, small_yaml
+
+    m = golden_model()
+    cfg = model_config_from_dict(small_yaml())
+    params = ckpt.convert_encoder(
+        {f"encoder.{k}": v for k, v in m.state_dict().items()}, cfg)
+    g = torch.Generator().manual_seed(91)
+    feat = torch.randn(1, 53, 20, generator=g).numpy()
+    fl = np.array([53])
+    for dtype, tol in (("float32", 1e-5), ("bfloat16", 0.02)):
+        base = Engine(cfg, params,
+                      EngineConfig(dtype=dtype, moe_impl="dense",
+                                   bucket_lengths=(64,),
+                                   bucket_batches=(1,),
+                                   donate_input=False))
+        runs = Engine(cfg, params,
+                      EngineConfig(dtype=dtype, moe_impl="runs_f",
+                                   bucket_lengths=(64,),
+                                   bucket_batches=(1,),
+                                   donate_input=False))
+        ref, ref_len = base.infer(feat, fl)
+        out, out_len = runs.infer(feat, fl)
+        assert (out_len == ref_len).all()
+        rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < tol, (dtype, rel)
+
+
 def test_runs_dfsmn_epilogue():
     """relu + upper_bound clamp (the DFSMN-MoE expert epilogue) through
     all four runs variants — on-TPU auto policy routes DFSMN int8/int4
