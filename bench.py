@@ -404,7 +404,7 @@ if __name__ == "__main__":
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--impl", default="auto",
                         choices=["auto", "dense", "ragged", "tiled",
-                                 "capacity", "pallas", "runs"])
+                                 "capacity", "pallas", "runs", "runs_f"])
     parser.add_argument("--dtype", default="ladder",
                         choices=["float32", "bfloat16", "int8", "int4",
                                  "both", "ladder"],

@@ -436,10 +436,21 @@ def moe_experts_pallas_runs(p, x: jax.Array, gate_idx: jax.Array,
     b2 = p["b2"].astype(jnp.float32) if use_b2 else \
         jnp.zeros((E, d), jnp.float32)
 
+    N = B * T
+    if fmt == "f":
+        # measured fmt-f defaults (round 5, scripts/bench_moe_q4.py
+        # ms/18L): the one-expert-per-DMA chunk=1 wins the small
+        # buckets at float byte volume (bf16 64tok: c1 1.52 vs c2
+        # 1.75-1.76; f32: 2.98 vs 3.69-3.93) and all f32 shapes
+        # (511tok: c1 4.19 vs t32c2 4.25 / t64c2 4.32); bf16's mid
+        # band prefers t64c2 (2.48 vs t32c1 2.81 at 511)
+        if tile is None:
+            tile = 64 if (N > 128 and x.dtype == jnp.bfloat16) else 32
+        if chunk == 2 and (N <= 128 or x.dtype != jnp.bfloat16):
+            chunk = 1
     if E % chunk:
         chunk = 1
     n_chunks = E // chunk
-    N = B * T
     # measured defaults (BENCHMARKS.md "Run-length kernels", v5e,
     # same-process sweep at 255/511/1499 tokens): int4/w4a8 run the
     # FACTORED half-width dots off the packed block at tile 64

@@ -263,6 +263,19 @@ def moe_auto_impl(dtype: str, tokens: int, int8: bool = False,
         return "runs_f"
     if requested != "auto":
         return requested
+    # float auto on TPU: the fmt-f runs kernel wins EVERY measured
+    # shape — it streams only active experts' bytes (DMA skip) and
+    # computes top-1 FLOPs where dense pays 32x. Full model (round 5):
+    # fp32 5.10 -> 3.10 ms at 1x206 and 17.43 -> 9.25 at 1x2048;
+    # bf16 2.62 -> 1.63 and 6.63 -> 5.31. MoE stage ms/18L: bf16
+    # 64tok 1.52 vs XLA dense 1.90 (a flattered figure — the
+    # single-layer harness gives XLA VMEM weight reuse a real model
+    # cannot have), 511tok 2.48 vs 3.42; f32 64tok 2.98 vs 4.24,
+    # 511tok 4.19 vs 10.8 ("high"). Off-TPU the kernel would run in
+    # interpret mode — keep the XLA paths there.
+    import jax
+    if jax.default_backend() == "tpu":
+        return "runs_f"
     return ("dense" if tokens <= MOE_DENSE_TOKEN_THRESHOLD else "tiled")
 
 

@@ -261,7 +261,11 @@ def main(args):
                     return y[0, 0, 0].astype(jnp.float32) * 1e-30, None
                 c, _ = jax.lax.scan(body, carry, None, length=18)
                 return c
-            ms = timed(stage, (pp, x, gi), iters=args.iters)
+            # match the engine's fp32 default ("high" = bf16_3x) so
+            # XLA float legs measure the program fp32 engines run
+            ms = timed(stage, (pp, x, gi), iters=args.iters,
+                       precision=("high" if args.dtype == "float32"
+                                  else "default"))
             key_s = f"{n_tokens}tok/{name}"
             results[key_s] = round(ms, 3)
             print(json.dumps({key_s: results[key_s]}), flush=True)

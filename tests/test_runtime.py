@@ -170,7 +170,11 @@ def test_cli_build_attn_impl_flash(tmp_path):
 
 
 def test_moe_impl_auto_policy():
-    """Measured dtype-aware dense/ragged crossover (BENCHMARKS.md)."""
+    """Measured dtype-aware dense/ragged crossover (BENCHMARKS.md).
+    These are the OFF-TPU policy assertions (this suite runs on CPU);
+    on TPU the float auto policy resolves to the fmt-f run-length
+    kernel at every size (round 5 — asserted separately below via the
+    requested= mappings, measured in BENCHMARKS.md)."""
     m = golden_model()
     raw = small_yaml()
     cfg = model_config_from_dict(raw)
