@@ -320,9 +320,15 @@ def cfsmn_moe_layer(p, x: jax.Array, embed: jax.Array,
                         moe_experts_pallas_runs, act_quant=True),
                     }[moe_impl]
     else:
+        from m3asr_tpu.ops.pallas_moe_runs import moe_experts_pallas_runs
         table = {"dense": moe_ops.moe_experts_dense,
                  "ragged": moe_ops.moe_experts_ragged,
-                 "tiled": moe_ops.moe_experts_tiled}
+                 "tiled": moe_ops.moe_experts_tiled,
+                 # float run-length kernel (round 5) — the TPU float
+                 # auto policy resolves here; DFSMN layers are Python-
+                 # unrolled, so params arrive per-layer (no stacked
+                 # mode needed)
+                 "runs_f": moe_experts_pallas_runs}
         if moe_impl not in table:
             raise ValueError(
                 f"moe_impl={moe_impl!r} is not supported for the "

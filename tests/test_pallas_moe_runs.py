@@ -410,3 +410,28 @@ def test_runs_dfsmn_epilogue():
             tol = 6e-3 if aq else 2e-4
             np.testing.assert_allclose(np.asarray(got),
                                        np.asarray(ref), atol=tol)
+    # float fmt with the same epilogue (fp32 DFSMN engines on TPU now
+    # auto-route here), driven through the DFSMN layer's own dispatch
+    fp = _f_params(jax.random.PRNGKey(83))
+    ref = moe.moe_experts_dense(fp, x, gate_idx,
+                                activation=jax.nn.relu, upper_bound=ub)
+    got = moe_experts_pallas_runs(fp, x, gate_idx, tile=8, chunk=2,
+                                  activation=jax.nn.relu,
+                                  upper_bound=ub, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    from m3asr_tpu.models.dfsmn import cfsmn_moe_layer, FsmnConfig
+    dfp = dict(fp, b2=None,
+               router={"kernel": jnp.zeros((32 + 32, 4), jnp.float32)},
+               left_factor=jnp.zeros((2, 32)),
+               cur_factor=jnp.zeros((1, 32)),
+               right_factor=jnp.zeros((2, 32)))
+    fcfg = FsmnConfig(look_back=2, look_ahead=2, stride_left=1,
+                      stride_right=1, upper_bound=ub)
+    emb = jnp.asarray(np.random.RandomState(84).randn(1, 15, 32),
+                      jnp.float32)
+    lens = jnp.asarray([15])
+    y_ref = cfsmn_moe_layer(dfp, x, emb, lens, fcfg, moe_impl="dense")
+    y_got = cfsmn_moe_layer(dfp, x, emb, lens, fcfg, moe_impl="runs_f")
+    np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
