@@ -264,6 +264,26 @@ def forward_chunk_moe(params, cfg: MoEEncoderConfig, chunk_feat: jax.Array,
     x, pos_emb, key_valid, C = _frontend_chunk(params, cfg, chunk_feat,
                                                state, cache_T)
 
+    # Keep the big expert weights OUT of the scan xs for the Pallas
+    # streaming/runs kernels (same rule as moe_conformer.forward): an
+    # XLA scan slice of the stacked (L, E, ...) weights materializes a
+    # per-layer copy ahead of the custom call (16-128 MB depending on
+    # format — measured +0.42 ms/18L offline); these kernels instead
+    # DMA rows layer*E + chunk from the full stacked array via a
+    # carried layer index. XLA-einsum impls fuse the slice and need no
+    # special-casing.
+    blocks = params["blocks"]
+    ff = blocks.get("feed_forward", {})
+    wk = None
+    if moe_impl in ("quant4_pallas", "quant4_tiled", "quant4_a8",
+                    "quant4_a8_tiled", "quant4_runs",
+                    "quant4_a8_runs") and "w1_q4" in ff:
+        wk = ("w1_q4", "w2_q4")
+    elif moe_impl in ("quant_runs", "quant_a8_runs") and "w1_q" in ff:
+        wk = ("w1_q", "w2_q")
+    elif moe_impl == "runs_f" and "w1" in ff:
+        wk = ("w1", "w2")
+
     def body(h, layer):
         bp, att_c, cnn_c = layer
         h, new_att, new_cnn = _stream_block(bp, h, pos_emb, att_c, cnn_c,
@@ -271,8 +291,27 @@ def forward_chunk_moe(params, cfg: MoEEncoderConfig, chunk_feat: jax.Array,
                                             moe=True, moe_impl=moe_impl)
         return h, (new_att[:, :, -cache_T:], new_cnn)
 
-    x, (new_att, new_cnn) = jax.lax.scan(
-        body, x, (params["blocks"], state.att_cache, state.cnn_cache))
+    if wk is not None:
+        w1s, w2s = ff[wk[0]], ff[wk[1]]
+        xs_blocks = dict(blocks)
+        xs_blocks["feed_forward"] = {
+            k: v for k, v in ff.items() if k not in wk}
+        idxs = jnp.arange(w1s.shape[0], dtype=jnp.int32)
+
+        def body_k(h, layer):
+            bp, att_c, cnn_c, l = layer
+            bp = dict(bp)
+            bp["feed_forward"] = dict(bp["feed_forward"], _layer=l,
+                                      **{wk[0]: w1s, wk[1]: w2s})
+            return body(h, (bp, att_c, cnn_c))
+
+        x, (new_att, new_cnn) = jax.lax.scan(
+            body_k, x, (xs_blocks, state.att_cache, state.cnn_cache,
+                        idxs))
+    else:
+        x, (new_att, new_cnn) = jax.lax.scan(
+            body, x, (params["blocks"], state.att_cache,
+                      state.cnn_cache))
 
     if cfg.normalize_before:
         x = layer_norm(params["after_norm"], x)

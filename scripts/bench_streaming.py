@@ -62,6 +62,8 @@ def main(args):
         else:
             moe_impl = "quant_a8" if args.act_quant else "quant"
 
+    if args.impl:
+        moe_impl = args.impl
     prec = "high" if args.dtype == "float32" else "default"
     with jax.default_matmul_precision(prec):
         sess = StreamingSession(params, cfg.encoder_conf,
@@ -143,6 +145,10 @@ def _t(f):
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
+    p.add_argument("--impl", default=None,
+                   help="override the per-dtype moe_impl (e.g. runs_f "
+                        "to measure the float run-length kernel on "
+                        "streaming chunk shapes)")
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--left", type=int, default=2)
     p.add_argument("--dtype", default="float32",

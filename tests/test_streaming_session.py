@@ -90,6 +90,20 @@ def test_int4_streaming_session_matches_offline(monkeypatch):
         allclose(got[:, :T_out], np.asarray(full)[:, :T_out], rtol=tol,
                  atol=tol)
 
+    # float run-length kernel (round 5) through the same
+    # keep-weights-out-of-scan streaming path, vs the dense offline
+    # forward on the ORIGINAL float params
+    full_f, _ = moe_conformer.forward(params, cfg, jnp.asarray(feat),
+                                      jnp.array([T_raw]),
+                                      chunk_mask=mask, moe_impl="dense")
+    sess = StreamingSession(params, cfg, chunk_size=CHUNK,
+                            num_left_chunks=LEFT, moe=True,
+                            moe_impl="runs_f")
+    outs = sess.push(feat) + sess.finish()
+    got = np.concatenate(outs, axis=1)
+    allclose(got[:, :T_out], np.asarray(full_f)[:, :T_out], rtol=1e-4,
+             atol=1e-4)
+
     # serve.py's streaming impl selection engages the Pallas kernel on
     # TPU and the XLA twin elsewhere
     import serve as serve_mod
