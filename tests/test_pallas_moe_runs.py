@@ -307,6 +307,24 @@ def test_runs_float_routing_edge_cases():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_runs_float_mixed_dtype_computes_at_weight_dtype():
+    """f32 activations x bf16 weights: the kernel casts the SMALL
+    activations down, never the stacked weights up — the upcast ran
+    inside the per-layer scan unhoisted and cost 107 ms/chunk on a
+    streaming session (round 5). Output keeps the activation dtype;
+    numerics are bf16-class."""
+    fpb = _f_params(jax.random.PRNGKey(90), dtype=jnp.bfloat16)
+    rng = np.random.RandomState(91)
+    x = jnp.asarray(rng.randn(1, 9, 32), jnp.float32)
+    gate_idx = jnp.asarray(rng.randint(0, 4, (1, 9)), jnp.int32)
+    ref = moe.moe_experts_dense(fpb, x.astype(jnp.bfloat16), gate_idx)
+    got = moe_experts_pallas_runs(fpb, x, gate_idx, tile=8, chunk=2,
+                                  interpret=True)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(ref, np.float32), atol=4e-3)
+
+
 def test_runs_float_stacked_and_dispatch():
     """Stacked (L, E, ...) float weights reproduce per-layer outputs;
     ops.moe._dispatch resolves 'runs_f'; the engine policy maps
