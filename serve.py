@@ -539,11 +539,16 @@ def make_handler(state, default_beam, lm=None, default_lm_weight=0.5):
 def _stream_moe_impl(engine, slots: int) -> str:
     """MoE dispatch for the batched streaming chunk programs — the
     shared measured auto policy at streaming token counts (chunk x
-    slots, always far below the dense/tiled crossover): dense for
-    float engines, quant/quant_a8 for int8/w8a8, and the packed-nibble
-    Pallas kernel (quant4_pallas / quant4_a8) for int4/w4a8 on TPU."""
+    slots, always far below the dense/tiled crossover): the float
+    run-length kernel for float engines on TPU (round 5, measured
+    device-side at chunk 16: bf16 1.03 ms/chunk vs int8's 1.54, fp32
+    4.59 -> 2.17 — idle-expert DMA skip is decisive at 16-token
+    chunks), dense off-TPU, quant/quant_a8 for int8/w8a8, and the
+    packed-nibble Pallas kernel (quant4_pallas / quant4_a8) for
+    int4/w4a8 on TPU."""
     if not engine.int8_experts:
-        return "dense"
+        import jax
+        return "runs_f" if jax.default_backend() == "tpu" else "dense"
     from m3asr_tpu.runtime.engine import moe_auto_impl
     chunk_tokens = 16 * max(1, slots)
     return moe_auto_impl("bfloat16", chunk_tokens, int8=True,

@@ -119,3 +119,11 @@ def test_int4_streaming_session_matches_offline(monkeypatch):
     assert serve_mod._stream_moe_impl(_Eng(), 8) == "quant4_pallas"
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert serve_mod._stream_moe_impl(_Eng(), 8) == "quant"
+
+    class _FloatEng:
+        int8_experts = False
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert serve_mod._stream_moe_impl(_FloatEng(), 1) == "runs_f"
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert serve_mod._stream_moe_impl(_FloatEng(), 1) == "dense"
